@@ -1,0 +1,246 @@
+"""Time-series core: resample, grid, forward-fill, rolling, restamp.
+
+Covers SURVEY §2 operators A1-A3 (resample mean/first/ffill), W2/J4
+(forward fill), A10/W1 (rolling average), W4 (slot flooring), J5
+(consecutive-pair chunking), J6 (restamping).  Reference semantics:
+``pandas.DataFrame.resample(rule).mean()/.first()/.ffill()`` over a
+DatetimeIndex (reference plot.py:249-251, dataset.py:524) and
+``series.rolling(n).mean()`` (reference plot.py:533-535).
+
+Scale design: every window is partitioned by the series key (``tag``) so the
+work is embarrassingly parallel across signals; no global windows appear in
+the hot path.  The resample itself is a hash aggregation (map-side partial
+combine) on (tag, bucket) — the same shape Spark uses for any groupBy, so it
+scales linearly.  The time grid is produced with ``sequence()+explode`` from
+each tag's own min/max — a few rows per tag exploding JVM-side, no driver
+loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- A1/A2: tumbling-window resample ---------------------------------------
+
+
+def bucket(ts: Column, seconds: int) -> Column:
+    """Floor a timestamp to a tumbling bucket of `seconds` (epoch-aligned).
+
+    Equivalent to ``F.window(ts, ...)["start"]`` but cheaper to express and
+    identical to DuckDB's ``time_bucket`` alignment for sub-day widths.
+    """
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / seconds) * seconds)
+
+
+def resample_mean(
+    df: DataFrame,
+    rate_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """``resample(rule).mean()`` per series (reference plot.py:249-250).
+
+    Returns ``(key_col, bucket_ts, avg_value)`` — one row per series per
+    non-empty bucket.
+    """
+    return (
+        df.groupBy(key_col, bucket(F.col(ts_col), rate_seconds).alias("bucket_ts"))
+        .agg(F.avg(value_col).alias("avg_value"))
+    )
+
+
+def resample_first(
+    df: DataFrame,
+    rate_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """``resample(rule).first()`` per series (reference plot.py:673).
+
+    "First" = value at the earliest timestamp in the bucket; ties broken by
+    ``tiebreak_col`` for determinism.  Implemented with ``min_by`` over a
+    struct so it stays a single hash aggregation (no window + filter pass).
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    return (
+        df.groupBy(key_col, bucket(F.col(ts_col), rate_seconds).alias("bucket_ts"))
+        .agg(F.min_by(F.col(value_col), order).alias("first_value"))
+    )
+
+
+# --- grid + W2/J4: forward fill --------------------------------------------
+
+
+def time_grid(
+    df: DataFrame,
+    rate_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+) -> DataFrame:
+    """Complete per-series bucket grid from each series' own min..max ts.
+
+    One `sequence()+explode` per series — the pandas ``resample`` contract
+    (which emits empty slots between first and last observation).
+    """
+    secs = F.lit(rate_seconds)
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.min(bucket(F.col(ts_col), rate_seconds)).alias("_t0"),
+            F.max(bucket(F.col(ts_col), rate_seconds)).alias("_t1"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_t0", "_t1", F.make_interval(secs=secs))
+            ).alias("bucket_ts"),
+        )
+    )
+
+
+def ffill(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "bucket_ts",
+    key_col: str = "tag",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Forward-fill nulls per series (reference ``.ffill()`` dataset.py:524).
+
+    ``last(ignorenulls)`` over an unbounded-preceding window, partitioned by
+    the series key so no single-partition global window exists (SURVEY §4.2.3).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    rate_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """``resample(rule).mean()`` onto a complete grid, then forward-fill —
+    the reference's slot-alignment idiom (dataset.py:524, plot.py:250-251).
+
+    Returns ``(key_col, bucket_ts, value)`` with no interior nulls (leading
+    buckets before a series' first observation keep null, as pandas does).
+    """
+    agg = resample_mean(df, rate_seconds, ts_col, key_col, value_col)
+    grid = time_grid(df, rate_seconds, ts_col, key_col)
+    joined = grid.join(agg, [key_col, "bucket_ts"], "left")
+    return ffill(joined, "avg_value", "bucket_ts", key_col, out_col="value").drop(
+        "avg_value"
+    )
+
+
+# --- A10/W1: rolling average ------------------------------------------------
+
+
+def rolling_mean(
+    df: DataFrame,
+    n_rows: int,
+    value_col: str,
+    ts_col: str = "bucket_ts",
+    key_col: str = "tag",
+    out_col: str = "rolling_avg",
+    min_periods_1: bool = False,
+) -> DataFrame:
+    """``series.rolling(window=n).mean()`` (reference plot.py:533-535).
+
+    pandas emits null until the frame holds n rows; pass min_periods_1 to
+    emit partial means instead.  Row-frame window partitioned per series.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    rolled = F.avg(value_col).over(w)
+    if not min_periods_1:
+        cnt = F.count(value_col).over(w)
+        rolled = F.when(cnt >= n_rows, rolled)
+    return df.withColumn(out_col, rolled)
+
+
+# --- W4: slot flooring / next-wakeup ----------------------------------------
+
+
+def floor_to_slot(ts: Column, frequency_minutes: int) -> Column:
+    """Round a timestamp down to a multiple of the frequency (reference
+    dataset.py:295-303, scheduler.py:153-164: ``tm - minute % freq``)."""
+    return bucket(ts, frequency_minutes * 60)
+
+
+def slot_bounds(ts: Column, frequency_minutes: int) -> tuple[Column, Column]:
+    """(slot_start, slot_end) with end = start + freq - 1s (scheduler.py:163-164)."""
+    start = floor_to_slot(ts, frequency_minutes)
+    end = start + F.make_interval(secs=F.lit(frequency_minutes * 60 - 1))
+    return start, end
+
+
+# --- J5: consecutive-pair chunk boundaries ----------------------------------
+
+
+def lead_pairs(
+    df: DataFrame, ts_col: str = "ts", key_col: str | None = None
+) -> DataFrame:
+    """``zip(splits[:-1], splits[1:])`` → `[start, end)` rows via ``lead()``
+    (reference dataset.py:527-531)."""
+    w = (
+        Window.partitionBy(key_col).orderBy(ts_col)
+        if key_col
+        else Window.orderBy(ts_col)
+    )
+    out = df.withColumn("end_ts", F.lead(ts_col).over(w)).filter(
+        F.col("end_ts").isNotNull()
+    )
+    return out.withColumnRenamed(ts_col, "start_ts")
+
+
+# --- J6: restamping ----------------------------------------------------------
+
+
+def shift_timestamps(df: DataFrame, ts_col: str, delta_seconds: int) -> DataFrame:
+    """Shift a series by a constant delta (reference dataset.py:521-522)."""
+    return df.withColumn(
+        ts_col, F.col(ts_col) + F.make_interval(secs=F.lit(delta_seconds))
+    )
+
+
+def restamp_positional(
+    df: DataFrame,
+    new_start: str,
+    step_seconds: int,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Replace timestamps with a synthetic equal-length ``date_range``
+    (reference dataset.py:316-323): i-th row by old ts order gets
+    ``new_start + i*step``.  row_number is per-series when key_col given.
+    """
+    w = (
+        Window.partitionBy(key_col).orderBy(ts_col)
+        if key_col
+        else Window.orderBy(ts_col)
+    )
+    return df.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        ts_col,
+        F.to_timestamp(F.lit(new_start))
+        + F.make_interval(secs=F.col("_rn") * step_seconds),
+    ).drop("_rn")

@@ -1,0 +1,126 @@
+"""Local oracle harness — approximates the driver's t2 correctness check.
+
+Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()`` on
+DuckDB at sf0.01 (override with SF_DIR), compares row-count, schema (column
+names), and order-insensitive values.  Floats are compared exactly AND with
+tolerance; any exact mismatch is flagged loudly since the driver hashes
+values.
+
+Usage: python tools/check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def compare(name, spark_df, con, sql):
+    t0 = time.time()
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    t1 = time.time()
+    rel = con.sql(sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+    t2 = time.time()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        a = rows_to_multiset(s_cols, s_rows)
+        b = rows_to_multiset(d_cols, d_rows)
+        n_exact = sum(1 for x, y in zip(a, b) if x == y)
+        if n_exact != len(a):
+            # find first diff + max float delta
+            max_d = 0.0
+            first = None
+            for x, y in zip(a, b):
+                if x != y:
+                    if first is None:
+                        first = (x, y)
+                    for u, v in zip(x, y):
+                        if isinstance(u, float) and isinstance(v, float):
+                            max_d = max(max_d, abs(u - v))
+                        elif u != v:
+                            max_d = float("inf")
+            problems.append(
+                f"values: {len(a)-n_exact}/{len(a)} rows differ, "
+                f"max_float_delta={max_d}\n  spark={first[0]}\n  duck ={first[1]}"
+            )
+    status = "OK " if not problems else "FAIL"
+    print(f"[{status}] {name}: {len(s_rows)} rows  spark={t1-t0:.1f}s duck={t2-t1:.1f}s")
+    for p in problems:
+        print(f"       {p}")
+    return not problems
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok = bad = rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(get_spark("check"), SF_DIR)
+            if name in oracles:
+                if compare(name, df, con, oracles[name]):
+                    ok += 1
+                else:
+                    bad += 1
+            else:
+                n = df.count()
+                print(f"[ROWS] {name}: {n} rows (no oracle)")
+                rows_only += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"[ERR ] {name}: {type(e).__name__}: {e}")
+            bad += 1
+    print(f"\n{ok} ok, {bad} fail, {rows_only} rows-only")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
