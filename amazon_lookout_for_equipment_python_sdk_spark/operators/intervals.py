@@ -1,0 +1,185 @@
+"""Interval semantics: range join, range<->point conversion, run compaction.
+
+Covers SURVEY J1 (point-in-range stamping, reference evaluation.py:206-216 /
+plot.py:325-331), N5 (range -> point expansion, plot.py:320-333), and M2
+(point predictions -> (start,end) ranges, the inverse, via gaps-and-islands).
+
+Scale design (SURVEY §4.2.1): a naive ``p.ts BETWEEN r.start AND r.end``
+join is a broadcast-nested-loop at best.  ``range_join_bucketed`` buckets
+both sides by a coarse time block — points get one block, ranges explode to
+every block they overlap (ranges are short relative to the data span, so
+this is a small constant factor) — turning the theta-join into an equi-join
+on (key, block) + residual BETWEEN, i.e. a shuffle/broadcast HASH join whose
+cost scales linearly.  At 100 TB the block size is tuned to the p99 range
+length; skew (one giant range) is bounded because a range contributes one
+row per overlapped block, not per point.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def expand_ranges(
+    ranges: DataFrame,
+    step_seconds: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    extra_cols: list[str] | None = None,
+    ts_name: str = "ts",
+) -> DataFrame:
+    """N5 — ranges -> per-step point series (reference ``pd.date_range`` fill,
+    plot.py:320-333).  sequence()+explode, JVM-side."""
+    cols = list(extra_cols or [])
+    return ranges.select(
+        *cols,
+        F.explode(
+            F.sequence(
+                F.col(start_col),
+                F.col(end_col),
+                F.make_interval(secs=F.lit(step_seconds)),
+            )
+        ).alias(ts_name),
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    ranges: DataFrame,
+    block_seconds: int = 3600,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    key_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """J1 — stamp each point with matching range payloads (left join).
+
+    Equi-join on (key, time-block) with residual BETWEEN (see module doc).
+    Points matching no range keep null payloads.  A point inside two
+    overlapping ranges yields two rows (caller aggregates; the reference's
+    0/1/2 stamping uses ``stamp_points``).
+    """
+    keys = key_cols or []
+    payload = payload_cols or []
+    blk = F.lit(block_seconds)
+    p = points.withColumn("_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk))
+    r = ranges.select(
+        *keys,
+        start_col,
+        end_col,
+        *payload,
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / blk),
+                F.floor(F.unix_timestamp(F.col(end_col)) / blk),
+            )
+        ).alias("_blk"),
+    )
+    cond = (
+        [p["_blk"] == r["_blk"]]
+        + [p[k] == r[k] for k in keys]
+        + [p[ts_col] >= r[start_col], p[ts_col] <= r[end_col]]
+    )
+    return p.join(r, reduce(lambda a, b: a & b, cond), "left").drop("_blk")
+
+
+def stamp_points(
+    points: DataFrame,
+    predicted: DataFrame,
+    labeled: DataFrame | None = None,
+    ts_col: str = "ts",
+    block_seconds: int = 3600,
+) -> DataFrame:
+    """Reference evaluation.py:206-224: prediction = 0 normal, 1 inside a
+    predicted range, 2 inside a labeled range (labels win)."""
+    out = points
+    for name, ranges, code in (
+        ("_pred", predicted, 1),
+        ("_lab", labeled, 2),
+    ):
+        if ranges is None:
+            continue
+        flagged = _in_any_range(out, ranges, ts_col, block_seconds, name)
+        out = flagged
+    pred = F.when(F.col("_lab"), F.lit(2)) if labeled is not None else None
+    if pred is not None:
+        pred = pred.when(F.col("_pred"), F.lit(1)).otherwise(F.lit(0))
+    else:
+        pred = F.when(F.col("_pred"), F.lit(1)).otherwise(F.lit(0))
+    out = out.withColumn("prediction", pred)
+    return out.drop("_pred", "_lab")
+
+
+def _in_any_range(
+    points: DataFrame,
+    ranges: DataFrame,
+    ts_col: str,
+    block_seconds: int,
+    flag_name: str,
+) -> DataFrame:
+    blk = F.lit(block_seconds)
+    r = ranges.select(
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col("start")) / blk),
+                F.floor(F.unix_timestamp(F.col("end")) / blk),
+            )
+        ).alias("_blk"),
+    )
+    p = points.withColumn("_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk))
+    hit = (
+        p.join(F.broadcast(r), "_blk")
+        .filter((F.col(ts_col) >= F.col("start")) & (F.col(ts_col) <= F.col("end")))
+        .select(*points.columns)
+        .distinct()
+        .withColumn(flag_name, F.lit(True))
+    )
+    return p.drop("_blk").join(
+        hit.select(*points.columns, flag_name), points.columns, "left"
+    ).withColumn(flag_name, F.coalesce(F.col(flag_name), F.lit(False)))
+
+
+def compact_runs(
+    points: DataFrame,
+    flag: Column | str,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+) -> DataFrame:
+    """M2 — contiguous runs of flagged points -> (start, end) ranges
+    (gaps-and-islands: lag-based change detection + running sum run-id;
+    SURVEY §4.2.4, reference ModelMetrics predicted_ranges semantics,
+    evaluation.py:96-117).
+
+    Returns (key?, start, end, n_points).  Partitioned per key; the window
+    is per-signal so no global single-partition sort at scale.
+    """
+    fcol = F.col(flag) if isinstance(flag, str) else flag
+    keys = [key_col] if key_col else []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    df = points.withColumn("_f", fcol.cast("int"))
+    df = df.withColumn(
+        "_new_run",
+        F.when(
+            F.lag("_f").over(w).isNull() | (F.lag("_f").over(w) != F.col("_f")), 1
+        ).otherwise(0),
+    )
+    df = df.withColumn(
+        "_run",
+        F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        df.filter(F.col("_f") == 1)
+        .groupBy(*keys, "_run")
+        .agg(
+            F.min(ts_col).alias("start"),
+            F.max(ts_col).alias("end"),
+            F.count("*").alias("n_points"),
+        )
+        .drop("_run")
+    )

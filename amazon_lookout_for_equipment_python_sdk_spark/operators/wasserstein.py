@@ -1,0 +1,139 @@
+"""Wasserstein (1-D EMD) signal ranking — the reference's flagship analytic.
+
+Reference semantics (evaluation.py:228-313): for each signal, build two
+density histograms over SHARED bin edges (global min/max of the signal,
+``num_bins`` fixed-width bins) — one from "training normal" values, one from
+"evaluation anomalous" values — then compute
+``scipy.stats.wasserstein_distance(u, v)`` **between the two density
+vectors themselves** (the reference's quirk: the 20 density values are
+treated as two equal-length 1-D samples, evaluation.py:290-305; errors
+collapse to 0.0, evaluation.py:308-309).  Signals are ranked by distance
+descending (evaluation.py:312-313).
+
+For equal-length samples u, v the distance reduces to
+``mean(|sorted(u) - sorted(v)|)`` — expressible as pure DataFrame algebra:
+rank each side's densities, join on (signal, rank), average absolute
+difference.  We implement exactly that (no UDF in the hot path); a scipy
+cross-check lives in tests.
+
+``raw_sample_emd`` additionally offers the textbook EMD between the raw
+sample sets (CDF-difference integral over the shared bins) as an extension.
+
+Scale: everything is hash-agg + a join on (signal, rank) where each side has
+``num_bins`` rows per signal — thousands of rows total even with 1e6
+signals; the heavy lifting is the two histogram scans, which partition by
+signal and combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .histogram import histogram, signal_bounds
+
+
+def density_histograms(
+    df: DataFrame,
+    split_col: str,
+    num_bins: int = 20,
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-signal, per-subset density histograms over shared edges.
+
+    ``split_col`` labels each row's subset (e.g. 'train'/'eval').  Edges come
+    from the signal's global min/max across ALL subsets (reference
+    evaluation.py:282-287 computes edges from the union before splitting).
+    Returns (key, subset, bin, density).
+    """
+    bounds = signal_bounds(df, key_col, value_col)
+    out = []
+    # one histogram per subset value, shared bounds; subset count is tiny (2)
+    subsets = [r[0] for r in df.select(split_col).distinct().collect()]
+    for s in sorted(subsets):
+        h = histogram(
+            df.filter(F.col(split_col) == s),
+            num_bins,
+            key_col,
+            value_col,
+            bounds=bounds,
+        ).withColumn("subset", F.lit(s))
+        out.append(h.select(key_col, "subset", "bin", "density"))
+    res = out[0]
+    for h in out[1:]:
+        res = res.unionByName(h)
+    return res
+
+
+def wasserstein_between_density_vectors(
+    hists: DataFrame,
+    subset_a: str,
+    subset_b: str,
+    key_col: str = "tag",
+) -> DataFrame:
+    """W1 distance between two equal-length density vectors per signal
+    (the reference's semantic, evaluation.py:290-305):
+    mean(|sorted(a) - sorted(b)|)."""
+    wa = Window.partitionBy(key_col).orderBy("density", "bin")
+    a = (
+        hists.filter(F.col("subset") == subset_a)
+        .withColumn("r", F.row_number().over(wa))
+        .select(key_col, "r", F.col("density").alias("da"))
+    )
+    b = (
+        hists.filter(F.col("subset") == subset_b)
+        .withColumn("r", F.row_number().over(wa))
+        .select(key_col, "r", F.col("density").alias("db"))
+    )
+    return (
+        a.join(b, [key_col, "r"])
+        .groupBy(key_col)
+        .agg(F.avg(F.abs(F.col("da") - F.col("db"))).alias("distance"))
+    )
+
+
+def rank_signals_by_shift(
+    df: DataFrame,
+    split_col: str,
+    subset_a: str,
+    subset_b: str,
+    num_bins: int = 20,
+    key_col: str = "tag",
+    value_col: str = "value",
+    top_n: int | None = None,
+) -> DataFrame:
+    """A6+A7+T2 — full reference chain: shared-bin density histograms ->
+    Wasserstein(density-vectors) -> rank desc -> optional top-k
+    (evaluation.py:228-313 + 557-571)."""
+    hists = density_histograms(df, split_col, num_bins, key_col, value_col)
+    d = wasserstein_between_density_vectors(hists, subset_a, subset_b, key_col)
+    d = d.orderBy(F.desc("distance"), key_col)
+    return d.limit(top_n) if top_n else d
+
+
+def raw_sample_emd(
+    df: DataFrame,
+    split_col: str,
+    subset_a: str,
+    subset_b: str,
+    num_bins: int = 20,
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """Extension (SURVEY §7 hard-part 1): textbook binned EMD between the two
+    RAW sample distributions: sum(|cdf_a - cdf_b|) * bin_width."""
+    hists = density_histograms(df, split_col, num_bins, key_col, value_col)
+    w = Window.partitionBy(key_col, "subset").orderBy("bin")
+    cdf = hists.withColumn("cdf", F.sum("density").over(w))
+    a = cdf.filter(F.col("subset") == subset_a).select(key_col, "bin", F.col("cdf").alias("ca"))
+    b = cdf.filter(F.col("subset") == subset_b).select(key_col, "bin", F.col("cdf").alias("cb"))
+    bounds = signal_bounds(df, key_col, value_col)
+    width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
+    return (
+        a.join(b, [key_col, "bin"])
+        .groupBy(key_col)
+        .agg(F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("_absdiff"))
+        .join(F.broadcast(bounds), key_col)
+        .select(key_col, (F.col("_absdiff") * width * width).alias("emd"))
+    )
