@@ -1,0 +1,333 @@
+"""Relational operator layer over the TPC-H-ish tables (SURVEY §2.2/2.3/2.6/2.7).
+
+Covers projections/filters (P1-P8), dimension joins (J2), semi/anti joins
+(P7), sorts/top-k/pagination (T1-T3), set ops (U1-U3), scalar functions
+(F1-F8), and the sum-rank-head aggregate (A8).
+
+Scale notes: dimension joins broadcast the small side explicitly; top-k is
+orderBy+limit (Spark plans TakeOrderedAndProject — no full sort); all
+money arithmetic runs on exact scaled integers (see plans.registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.conditions import parse_off_condition
+from .registry import (
+    det_avg,
+    det_sum,
+    load,
+    register,
+    sql_det_avg,
+    sql_det_sum,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (P4 filter + A-layer aggs + T1 sort)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_det_sum('l_quantity')} AS sum_qty,
+       {sql_det_sum('l_extendedprice')} AS sum_base_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(100 - l_discount*100) AS BIGINT)) / 1e6 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(100 - l_discount*100) AS BIGINT)
+           * CAST(round(100 + l_tax*100) AS BIGINT)) / 1e8 AS sum_charge,
+       {sql_det_avg('l_quantity')} AS avg_qty,
+       {sql_det_avg('l_extendedprice')} AS avg_price,
+       {sql_det_avg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->agg pipeline the
+    relational layer (P4+A-layer) must sustain at 100 TB.  All sums are
+    exact integer arithmetic until one final division."""
+    li = load(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_f = F.round(100 - F.col("l_discount") * 100).cast("long")
+    tax_f = F.round(100 + F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            det_sum(F.col("l_quantity")).alias("sum_qty"),
+            det_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(price_c * disc_f) / F.lit(1e6)).alias("sum_disc_price"),
+            (F.sum(price_c * disc_f * tax_f) / F.lit(1e8)).alias("sum_charge"),
+            det_avg(F.col("l_quantity")).alias("avg_qty"),
+            det_avg(F.col("l_extendedprice")).alias("avg_price"),
+            det_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: dimension lookup joins (broadcast) through the star schema
+# ---------------------------------------------------------------------------
+
+_STAR_SQL = f"""
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(*) AS n_lineitems,
+       {sql_det_sum('l.l_quantity')} AS sum_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+@register("star_join_rollup", _STAR_SQL)
+def star_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — dimension lookup join chain (reference tags->Subsystem broadcast
+    join, dataset.py:160-161), as a star-schema rollup.  Dims are broadcast:
+    no shuffle of the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            det_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: semi/anti membership joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_active_customers",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — membership validation as left-semi join (reference signal-subset
+    check, plot.py:136-143)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+""",
+)
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — the 'unknown signals' complement as left-anti join (reference
+    raises listing unknowns, dataset.py:809-810).  Right side pre-filtered
+    so the result is non-trivial (customers inactive in 1998+)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 + T2: status filter + deterministic top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "status_filter_counts",
+    """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*10000) AS BIGINT)) / 1e4 AS sum_total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+""",
+)
+def status_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — equality filter on a status enum (reference scheduler
+    execution-status filter, scheduler.py:585-592)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            det_sum(F.col("o_totalprice"), scale=10000).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+""",
+)
+def topk_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 — deterministic top-k (orderBy+limit plans as
+    TakeOrderedAndProject: per-partition heap + merge, no global sort)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "top_customers_by_spend",
+    """
+SELECT c.c_custkey, c.c_name, t.n_orders, t.spend FROM (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice*10000) AS BIGINT)) / 1e4 AS spend
+  FROM orders GROUP BY 1
+  ORDER BY spend DESC, o_custkey LIMIT 10) t
+JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+)
+def top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+T2 — sum-per-key, rank desc, head(top_n) (reference
+    plot.py:594), then dimension join for names."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            det_sum(F.col("o_totalprice"), scale=10000).alias("spend"),
+        )
+        .orderBy(F.desc("spend"), "o_custkey")
+        .limit(10)
+    )
+    return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "n_orders", "spend"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5: off-condition mini-DSL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "off_condition_filter",
+    f"""
+SELECT event_type, count(*) AS n_on, {sql_det_avg('value')} AS avg_on_value
+FROM events WHERE value > 100.0 GROUP BY 1
+""",
+)
+def off_condition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/M4 — machine-on rows per the off-condition DSL
+    'component\\tag > 100.0' (reference model.py:109-123, 194-208)."""
+    events = load(spark, sf_dir, "events")
+    on = parse_off_condition(
+        "machine\\value > 100.0", layout="wide", value_col="value"
+    )
+    return (
+        events.filter(on)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_on"), det_avg(F.col("value")).alias("avg_on_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/U3: set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_distinct_labels",
+    """
+SELECT event_type AS label FROM events
+UNION
+SELECT o_orderpriority AS label FROM orders
+""",
+)
+def union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 — vertical concat + distinct (reference pd.concat + unique)."""
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        events.select(F.col("event_type").alias("label"))
+        .unionByName(orders.select(F.col("o_orderpriority").alias("label")))
+        .distinct()
+    )
+
+
+@register(
+    "membership_isin",
+    f"""
+SELECT user_id, count(*) AS n_events, {sql_det_sum('value')} AS sum_value
+FROM events WHERE event_type IN ('error', 'signup')
+GROUP BY 1
+""",
+)
+def membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/P6 — membership filter (reference tag-in-list intersection,
+    plot.py:140-143)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type").isin("error", "signup"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), det_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F8: scalar datetime/string layer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_features",
+    """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+       CAST(minute(ts) AS INTEGER) AS mi,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso_s,
+       split_part(props, ':', 1) AS props_head
+FROM events WHERE event_type = 'view'
+""",
+)
+def time_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4/F6/F7 — timestamp parts, epoch, formatted string, string
+    split (reference F-layer: dataset.py:163/303, scheduler.py:146-151,
+    plot.py:595)."""
+    events = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.minute("ts").cast("int").alias("mi"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
+        F.substring_index("props", ":", 1).alias("props_head"),
+    )

@@ -1,0 +1,577 @@
+"""Time-series / interval query layer (SURVEY §2.4-2.5, J1/J5/J6, M2, N1/N5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts_ops
+from .registry import (
+    RATE,
+    ROLL,
+    SQL_BUCKET,
+    det_avg,
+    det_sum,
+    load,
+    qfloor,
+    register,
+    sql_det_avg,
+    sql_det_sum,
+    sql_qfloor,
+)
+
+# ---------------------------------------------------------------------------
+# Phase 1 flagship: resample -> ffill -> rolling (A1 + W2/J4 + A10/W1)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = f"""
+WITH agg AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         {sql_det_avg('value')} AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_ts) AS t0, max(bucket_ts) AS t1 FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL {RATE} SECOND)) AS bucket_ts
+  FROM bounds
+), filled AS (
+  SELECT g.event_type, g.bucket_ts,
+         last_value(a.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g LEFT JOIN agg a
+    ON g.event_type = a.event_type AND g.bucket_ts = a.bucket_ts
+)
+SELECT event_type, bucket_ts, value,
+       CASE WHEN count(value) OVER w >= {ROLL}
+            THEN {sql_qfloor('avg(value) OVER w')} END AS rolling_avg
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN {ROLL - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("flagship_resample_ffill_rolling", _FLAGSHIP_SQL)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's preprocessing spine (plot.py:232-253 + 533-535):
+    5-min tumbling mean per signal -> complete grid + forward fill ->
+    1-hour rolling average."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg(det_avg(F.col("value")).alias("avg_value"))
+    grid = ts_ops.time_grid(events, RATE, ts_col="ts", key_col="event_type")
+    filled = ts_ops.ffill(
+        grid.join(agg, ["event_type", "bucket_ts"], "left"),
+        "avg_value",
+        "bucket_ts",
+        "event_type",
+        out_col="value",
+    ).drop("avg_value")
+    rolled = ts_ops.rolling_mean(
+        filled, ROLL, "value", ts_col="bucket_ts", key_col="event_type"
+    )
+    return rolled.select(
+        "event_type",
+        "bucket_ts",
+        "value",
+        qfloor(F.col("rolling_avg")).alias("rolling_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: resample mean (standalone)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resample_mean",
+    f"""
+SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+       {sql_det_avg('value')} AS avg_value, count(*) AS n_rows
+FROM events GROUP BY 1, 2
+""",
+)
+def resample_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — resample(rule).mean() (reference plot.py:249-250)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg(det_avg(F.col("value")).alias("avg_value"), F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# A2: resample first (deterministic first-by-ts, event_id tiebreak)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resample_first",
+    f"""
+SELECT event_type, bucket_ts, value AS first_value FROM (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY event_type, {SQL_BUCKET}
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events) t WHERE rn = 1
+""",
+)
+def resample_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — resample(rule).first() (reference plot.py:673)."""
+    events = load(spark, sf_dir, "events")
+    out = ts_ops.resample_first(
+        events,
+        RATE,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_type", "bucket_ts", F.col("first_value").alias("first_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: global min/max per signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minmax_per_signal",
+    """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+""",
+)
+def minmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-signal min/max for bin edges (reference evaluation.py:282-287)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: 20-bin density histogram per signal
+# ---------------------------------------------------------------------------
+
+_HIST_SQL = """
+WITH bounds AS (
+  SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+         count(*) AS n FROM events GROUP BY 1
+), binned AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - b.min_value) /
+                          ((b.max_value - b.min_value)/20.0)), 19) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM events e JOIN bounds b USING (event_type)
+  GROUP BY 1, 2
+), grid AS (
+  SELECT b.event_type, g.bin, b.min_value, b.max_value, b.n
+  FROM bounds b, (SELECT unnest(generate_series(0, 19)) AS bin) g
+)
+SELECT g.event_type, g.bin,
+       g.min_value + g.bin * ((g.max_value - g.min_value)/20.0) AS bin_start,
+       COALESCE(c.cnt, 0) AS count,
+       COALESCE(c.cnt, 0) / (g.n * ((g.max_value - g.min_value)/20.0)) AS density
+FROM grid g LEFT JOIN binned c ON g.event_type = c.event_type AND g.bin = c.bin
+"""
+
+
+@register("histogram_20bin", _HIST_SQL)
+def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — fixed-width density histogram (reference evaluation.py:282-299)."""
+    from ..operators.histogram import histogram
+
+    events = load(spark, sf_dir, "events")
+    return histogram(events, 20, key_col="event_type", value_col="value").select(
+        "event_type", "bin", "bin_start", "count", "density"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7: Wasserstein(density-vectors) ranking — the flagship analytic
+# ---------------------------------------------------------------------------
+
+_SPLIT = "2024-01-15 00:00:00"
+
+_WASS_SQL = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'train' ELSE 'eval' END AS subset
+  FROM events
+), bounds AS (
+  SELECT event_type, min(value) AS min_value, max(value) AS max_value
+  FROM tagged GROUP BY 1
+), counts AS (
+  SELECT t.event_type, t.subset,
+         CAST(least(floor((t.value - b.min_value) /
+                          ((b.max_value - b.min_value)/20.0)), 19) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM tagged t JOIN bounds b USING (event_type)
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT event_type, subset, count(*) AS n FROM tagged GROUP BY 1, 2
+), grid AS (
+  SELECT b.event_type, s.subset, g.bin, b.min_value, b.max_value
+  FROM bounds b,
+       (SELECT unnest(generate_series(0, 19)) AS bin) g,
+       (SELECT DISTINCT subset FROM tagged) s
+), dens AS (
+  SELECT g.event_type, g.subset, g.bin,
+         COALESCE(c.cnt, 0) / (t.n * ((g.max_value - g.min_value)/20.0)) AS density
+  FROM grid g
+  LEFT JOIN counts c ON g.event_type = c.event_type AND g.subset = c.subset AND g.bin = c.bin
+  JOIN totals t ON g.event_type = t.event_type AND g.subset = t.subset
+), ranked AS (
+  SELECT event_type, subset, density,
+         row_number() OVER (PARTITION BY event_type, subset
+                            ORDER BY density, bin) AS r
+  FROM dens
+), dist AS (
+  SELECT a.event_type,
+         {sql_qfloor('avg(abs(a.density - b.density))', 10)} AS distance
+  FROM ranked a JOIN ranked b
+    ON a.event_type = b.event_type AND a.r = b.r
+  WHERE a.subset = 'train' AND b.subset = 'eval'
+  GROUP BY 1
+)
+SELECT event_type, distance,
+       CAST(row_number() OVER (ORDER BY distance DESC, event_type) AS INTEGER) AS rnk
+FROM dist
+"""
+
+
+@register("wasserstein_rank", _WASS_SQL)
+def wasserstein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 — per-signal Wasserstein distance between train/eval density
+    vectors, ranked desc (reference evaluation.py:228-313, incl. the quirk
+    that the distance is between the DENSITY vectors, not raw samples)."""
+    from pyspark.sql import Window
+    from ..operators.wasserstein import (
+        density_histograms,
+        wasserstein_between_density_vectors,
+    )
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "subset",
+        F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), "train").otherwise(
+            "eval"
+        ),
+    )
+    hists = density_histograms(
+        events, "subset", 20, key_col="event_type", value_col="value"
+    )
+    d = wasserstein_between_density_vectors(hists, "train", "eval", "event_type")
+    d = d.select("event_type", qfloor(F.col("distance"), 10).alias("distance"))
+    return d.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("distance"), "event_type"))
+        .cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2: run compaction (point flags -> ranges)
+# ---------------------------------------------------------------------------
+
+_COMPACT_SQL = f"""
+WITH pts AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CASE WHEN {sql_det_avg('value')} > 100.0 THEN 1 ELSE 0 END AS f
+  FROM events GROUP BY 1, 2
+), runs AS (
+  SELECT event_type, bucket_ts, f,
+         CASE WHEN lag(f) OVER w IS NULL OR lag(f) OVER w <> f
+              THEN 1 ELSE 0 END AS new_run
+  FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), ids AS (
+  SELECT event_type, bucket_ts, f,
+         sum(new_run) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs
+)
+SELECT event_type, min(bucket_ts) AS start, max(bucket_ts) AS "end",
+       count(*) AS n_points
+FROM ids WHERE f = 1 GROUP BY event_type, run_id
+"""
+
+
+@register("run_compaction", _COMPACT_SQL)
+def run_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — contiguous anomalous runs -> (start,end) ranges (SURVEY §4.2.4;
+    reference ModelMetrics predicted_ranges, evaluation.py:96-117)."""
+    from ..operators.intervals import compact_runs
+
+    events = load(spark, sf_dir, "events")
+    pts = events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg((det_avg(F.col("value")) > F.lit(100.0)).cast("int").alias("f"))
+    return compact_runs(pts, "f", ts_col="bucket_ts", key_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# J1: range join — stamp points 0/1/2 (labels win)
+# ---------------------------------------------------------------------------
+
+_SQL_HOUR_BUCKET = "CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP)"
+
+_STAMP_SQL = f"""
+WITH pred AS (
+  SELECT {_SQL_HOUR_BUCKET} AS hstart
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING {sql_det_avg('value')} > 100.0
+), lab AS (
+  SELECT {_SQL_HOUR_BUCKET} AS hstart
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING {sql_det_avg('value')} > 105.0
+), pts AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.ts,
+       CASE WHEN EXISTS (SELECT 1 FROM lab l WHERE p.ts >= l.hstart
+                         AND p.ts <= l.hstart + INTERVAL 3599 SECOND) THEN 2
+            WHEN EXISTS (SELECT 1 FROM pred r WHERE p.ts >= r.hstart
+                         AND p.ts <= r.hstart + INTERVAL 3599 SECOND) THEN 1
+            ELSE 0 END AS prediction
+FROM pts p
+"""
+
+
+@register("range_join_stamp", _STAMP_SQL)
+def range_join_stamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — point-in-range stamping, 0=normal 1=predicted 2=labeled
+    (reference evaluation.py:206-224).  Bucketed interval join (SURVEY
+    §4.2.1): equi-join on coarse time block + residual BETWEEN."""
+    from ..operators.intervals import stamp_points
+
+    events = load(spark, sf_dir, "events")
+
+    def hourly_ranges(etype: str, thresh: float) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy(ts_ops.bucket(F.col("ts"), 3600).alias("start"))
+            .agg(det_avg(F.col("value")).alias("_avg"))
+            .filter(F.col("_avg") > thresh)
+            .select(
+                "start",
+                (F.col("start") + F.make_interval(secs=F.lit(3599))).alias("end"),
+            )
+        )
+
+    points = events.filter(F.col("event_type") == "click").select("event_id", "ts")
+    return stamp_points(
+        points, hourly_ranges("error", 100.0), hourly_ranges("purchase", 105.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N5: range -> point expansion at 1-min steps
+# ---------------------------------------------------------------------------
+
+_EXPAND_SQL = f"""
+WITH ranges AS (
+  SELECT event_type,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS start
+  FROM events GROUP BY 1, 2 HAVING {sql_det_avg('value')} > 102.0
+)
+SELECT event_type,
+       unnest(generate_series(start, start + INTERVAL 3540 SECOND,
+                              INTERVAL 60 SECOND)) AS ts,
+       1 AS label
+FROM ranges
+"""
+
+
+@register("range_expand_1min", _EXPAND_SQL)
+def range_expand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — interval table -> per-minute labeled point series (reference
+    plot.py:320-333 pd.date_range fill)."""
+    from ..operators.intervals import expand_ranges
+
+    events = load(spark, sf_dir, "events")
+    ranges = (
+        events.groupBy(
+            "event_type", ts_ops.bucket(F.col("ts"), 3600).alias("start")
+        )
+        .agg(det_avg(F.col("value")).alias("_avg"))
+        .filter(F.col("_avg") > 102.0)
+        .select(
+            "event_type",
+            "start",
+            (F.col("start") + F.make_interval(secs=F.lit(3540))).alias("end"),
+        )
+    )
+    return expand_ranges(
+        ranges, 60, extra_cols=["event_type"], ts_name="ts"
+    ).withColumn("label", F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# W5: train/eval split by timestamp
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_eval_split",
+    f"""
+SELECT event_type,
+       CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'train' ELSE 'eval' END AS subset,
+       count(*) AS n_rows, {sql_det_avg('value')} AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — partition a series at split_timestamp (reference model.py:166-192
+    TrainingData/EvaluationData time bounds)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "subset",
+            F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), "train").otherwise(
+                "eval"
+            ),
+        )
+        .groupBy("event_type", "subset")
+        .agg(F.count("*").alias("n_rows"), det_avg(F.col("value")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: slot flooring (15-min scheduler slots with end bound)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "floor_slot_15min",
+    """
+SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS slot_start,
+       CAST(to_timestamp(floor(epoch(ts)/900)*900 + 899) AS TIMESTAMP) AS slot_end,
+       count(*) AS n_rows
+FROM events GROUP BY 1, 2
+""",
+)
+def floor_slot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — floor-to-frequency slot assignment, end = start + freq - 1s
+    (reference scheduler.py:153-164, dataset.py:295-303)."""
+    from ..operators.timeseries import slot_bounds
+
+    events = load(spark, sf_dir, "events")
+    start, end = slot_bounds(F.col("ts"), 15)
+    return (
+        events.select(start.alias("slot_start"), end.alias("slot_end"))
+        .groupBy("slot_start", "slot_end")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: consecutive-pair chunk boundaries via lead()
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lead_pairs_chunks",
+    """
+SELECT event_type, start_ts, end_ts FROM (
+  SELECT event_type, bucket_ts AS start_ts,
+         lead(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS end_ts
+  FROM (SELECT DISTINCT event_type,
+               CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket_ts
+        FROM events) t) x
+WHERE end_ts IS NOT NULL
+""",
+)
+def lead_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — zip(splits[:-1], splits[1:]) chunking (reference dataset.py:527-531)."""
+    events = load(spark, sf_dir, "events")
+    hours = events.select(
+        "event_type", ts_ops.bucket(F.col("ts"), 3600).alias("bucket_ts")
+    ).distinct()
+    return ts_ops.lead_pairs(hours, ts_col="bucket_ts", key_col="event_type").select(
+        "event_type", "start_ts", "end_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: restamping (constant shift + positional)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shift_restamp",
+    """
+SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY AS shifted_ts
+FROM events WHERE event_type = 'error'
+""",
+)
+def shift_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6a — shift a series by a constant delta (reference dataset.py:521-522)."""
+    events = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "error").select(
+        "event_id", (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("shifted_ts")
+    )
+
+
+@register(
+    "positional_restamp",
+    """
+SELECT event_id,
+       TIMESTAMP '2025-01-01 00:00:00'
+         + (row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1)
+           * INTERVAL 60 SECOND AS new_ts
+FROM events WHERE event_type = 'signup'
+""",
+)
+def positional_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b — replace timestamps with a synthetic equal-length date_range
+    (reference dataset.py:316-323): i-th row by ts order -> start + i*step."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .select(
+            "event_id",
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("_rn") * 60)
+            ).alias("new_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1-style pivot: long -> wide (F-TAGS-WIDE duality)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = f"""
+SELECT {SQL_BUCKET} AS bucket_ts,
+       {', '.join(f'''{sql_det_avg(f"CASE WHEN event_type = '{t}' THEN value END")} AS {t}''' for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@register("pivot_wide", _PIVOT_SQL)
+def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide pivot (reference's two accepted data formats,
+    plot.py:46-50; diagnostics explode/pivot N1 is the same shape,
+    scheduler.py:636-657)."""
+    events = load(spark, sf_dir, "events")
+    aggs = [
+        det_avg(F.when(F.col("event_type") == t, F.col("value"))).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return events.groupBy(
+        ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg(*aggs)
