@@ -1,0 +1,110 @@
+"""Text analysis operators for LLM-scale data pipelines (BASELINE.json
+north star: language-ID, quality scoring, token counting, fingerprinting).
+
+All hot-path logic is built-in Spark SQL functions (JVM, codegen) — no
+Python UDFs: tokenization is ``split``, shingling is higher-order array
+functions, hashing is ``md5``.  Everything is deterministic and engine-
+portable (verified against DuckDB oracles).
+
+Scale: every operator is per-row (embarrassingly parallel, no shuffle);
+aggregations that follow (dedup joins) are hash-partitioned on the derived
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword set for ratio features (synthetic corpus)
+STOPWORDS = ("the", "a", "data", "row")
+
+#: marker tokens per language for the n-gram/lexicon language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a"),
+    "code": ("spark", "query", "join"),
+    "db": ("table", "scan", "merge"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (corpus is single-spaced lowercase)."""
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings — JVM-side higher-order functions:
+    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(words, i, n)))."""
+    w = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Token count (whitespace tokenizer)."""
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of stopword tokens (JVM array filter)."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document: token count, distinct-token
+    count (type-token ratio basis), deterministic avg token length,
+    stopword ratio.  All int arithmetic until one final division."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(tokens(t))).alias("n_unique_tokens"),
+        # single-spaced text: total token chars = len - (n_tokens - 1)
+        ((F.length(t) - (n_tok - 1)) / n_tok.cast("double")).alias("avg_token_len"),
+        (stopword_count(t) / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the text (corpus is already normalized;
+    callers can pre-apply lower/trim/space-collapse for raw corpora)."""
+    return F.md5(text)
+
+
+def fingerprint_bucket(text: Column, hex_chars: int = 12) -> Column:
+    """Numeric fingerprint bucket: first ``hex_chars`` hex digits of the md5
+    as a long — a rolling-hash-style shard key that survives engines
+    (conv(hex,16,10); <=15 hex chars fits in int64)."""
+    return F.conv(F.substring(fingerprint(text), 1, hex_chars), 16, 10).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-token counts per candidate language (lexicon heuristic)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of marker counts with deterministic
+    tie-break by language name; 'und' when no marker appears."""
+    scores = lang_scores(F.col(text_col))
+    # argmax with name tie-break via greatest over (count, reversed-name) —
+    # expressed as a chain of when() for exactly-portable semantics
+    langs = sorted(scores)  # tie -> first alphabetically
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    out_cols = [df[c] for c in df.columns]
+    out_cols += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    out_cols.append(best.alias("pred_lang"))
+    return df.select(*out_cols)

@@ -1,0 +1,265 @@
+"""LLM-data-pipeline query layer: dedup, similarity, text analysis
+(BASELINE.json north star; beyond-reference operators over
+documents/embeddings testdata)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import load, qfloor, register, sql_qfloor
+
+# ---------------------------------------------------------------------------
+# Text stats (quality scoring features)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('the', 'a', 'data', 'row')"
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id, lang, n_tokens, n_unique_tokens,
+       (n_chars_txt - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+FROM (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+         length(text) AS n_chars_txt,
+         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop
+  FROM documents) t
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score features, all-integer until the final
+    ratio divisions (bit-portable)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return tx.text_stats(docs).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_unique_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker lexicons, deterministic argmax)
+# ---------------------------------------------------------------------------
+
+_LANG_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), t -> t IN ('spark','query','join'))) AS score_code,
+         len(list_filter(string_split(text,' '), t -> t IN ('table','scan','merge'))) AS score_db,
+         len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS score_en
+  FROM documents)
+SELECT doc_id, score_code, score_db, score_en,
+       CASE
+         WHEN score_en > greatest(score_db, score_code, 0) THEN 'en'
+         WHEN score_db > greatest(score_code, 0) THEN 'db'
+         WHEN score_code > 0 THEN 'code'
+         ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+@register("lang_id_heuristic", _LANG_SQL)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language-ID: argmax marker count, alphabetical-first
+    tie-break ('code' < 'db' < 'en' — later languages must strictly
+    exceed)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.lang_id(docs)
+    return out.select("doc_id", "score_code", "score_db", "score_en", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting + exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id, md5(text) AS fp,
+       CAST(concat('0x', substr(md5(text), 1, 12)) AS UBIGINT) AS fp_bucket
+FROM documents
+""",
+)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5) + numeric shard bucket from its first 12
+    hex chars."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        tx.fingerprint_bucket(F.col("text"), 12).alias("fp_bucket"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy fingerprint, canonical min-id."""
+    return dd.dedup_exact(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM sh x JOIN sh y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       sa.n_sh + sb.n_sh - n_common AS n_union,
+       n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_common * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - n_common)
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard >= 0.5 near-dup pairs via inverted-index
+    join; integer cross-product threshold (no float compare)."""
+    return dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+  FROM documents
+), sigs AS (
+  SELECT doc_id, p.perm, min(md5(concat(CAST(p.perm AS VARCHAR), '|', sh))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(concat(CAST(perm AS VARCHAR), ':', minhash), ''
+                    ORDER BY concat(CAST(perm AS VARCHAR), ':', minhash)) AS bucket
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+WHERE x.doc_id < y.doc_id
+"""
+
+
+@register("minhash_lsh_candidates", _MINHASH_SQL)
+def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms, md5-based) + LSH banding (2 bands x 4 rows):
+    candidate near-dup pairs from band-bucket collisions."""
+    sigs = dd.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_perm=8, shingle_n=3
+    )
+    return dd.lsh_candidate_pairs(sigs, num_perm=8, bands=2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(generate_series(0, 47)) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+@register("simhash_fingerprint", _SIMHASH_SQL)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash from per-token md5 bit votes."""
+    out = dd.simhash48(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# Cosine top-k similarity search (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {sql_qfloor('list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) / '
+                     '(sqrt(list_dot_product(q.qv, q.qv)) * '
+                     'sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))', 6)} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
+@register("cosine_topk", _COS_SQL)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors; ranking on the
+    quantized cosine so near-ties break deterministically by vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q = F.broadcast(queries.withColumnRenamed("embedding", "_qvec"))
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            qfloor(sim.cosine(F.col("_qvec"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .drop("rnk")
+    )

@@ -5,3 +5,4 @@ from __future__ import annotations
 from .registry import ORACLE_SQL, QUERIES, load  # noqa: F401
 from . import timeseries_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import llmops  # noqa: F401,E402
