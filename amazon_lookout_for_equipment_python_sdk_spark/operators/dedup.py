@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import exploded_shingles, fingerprint
 
 
 def dedup_exact(
@@ -51,9 +51,7 @@ def minhash_signatures(
     signature entry is the lexicographic minimum — deterministic and
     portable (hex strings order identically everywhere).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
-    )
+    sh = exploded_shingles(df, shingle_n, text_col, id_col)
     perms = sh.select(
         id_col,
         "sh",
@@ -118,10 +116,7 @@ def ngram_jaccard_pairs(
     the threshold compare happens on an integer cross-product
     (common * 1e6 >= thr * union) to stay bit-portable.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
-    )
+    sh = exploded_shingles(df, shingle_n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")

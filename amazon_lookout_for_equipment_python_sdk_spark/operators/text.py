@@ -42,6 +42,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: "DataFrame", n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(id, shingle) rows, distinct per doc.  Projects the token array FIRST
+    so ``split`` runs once per row — inlining it into the transform lambda
+    re-evaluates it per shingle (O(tokens^2) per doc)."""
+    words = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+    )
+    return words.select(
+        id_col, F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
 def token_count(text: Column) -> Column:
     """Token count (whitespace tokenizer)."""
     return F.size(tokens(text))

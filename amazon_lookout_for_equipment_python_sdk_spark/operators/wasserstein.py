@@ -46,24 +46,52 @@ def density_histograms(
     from the signal's global min/max across ALL subsets (reference
     evaluation.py:282-287 computes edges from the union before splitting).
     Returns (key, subset, bin, density).
+
+    Exactly two scans regardless of subset count: (1) per-signal bounds,
+    (2) per-(signal, subset, bin) counts; the bin grid is rebuilt from the
+    tiny aggregates (no driver collect, no per-subset rescans).
     """
     bounds = signal_bounds(df, key_col, value_col)
-    out = []
-    # one histogram per subset value, shared bounds; subset count is tiny (2)
-    subsets = [r[0] for r in df.select(split_col).distinct().collect()]
-    for s in sorted(subsets):
-        h = histogram(
-            df.filter(F.col(split_col) == s),
-            num_bins,
+    width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
+    binned = (
+        df.join(F.broadcast(bounds), key_col)
+        .select(
             key_col,
-            value_col,
-            bounds=bounds,
-        ).withColumn("subset", F.lit(s))
-        out.append(h.select(key_col, "subset", "bin", "density"))
-    res = out[0]
-    for h in out[1:]:
-        res = res.unionByName(h)
-    return res
+            F.col(split_col).alias("subset"),
+            F.least(
+                F.floor((F.col(value_col) - F.col("min_value")) / width),
+                F.lit(num_bins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy(key_col, "subset", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = binned.groupBy(key_col, "subset").agg(F.sum("cnt").alias("n"))
+    grid = (
+        totals.join(F.broadcast(bounds), key_col)
+        .select(
+            key_col,
+            "subset",
+            "n",
+            "min_value",
+            "max_value",
+            F.explode(F.sequence(F.lit(0), F.lit(num_bins - 1))).alias("bin"),
+        )
+    )
+    return (
+        grid.join(binned, [key_col, "subset", "bin"], "left")
+        .select(
+            key_col,
+            "subset",
+            "bin",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                / (F.col("n") * ((F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))))
+            ).alias("density"),
+        )
+    )
 
 
 def wasserstein_between_density_vectors(

@@ -1,0 +1,79 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end (results drained via a cheap count-collect,
+never a full driver materialization).  One warm-up pass on the smallest SF
+primes the JVM/codegen so the measured pass reflects steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
+from amazon_lookout_for_equipment_python_sdk_spark.plans import queries as q
+
+# headline set: the reference's analytical spine + relational + LLM ops
+BENCH_QUERIES = [
+    "flagship_resample_ffill_rolling",
+    "resample_mean",
+    "histogram_20bin",
+    "wasserstein_rank",
+    "range_join_stamp",
+    "run_compaction",
+    "q1_pricing_summary",
+    "star_join_rollup",
+    "top_customers_by_spend",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "cosine_topk",
+    "text_stats",
+]
+
+
+def run_one(spark, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    df = q.QUERIES[name](spark, sf_dir)
+    # drain the full result without shipping rows to python one by one
+    n = df.count()
+    dt = time.time() - t0
+    assert n >= 0
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warm-up at the smallest SF (JIT/codegen/parquet footer caches)
+    for name in BENCH_QUERIES:
+        try:
+            run_one(spark, "/root/testdata/sf0.001", name)
+        except Exception:
+            pass
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, sf_dir, name), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
