@@ -150,11 +150,16 @@ def compact_runs(
     flag: Column | str,
     ts_col: str = "ts",
     key_col: str | None = None,
+    step_seconds: int | None = None,
 ) -> DataFrame:
     """M2 — contiguous runs of flagged points -> (start, end) ranges
     (gaps-and-islands: lag-based change detection + running sum run-id;
     SURVEY §4.2.4, reference ModelMetrics predicted_ranges semantics,
     evaluation.py:96-117).
+
+    ``step_seconds``: when given, a time gap larger than the step also
+    breaks a run — required when the input holds only flagged points
+    (no explicit 0-state rows between ranges).
 
     Returns (key?, start, end, n_points).  Partitioned per key; the window
     is per-signal so no global single-partition sort at scale.
@@ -163,12 +168,11 @@ def compact_runs(
     keys = [key_col] if key_col else []
     w = Window.partitionBy(*keys).orderBy(ts_col)
     df = points.withColumn("_f", fcol.cast("int"))
-    df = df.withColumn(
-        "_new_run",
-        F.when(
-            F.lag("_f").over(w).isNull() | (F.lag("_f").over(w) != F.col("_f")), 1
-        ).otherwise(0),
-    )
+    breaks = F.lag("_f").over(w).isNull() | (F.lag("_f").over(w) != F.col("_f"))
+    if step_seconds is not None:
+        gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+        breaks = breaks | (gap > step_seconds)
+    df = df.withColumn("_new_run", F.when(breaks, 1).otherwise(0))
     df = df.withColumn(
         "_run",
         F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -1,0 +1,157 @@
+"""Wide<->long duality, readers/sinks file-contract round-trips."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark import datamodel as dm
+from amazon_lookout_for_equipment_python_sdk_spark.sources import (
+    read_component_csv,
+    read_inference_results,
+    read_labels_csv,
+    read_tags_description,
+    read_timeranges_txt,
+    write_component_csvs,
+    write_inference_chunks,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.sources.readers import (
+    pivot_diagnostics,
+)
+from amazon_lookout_for_equipment_python_sdk_spark import schema as sch
+
+
+def _long_df(spark, n_minutes=30):
+    rows = []
+    for i in range(n_minutes):
+        for comp, tag in [("pump", "p1"), ("pump", "p2"), ("motor", "m1")]:
+            rows.append(
+                (f"2024-01-01 00:{i:02d}:00", comp, tag, float(i) + hash(tag) % 7)
+            )
+    return spark.createDataFrame(
+        rows, "timestamp string, component string, tagname string, value double"
+    ).select(
+        F.to_timestamp("timestamp").alias("timestamp"),
+        "component",
+        "tagname",
+        "value",
+    )
+
+
+def test_wide_long_roundtrip(spark):
+    long_df = _long_df(spark).drop("component")
+    wide = dm.long_to_wide(long_df)
+    assert set(wide.columns) == {"Timestamp", "p1", "p2", "m1"}
+    back = dm.wide_to_long(wide)
+    assert back.count() == long_df.count()
+    j = long_df.alias("a").join(
+        back.alias("b"),
+        (F.col("a.timestamp") == F.col("b.timestamp"))
+        & (F.col("a.tagname") == F.col("b.tagname"))
+        & (F.col("a.value") == F.col("b.value")),
+    )
+    assert j.count() == long_df.count()
+
+
+def test_component_csv_sink_and_schema_inference(spark, tmp_path):
+    out = str(tmp_path / "train_data")
+    write_component_csvs(_long_df(spark), out)
+    # layout: one dir per component (reference dataset.py:154-167)
+    comp_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "component=*"))
+    )
+    assert comp_dirs == ["component=motor", "component=pump"]
+    # the reference's schema inference works on a dir-per-component tree
+    tree = str(tmp_path / "tree")
+    os.makedirs(tree)
+    for d in comp_dirs:
+        comp = d.split("=")[1]
+        os.symlink(os.path.join(out, d), os.path.join(tree, comp))
+    doc = sch.create_data_schema_from_dir(tree, spark)
+    parsed = sch.parse_data_schema(doc)
+    assert parsed["pump"].fields[0] == "Timestamp"
+    assert set(parsed["pump"].fields[1:]) == {"m1", "p1", "p2"}
+
+
+def test_component_csv_roundtrip_read(spark, tmp_path):
+    out = str(tmp_path / "train_data")
+    long_df = _long_df(spark)
+    write_component_csvs(long_df, out)
+    st = sch.ComponentSchema("pump", ["Timestamp", "m1", "p1", "p2"]).to_struct_type()
+    back = read_component_csv(
+        spark,
+        os.path.join(out, "component=pump"),
+        st,
+        ts_format="yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    )
+    assert back.count() == 30
+    assert back.filter(F.col("p1").isNull()).count() == 0
+    # motor rows live in their own partition; pump partition has null m1
+    assert back.filter(F.col("m1").isNotNull()).count() == 0
+
+
+def test_inference_chunk_sink_contract(spark, tmp_path):
+    out = str(tmp_path / "infer")
+    os.makedirs(out)
+    written = write_inference_chunks(
+        _long_df(spark, n_minutes=30), out, frequency_minutes=10
+    )
+    names = sorted(os.path.basename(p) for p in written)
+    # {component}_{yyyyMMddHHmmss}.csv, 3 slots x 2 components
+    assert names == [
+        "motor_20240101000000.csv",
+        "motor_20240101001000.csv",
+        "motor_20240101002000.csv",
+        "pump_20240101000000.csv",
+        "pump_20240101001000.csv",
+        "pump_20240101002000.csv",
+    ]
+    with open(written[0]) as f:
+        header = f.readline().strip().split(",")
+    assert header[0] == "Timestamp"
+
+
+def test_labels_tags_timeranges_readers(spark, tmp_path):
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        "2024-01-01 00:00:00,2024-01-01 01:00:00\n"
+        "2024-01-02 10:00:00,2024-01-02 12:00:00\n"
+    )
+    ldf = read_labels_csv(spark, str(labels))
+    assert ldf.columns == ["start", "end"]
+    assert ldf.count() == 2
+    assert ldf.filter(F.col("start").isNull()).count() == 0
+
+    tags = tmp_path / "tags.csv"
+    tags.write_text("Tag,Subsystem\np1,pump\nm1,motor\n")
+    tdf = read_tags_description(spark, str(tags))
+    assert {r["Subsystem"] for r in tdf.collect()} == {"pump", "motor"}
+
+    tr = tmp_path / "timeranges.txt"
+    tr.write_text(
+        "2024-01-01 00:00:00\n2024-01-15 00:00:00\n"
+        "2024-01-15 00:00:00\n2024-01-30 00:00:00\n"
+    )
+    bounds = read_timeranges_txt(spark, str(tr))
+    assert bounds["training_start"] == "2024-01-01 00:00:00"
+    assert bounds["evaluation_end"] == "2024-01-30 00:00:00"
+
+
+def test_inference_results_reader_and_pivot(spark, tmp_path):
+    p = tmp_path / "results.jsonl"
+    p.write_text(
+        '{"timestamp": "2024-01-01 00:00:00", "prediction": 0}\n'
+        '{"timestamp": "2024-01-01 00:05:00", "prediction": 1,'
+        ' "anomaly_score": 0.91,'
+        ' "diagnostics": [{"name": "pump\\\\p1", "value": 0.6},'
+        ' {"name": "motor\\\\m1", "value": 0.4}]}\n'
+    )
+    df = read_inference_results(spark, str(p))
+    assert df.count() == 2
+    row = df.filter(F.col("prediction") == 1).collect()[0]
+    assert abs(sum(d["value"] for d in row["diagnostics"]) - 1.0) < 1e-9
+    wide = pivot_diagnostics(df)
+    assert "pump\\p1" in wide.columns and "motor\\m1" in wide.columns
+    assert wide.count() == 2

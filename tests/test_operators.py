@@ -1,0 +1,186 @@
+"""Operator unit tests: pandas/numpy cross-checks + invariants
+(SURVEY §5 strategy: ops not fully covered by the SQL oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+    intervals,
+    timeseries as ts_ops,
+    wasserstein as ws,
+)
+
+
+def wasserstein_1d(u: np.ndarray, v: np.ndarray) -> float:
+    """Reference 1-D EMD (scipy.stats.wasserstein_distance semantics) via
+    the CDF-difference integral — pure numpy stand-in for scipy."""
+    u, v = np.sort(u), np.sort(v)
+    all_x = np.sort(np.concatenate([u, v]))
+    deltas = np.diff(all_x)
+    u_cdf = np.searchsorted(u, all_x[:-1], side="right") / len(u)
+    v_cdf = np.searchsorted(v, all_x[:-1], side="right") / len(v)
+    return float(np.sum(np.abs(u_cdf - v_cdf) * deltas))
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import load
+
+    return load(spark, sf_dir, "events")
+
+
+def test_resample_mean_matches_pandas(spark, events):
+    out = (
+        ts_ops.resample_mean(events, 300, key_col="event_type")
+        .orderBy("event_type", "bucket_ts")
+        .toPandas()
+    )
+    pdf = events.select("ts", "event_type", "value").toPandas()
+    expected = (
+        pdf.set_index("ts")
+        .groupby("event_type")["value"]
+        .resample("300s")
+        .mean()
+        .dropna()
+    )
+    got = out.set_index(["event_type", "bucket_ts"])["avg_value"]
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got.values, expected.values, rtol=1e-9)
+
+
+def test_ffill_matches_pandas(spark, events):
+    filled = ts_ops.resample_ffill(
+        events, 300, key_col="event_type"
+    ).orderBy("event_type", "bucket_ts").toPandas()
+    pdf = events.select("ts", "event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        expected = grp.set_index("ts")["value"].resample("300s").mean().ffill()
+        got = filled[filled.event_type == etype].set_index("bucket_ts")["value"]
+        assert len(got) == len(expected), etype
+        pd.testing.assert_series_equal(
+            got, expected, check_names=False, check_freq=False, rtol=1e-9
+        )
+
+
+def test_rolling_mean_matches_pandas(spark, events):
+    filled = ts_ops.resample_ffill(events, 300, key_col="event_type")
+    rolled = (
+        ts_ops.rolling_mean(filled, 12, "value", key_col="event_type")
+        .orderBy("event_type", "bucket_ts")
+        .toPandas()
+    )
+    for etype, grp in rolled.groupby("event_type"):
+        expected = grp.set_index("bucket_ts")["value"].rolling(12).mean()
+        np.testing.assert_allclose(
+            grp.set_index("bucket_ts")["rolling_avg"].values,
+            expected.values,
+            rtol=1e-9,
+        )
+
+
+def test_ranges_points_roundtrip(spark):
+    """M2/N5 invariant: ranges -> points -> compacted ranges is identity."""
+    ranges = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+            ("a", "2024-01-01 01:00:00", "2024-01-01 01:05:00"),
+            ("b", "2024-01-02 10:00:00", "2024-01-02 10:30:00"),
+        ],
+        "tag string, start string, end string",
+    ).select(
+        "tag",
+        F.to_timestamp("start").alias("start"),
+        F.to_timestamp("end").alias("end"),
+    )
+    points = intervals.expand_ranges(ranges, 60, extra_cols=["tag"])
+    # flagged-only input: time gaps > step must break runs
+    flagged = points.withColumn("f", F.lit(1))
+    compacted = intervals.compact_runs(
+        flagged, "f", ts_col="ts", key_col="tag", step_seconds=60
+    )
+    got = {
+        (r["tag"], r["start"].isoformat(), r["end"].isoformat())
+        for r in compacted.collect()
+    }
+    want = {
+        (r["tag"], r["start"].isoformat(), r["end"].isoformat())
+        for r in ranges.collect()
+    }
+    assert got == want
+
+
+def test_wasserstein_matches_reference_semantics(spark, events):
+    """A6: engine distance == wasserstein(density_vec_a, density_vec_b)
+    computed the reference's way (density vectors as samples)."""
+    split = "2024-01-05 00:00:00"
+    tagged = events.withColumn(
+        "subset",
+        F.when(F.col("ts") < F.lit(split).cast("timestamp"), "train").otherwise(
+            "eval"
+        ),
+    )
+    hists = ws.density_histograms(
+        tagged, "subset", 20, key_col="event_type", value_col="value"
+    )
+    engine = {
+        r["event_type"]: r["distance"]
+        for r in ws.wasserstein_between_density_vectors(
+            hists, "train", "eval", "event_type"
+        ).collect()
+    }
+    hp = hists.toPandas()
+    for etype in engine:
+        u = hp[(hp.event_type == etype) & (hp.subset == "train")]["density"].values
+        v = hp[(hp.event_type == etype) & (hp.subset == "eval")]["density"].values
+        expected = wasserstein_1d(u, v)
+        assert abs(engine[etype] - expected) < 1e-12, etype
+
+
+def test_histogram_matches_numpy(spark, events):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.histogram import (
+        histogram,
+    )
+
+    out = histogram(events, 20, key_col="event_type", value_col="value").toPandas()
+    pdf = events.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        x = grp["value"].values
+        counts, edges = np.histogram(x, bins=20, range=(x.min(), x.max()))
+        dens, _ = np.histogram(x, bins=20, range=(x.min(), x.max()), density=True)
+        o = out[out.event_type == etype].sort_values("bin")
+        np.testing.assert_array_equal(o["count"].values, counts)
+        np.testing.assert_allclose(o["density"].values, dens, rtol=1e-9)
+        np.testing.assert_allclose(o["bin_start"].values, edges[:-1], rtol=1e-9)
+
+
+def test_off_condition_dsl():
+    from amazon_lookout_for_equipment_python_sdk_spark.functions import (
+        parse_off_condition,
+    )
+
+    col = parse_off_condition("pump\\flow > 3.5", layout="wide")
+    assert "flow" in str(col)
+    with pytest.raises(ValueError):
+        parse_off_condition("not a condition")
+    with pytest.raises(ValueError):
+        parse_off_condition("pump\\flow >= 3.5")  # only < and > in the DSL
+
+
+def test_iso8601_durations():
+    from amazon_lookout_for_equipment_python_sdk_spark.functions import (
+        iso8601_duration_to_seconds as dur,
+        tz_offset_string,
+    )
+
+    assert dur("PT5M") == 300
+    assert dur("PT1H") == 3600
+    assert dur("PT1S") == 1
+    assert dur("PT1H30M15S") == 5415
+    with pytest.raises(ValueError):
+        dur("P1D")
+    assert tz_offset_string(330) == "+05:30"
+    assert tz_offset_string(-300) == "-05:00"
