@@ -1,0 +1,80 @@
+"""Model evaluation: ranges, stamped points, histogram ranking
+(SURVEY M2/M3 + evaluation-entry-point chain, reference evaluation.py).
+
+``ModelEvaluation`` is the Spark-native ``LookoutEquipmentAnalysis``: it
+takes scored points + optional label ranges, produces
+- ``predicted_ranges()`` / ``labeled_ranges()`` — (start, end) tables
+  (reference ModelMetrics JSON, evaluation.py:96-117);
+- ``stamped_points()`` — 0/1/2 point series (evaluation.py:206-224);
+- ``rank_signals()`` — per-signal Wasserstein ranking of training-normal vs
+  evaluation-anomalous value distributions (evaluation.py:228-313) with
+  top-k (get_ranked_list, evaluation.py:557-571).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.intervals import compact_runs, stamp_points
+from ..operators.wasserstein import rank_signals_by_shift
+
+
+class ModelEvaluation:
+    def __init__(
+        self,
+        scored: DataFrame,
+        labels: DataFrame | None = None,
+        sampling_rate_s: int = 300,
+    ):
+        """``scored``: (timestamp, prediction, ...) from
+        AnomalyDetector.transform; ``labels``: (start, end)."""
+        self.scored = scored
+        self.labels = labels
+        self.rate = sampling_rate_s
+
+    def predicted_ranges(self) -> DataFrame:
+        return compact_runs(
+            self.scored,
+            F.col("prediction") == 1,
+            ts_col="timestamp",
+            step_seconds=self.rate,
+        ).select("start", "end", "n_points")
+
+    def labeled_ranges(self) -> DataFrame | None:
+        return self.labels
+
+    def stamped_points(self) -> DataFrame:
+        """0 = normal, 1 = inside predicted range, 2 = inside label range."""
+        return stamp_points(
+            self.scored.select("timestamp"),
+            self.predicted_ranges().select("start", "end"),
+            self.labels,
+            ts_col="timestamp",
+        )
+
+    def rank_signals(
+        self,
+        df_long: DataFrame,
+        num_bins: int = 20,
+        top_n: int | None = None,
+    ) -> DataFrame:
+        """Per-signal distribution-shift ranking: values at normal points
+        vs values at anomalous points, shared-bin density histograms,
+        Wasserstein(density vectors), desc (reference evaluation.py:228-313)."""
+        stamped = self.stamped_points()
+        tagged = df_long.join(
+            stamped.withColumnRenamed("timestamp", "ts"), "ts", "inner"
+        ).withColumn(
+            "subset", F.when(F.col("prediction") == 0, "normal").otherwise("anomalous")
+        )
+        return rank_signals_by_shift(
+            tagged,
+            "subset",
+            "normal",
+            "anomalous",
+            num_bins=num_bins,
+            key_col="tag",
+            value_col="value",
+            top_n=top_n,
+        )

@@ -1,0 +1,237 @@
+"""PCA-reconstruction-error anomaly detector (SURVEY M1/M3/M4/M5).
+
+The reference's model is remote and opaque (model.py builds a request; the
+service trains it).  Its *contract* is explicit though: train on a time
+range at a target sampling rate, optionally excluding off-condition rows
+and restricting to a signal subset; optionally calibrate with label ranges;
+at inference emit per-timestamp ``prediction`` 0/1, ``anomaly_score``, and
+per-sensor ``diagnostics`` that sum to 1 (scheduler.py:644-650,
+plot.py:858-907).  SURVEY §7 Phase 4 picks the canonical unsupervised
+choice: standardize -> PCA -> reconstruction error -> threshold.
+
+Our semantics (explicit + deterministic, SURVEY hard-part 4):
+- preprocessing: tumbling-window mean resample to ``sampling_rate_s`` +
+  forward-fill per signal (the reference's resample+ffill spine);
+- model: StandardScaler(mean, std) -> PCA(k) on the training window;
+- score(x) = squared reconstruction error of the standardized vector;
+- anomaly_score in [0, 1): err / (err + err_p50_train) (monotone, scale-free);
+- prediction = score > threshold, threshold = ``threshold_quantile`` of
+  training scores (no labels) or the quantile that maximizes range-level F1
+  over the label ranges (with labels);
+- diagnostics_j = residual_j^2 / sum residual^2  (sums to 1 per event; the
+  reference plots a 1/num_features reference line, plot.py:902-903).
+
+Everything runs as column expressions (scores t_k and reconstructions are
+sums over d features x k components — JVM codegen, no Python in the scoring
+path; fine for the reference's <=300-sensor regime).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.conditions import parse_off_condition
+from ..functions.datetime_utils import iso8601_duration_to_seconds
+from ..operators.timeseries import resample_ffill
+
+
+@dataclass
+class ModelConfig:
+    """Mirror of the reference's create_model request surface
+    (model.py:103-223)."""
+
+    model_name: str
+    sampling_rate: str = "PT5M"  # ISO-8601, model.py:157-158
+    training_start: str | None = None
+    training_end: str | None = None
+    evaluation_start: str | None = None
+    evaluation_end: str | None = None
+    off_condition: str | None = None  # 'component\\tag > 0.0', model.py:109-123
+    signal_subset: list[str] | None = None  # subset schema, model.py:210-223
+    n_components: int | None = None  # PCA k; default: keep 95% variance cap d-1
+    threshold_quantile: float = 0.99
+    seed: int = 42
+
+    status: str = field(default="NOT_TRAINED", init=False)  # M5 lifecycle
+
+
+class AnomalyDetector:
+    """Unsupervised multivariate anomaly model over a LONG time-series table
+    (ts, tag, value)."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.tags: list[str] = []
+        self.scaler_model = None
+        self.pca_model = None
+        self.threshold: float | None = None
+        self._err_p50: float | None = None
+
+    # --- preprocessing -----------------------------------------------------
+
+    def _prepare_wide(self, df_long: DataFrame) -> DataFrame:
+        """resample+ffill per tag, then pivot wide (one row per slot)."""
+        cfg = self.config
+        rate = iso8601_duration_to_seconds(cfg.sampling_rate)
+        if cfg.signal_subset:
+            df_long = df_long.filter(F.col("tag").isin(*cfg.signal_subset))
+        filled = resample_ffill(df_long, rate, ts_col="ts", key_col="tag")
+        tags = sorted(r[0] for r in df_long.select("tag").distinct().collect())
+        wide = (
+            filled.groupBy("bucket_ts")
+            .pivot("tag", tags)
+            .agg(F.first("value", ignorenulls=True))
+            .na.drop()
+        )
+        if cfg.off_condition:
+            # machine-off slots are excluded wholesale (M4: the condition on
+            # one tag gates every signal at that timestamp, model.py:109-123)
+            wide = wide.filter(parse_off_condition(cfg.off_condition, layout="wide"))
+        self.tags = tags
+        return wide
+
+    # --- training ----------------------------------------------------------
+
+    def fit(self, df_long: DataFrame, labels: DataFrame | None = None) -> "AnomalyDetector":
+        cfg = self.config
+        cfg.status = "IN_PROGRESS"
+        try:
+            wide = self._prepare_wide(df_long)
+            if cfg.training_start:
+                wide = wide.filter(
+                    F.col("bucket_ts") >= F.lit(cfg.training_start).cast("timestamp")
+                )
+            if cfg.training_end:
+                wide = wide.filter(
+                    F.col("bucket_ts") < F.lit(cfg.training_end).cast("timestamp")
+                )
+            assembler = VectorAssembler(inputCols=self.tags, outputCol="_feat")
+            feats = assembler.transform(wide)
+            scaler = StandardScaler(
+                inputCol="_feat", outputCol="_scaled", withMean=True, withStd=True
+            )
+            self.scaler_model = scaler.fit(feats)
+            scaled = self.scaler_model.transform(feats)
+            k = cfg.n_components or max(1, len(self.tags) // 2)
+            k = min(k, len(self.tags) - 1) if len(self.tags) > 1 else 1
+            pca = PCA(k=k, inputCol="_scaled", outputCol="_pc")
+            self.pca_model = pca.fit(scaled)
+            train_scored = self._score_columns(wide)
+            qs = train_scored.approxQuantile(
+                "anomaly_raw", [0.5, cfg.threshold_quantile], 0.0
+            )
+            self._err_p50 = max(qs[0], 1e-12)
+            self.threshold = qs[1]
+            if labels is not None:
+                self._calibrate_threshold(train_scored, labels)
+            cfg.status = "SUCCESS"
+        except Exception:
+            cfg.status = "FAILED"
+            raise
+        return self
+
+    def _calibrate_threshold(self, scored: DataFrame, labels: DataFrame) -> None:
+        """With label ranges, pick the candidate quantile threshold that
+        maximizes point-level F1 against label membership."""
+        from ..operators.intervals import range_join_bucketed
+
+        flagged = range_join_bucketed(
+            scored.select("bucket_ts", "anomaly_raw"),
+            labels.select("start", "end"),
+            ts_col="bucket_ts",
+        ).withColumn("is_anom", F.col("start").isNotNull().cast("int"))
+        flagged = flagged.groupBy("bucket_ts", "anomaly_raw").agg(
+            F.max("is_anom").alias("is_anom")
+        )
+        cands = scored.approxQuantile(
+            "anomaly_raw", [0.5, 0.75, 0.9, 0.95, 0.99, 0.995], 0.0
+        )
+        pdf = flagged.toPandas()
+        best, best_f1 = self.threshold, -1.0
+        for t in cands:
+            pred = pdf["anomaly_raw"] > t
+            tp = int((pred & (pdf["is_anom"] == 1)).sum())
+            fp = int((pred & (pdf["is_anom"] == 0)).sum())
+            fn = int(((~pred) & (pdf["is_anom"] == 1)).sum())
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+            if f1 > best_f1:
+                best, best_f1 = float(t), f1
+        self.threshold = best
+
+    # --- scoring -----------------------------------------------------------
+
+    def _score_columns(self, wide: DataFrame) -> DataFrame:
+        """Standardize, project, reconstruct, residual^2 — all as column
+        expressions (JVM codegen; no UDF)."""
+        import numpy as np
+
+        mean = np.array(self.scaler_model.mean)
+        std = np.array(self.scaler_model.std)
+        std[std == 0] = 1.0
+        W = self.pca_model.pc.toArray()  # d x k
+        d, k = W.shape
+        xs = [
+            ((F.col(t) - float(mean[i])) / float(std[i])).alias(f"_x{i}")
+            for i, t in enumerate(self.tags)
+        ]
+        out = wide.select("bucket_ts", *[F.col(t) for t in self.tags], *xs)
+        # component scores t_c = sum_i W[i,c] * x_i
+        tcols = []
+        for c in range(k):
+            expr = None
+            for i in range(d):
+                term = F.col(f"_x{i}") * float(W[i, c])
+                expr = term if expr is None else expr + term
+            tcols.append(expr.alias(f"_t{c}"))
+        out = out.select("*", *tcols)
+        # residual_i = x_i - sum_c W[i,c] t_c ; contribution = r_i^2
+        rcols = []
+        for i in range(d):
+            recon = None
+            for c in range(k):
+                term = F.col(f"_t{c}") * float(W[i, c])
+                recon = term if recon is None else recon + term
+            rcols.append(F.pow(F.col(f"_x{i}") - recon, 2).alias(f"_r{i}"))
+        out = out.select("*", *rcols)
+        total = None
+        for i in range(d):
+            total = F.col(f"_r{i}") if total is None else total + F.col(f"_r{i}")
+        out = out.withColumn("anomaly_raw", total)
+        return out.select(
+            "bucket_ts", *self.tags, *[f"_r{i}" for i in range(d)], "anomaly_raw"
+        )
+
+    def transform(self, df_long: DataFrame, component: str = "machine") -> DataFrame:
+        """Score a long table -> (timestamp, prediction, anomaly_score,
+        diagnostics array<struct<name,value>>) — the F-INFER-OUT record
+        (scheduler.py:619-650)."""
+        if self.config.status != "SUCCESS":
+            raise RuntimeError(
+                f"model {self.config.model_name!r} not trained "
+                f"(status={self.config.status})"
+            )
+        wide = self._prepare_wide(df_long)
+        scored = self._score_columns(wide)
+        d = len(self.tags)
+        diag = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{component}\\{t}").alias("name"),
+                    (F.col(f"_r{i}") / F.col("anomaly_raw")).alias("value"),
+                )
+                for i, t in enumerate(self.tags)
+            ]
+        )
+        pred = (F.col("anomaly_raw") > F.lit(self.threshold)).cast("int")
+        return scored.select(
+            F.col("bucket_ts").alias("timestamp"),
+            pred.alias("prediction"),
+            (
+                F.col("anomaly_raw") / (F.col("anomaly_raw") + F.lit(self._err_p50))
+            ).alias("anomaly_score"),
+            F.when(pred == 1, diag).alias("diagnostics"),
+        )
