@@ -1,0 +1,10 @@
+"""Structured Streaming scheduler semantics (SURVEY §2.10 ST1-ST8)."""
+
+from .scheduler import (  # noqa: F401
+    InferenceScheduler,
+    SchedulerConfig,
+    expected_filenames,
+    generate_replay_data,
+    next_wakeup,
+    slot_bounds_for,
+)

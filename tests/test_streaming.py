@@ -1,0 +1,174 @@
+"""Streaming scheduler tests: slot math properties, file contract,
+end-to-end micro-batch scoring with availableNow, replay generator."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+    InferenceScheduler,
+    SchedulerConfig,
+    expected_filenames,
+    generate_replay_data,
+    next_wakeup,
+    slot_bounds_for,
+)
+
+
+def test_slot_math_properties():
+    # reference scheduler.py:153-164: floor to frequency, end = start+freq-1s
+    ts = datetime(2024, 1, 1, 10, 17, 42, 123456)
+    start, end = slot_bounds_for(ts, 5)
+    assert start == datetime(2024, 1, 1, 10, 15, 0)
+    assert end == datetime(2024, 1, 1, 10, 19, 59)
+    assert start <= ts <= end
+    # every instant lands in exactly one slot
+    s2, e2 = slot_bounds_for(end, 5)
+    assert (s2, e2) == (start, end)
+    s3, _ = slot_bounds_for(datetime(2024, 1, 1, 10, 20, 0), 5)
+    assert s3 == datetime(2024, 1, 1, 10, 20, 0)
+    assert next_wakeup(ts, 5) == datetime(2024, 1, 1, 10, 20, 0)
+    assert next_wakeup(datetime(2024, 1, 1, 10, 20, 0), 5) == datetime(
+        2024, 1, 1, 10, 25, 0
+    )
+
+
+def test_expected_filenames_formats():
+    slot = datetime(2024, 1, 1, 10, 15, 0)
+    assert expected_filenames(["pump", "motor"], slot) == [
+        "motor_20240101101500.csv",
+        "pump_20240101101500.csv",
+    ]
+    assert expected_filenames(["pump"], slot, fmt="yyyy-MM-dd-HH-mm-ss") == [
+        "pump_2024-01-01-10-15-00.csv"
+    ]
+    epoch = expected_filenames(["pump"], slot, fmt="EPOCH")[0]
+    assert epoch == f"pump_{int(slot.timestamp())}.csv"
+
+
+def test_frequency_validation():
+    cfg = SchedulerConfig(
+        scheduler_name="s", input_dir="/tmp/x", output_dir="/tmp/y",
+        components=["c"], tags=["t"], frequency="PT7M",
+    )
+    with pytest.raises(ValueError, match="frequency"):
+        _ = cfg.frequency_minutes
+
+
+def _write_slot_csv(path: str, rows: list[tuple[str, float, float]]):
+    with open(path, "w") as f:
+        f.write("Timestamp,p1,p2\n")
+        for ts, a, b in rows:
+            f.write(f"{ts},{a},{b}\n")
+
+
+def test_scheduler_end_to_end(spark, tmp_path):
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    # two slots for component 'pump'; second file contains one out-of-slot
+    # row that the ST4 event-time filter must drop
+    _write_slot_csv(
+        str(indir / "pump_20240101100000.csv"),
+        [
+            ("2024-01-01T10:00:30.000000", 1.0, 2.0),
+            ("2024-01-01T10:04:59.000000", 1.1, 2.1),
+        ],
+    )
+    _write_slot_csv(
+        str(indir / "pump_20240101100500.csv"),
+        [
+            ("2024-01-01T10:05:10.000000", 1.2, 2.2),
+            ("2024-01-01T10:30:00.000000", 9.9, 9.9),  # outside slot -> dropped
+        ],
+    )
+
+    def score_fn(batch):
+        return batch.select(
+            F.col("Timestamp").alias("timestamp"),
+            F.when(F.col("p1") > 1.05, 1).otherwise(0).alias("prediction"),
+            F.lit(0.5).alias("anomaly_score"),
+            F.when(
+                F.col("p1") > 1.05,
+                F.array(
+                    F.struct(F.lit("pump\\p1").alias("name"), F.lit(0.6).alias("value")),
+                    F.struct(F.lit("pump\\p2").alias("name"), F.lit(0.4).alias("value")),
+                ),
+            ).alias("diagnostics"),
+        )
+
+    cfg = SchedulerConfig(
+        scheduler_name="sched1",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+        frequency="PT5M",
+    )
+    sched = InferenceScheduler(spark, cfg, score_fn)
+    with pytest.raises(RuntimeError, match="create"):
+        sched.start()
+    sched.create()
+    assert cfg.status == "STOPPED"
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+
+    outs = sorted(glob.glob(str(outdir / "results_*.jsonl")))
+    assert [os.path.basename(p) for p in outs] == [
+        "results_20240101100000.jsonl",
+        "results_20240101100500.jsonl",
+    ]
+    recs0 = [json.loads(line) for line in open(outs[0])]
+    assert len(recs0) == 2
+    preds0 = {r["timestamp"]: r["prediction"] for r in recs0}
+    assert preds0["2024-01-01 10:00:30"] == 0
+    assert preds0["2024-01-01 10:04:59"] == 1
+    # diagnostics only on prediction==1 (scheduler.py:647-650)
+    for r in recs0:
+        assert ("diagnostics" in r) == (r["prediction"] == 1)
+    # slot 2: out-of-slot row dropped -> exactly 1 scored record
+    recs1 = [json.loads(line) for line in open(outs[1])]
+    assert len(recs1) == 1
+
+    execs = sched.list_inference_executions().orderBy("slot_start").collect()
+    assert [e["status"] for e in execs] == ["SUCCESS", "SUCCESS"]
+    assert [e["n_scored"] for e in execs] == [2, 1]
+    only_window = sched.list_inference_executions(
+        start_time=datetime(2024, 1, 1, 10, 5)
+    ).collect()
+    assert len(only_window) == 1
+
+    # ST7: delete requires STOPPED (scheduler.py:504-510)
+    sched.delete()
+    assert cfg.status == "NOT_CREATED"
+
+
+def test_replay_generator_empty_slots(spark, tmp_path):
+    rows = []
+    # 30 minutes of history with a 10-minute hole (minutes 10..19)
+    for i in list(range(10)) + list(range(20, 30)):
+        rows.append((f"2024-01-01 00:{i:02d}:00", "pump", "p1", float(i)))
+    df = spark.createDataFrame(
+        rows, "ts string, component string, tag string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "component", "tag", "value")
+    out = tmp_path / "replay"
+    out.mkdir()
+    report = generate_replay_data(
+        df,
+        str(out),
+        start_at=datetime(2024, 6, 1, 12, 0, 0),
+        frequency_minutes=5,
+        duration_minutes=30,
+    )
+    assert report["components"] == ["pump"]
+    assert report["n_slots"] == 6
+    # the 10-minute hole = 2 empty slots recorded as missing
+    assert len(report["empty_slots"]) == 2
+    assert len(report["written"]) == 4
