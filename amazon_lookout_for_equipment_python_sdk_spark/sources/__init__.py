@@ -11,3 +11,4 @@ from .sinks import (  # noqa: F401
     write_component_csvs,
     write_inference_chunks,
 )
+from .catalog import Catalog  # noqa: F401
