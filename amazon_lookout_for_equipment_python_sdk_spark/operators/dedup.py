@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import exploded_shingles, fingerprint
+from .text import fingerprint
 
 
 def dedup_exact(
@@ -38,6 +38,29 @@ def dedup_exact(
     )
 
 
+def _shingle_array(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, _sh: array<string>) — distinct word n-gram shingles per doc,
+    computed row-local (no shuffle); docs shorter than n words drop out."""
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+        )
+    )
+    return words.select(id_col, sh.alias("_sh")).filter(F.size("_sh") > 0)
+
+
+def _perm_min(p: int) -> "F.Column":
+    """array_min over md5('p|shingle') — one codegen pass per permutation."""
+    return F.array_min(
+        F.transform(
+            F.col("_sh"),
+            lambda s: F.md5(F.concat_ws("|", F.lit(str(p)), s)),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 8,
@@ -50,19 +73,102 @@ def minhash_signatures(
     Permutation p's hash of shingle s is ``md5(p || '|' || s)``; the
     signature entry is the lexicographic minimum — deterministic and
     portable (hex strings order identically everywhere).
+
+    Scale: entirely row-local — the per-perm minimum is ``array_min`` over
+    the doc's shingle array inside whole-stage codegen, so signatures cost
+    ZERO shuffles (the naive shape — explode doc x shingle x perm then
+    groupBy — shuffles num_perm x shingle-count rows per doc).
     """
-    sh = exploded_shingles(df, shingle_n, text_col, id_col)
-    perms = sh.select(
-        id_col,
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+    docs = _shingle_array(df, shingle_n, text_col, id_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("perm"), _perm_min(p).alias("minhash")
+            )
+            for p in range(num_perm)
+        ]
+    )
+    return docs.select(id_col, F.explode(entries).alias("_e")).select(
+        id_col, F.col("_e.perm").alias("perm"), F.col("_e.minhash").alias("minhash")
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) LSH band buckets straight from documents —
+    row-local (no shuffle at all before the candidate join).  Bucket key is
+    the sorted concat of ``perm:minhash`` entries inside the band, matching
+    ``lsh_candidate_pairs``'s construction bit-for-bit."""
+    rpb = num_perm // bands
+    docs = _shingle_array(df, shingle_n, text_col, id_col)
+    sig = docs.select(
+        id_col, F.array(*[_perm_min(p) for p in range(num_perm)]).alias("_sig")
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.concat_ws(
+                                    ":", F.lit(str(p)), F.col("_sig")[p]
+                                )
+                                for p in range(b * rpb, (b + 1) * rpb)
+                            ]
+                        )
+                    ),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_entries).alias("_e")).select(
+        id_col, F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket")
+    )
+
+
+def _pairs_in_list(ids: Column) -> Column:
+    """All (a < b) pairs from a sorted id array, row-local: for element i,
+    pair it with every later element (1-based slice)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def candidate_pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any (band, bucket) become a candidate pair (a < b).
+
+    One groupBy shuffle on (band, bucket) then row-local pair generation —
+    no self-join, so the banded lineage is scanned once.  Bucket members
+    are collected per group: fine because real LSH buckets are small (hex
+    buckets distribute uniformly); a degenerate all-identical corpus makes
+    one giant bucket, which is quadratic in ANY candidate scheme — cap it
+    upstream with exact dedup first.
+    """
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
     )
     return (
-        perms.withColumn(
-            "h", F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("sh")))
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+        grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .distinct()
     )
 
 
@@ -72,12 +178,9 @@ def lsh_candidate_pairs(
     bands: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: concat each band's minhashes into a bucket key; docs
-    sharing any (band, bucket) become a candidate pair (a < b).
-
-    The join is equi on (band, bucket): linear in data size, skew-bounded
-    because random hex buckets distribute uniformly.
-    """
+    """LSH banding from a (id, perm, minhash) signature table; prefer
+    ``minhash_banded`` + ``candidate_pairs_from_banded`` when starting from
+    raw documents (skips this groupBy shuffle entirely)."""
     rows_per_band = num_perm // bands
     banded = (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
@@ -88,16 +191,7 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
-    a = banded.select(
-        F.col(id_col).alias("a"), "band", "bucket"
-    )
-    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return candidate_pairs_from_banded(banded, id_col)
 
 
 def ngram_jaccard_pairs(
@@ -116,25 +210,22 @@ def ngram_jaccard_pairs(
     the threshold compare happens on an integer cross-product
     (common * 1e6 >= thr * union) to stay bit-portable.
     """
-    sh = exploded_shingles(df, shingle_n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), "sh")
+    sh = _shingle_array(df, shingle_n, text_col, id_col).select(
+        id_col, F.size("_sh").alias("n_sh"), F.explode("_sh").alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "sh")
     common = (
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
     if candidates is not None:
         common = common.join(candidates, ["a", "b"], "left_semi")
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     thr_millionths = int(round(threshold * 1_000_000))
     out = (
-        common.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        common.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .filter(
             F.col("n_common") * 1_000_000 >= F.lit(thr_millionths) * F.col("n_union")
         )

@@ -182,11 +182,13 @@ WHERE x.doc_id < y.doc_id
 @register("minhash_lsh_candidates", _MINHASH_SQL)
 def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms, md5-based) + LSH banding (2 bands x 4 rows):
-    candidate near-dup pairs from band-bucket collisions."""
-    sigs = dd.minhash_signatures(
-        load(spark, sf_dir, "documents"), num_perm=8, shingle_n=3
+    candidate near-dup pairs from band-bucket collisions.  Band buckets are
+    computed row-local (minhash_banded) — the only shuffle is the candidate
+    equi-join itself."""
+    banded = dd.minhash_banded(
+        load(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3
     )
-    return dd.lsh_candidate_pairs(sigs, num_perm=8, bands=2)
+    return dd.candidate_pairs_from_banded(banded)
 
 
 # ---------------------------------------------------------------------------
