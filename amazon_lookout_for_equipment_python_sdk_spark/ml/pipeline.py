@@ -34,7 +34,7 @@ from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.conditions import parse_off_condition
+from ..functions.conditions import on_filter
 from ..functions.datetime_utils import iso8601_duration_to_seconds
 from ..operators.timeseries import resample_ffill
 
@@ -50,7 +50,7 @@ class ModelConfig:
     training_end: str | None = None
     evaluation_start: str | None = None
     evaluation_end: str | None = None
-    off_condition: str | None = None  # 'component\\tag > 0.0', model.py:109-123
+    off_condition: str | None = None  # OFF-time DSL 'component\\tag < 0.0', model.py:109-123
     signal_subset: list[str] | None = None  # subset schema, model.py:210-223
     n_components: int | None = None  # PCA k; default: keep 95% variance cap d-1
     threshold_quantile: float = 0.99
@@ -73,14 +73,30 @@ class AnomalyDetector:
 
     # --- preprocessing -----------------------------------------------------
 
-    def _prepare_wide(self, df_long: DataFrame) -> DataFrame:
-        """resample+ffill per tag, then pivot wide (one row per slot)."""
+    def _prepare_wide(self, df_long: DataFrame, tags: list[str] | None = None) -> DataFrame:
+        """resample+ffill per tag, then pivot wide (one row per slot).
+
+        ``tags=None`` (fit path) discovers the tag set from the data;
+        passing the frozen fit-time list (transform path) pins the pivot to
+        the trained feature order and raises a descriptive error if the
+        inference data is missing any trained tag — a renamed/reordered tag
+        set must never silently mis-scale features.
+        """
         cfg = self.config
         rate = iso8601_duration_to_seconds(cfg.sampling_rate)
         if cfg.signal_subset:
             df_long = df_long.filter(F.col("tag").isin(*cfg.signal_subset))
         filled = resample_ffill(df_long, rate, ts_col="ts", key_col="tag")
-        tags = sorted(r[0] for r in df_long.select("tag").distinct().collect())
+        present = sorted(r[0] for r in df_long.select("tag").distinct().collect())
+        if tags is None:
+            tags = present
+        else:
+            missing = sorted(set(tags) - set(present))
+            if missing:
+                raise ValueError(
+                    f"model {cfg.model_name!r} was trained on tags {tags}; "
+                    f"input data is missing {missing}"
+                )
         wide = (
             filled.groupBy("bucket_ts")
             .pivot("tag", tags)
@@ -89,8 +105,9 @@ class AnomalyDetector:
         )
         if cfg.off_condition:
             # machine-off slots are excluded wholesale (M4: the condition on
-            # one tag gates every signal at that timestamp, model.py:109-123)
-            wide = wide.filter(parse_off_condition(cfg.off_condition, layout="wide"))
+            # one tag gates every signal at that timestamp, model.py:109-123);
+            # the condition string describes OFF-time, so keep NOT(off)
+            wide = wide.filter(on_filter(cfg.off_condition, layout="wide"))
         self.tags = tags
         return wide
 
@@ -214,7 +231,7 @@ class AnomalyDetector:
                 f"model {self.config.model_name!r} not trained "
                 f"(status={self.config.status})"
             )
-        wide = self._prepare_wide(df_long)
+        wide = self._prepare_wide(df_long, tags=self.tags)
         scored = self._score_columns(wide)
         d = len(self.tags)
         diag = F.array(

@@ -30,6 +30,19 @@ def signal_bounds(
     )
 
 
+def widen_degenerate_bounds(bounds: DataFrame) -> DataFrame:
+    """numpy degenerate-range rule (np.histogram on a constant sample uses
+    range (v-0.5, v+0.5)): widen min==max bounds by 0.5 each side so bin
+    width is never 0 (which would make every bin index null)."""
+    eq = F.col("max_value") == F.col("min_value")
+    others = [c for c in bounds.columns if c not in ("min_value", "max_value")]
+    return bounds.select(
+        *others,
+        F.when(eq, F.col("min_value") - 0.5).otherwise(F.col("min_value")).alias("min_value"),
+        F.when(eq, F.col("max_value") + 0.5).otherwise(F.col("max_value")).alias("max_value"),
+    )
+
+
 def histogram(
     df: DataFrame,
     num_bins: int = 20,
@@ -48,7 +61,7 @@ def histogram(
     """
     if bounds is None:
         bounds = signal_bounds(df, key_col, value_col)
-    b = F.broadcast(bounds)
+    b = F.broadcast(widen_degenerate_bounds(bounds))
     width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
     binned = (
         df.join(b, key_col)

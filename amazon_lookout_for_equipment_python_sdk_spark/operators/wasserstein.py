@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .histogram import histogram, signal_bounds
+from .histogram import histogram, signal_bounds, widen_degenerate_bounds
 
 
 def density_histograms(
@@ -51,7 +51,7 @@ def density_histograms(
     (2) per-(signal, subset, bin) counts; the bin grid is rebuilt from the
     tiny aggregates (no driver collect, no per-subset rescans).
     """
-    bounds = signal_bounds(df, key_col, value_col)
+    bounds = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
     width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
     binned = (
         df.join(F.broadcast(bounds), key_col)
@@ -156,7 +156,7 @@ def raw_sample_emd(
     cdf = hists.withColumn("cdf", F.sum("density").over(w))
     a = cdf.filter(F.col("subset") == subset_a).select(key_col, "bin", F.col("cdf").alias("ca"))
     b = cdf.filter(F.col("subset") == subset_b).select(key_col, "bin", F.col("cdf").alias("cb"))
-    bounds = signal_bounds(df, key_col, value_col)
+    bounds = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
     width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
     return (
         a.join(b, [key_col, "bin"])

@@ -206,7 +206,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1
 """
 

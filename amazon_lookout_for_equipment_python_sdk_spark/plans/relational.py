@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.conditions import parse_off_condition
+from ..functions.conditions import on_filter
 from .registry import (
     det_avg,
     det_sum,
@@ -237,18 +237,17 @@ def top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "off_condition_filter",
     f"""
 SELECT event_type, count(*) AS n_on, {sql_det_avg('value')} AS avg_on_value
-FROM events WHERE value > 100.0 GROUP BY 1
+FROM events WHERE NOT coalesce(value < 100.0, FALSE) GROUP BY 1
 """,
 )
 def off_condition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/M4 — machine-on rows per the off-condition DSL
-    'component\\tag > 100.0' (reference model.py:109-123, 194-208)."""
+    """P5/M4 — on-time rows after excluding off-time per the DSL
+    'machine\\value < 100.0' (the condition describes OFF-time; matching
+    rows are dropped — reference model.py:109-123, 194-208)."""
     events = load(spark, sf_dir, "events")
-    on = parse_off_condition(
-        "machine\\value > 100.0", layout="wide", value_col="value"
-    )
+    keep = on_filter("machine\\value < 100.0", layout="wide", value_col="value")
     return (
-        events.filter(on)
+        events.filter(keep)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_on"), det_avg(F.col("value")).alias("avg_on_value"))
     )

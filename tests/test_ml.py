@@ -85,6 +85,27 @@ def test_diagnostics_sum_to_one(spark, synthetic_long):
     )
 
 
+def test_frozen_tags_missing_raises(spark, synthetic_long):
+    """transform() must pivot against the fit-time tag list: inference data
+    missing a trained tag raises instead of silently mis-scaling."""
+    cfg = ModelConfig(model_name="m3b", sampling_rate="PT5M")
+    det = AnomalyDetector(cfg).fit(
+        synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 00:00:00"))
+    )
+    assert det.tags == ["s1", "s2", "s3"]
+    with pytest.raises(ValueError, match="missing \\['s3'\\]"):
+        det.transform(synthetic_long.filter(F.col("tag") != "s3"))
+    # extra tags in the input are ignored; trained tag set stays frozen
+    extra = synthetic_long.union(
+        synthetic_long.filter(F.col("tag") == "s1").withColumn(
+            "tag", F.lit("s9")
+        )
+    )
+    out = det.transform(extra)
+    assert det.tags == ["s1", "s2", "s3"]
+    assert out.count() > 0
+
+
 def test_untrained_raises(spark, synthetic_long):
     det = AnomalyDetector(ModelConfig(model_name="m3"))
     with pytest.raises(RuntimeError, match="not trained"):
@@ -92,8 +113,10 @@ def test_untrained_raises(spark, synthetic_long):
 
 
 def test_off_condition_excludes_slots(spark, synthetic_long):
+    # s1 sits near 50 when running and 0.0 when off -> 's1 < 1.0' marks
+    # OFF-time (reference model.py:194-208 semantics); those slots drop
     cfg = ModelConfig(
-        model_name="m4", sampling_rate="PT5M", off_condition="machine\\s1 > 1.0"
+        model_name="m4", sampling_rate="PT5M", off_condition="machine\\s1 < 1.0"
     )
     det = AnomalyDetector(cfg).fit(
         synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 00:00:00"))

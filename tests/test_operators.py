@@ -157,6 +157,34 @@ def test_histogram_matches_numpy(spark, events):
         np.testing.assert_allclose(o["bin_start"].values, edges[:-1], rtol=1e-9)
 
 
+def test_histogram_constant_signal_matches_numpy(spark):
+    """min==max must not divide by zero: numpy widens the range to
+    (v-0.5, v+0.5) and so do we (ADVICE r1)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.histogram import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("flat", 7.0)] * 10 + [("vary", float(i)) for i in range(10)],
+        "tag string, value double",
+    )
+    out = histogram(df, 20).toPandas()
+    for tag in ("flat", "vary"):
+        x = np.array(
+            [7.0] * 10 if tag == "flat" else [float(i) for i in range(10)]
+        )
+        counts, edges = np.histogram(x, bins=20)
+        dens, _ = np.histogram(x, bins=20, density=True)
+        o = out[out.tag == tag].sort_values("bin")
+        np.testing.assert_array_equal(o["count"].values, counts)
+        np.testing.assert_allclose(o["density"].values, dens, rtol=1e-9)
+        np.testing.assert_allclose(o["bin_start"].values, edges[:-1], rtol=1e-9)
+    # degenerate signal also survives the density-histogram path (wasserstein)
+    tagged = df.withColumn("subset", F.lit("train"))
+    h = ws.density_histograms(tagged, "subset", 20).toPandas()
+    assert not h["density"].isna().any()
+
+
 def test_off_condition_dsl():
     from amazon_lookout_for_equipment_python_sdk_spark.functions import (
         parse_off_condition,
@@ -168,6 +196,18 @@ def test_off_condition_dsl():
         parse_off_condition("not a condition")
     with pytest.raises(ValueError):
         parse_off_condition("pump\\flow >= 3.5")  # only < and > in the DSL
+
+
+def test_off_condition_semantics(spark):
+    """Reference contract: 'tag < 1000' = machine OFF below 1000 -> those
+    rows are excluded; null gating values are kept (no evidence of off)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.functions import on_filter
+
+    df = spark.createDataFrame(
+        [(1, 500.0), (2, 1500.0), (3, None)], "id int, flow double"
+    )
+    kept = df.filter(on_filter("pump\\flow < 1000", layout="wide"))
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
 
 
 def test_iso8601_durations():
