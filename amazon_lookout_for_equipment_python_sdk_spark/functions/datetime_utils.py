@@ -48,3 +48,17 @@ def tz_offset_string(offset_minutes: int) -> str:
     sign = "+" if offset_minutes >= 0 else "-"
     mins = abs(int(offset_minutes))
     return f"{sign}{mins // 60:02d}:{mins % 60:02d}"
+
+
+_TZ_OFFSET = re.compile(r"^([+-])(\d{2}):(\d{2})$")
+
+
+def parse_tz_offset_minutes(offset: str) -> int:
+    """``'+HH:MM'`` -> signed minutes east of UTC (inverse of
+    :func:`tz_offset_string`; the InputTimeZoneOffset wire format,
+    reference scheduler.py:385-386)."""
+    m = _TZ_OFFSET.match(offset.strip())
+    if not m:
+        raise ValueError(f"timezone offset must be '+HH:MM' or '-HH:MM', got {offset!r}")
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * (int(m.group(2)) * 60 + int(m.group(3)))

@@ -13,11 +13,65 @@ takes scored points + optional label ranges, produces
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.intervals import compact_runs, stamp_points
 from ..operators.wasserstein import rank_signals_by_shift
+
+#: reference ModelMetrics JSON shape (evaluation.py:96-117): a dict with
+#: 'labeled_ranges' and 'predicted_ranges', each a list of {start, end}
+MODEL_METRICS_SCHEMA = (
+    "labeled_ranges array<struct<start:string,end:string>>, "
+    "predicted_ranges array<struct<start:string,end:string>>"
+)
+
+
+def ranges_from_model_metrics(
+    spark: SparkSession, metrics_json: str, which: str = "predicted_ranges"
+) -> DataFrame:
+    """N2 interop — decode a reference model's ModelMetrics JSON into a
+    (start, end) timestamp ranges DataFrame via ``from_json`` (typed, never
+    ``eval`` — SURVEY N4), matching _load_model_response
+    (evaluation.py:96-117, pd.to_datetime on both columns).  An empty list
+    yields an empty two-column frame, like the reference's empty-DataFrame
+    branch (evaluation.py:105-106, 116-117)."""
+    if which not in ("predicted_ranges", "labeled_ranges"):
+        raise ValueError(f"which must be *_ranges, got {which!r}")
+    doc = spark.createDataFrame([(metrics_json,)], "j string")
+    return (
+        doc.select(F.from_json("j", MODEL_METRICS_SCHEMA).alias("m"))
+        .select(F.explode_outer(F.col(f"m.{which}")).alias("r"))
+        .select(
+            F.col("r.start").cast("timestamp").alias("start"),
+            F.col("r.end").cast("timestamp").alias("end"),
+        )
+        .filter(F.col("start").isNotNull())
+    )
+
+
+def model_metrics_json(
+    predicted: DataFrame, labeled: DataFrame | None = None
+) -> str:
+    """Encode (start, end) range frames as reference-format ModelMetrics
+    JSON (the payload DescribeModel returns), so our native evaluation
+    output round-trips through the reference's wire shape."""
+    import json
+
+    def fmt(df):
+        if df is None:
+            return []
+        return [
+            {
+                "start": r["start"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                "end": r["end"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            }
+            for r in df.select("start", "end").orderBy("start").collect()
+        ]
+
+    return json.dumps(
+        {"labeled_ranges": fmt(labeled), "predicted_ranges": fmt(predicted)}
+    )
 
 
 class ModelEvaluation:

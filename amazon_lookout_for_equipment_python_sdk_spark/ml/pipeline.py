@@ -167,13 +167,26 @@ class AnomalyDetector:
         cands = scored.approxQuantile(
             "anomaly_raw", [0.5, 0.75, 0.9, 0.95, 0.99, 0.995], 0.0
         )
-        pdf = flagged.toPandas()
+        # F1 for every candidate in ONE distributed conditional aggregation
+        # (a driver-side pandas sweep would cap out at slot counts that fit
+        # in memory; this stays a single map-side-combining agg at any scale)
+        aggs = []
+        for i, t in enumerate(cands):
+            pred = F.col("anomaly_raw") > F.lit(float(t))
+            is_anom = F.col("is_anom") == 1
+            aggs.append(
+                F.sum(F.when(pred & is_anom, 1).otherwise(0)).alias(f"_tp{i}")
+            )
+            aggs.append(
+                F.sum(F.when(pred & ~is_anom, 1).otherwise(0)).alias(f"_fp{i}")
+            )
+            aggs.append(
+                F.sum(F.when(~pred & is_anom, 1).otherwise(0)).alias(f"_fn{i}")
+            )
+        counts = flagged.agg(*aggs).collect()[0]
         best, best_f1 = self.threshold, -1.0
-        for t in cands:
-            pred = pdf["anomaly_raw"] > t
-            tp = int((pred & (pdf["is_anom"] == 1)).sum())
-            fp = int((pred & (pdf["is_anom"] == 0)).sum())
-            fn = int(((~pred) & (pdf["is_anom"] == 1)).sum())
+        for i, t in enumerate(cands):
+            tp, fp, fn = counts[f"_tp{i}"], counts[f"_fp{i}"], counts[f"_fn{i}"]
             f1 = 2 * tp / max(2 * tp + fp + fn, 1)
             if f1 > best_f1:
                 best, best_f1 = float(t), f1

@@ -205,25 +205,43 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard similarity pairs: |A ∩ B| / |A ∪ B| >= threshold.
 
     Without ``candidates`` this is the all-pairs-sharing-a-shingle join
-    (inverted-index style — correct but quadratic in the worst case; for
-    100 TB pass LSH candidates in).  Jaccard is exact integer arithmetic;
-    the threshold compare happens on an integer cross-product
+    (inverted-index style — correct but quadratic in the worst case; kept
+    for small-SF oracle verification).  WITH ``candidates`` (the 100 TB
+    path, see :func:`ngram_jaccard_lsh`) the quadratic join never happens:
+    the candidate pair table is equi-joined to the per-doc shingle ARRAYS
+    (two hash joins, linear in candidate count) and the intersection is
+    row-local ``array_intersect`` inside codegen.  Jaccard is exact integer
+    arithmetic; the threshold compare happens on an integer cross-product
     (common * 1e6 >= thr * union) to stay bit-portable.
     """
-    sh = _shingle_array(df, shingle_n, text_col, id_col).select(
-        id_col, F.size("_sh").alias("n_sh"), F.explode("_sh").alias("sh")
-    )
-    a = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, ["a", "b"], "left_semi")
     thr_millionths = int(round(threshold * 1_000_000))
+    if candidates is not None:
+        arrs = _shingle_array(df, shingle_n, text_col, id_col)
+        a_arr = arrs.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+        b_arr = arrs.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+        common = (
+            candidates.join(a_arr, "a")
+            .join(b_arr, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_sha", "_shb")).alias("n_common"),
+                F.size("_sha").alias("na"),
+                F.size("_shb").alias("nb"),
+            )
+        )
+    else:
+        sh = _shingle_array(df, shingle_n, text_col, id_col).select(
+            id_col, F.size("_sh").alias("n_sh"), F.explode("_sh").alias("sh")
+        )
+        a = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "sh")
+        b = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count("*").alias("n_common"))
+        )
     out = (
         common.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .filter(
@@ -238,6 +256,35 @@ def ngram_jaccard_pairs(
         )
     )
     return out
+
+
+def ngram_jaccard_lsh(
+    df: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The scale path: MinHash-LSH candidate pruning + exact Jaccard only on
+    candidates.  Signatures/band buckets are row-local (zero shuffle),
+    candidates are one groupBy on (band, bucket), and the exact verify is
+    two hash joins of the candidate table against doc shingle arrays — no
+    quadratic inverted-index self-join anywhere in the plan."""
+    cand = minhash_banded(
+        df, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    pairs = candidate_pairs_from_banded(cand, id_col)
+    return ngram_jaccard_pairs(
+        df,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        candidates=pairs,
+    )
 
 
 def simhash48(

@@ -95,36 +95,29 @@ def stamp_points(
     block_seconds: int = 3600,
 ) -> DataFrame:
     """Reference evaluation.py:206-224: prediction = 0 normal, 1 inside a
-    predicted range, 2 inside a labeled range (labels win)."""
-    out = points
-    for name, ranges, code in (
-        ("_pred", predicted, 1),
-        ("_lab", labeled, 2),
-    ):
-        if ranges is None:
-            continue
-        flagged = _in_any_range(out, ranges, ts_col, block_seconds, name)
-        out = flagged
-    pred = F.when(F.col("_lab"), F.lit(2)) if labeled is not None else None
-    if pred is not None:
-        pred = pred.when(F.col("_pred"), F.lit(1)).otherwise(F.lit(0))
-    else:
-        pred = F.when(F.col("_pred"), F.lit(1)).otherwise(F.lit(0))
-    out = out.withColumn("prediction", pred)
-    return out.drop("_pred", "_lab")
+    predicted range, 2 inside a labeled range (labels win).
 
-
-def _in_any_range(
-    points: DataFrame,
-    ranges: DataFrame,
-    ts_col: str,
-    block_seconds: int,
-    flag_name: str,
-) -> DataFrame:
+    One pass over the point set: both range tables are tagged with their
+    code (1/2), unioned, block-bucketed, broadcast, and left-joined once;
+    overlap multiplicity collapses with ``groupBy(points).agg(max(code))``
+    — labels win because 2 > 1.  Exactly one shuffle of the big side (the
+    final hash agg; the join itself is broadcast), vs. the naive
+    per-range-set distinct-and-rejoin which shuffles it ~4 times.
+    """
+    sets = []
+    for ranges, code in ((predicted, 1), (labeled, 2)):
+        if ranges is not None:
+            sets.append(
+                ranges.select("start", "end", F.lit(code).alias("_code"))
+            )
+    if not sets:
+        return points.withColumn("prediction", F.lit(0))
+    all_ranges = reduce(DataFrame.unionByName, sets)
     blk = F.lit(block_seconds)
-    r = ranges.select(
+    r = all_ranges.select(
         "start",
         "end",
+        "_code",
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col("start")) / blk),
@@ -133,16 +126,16 @@ def _in_any_range(
         ).alias("_blk"),
     )
     p = points.withColumn("_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk))
-    hit = (
-        p.join(F.broadcast(r), "_blk")
-        .filter((F.col(ts_col) >= F.col("start")) & (F.col(ts_col) <= F.col("end")))
-        .select(*points.columns)
-        .distinct()
-        .withColumn(flag_name, F.lit(True))
+    joined = p.join(
+        F.broadcast(r),
+        (p["_blk"] == r["_blk"])
+        & (p[ts_col] >= r["start"])
+        & (p[ts_col] <= r["end"]),
+        "left",
     )
-    return p.drop("_blk").join(
-        hit.select(*points.columns, flag_name), points.columns, "left"
-    ).withColumn(flag_name, F.coalesce(F.col(flag_name), F.lit(False)))
+    return joined.groupBy(*[p[c] for c in points.columns]).agg(
+        F.coalesce(F.max("_code"), F.lit(0)).alias("prediction")
+    )
 
 
 def compact_runs(

@@ -233,6 +233,11 @@ def restamp_positional(
     """Replace timestamps with a synthetic equal-length ``date_range``
     (reference dataset.py:316-323): i-th row by old ts order gets
     ``new_start + i*step``.  row_number is per-series when key_col given.
+
+    ALWAYS pass ``key_col`` on large inputs: the keyless fallback is an
+    unpartitioned window, i.e. a single-partition global sort (the
+    reference restamps one component at a time, dataset.py:303-323, so a
+    key exists in every real call).
     """
     w = (
         Window.partitionBy(key_col).orderBy(ts_col)

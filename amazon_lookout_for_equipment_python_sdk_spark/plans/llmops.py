@@ -152,6 +152,53 @@ def jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_LSH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), sigs AS (
+  SELECT doc_id, p.perm, min(md5(concat(CAST(p.perm AS VARCHAR), '|', sh))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(concat(CAST(perm AS VARCHAR), ':', minhash), ''
+                    ORDER BY concat(CAST(perm AS VARCHAR), ':', minhash)) AS bucket
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       sa.n_sh + sb.n_sh - n_common AS n_union,
+       n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_common * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - n_common)
+"""
+
+
+@register("ngram_jaccard_lsh", _JACCARD_LSH_SQL)
+def jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Jaccard path (benched headline): MinHash-LSH candidates
+    (row-local signatures, one (band,bucket) groupBy) + exact Jaccard via
+    array_intersect on candidate pairs only — no quadratic self-join."""
+    return dd.ngram_jaccard_lsh(
+        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------

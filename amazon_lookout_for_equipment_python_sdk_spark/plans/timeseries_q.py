@@ -522,25 +522,29 @@ def shift_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "positional_restamp",
     """
-SELECT event_id,
+SELECT event_id, event_type,
        TIMESTAMP '2025-01-01 00:00:00'
-         + (row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1)
+         + (row_number() OVER (PARTITION BY event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1)
            * INTERVAL 60 SECOND AS new_ts
-FROM events WHERE event_type = 'signup'
+FROM events
 """,
 )
 def positional_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6b — replace timestamps with a synthetic equal-length date_range
-    (reference dataset.py:316-323): i-th row by ts order -> start + i*step."""
+    (reference dataset.py:316-323): i-th row by ts order -> start + i*step.
+    Per-key (the reference restamps one component at a time,
+    dataset.py:303-323), so the row_number window partitions by event_type
+    — no single-partition global sort at scale."""
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return (
-        events.filter(F.col("event_type") == "signup")
-        .withColumn("_rn", F.row_number().over(w) - 1)
+        events.withColumn("_rn", F.row_number().over(w) - 1)
         .select(
             "event_id",
+            "event_type",
             (
                 F.lit("2025-01-01 00:00:00").cast("timestamp")
                 + F.make_interval(secs=F.col("_rn") * 60)

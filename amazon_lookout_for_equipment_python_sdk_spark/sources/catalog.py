@@ -33,6 +33,10 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        #: live InferenceScheduler instances per (dataset, model) — the
+        #: linkage the reference walks when cascading a delete
+        #: (dataset.py:368-393: list_inference_schedulers per model)
+        self._schedulers: dict[str, list] = {}
         os.makedirs(root, exist_ok=True)
 
     # --- S12: create + ingest ------------------------------------------------
@@ -134,18 +138,37 @@ class Catalog:
         with open(os.path.join(mdir, model_name), "w") as f:
             json.dump(payload, f)
 
+    def attach_scheduler(self, dataset_name: str, scheduler) -> None:
+        """Track a live InferenceScheduler against a dataset so a cascading
+        delete can stop it first (the reference discovers this linkage via
+        list_inference_schedulers(ModelName=...), dataset.py:368-372)."""
+        self._dataset_path(dataset_name)  # must exist
+        self._schedulers.setdefault(dataset_name, []).append(scheduler)
+
+    def list_schedulers(self, dataset_name: str) -> list:
+        return list(self._schedulers.get(dataset_name, []))
+
     # --- S13: cascading delete ----------------------------------------------
 
     def delete_dataset(self, name: str, delete_children: bool = False) -> None:
-        """Parity with dataset.py:338-418: refuses when models exist unless
-        delete_children."""
+        """Full cascade parity with dataset.py:338-418: with
+        ``delete_children`` the walk is schedulers (stop -> delete, the
+        reference's stop_inference_scheduler + STOPPED poll at 380-387) ->
+        models -> dataset; without it, any child refuses the delete.  No
+        polling needed — our stop() is synchronous."""
         path = self._dataset_path(name)
         models = self.list_models(name)
-        if models and not delete_children:
+        schedulers = self._schedulers.get(name, [])
+        if (models or schedulers) and not delete_children:
             raise ValueError(
-                f"dataset {name!r} still has models {models}; "
-                "pass delete_children=True"
+                f"dataset {name!r} still has models {models} and "
+                f"{len(schedulers)} scheduler(s); pass delete_children=True"
             )
+        for sched in schedulers:
+            if sched.config.status == "RUNNING":
+                sched.stop()
+            sched.delete()
+        self._schedulers.pop(name, None)
         shutil.rmtree(path)
 
     # --- internals -----------------------------------------------------------

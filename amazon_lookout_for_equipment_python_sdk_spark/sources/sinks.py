@@ -56,9 +56,16 @@ def write_component_csvs(
         component_col,
         F.date_format(ts_col, TRAINING_TS_FORMAT).alias("Timestamp"),
         *tags,
-    ).orderBy("Timestamp")
+    )
+    # one shuffle: co-locate each component, then sort inside its partition —
+    # a global orderBy before repartition would pay a full sort and then
+    # destroy it (reference CSVs are time-sorted, dataset.py:154-167).
+    # component leads the sort so FileFormatWriter's required ordering on
+    # partition columns is already satisfied (it would otherwise re-sort by
+    # component alone and scramble the Timestamps)
     (
         out.repartition(F.col(component_col))
+        .sortWithinPartitions(component_col, "Timestamp")
         .write.mode("overwrite")
         .option("header", True)
         .partitionBy(component_col)

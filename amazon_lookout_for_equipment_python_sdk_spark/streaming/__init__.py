@@ -3,7 +3,9 @@
 from .scheduler import (  # noqa: F401
     InferenceScheduler,
     SchedulerConfig,
+    build_inspection_report,
     expected_filenames,
+    export_report_to_html,
     generate_replay_data,
     next_wakeup,
     slot_bounds_for,

@@ -27,8 +27,11 @@ Spark mapping:
 
 from __future__ import annotations
 
-import json
+import glob
+import html as _html
 import os
+import re
+import shutil
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -36,13 +39,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.datetime_utils import iso8601_duration_to_seconds
+from ..functions.datetime_utils import (
+    iso8601_duration_to_seconds,
+    parse_tz_offset_minutes,
+)
 
 #: reference file-name timestamp formats (scheduler.py:146-151)
 FILENAME_TS_FORMATS = {
     "yyyyMMddHHmmss": "%Y%m%d%H%M%S",
     "yyyy-MM-dd-HH-mm-ss": "%Y-%m-%d-%H-%M-%S",
     "EPOCH": "EPOCH",
+}
+
+#: anchored slot-stamp regex per format, so a delimiter that also appears
+#: inside the timestamp (e.g. '-' with yyyy-MM-dd-HH-mm-ss) or inside a
+#: component name can never mis-split the file name
+_SLOT_STAMP_RE = {
+    "yyyyMMddHHmmss": r"\d{14}",
+    "yyyy-MM-dd-HH-mm-ss": r"\d{4}-\d{2}-\d{2}-\d{2}-\d{2}-\d{2}",
+    "EPOCH": r"\d+",
 }
 
 
@@ -156,11 +171,12 @@ class InferenceScheduler:
             .csv(os.path.join(cfg.input_dir, "*.csv"))
             .withColumn("_file", F.input_file_name())
         )
-        # ST3: late rows older than slot + delay are not considered
-        if cfg.delay_offset_minutes:
-            stream = stream.withWatermark(
-                "Timestamp", f"{cfg.delay_offset_minutes} minutes"
-            )
+        # ST3 (DataDelayOffsetInMinutes) is handled in _process_batch, not by
+        # a watermark: with a foreachBatch sink and no stateful operator a
+        # watermark is a no-op.  A file landing after its slot was already
+        # scored is delivered by the file source in a later micro-batch and
+        # its rows are APPENDED to the slot's results file (never an
+        # overwrite), with a second audit row recording the catch-up run.
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option(
@@ -195,80 +211,61 @@ class InferenceScheduler:
 
     # -- per-batch processing (ST2+ST4+ST5) ----------------------------------
 
-    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _parse_filenames(self, batch_df: DataFrame) -> DataFrame:
+        """ST2: component + slot parsed from the file-name contract, with the
+        delimiter regex-escaped and the stamp anchored to its format's exact
+        shape (a '-' delimiter with yyyy-MM-dd-HH-mm-ss must not mis-split).
+        F3: stamps are wall-time in the configured InputTimeZoneOffset
+        (scheduler.py:385-386; dataset.py:534 stamps file names in local
+        time) -> UTC slot = stamp - offset.  EPOCH stamps are absolute
+        already, no offset applies."""
         cfg = self.config
-        # ST2: slot + component parsed from the file-name contract
-        base = F.regexp_extract(F.col("_file"), r"([^/]+)\.csv$", 1)
-        parsed = (
-            batch_df.withColumn(
-                "_component", F.regexp_extract(base, rf"^(.+?){cfg.delimiter}", 1)
-            )
-            .withColumn(
-                "_slot_str",
-                F.regexp_extract(base, rf"{cfg.delimiter}(\d[\d\-]*)$", 1),
-            )
-            .withColumn(
-                "_slot",
-                F.to_timestamp(
-                    F.col("_slot_str"),
-                    cfg.filename_ts_format
-                    if cfg.filename_ts_format != "EPOCH"
-                    else None,
-                )
-                if cfg.filename_ts_format != "EPOCH"
-                else F.timestamp_seconds(F.col("_slot_str").cast("long")),
-            )
+        pat = (
+            rf"^(.+){re.escape(cfg.delimiter)}"
+            rf"({_SLOT_STAMP_RE[cfg.filename_ts_format]})\.csv$"
         )
+        base = F.regexp_extract(F.col("_file"), r"([^/]+)$", 1)
+        parsed = batch_df.withColumn(
+            "_component", F.regexp_extract(base, pat, 1)
+        ).withColumn("_slot_str", F.regexp_extract(base, pat, 2))
+        if cfg.filename_ts_format == "EPOCH":
+            slot = F.timestamp_seconds(F.col("_slot_str").cast("long"))
+        else:
+            slot = F.to_timestamp(F.col("_slot_str"), cfg.filename_ts_format)
+            offset_min = parse_tz_offset_minutes(cfg.timezone_offset)
+            if offset_min:
+                slot = slot - F.make_interval(mins=F.lit(offset_min))
+        return parsed.withColumn("_slot", slot)
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """ST4+ST5 per wakeup: event-time filter each discovered slot, score
+        it, and write its JSON-lines results — all JVM-side.  The only
+        driver-side collect is the per-slot metadata aggregate (#slots rows);
+        result rows are serialized with ``to_json`` and written by Spark,
+        then renamed/appended into the per-slot contract file (the same
+        metadata-only rename trick as sinks.write_inference_chunks)."""
+        cfg = self.config
+        parsed = self._parse_filenames(batch_df)
         secs = cfg.frequency_minutes * 60
-        # ST4: event-time filter to [slot, slot + freq - 1s]
-        in_slot = parsed.filter(
-            (F.col("Timestamp") >= F.col("_slot"))
-            & (
-                F.col("Timestamp")
-                <= F.col("_slot") + F.make_interval(secs=F.lit(secs - 1))
-            )
+        in_slot_cond = (F.col("Timestamp") >= F.col("_slot")) & (
+            F.col("Timestamp") <= F.col("_slot") + F.make_interval(secs=F.lit(secs - 1))
         )
-        slots = [
-            (r["_slot"],)
-            for r in parsed.select("_slot").distinct().collect()
-            if r["_slot"] is not None
-        ]
-        for (slot,) in sorted(slots):
-            rows = in_slot.filter(F.col("_slot") == F.lit(slot)).drop(
-                "_file", "_component", "_slot_str", "_slot"
+        # per-slot metadata (tiny: one row per slot in this batch)
+        slot_meta = (
+            parsed.filter(F.col("_slot").isNotNull())
+            .groupBy("_slot", "_slot_str")
+            .agg(F.count(F.when(in_slot_cond, 1)).alias("n_in"))
+            .collect()
+        )
+        for meta in sorted(slot_meta, key=lambda r: r["_slot"]):
+            slot, stamp, n_in = meta["_slot"], meta["_slot_str"], meta["n_in"]
+            rows = (
+                parsed.filter((F.col("_slot") == F.lit(slot)) & in_slot_cond)
+                .drop("_file", "_component", "_slot_str", "_slot")
             )
-            n_in = rows.count()
-            out_path = os.path.join(
-                cfg.output_dir,
-                f"results_{format_slot(slot, cfg.filename_ts_format)}.jsonl",
-            )
+            out_path = os.path.join(cfg.output_dir, f"results_{stamp}.jsonl")
             try:
-                scored = self.score_fn(rows)
-                recs = [
-                    {
-                        "timestamp": r["timestamp"].strftime("%Y-%m-%d %H:%M:%S"),
-                        "prediction": r["prediction"],
-                        **(
-                            {"anomaly_score": r["anomaly_score"]}
-                            if "anomaly_score" in r.__fields__
-                            else {}
-                        ),
-                        **(
-                            {
-                                "diagnostics": [
-                                    {"name": d["name"], "value": d["value"]}
-                                    for d in r["diagnostics"]
-                                ]
-                            }
-                            if r["prediction"] == 1 and r["diagnostics"]
-                            else {}
-                        ),
-                    }
-                    for r in scored.collect()
-                ]
-                with open(out_path, "w") as f:
-                    for rec in recs:
-                        f.write(json.dumps(rec) + "\n")
+                n_scored = self._write_slot_results(rows, out_path, batch_id, stamp)
                 self._executions.append(
                     (
                         cfg.scheduler_name,
@@ -276,7 +273,7 @@ class InferenceScheduler:
                         slot + timedelta(seconds=secs - 1),
                         "SUCCESS",
                         n_in,
-                        len(recs),
+                        n_scored,
                         out_path,
                     )
                 )
@@ -292,6 +289,48 @@ class InferenceScheduler:
                         str(e),
                     )
                 )
+
+    def _write_slot_results(
+        self, rows: DataFrame, out_path: str, batch_id: int, stamp: str
+    ) -> int:
+        """Score one slot and write/append its JSON-lines file.  Record shape
+        (scheduler.py:619-650): timestamp, prediction, optional
+        anomaly_score, diagnostics only on prediction==1.  Rows stay in the
+        JVM end-to-end; the driver only moves the finished part file."""
+        scored = self.score_fn(rows)
+        cols = [
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.col("prediction"),
+        ]
+        if "anomaly_score" in scored.columns:
+            cols.append(F.col("anomaly_score"))
+        if "diagnostics" in scored.columns:
+            # null diagnostics (prediction==0) vanish via ignoreNullFields
+            cols.append(
+                F.when(F.col("prediction") == 1, F.col("diagnostics")).alias(
+                    "diagnostics"
+                )
+            )
+        lines = scored.select(
+            F.to_json(
+                F.struct(*cols), {"ignoreNullFields": "true"}
+            ).alias("value")
+        )
+        staging = os.path.join(
+            self.config.output_dir, f"_staging_{batch_id}_{stamp}"
+        )
+        lines.coalesce(1).write.mode("overwrite").text(staging)
+        parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+        n_scored = 0
+        mode = "ab" if os.path.exists(out_path) else "wb"
+        with open(out_path, mode) as fout:
+            for p in parts:
+                with open(p, "rb") as fin:
+                    data = fin.read()
+                n_scored += data.count(b"\n")
+                fout.write(data)
+        shutil.rmtree(staging)
+        return n_scored
 
     # -- ST6 audit log --------------------------------------------------------
 
@@ -367,3 +406,105 @@ def generate_replay_data(
         "n_slots": len(slots),
         "components": sorted(components),
     }
+
+
+# --- inspection report (reference scheduler.py:172-276) ----------------------
+
+
+def build_inspection_report(
+    cfg: SchedulerConfig,
+    component_columns: dict[str, list[str]] | None = None,
+    now: datetime | None = None,
+) -> str:
+    """Markdown report spelling out the scheduler's behavior: cadence, delay
+    allowance, input location, next wakeup, and — per component — the exact
+    expected file name plus a row template table (reference
+    build_inspection_report, scheduler.py:172-214).
+
+    ``component_columns`` maps component -> column names (Timestamp first);
+    defaults to every component sharing ``cfg.tags``.  ``now`` is injectable
+    for deterministic tests.
+    """
+    if component_columns is None:
+        component_columns = {c: ["Timestamp", *cfg.tags] for c in cfg.components}
+    now = now or datetime.now()
+    freq = cfg.frequency_minutes
+    slot_start, slot_end = slot_bounds_for(now, freq)
+    wakeup = next_wakeup(now, freq)
+    stamp = format_slot(slot_start, cfg.filename_ts_format)
+    n = len(component_columns)
+
+    lines = [
+        f"**SCHEDULER: {cfg.scheduler_name}**\n",
+        f"*Scheduler inspection report run at: {now}*\n",
+        "Here is the behavior you can expect from this scheduler:\n",
+    ]
+    if cfg.delay_offset_minutes > 0:
+        lines.append(f"* It will wake up every **{freq} minutes**")
+        lines.append(
+            f"and wait for up to **{cfg.delay_offset_minutes} minute(s)** "
+            "for the data to be available.\n"
+        )
+    else:
+        lines.append(f"* It will wake up every **{freq} minutes**.\n")
+    lines.append(
+        "* It will look for CSV files in the following location "
+        f"`{os.path.join(cfg.input_dir, '*.csv')}`.\n"
+    )
+    lines.append(
+        f"* The current time is **{now}** and the next time the scheduler "
+        f"will wake up will be **{wakeup}**\n"
+    )
+    lines.append(
+        f"* The dataset associated to this scheduler's model has **{n} "
+        "components** in its schema.\n"
+    )
+    lines.append(
+        f"Each time the scheduler wakes up, it expects to find **{n} CSV "
+        "files** in the input location, one for each component as defined "
+        "in the dataset schema.\n"
+    )
+    lines.append(
+        f"If the scheduler was to wake up at **{wakeup}**, it would look "
+        "for the following files:"
+    )
+    for comp, columns in component_columns.items():
+        lines.append(
+            f"\n* `{comp}{cfg.delimiter}{stamp}.csv` and this file content "
+            "would have to follow this template:"
+        )
+        table = "\n"
+        for col in columns:
+            table += " | " + col
+        table += "|"
+        table += "\n" + "| --- " * len(columns) + "|"
+        table += f"\n| {str(slot_start)[:19]}" + "| 0.0 " * (len(columns) - 1) + "|"
+        table += "\n" + "| ... " * len(columns) + "|"
+        table += f"\n| {str(slot_end)[:19]}" + "| 0.0 " * (len(columns) - 1) + "|"
+        lines.append(table)
+    return "\n".join(lines)
+
+
+def export_report_to_html(report_md: str, html_path: str) -> None:
+    """Wrap the Markdown report in the reference's standalone HTML shell
+    (scheduler.py:216-276).  The reference renders via the ``markdown``
+    package; we use it when importable and fall back to an escaped
+    ``<pre>`` block so the export never needs an extra dependency."""
+    try:
+        import markdown  # type: ignore
+
+        body = markdown.markdown(report_md, extensions=["tables"])
+    except ImportError:
+        body = f"<pre>{_html.escape(report_md)}</pre>"
+    shell = (
+        "<!DOCTYPE html>\n<html>\n<head>\n<style>\n"
+        'body { font-family: Helvetica, Arial, sans-serif; font-size: 14px }\n'
+        "table { border-collapse: collapse; font-size: 12px }\n"
+        "th { padding: 5px 15px }\n"
+        "td { height: 15px; text-align: right }\n"
+        "</style>\n</head>\n<body>\n"
+        f"{body}\n"
+        "</body>\n</html>\n"
+    )
+    with open(html_path, "w") as f:
+        f.write(shell)

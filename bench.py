@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "star_join_rollup",
     "top_customers_by_spend",
     "dedup_exact",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_lsh",
     "minhash_lsh_candidates",
     "cosine_topk",
     "text_stats",

@@ -81,6 +81,48 @@ def test_catalog_cascade_delete(catalog):
     assert catalog.list_datasets()[0] == []
 
 
+def test_catalog_cascade_stops_running_scheduler(catalog, spark, tmp_path):
+    """S13 full cascade (dataset.py:338-418): delete walks schedulers
+    (stop -> delete) -> models -> dataset; without delete_children a live
+    scheduler refuses the delete."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        InferenceScheduler,
+        SchedulerConfig,
+    )
+
+    schema_json = sch.create_data_schema({"pump": ["Timestamp", "p1"]})
+    catalog.create_dataset("d2", schema_json)
+    catalog.register_model("d2", "m1", {"kind": "pca"})
+    indir = tmp_path / "in"
+    indir.mkdir()
+    with open(indir / "pump_20240101100000.csv", "w") as f:
+        f.write("Timestamp,p1\n2024-01-01T10:00:30.000000,1.0\n")
+    cfg = SchedulerConfig(
+        scheduler_name="cascade-sched",
+        input_dir=str(indir),
+        output_dir=str(tmp_path / "out"),
+        components=["pump"],
+        tags=["p1"],
+    )
+    sched = InferenceScheduler(
+        spark,
+        cfg,
+        lambda b: b.select(
+            F.col("Timestamp").alias("timestamp"), F.lit(0).alias("prediction")
+        ),
+    )
+    sched.create()
+    sched.start(available_now=True)
+    catalog.attach_scheduler("d2", sched)
+    assert len(catalog.list_schedulers("d2")) == 1
+    with pytest.raises(ValueError, match="scheduler"):
+        catalog.delete_dataset("d2")
+    catalog.delete_dataset("d2", delete_children=True)
+    assert cfg.status == "NOT_CREATED"  # stopped then deleted
+    assert catalog.list_schedulers("d2") == []
+    assert catalog.list_datasets()[0] == []
+
+
 def _media_df(spark):
     rows = [
         (1, "image", bytes(range(64)), ("image/png", 8, 8, None)),

@@ -73,6 +73,14 @@ def test_component_csv_sink_and_schema_inference(spark, tmp_path):
     parsed = sch.parse_data_schema(doc)
     assert parsed["pump"].fields[0] == "Timestamp"
     assert set(parsed["pump"].fields[1:]) == {"m1", "p1", "p2"}
+    # reference CSVs are time-sorted within each component (dataset.py:154-167)
+    for d in comp_dirs:
+        for csv_file in glob.glob(os.path.join(out, d, "*.csv")):
+            stamps = [
+                line.split(",", 1)[0]
+                for line in open(csv_file).read().splitlines()[1:]
+            ]
+            assert stamps == sorted(stamps), csv_file
 
 
 def test_component_csv_roundtrip_read(spark, tmp_path):

@@ -12,6 +12,8 @@ from amazon_lookout_for_equipment_python_sdk_spark.ml import (
     AnomalyDetector,
     ModelConfig,
     ModelEvaluation,
+    model_metrics_json,
+    ranges_from_model_metrics,
 )
 
 
@@ -104,6 +106,41 @@ def test_frozen_tags_missing_raises(spark, synthetic_long):
     out = det.transform(extra)
     assert det.tags == ["s1", "s2", "s3"]
     assert out.count() > 0
+
+
+def test_model_metrics_roundtrip(spark):
+    """N2 interop: reference-format ModelMetrics JSON <-> (start, end)
+    ranges frames, bit-identical both ways (evaluation.py:96-117)."""
+    pred = spark.createDataFrame(
+        [
+            ("2024-03-02 01:00:00", "2024-03-02 02:00:00"),
+            ("2024-03-02 05:00:00", "2024-03-02 05:30:00"),
+        ],
+        "start string, end string",
+    ).select(
+        F.to_timestamp("start").alias("start"), F.to_timestamp("end").alias("end")
+    )
+    doc = model_metrics_json(pred, labeled=None)
+    back = ranges_from_model_metrics(spark, doc, "predicted_ranges")
+    assert back.schema.simpleString() == "struct<start:timestamp,end:timestamp>"
+    assert [
+        (r["start"].isoformat(), r["end"].isoformat())
+        for r in back.orderBy("start").collect()
+    ] == [
+        ("2024-03-02T01:00:00", "2024-03-02T02:00:00"),
+        ("2024-03-02T05:00:00", "2024-03-02T05:30:00"),
+    ]
+    # empty side decodes to an empty (start, end) frame, not a crash
+    empty = ranges_from_model_metrics(spark, doc, "labeled_ranges")
+    assert empty.count() == 0
+    assert empty.columns == ["start", "end"]
+    # and a reference-style payload with T-separated microsecond stamps
+    ref_doc = (
+        '{"labeled_ranges": [{"start": "2021-01-05T12:00:00.000000", '
+        '"end": "2021-01-06T00:00:00.000000"}], "predicted_ranges": []}'
+    )
+    lab = ranges_from_model_metrics(spark, ref_doc, "labeled_ranges")
+    assert lab.count() == 1
 
 
 def test_untrained_raises(spark, synthetic_long):

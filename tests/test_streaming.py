@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
     InferenceScheduler,
     SchedulerConfig,
+    build_inspection_report,
     expected_filenames,
+    export_report_to_html,
     generate_replay_data,
     next_wakeup,
     slot_bounds_for,
@@ -148,6 +150,129 @@ def test_scheduler_end_to_end(spark, tmp_path):
     # ST7: delete requires STOPPED (scheduler.py:504-510)
     sched.delete()
     assert cfg.status == "NOT_CREATED"
+
+
+def _simple_score_fn(batch):
+    return batch.select(
+        F.col("Timestamp").alias("timestamp"),
+        F.lit(0).alias("prediction"),
+        F.lit(0.5).alias("anomaly_score"),
+    )
+
+
+def test_scheduler_tz_offset_and_dash_delimiter(spark, tmp_path):
+    """F3 + delimiter escaping: file stamps are wall-time at
+    InputTimeZoneOffset +02:00, so stamp 12:00 = slot 10:00 UTC; a '-'
+    delimiter with the yyyy-MM-dd-HH-mm-ss format must parse cleanly."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    _write_slot_csv(
+        str(indir / "pump-2024-01-01-12-00-00.csv"),
+        [
+            ("2024-01-01T10:00:30.000000", 1.0, 2.0),  # inside UTC slot 10:00
+            ("2024-01-01T12:00:30.000000", 9.9, 9.9),  # stamp time = outside
+        ],
+    )
+    cfg = SchedulerConfig(
+        scheduler_name="tzsched",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+        frequency="PT5M",
+        timezone_offset="+02:00",
+        delimiter="-",
+        filename_ts_format="yyyy-MM-dd-HH-mm-ss",
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    outs = glob.glob(str(outdir / "results_*.jsonl"))
+    assert [os.path.basename(p) for p in outs] == [
+        "results_2024-01-01-12-00-00.jsonl"
+    ]
+    recs = [json.loads(line) for line in open(outs[0])]
+    assert [r["timestamp"] for r in recs] == ["2024-01-01 10:00:30"]
+    ex = sched.list_inference_executions().collect()
+    assert ex[0]["slot_start"] == datetime(2024, 1, 1, 10, 0, 0)
+
+
+def test_scheduler_late_file_appends_not_overwrites(spark, tmp_path):
+    """ST3: a file for an already-scored slot (second component arriving
+    late) appends to the slot's results file; earlier output survives and
+    the audit log gains a second execution row."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    _write_slot_csv(
+        str(indir / "pump_20240101100000.csv"),
+        [("2024-01-01T10:00:30.000000", 1.0, 2.0)],
+    )
+    cfg = SchedulerConfig(
+        scheduler_name="latesched",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump", "motor"],
+        tags=["p1", "p2"],
+        frequency="PT5M",
+        delay_offset_minutes=5,
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    out = str(outdir / "results_20240101100000.jsonl")
+    assert len(open(out).readlines()) == 1
+    # late arrival: motor's file for the SAME slot lands after the wakeup
+    _write_slot_csv(
+        str(indir / "motor_20240101100000.csv"),
+        [("2024-01-01T10:01:00.000000", 3.0, 4.0)],
+    )
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    recs = [json.loads(line) for line in open(out)]
+    assert sorted(r["timestamp"] for r in recs) == [
+        "2024-01-01 10:00:30",
+        "2024-01-01 10:01:00",
+    ]
+    execs = sched.list_inference_executions().collect()
+    assert [e["status"] for e in execs] == ["SUCCESS", "SUCCESS"]
+    assert sorted(e["n_scored"] for e in execs) == [1, 1]
+
+
+def test_inspection_report(tmp_path):
+    cfg = SchedulerConfig(
+        scheduler_name="repsched",
+        input_dir="/data/in",
+        output_dir="/data/out",
+        components=["pump", "motor"],
+        tags=["p1", "p2"],
+        frequency="PT15M",
+        delay_offset_minutes=3,
+    )
+    now = datetime(2024, 1, 1, 10, 17, 42)
+    report = build_inspection_report(cfg, now=now)
+    assert "**SCHEDULER: repsched**" in report
+    assert "every **15 minutes**" in report
+    assert "up to **3 minute(s)**" in report
+    assert "`/data/in/*.csv`" in report
+    # next wakeup after 10:17 on PT15M = 10:30; expected stamp = slot 10:15
+    assert "**2024-01-01 10:30:00**" in report
+    assert "`pump_20240101101500.csv`" in report
+    assert "`motor_20240101101500.csv`" in report
+    # row template spans the slot [10:15:00, 10:29:59]
+    assert "| 2024-01-01 10:15:00" in report
+    assert "| 2024-01-01 10:29:59" in report
+    assert "**2 components**" in report
+    html_path = str(tmp_path / "report.html")
+    export_report_to_html(report, html_path)
+    content = open(html_path).read()
+    assert content.startswith("<!DOCTYPE html>") and "repsched" in content
 
 
 def test_replay_generator_empty_slots(spark, tmp_path):
