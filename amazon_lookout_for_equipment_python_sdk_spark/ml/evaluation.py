@@ -107,6 +107,16 @@ class ModelEvaluation:
             ts_col="timestamp",
         )
 
+    def _tagged_subsets(self, df_long: DataFrame) -> DataFrame:
+        """Join signal values to the 0/1/2 stamped points and label each row
+        normal/anomalous (reference evaluation.py:222-226 index split)."""
+        stamped = self.stamped_points()
+        return df_long.join(
+            stamped.withColumnRenamed("timestamp", "ts"), "ts", "inner"
+        ).withColumn(
+            "subset", F.when(F.col("prediction") == 0, "normal").otherwise("anomalous")
+        )
+
     def rank_signals(
         self,
         df_long: DataFrame,
@@ -116,14 +126,8 @@ class ModelEvaluation:
         """Per-signal distribution-shift ranking: values at normal points
         vs values at anomalous points, shared-bin density histograms,
         Wasserstein(density vectors), desc (reference evaluation.py:228-313)."""
-        stamped = self.stamped_points()
-        tagged = df_long.join(
-            stamped.withColumnRenamed("timestamp", "ts"), "ts", "inner"
-        ).withColumn(
-            "subset", F.when(F.col("prediction") == 0, "normal").otherwise("anomalous")
-        )
         return rank_signals_by_shift(
-            tagged,
+            self._tagged_subsets(df_long),
             "subset",
             "normal",
             "anomalous",
@@ -132,3 +136,62 @@ class ModelEvaluation:
             value_col="value",
             top_n=top_n,
         )
+
+    def plot_histograms(
+        self,
+        df_long: DataFrame,
+        path: str,
+        nb_cols: int = 3,
+        max_plots: int = 12,
+        num_bins: int = 20,
+    ) -> dict:
+        """§2.13 — histogram grid of the top-ranked signals, normal vs
+        anomalous distributions overlaid (reference plot_histograms,
+        evaluation.py:394-478: ranked order, nb_cols columns, alpha-blended
+        pairs)."""
+        from ..operators.wasserstein import density_histograms
+        from ..plot.viz import plot_histogram_grid
+
+        ranked = [
+            r["tag"]
+            for r in self.rank_signals(df_long, num_bins, top_n=max_plots).collect()
+        ]
+        hists = density_histograms(
+            self._tagged_subsets(df_long),
+            "subset",
+            num_bins,
+            key_col="tag",
+            value_col="value",
+        )
+        return plot_histogram_grid(
+            hists,
+            path,
+            key_col="tag",
+            ncols=nb_cols,
+            max_plots=max_plots,
+            ranking=ranked,
+        )
+
+    def plot_signals(
+        self,
+        df_long: DataFrame,
+        path: str,
+        max_plots: int = 12,
+        resample: str | None = None,
+    ) -> dict:
+        """§2.13 — ranked signal time-series panels with predicted ranges as
+        ribbons (reference plot_signals, evaluation.py:480-555)."""
+        from ..plot.viz import TimeSeriesVisualization
+
+        ranked = [
+            r["tag"]
+            for r in self.rank_signals(df_long, top_n=max_plots).collect()
+        ]
+        viz = TimeSeriesVisualization(
+            df_long, "timeseries", resample=resample
+        )
+        viz.add_signal(ranked)
+        viz.add_predictions(self.predicted_ranges())
+        if self.labels is not None:
+            viz.add_labels(self.labels)
+        return viz.plot(path)

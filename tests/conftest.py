@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import load
+
+    return load(spark, SF_DIR, "events")

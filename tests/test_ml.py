@@ -216,3 +216,29 @@ def test_evaluation_chain(spark, synthetic_long):
         for r in raw_sample_emd(tagged, "subset", "normal", "anomalous").collect()
     }
     assert emd["s2"] > emd["s1"] and emd["s3"] > emd["s1"], emd
+
+
+def test_evaluation_plots_end_to_end(spark, synthetic_long, tmp_path):
+    """Tutorial flow §2.13: train -> score -> ranked histogram grid +
+    ranked signal panels, each rendered to a file (reference
+    evaluation.py:394-555)."""
+    cfg = ModelConfig(model_name="m6", sampling_rate="PT5M",
+                      threshold_quantile=0.995)
+    det = AnomalyDetector(cfg).fit(
+        synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 00:00:00"))
+    )
+    scored = det.transform(
+        synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 09:00:00"))
+    )
+    ev = ModelEvaluation(scored, sampling_rate_s=300)
+    rank_input = synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 09:00:00"))
+    hpath = str(tmp_path / "hists.svg")
+    hinfo = ev.plot_histograms(rank_input, hpath, nb_cols=2)
+    assert hinfo["n_cells"] == 3  # all three signals plotted, ranked order
+    assert set(hinfo["subsets"]) == {"anomalous", "normal"}
+    assert open(hpath).read().startswith("<svg")
+    spath = str(tmp_path / "signals.svg")
+    sinfo = ev.plot_signals(rank_input, spath, resample="PT5M")
+    assert set(sinfo["series"]) == {"s1", "s2", "s3"}
+    assert "Detected events" in sinfo["ranges"]
+    assert open(spath).read().startswith("<svg")
