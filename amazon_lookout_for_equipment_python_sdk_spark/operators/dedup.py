@@ -51,14 +51,40 @@ def _shingle_array(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFra
     return words.select(id_col, sh.alias("_sh")).filter(F.size("_sh") > 0)
 
 
+#: permutations carved per md5 digest: 32 hex chars -> 4 x 8-hex (32-bit)
+#: slices.  One salted md5 per shingle feeds 4 permutations, so 8 perms
+#: cost 2 md5 calls per shingle instead of 8 — md5 is the dominant cost of
+#: the whole MinHash pipeline (BENCH r1: 4.5s of honest md5 compute).
+_PERMS_PER_DIGEST = 4
+
+
+def _digest_col(salt: int) -> "F.Column":
+    """array of md5('salt|shingle') over the doc's shingle array —
+    materialized once per salt so codegen shares it across the 4
+    permutations sliced from it."""
+    return F.transform(
+        F.col("_sh"),
+        lambda s: F.md5(F.concat_ws("|", F.lit(str(salt)), s)),
+    )
+
+
 def _perm_min(p: int) -> "F.Column":
-    """array_min over md5('p|shingle') — one codegen pass per permutation."""
+    """Permutation p's minhash: min over shingles of the p-th 8-hex slice
+    of the salted digest array ``_d{p // 4}`` (fixed-width hex, so the
+    lexicographic array_min IS the numeric 32-bit min)."""
+    chunk = (p % _PERMS_PER_DIGEST) * 8 + 1
     return F.array_min(
         F.transform(
-            F.col("_sh"),
-            lambda s: F.md5(F.concat_ws("|", F.lit(str(p)), s)),
+            F.col(f"_d{p // _PERMS_PER_DIGEST}"),
+            lambda h: F.substring(h, chunk, 8),
         )
     )
+
+
+def _with_digests(docs: DataFrame, num_perm: int) -> DataFrame:
+    for salt in range((num_perm + _PERMS_PER_DIGEST - 1) // _PERMS_PER_DIGEST):
+        docs = docs.withColumn(f"_d{salt}", _digest_col(salt))
+    return docs
 
 
 def minhash_signatures(
@@ -70,16 +96,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (id, perm, minhash-hex).
 
-    Permutation p's hash of shingle s is ``md5(p || '|' || s)``; the
-    signature entry is the lexicographic minimum — deterministic and
-    portable (hex strings order identically everywhere).
+    Permutation p's hash of shingle s is the p-th 8-hex-char slice of
+    ``md5((p div 4) || '|' || s)`` — 4 independent 32-bit permutations per
+    salted digest, so 8 perms need only 2 md5 calls per shingle (md5 is the
+    dominant pipeline cost).  The signature entry is the lexicographic
+    minimum of a fixed-width hex slice — deterministic, portable, and equal
+    to the numeric min.
 
     Scale: entirely row-local — the per-perm minimum is ``array_min`` over
     the doc's shingle array inside whole-stage codegen, so signatures cost
     ZERO shuffles (the naive shape — explode doc x shingle x perm then
     groupBy — shuffles num_perm x shingle-count rows per doc).
     """
-    docs = _shingle_array(df, shingle_n, text_col, id_col)
+    docs = _with_digests(_shingle_array(df, shingle_n, text_col, id_col), num_perm)
     entries = F.array(
         *[
             F.struct(
@@ -106,7 +135,9 @@ def minhash_banded(
     the sorted concat of ``perm:minhash`` entries inside the band, matching
     ``lsh_candidate_pairs``'s construction bit-for-bit."""
     rpb = num_perm // bands
-    docs = _shingle_array(df, shingle_n, text_col, id_col)
+    docs = _with_digests(
+        _shingle_array(df, shingle_n, text_col, id_col), num_perm
+    )
     sig = docs.select(
         id_col, F.array(*[_perm_min(p) for p in range(num_perm)]).alias("_sig")
     )

@@ -162,7 +162,9 @@ WITH sh AS (
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
 ), sigs AS (
-  SELECT doc_id, p.perm, min(md5(concat(CAST(p.perm AS VARCHAR), '|', sh))) AS minhash
+  SELECT doc_id, p.perm,
+         min(substr(md5(concat(CAST(p.perm // 4 AS VARCHAR), '|', sh)),
+                    (p.perm % 4) * 8 + 1, 8)) AS minhash
   FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
   GROUP BY 1, 2
 ), banded AS (
@@ -211,7 +213,9 @@ WITH sh AS (
            i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
   FROM documents
 ), sigs AS (
-  SELECT doc_id, p.perm, min(md5(concat(CAST(p.perm AS VARCHAR), '|', sh))) AS minhash
+  SELECT doc_id, p.perm,
+         min(substr(md5(concat(CAST(p.perm // 4 AS VARCHAR), '|', sh)),
+                    (p.perm % 4) * 8 + 1, 8)) AS minhash
   FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
   GROUP BY 1, 2
 ), banded AS (

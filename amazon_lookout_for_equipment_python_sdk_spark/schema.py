@@ -91,6 +91,45 @@ def create_data_schema_from_dir(root_dir: str, spark: SparkSession) -> str:
     return create_data_schema(components)
 
 
+def create_data_schema_from_uri(root_uri: str, spark: SparkSession) -> str:
+    """S2 — header-only schema inference over ANY Hadoop-supported
+    filesystem URI (``s3a://bucket/prefix``, ``gs://``, ``hdfs://``,
+    ``file:///``) — the reference's object-store variant
+    (create_data_schema_from_s3_path, schema.py:62-98, via s3fs walk).
+
+    Spark-native: the directory walk goes through the Hadoop FileSystem API
+    (the same abstraction the executors use to read the data), so exactly
+    the code path that works for ``file://`` in tests works for ``s3a://``
+    on a cluster — no boto/s3fs dependency.  Headers are read with a
+    ``limit(0)`` CSV scan per component, regardless of file size.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(root_uri)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        raise ValueError(f"no such location: {root_uri!r}")
+    components: dict[str, list[str]] = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        comp = st.getPath().getName()
+        csvs = sorted(
+            f.getPath().toString()
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".csv")
+        )
+        if not csvs:
+            continue
+        header_df = (
+            spark.read.option("header", True).csv(csvs[0]).limit(0)
+        )
+        components[comp] = list(header_df.columns)
+    if not components:
+        raise ValueError(f"no component directories with CSVs under {root_uri!r}")
+    return create_data_schema(dict(sorted(components.items())))
+
+
 def parse_data_schema(schema_json: str) -> dict[str, ComponentSchema]:
     """JSON schema doc -> {component_name: ComponentSchema} (typed parse —
     the reference uses ``eval`` on schema strings, dataset.py:871; N4 says

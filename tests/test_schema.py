@@ -51,3 +51,24 @@ def test_schema_from_dir_empty_raises(spark, tmp_path):
     os.makedirs(tmp_path / "empty_comp", exist_ok=True)
     with pytest.raises(ValueError, match="no component directories"):
         sch.create_data_schema_from_dir(str(tmp_path), spark)
+
+
+def test_schema_from_uri_hadoop_fs(spark, tmp_path):
+    """S2 — the object-store path walks the Hadoop FileSystem API; a
+    file:// URI exercises the exact code path s3a:// uses on a cluster
+    (reference create_data_schema_from_s3_path, schema.py:62-98)."""
+    for comp, cols in [("pump", "Timestamp,s1,s2"), ("motor", "Timestamp,m1")]:
+        d = tmp_path / comp
+        d.mkdir()
+        (d / f"{comp}.csv").write_text(
+            f"{cols}\n2024-01-01T00:00:00.000000,1.0"
+            + (",2.0" if comp == "pump" else "")
+            + "\n"
+        )
+    doc = sch.create_data_schema_from_uri(f"file://{tmp_path}", spark)
+    parsed = sch.parse_data_schema(doc)
+    assert set(parsed) == {"pump", "motor"}
+    assert parsed["pump"].fields == ["Timestamp", "s1", "s2"]
+    assert parsed["motor"].fields == ["Timestamp", "m1"]
+    with pytest.raises(ValueError, match="no such location"):
+        sch.create_data_schema_from_uri(f"file://{tmp_path}/missing", spark)
