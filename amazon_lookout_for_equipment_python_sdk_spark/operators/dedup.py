@@ -318,6 +318,54 @@ def ngram_jaccard_lsh(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded hamming join: the 48-bit
+    signature splits into ``bands`` equal chunks; any pair within hamming
+    distance ``bands - 1`` must share at least one unchanged chunk
+    (pigeonhole), so for ``max_hamming <= bands - 1`` the banded equi-join
+    is EXACT — no recall loss, no quadratic self-join.  Candidates come
+    from one groupBy on (band, chunk); the hamming verify is row-local
+    ``bit_count(xor)``.  Returns (a, b, hamming).
+    """
+    chunk_bits = 48 // bands
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded join is only exact for max_hamming <= bands-1 "
+            f"({bands - 1}); got {max_hamming} — raise `bands`"
+        )
+    sigs = simhash48(df, text_col, id_col).select(id_col, "simhash")
+    chunk_entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("simhash"), k * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("bucket"),
+            )
+            for k in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, F.explode(chunk_entries).alias("_e")).select(
+        id_col, F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket")
+    )
+    cand = candidate_pairs_from_banded(banded, id_col)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash48(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -80,37 +80,132 @@ def cosine_topk(
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _plane_values(p: int, dim: int) -> tuple[float, ...]:
+    """Hyperplane H_p weights: H_p[d] = int(md5('p|d')[:12 hex], 16)/2^47
+    - 1 — pseudo-uniform in [-1, 1), reproducible everywhere (no RNG
+    state).  Computed ONCE on the driver with hashlib — bit-identical to
+    the SQL-side construction (48-bit int / 2^47 is exact in IEEE double),
+    but avoids re-running dim x planes md5 calls per DATA ROW, which
+    dominated the runtime when the planes were built as Spark expressions.
+    """
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:12], 16)
+        / float(2**47)
+        - 1.0
+        for d in range(dim)
+    )
+
+
+def _plane_col(p: int, dim: int) -> Column:
+    """H_p as a literal array column (constant-folded by Catalyst)."""
+    return F.array(*[F.lit(w) for w in _plane_values(p, dim)])
+
+
+def _proj(v: Column, p: int, dim: int) -> Column:
+    """Sequential-fold projection of (already double-cast) v onto plane p."""
+    return F.aggregate(
+        F.zip_with(v, _plane_col(p, dim), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def hyperplane_bucket(
     vec: Column, num_planes: int = 8, dim: int = 64
 ) -> Column:
     """Deterministic LSH bucket: sign pattern of dot(vec, H_p) packed into a
-    long, where hyperplane H_p[d] = conv(md5('p|d')[:12], 16, 10)/2^47 - 1
-    (pseudo-uniform in [-1, 1), reproducible everywhere — no RNG state).
-    """
+    long (planes from :func:`_plane_col`)."""
     v = _as_double(vec)
-    bits = []
-    for p in range(num_planes):
-        # plane component expression for index d: derived from md5(p|d)
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.lit(str(p)), d.cast("string"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(float(2**47))
-            - F.lit(1.0),
-        )
-        proj = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bits = [
+        F.when(_proj(v, p, dim) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def hyperplane_bucket_tables(
+    vec: Column, num_tables: int = 4, planes_per_table: int = 4, dim: int = 64
+) -> Column:
+    """Multi-table hyperplane LSH: array of (table, bucket) structs, one
+    sign-pattern bucket per table over that table's planes.  Banding
+    boosts recall the standard way (a pair collides if ANY table agrees),
+    with the same deterministic md5-derived planes as
+    :func:`hyperplane_bucket` (global plane index = table*planes+i)."""
+    v = _as_double(vec)
+    entries = []
+    for t in range(num_tables):
+        bits = [
+            F.when(
+                _proj(v, t * planes_per_table + i, dim) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(planes_per_table)
+        ]
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"), bucket.cast("long").alias("bucket")
+            )
+        )
+    return F.array(*entries)
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-pruned: candidates are
+    pairs sharing any table's hyperplane bucket (one groupBy on
+    (table, bucket), row-local pair expansion — no all-pairs self-join),
+    verified with the exact cosine >= threshold.  Returns (a, b, cos).
+
+    Recall is the standard banding curve (1 - (1 - p^planes)^tables with
+    p = 1 - angle/pi); the brute-force all-pairs variant exists only as
+    the small-SF oracle."""
+    from .dedup import _pairs_in_list
+
+    vb = vectors.select(
+        id_col,
+        F.explode(
+            hyperplane_bucket_tables(
+                F.col(vec_col), num_tables, planes_per_table, dim
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.table").alias("table"), F.col("_e.bucket").alias("bucket"))
+    grouped = (
+        vb.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    cand = (
+        grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vc = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vc, "b")
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b", "cos")
+    )
 
 
 def lsh_cosine_topk(

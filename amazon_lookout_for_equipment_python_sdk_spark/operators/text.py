@@ -63,6 +63,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
+#: GPT-2-style split classes minus the byte-level merges (which need a
+#: learned vocabulary; this regex gives the pre-merge token stream whose
+#: count upper-bounds the BPE count).  Plain character classes only, so
+#: Java (Spark) and RE2 (DuckDB) regex engines agree exactly.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (regex runs, JVM-side)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     """Count of stopword tokens (JVM array filter)."""
     return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))

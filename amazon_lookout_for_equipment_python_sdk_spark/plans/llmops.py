@@ -269,6 +269,110 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "simhash")
 
 
+_SIMHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(generate_series(0, 47)) AS bit) b
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+), chunks AS (
+  SELECT doc_id, k.k, (simhash >> (k.k * 12)) & 4095 AS chunk
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS k) k
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN sigs sa ON sa.doc_id = a
+JOIN sigs sb ON sb.doc_id = b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
+@register("simhash_near_pairs", _SIMHASH_PAIRS_SQL)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming join: 4 x 12-bit chunks, hamming <= 3 — exact
+    by pigeonhole (a pair differing in <= 3 bits shares >= 1 chunk), so no
+    quadratic self-join and no recall loss."""
+    return dd.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, bands=4
+    )
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+@register("token_count_bpe", _BPE_SQL)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace and the BPE-ish regex
+    pre-tokenizer (letter/digit/punctuation runs)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens_ws"),
+        tx.bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH planes AS (
+  SELECT p.p, list_transform(range(0, 64), d ->
+    CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), '|', CAST(d AS VARCHAR))), 1, 12)) AS BIGINT)
+      / 140737488355328.0 - 1.0) AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS p) p
+), proj AS (
+  SELECT e.vec_id, pl.p // 4 AS tbl, pl.p % 4 AS i,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS proj
+  FROM embeddings e, planes pl
+), bkt AS (
+  SELECT vec_id, tbl, sum(CASE WHEN proj > 0 THEN (1 << i) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bkt x JOIN bkt y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT a, b, {sql_qfloor('cos', 6)} AS cos FROM (
+  SELECT c.a, c.b,
+         list_dot_product(va, vb) /
+           (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+  FROM cand c
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) ea ON ea.vec_id = c.a
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) eb ON eb.vec_id = c.b) t
+WHERE cos >= 0.45
+"""
+
+
+@register("embedding_near_dup", _NEAR_DUP_SQL)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
+    candidates (4 tables x 4 planes, md5-derived deterministic planes; one
+    groupBy per (table, bucket)) + exact cosine >= 0.45 verify — the
+    oracle mirrors the same LSH so results match bit-for-bit."""
+    out = sim.embedding_near_dup(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        num_tables=4,
+        planes_per_table=4,
+        dim=64,
+    )
+    return out.select("a", "b", qfloor(F.col("cos"), 6).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Cosine top-k similarity search (brute-force baseline)
 # ---------------------------------------------------------------------------

@@ -34,8 +34,11 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ngram_jaccard_lsh",
     "minhash_lsh_candidates",
+    "simhash_near_pairs",
+    "embedding_near_dup",
     "cosine_topk",
     "text_stats",
+    "token_count_bpe",
 ]
 
 

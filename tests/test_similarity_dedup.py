@@ -1,0 +1,118 @@
+"""Similarity / near-dup operator tests: planted-duplicate recall for the
+multi-table hyperplane LSH, bucket determinism, SimHash banded hamming
+exactness, and BPE tokenization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+    dedup as dd,
+    similarity as sim,
+    text as tx,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """40 random unit-ish vectors + a near-copy of each of the first 10
+    (cos > 0.99) — the planted near-dup ground truth."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for i in range(10):
+        noisy = base[i] + rng.normal(scale=0.02, size=64)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark, planted_vectors):
+    out = sim.embedding_near_dup(
+        planted_vectors, threshold=0.95, num_tables=4, planes_per_table=4
+    ).collect()
+    found = {(r["a"], r["b"]) for r in out}
+    expected = {(i, 100 + i) for i in range(10)}
+    # multi-table banding: recall for cos≈0.999 pairs is ~1; allow one miss
+    assert len(expected & found) >= 9, sorted(found)
+    # no false positives: every returned pair really has cos >= threshold
+    assert all(r["cos"] >= 0.95 for r in out)
+
+
+def test_hyperplane_buckets_deterministic_and_real(spark, planted_vectors):
+    """Regression for the r1 lambda-capture bug: all planes collapsed to
+    one garbage salt, so 8-plane buckets could only ever be 0 or 255.
+    Real planes must spread vectors over many buckets, identically across
+    two plan constructions."""
+    b1 = {
+        r["vec_id"]: r["b"]
+        for r in planted_vectors.select(
+            "vec_id",
+            sim.hyperplane_bucket(F.col("embedding"), 8, 64).alias("b"),
+        ).collect()
+    }
+    assert len(set(b1.values())) > 4, "buckets degenerate — planes collapsed?"
+    b2 = {
+        r["vec_id"]: r["b"]
+        for r in planted_vectors.select(
+            "vec_id",
+            sim.hyperplane_bucket(F.col("embedding"), 8, 64).alias("b"),
+        ).collect()
+    }
+    assert b1 == b2
+
+
+def test_lsh_cosine_topk_subset_of_bruteforce(spark, planted_vectors):
+    """ANN results are exact-cosine-correct for whatever candidates the
+    bucket join admits: every (query, hit) must appear in the brute-force
+    ranking with the same cos."""
+    queries = planted_vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in sim.cosine_topk(planted_vectors, queries, k=50).collect()
+    }
+    ann = sim.lsh_cosine_topk(planted_vectors, queries, k=5).collect()
+    assert ann, "LSH returned nothing — bucket join broken"
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        assert key in brute and abs(brute[key] - r["cos"]) < 1e-12
+
+
+def test_simhash_near_pairs_exact_within_radius(spark):
+    """Banded hamming join is exact for hamming <= bands-1: a doc pair
+    differing in one token (few simhash bits) is found; bands guard
+    raises when the radius breaks the pigeonhole guarantee."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely different text about spark query planning together"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash48(df).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    if ham12 <= 3:
+        assert pairs.get((1, 2)) == ham12
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError, match="bands"):
+        dd.simhash_near_pairs(df, max_hamming=5, bands=4)
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world42 it's a test-case!!")], "id int, text string"
+    )
+    row = df.select(
+        tx.bpe_tokens(F.col("text")).alias("t"),
+        tx.token_count(F.col("text")).alias("ws"),
+    ).collect()[0]
+    assert row["t"] == [
+        "hello", "world", "42", "it", "'", "s", "a", "test", "-", "case", "!!",
+    ]
+    assert row["ws"] == 5
