@@ -25,6 +25,41 @@ semantics.  Designed for multi-executor scale (partition-parallel by tag /
 component; broadcast dimensions; bucketed interval joins).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .session import get_spark  # noqa: F401
+
+# --- reference-parity surface (lookoutequipment __init__.py:29-55) ----------
+# Every capability a reference user calls through its 18 public names has a
+# Spark-native counterpart exported here (AWS-client plumbing like
+# upload_file_to_s3 has no counterpart by design — Spark writes straight to
+# the object store, SURVEY S10).
+from .schema import (  # noqa: F401
+    create_data_schema,
+    create_data_schema_from_dir,
+    create_data_schema_from_uri,
+)
+from .sources import Catalog  # noqa: F401  (list/load/create/ingest/delete)
+from .ml import (  # noqa: F401
+    AnomalyDetector,  # LookoutEquipmentModel: train/score, made local
+    ModelConfig,
+    ModelEvaluation,  # LookoutEquipmentAnalysis
+    model_metrics_json,
+    ranges_from_model_metrics,
+)
+from .streaming import (  # noqa: F401
+    InferenceScheduler,  # LookoutEquipmentScheduler
+    SchedulerConfig,
+    build_inspection_report,  # LookoutEquipmentSchedulerInspector
+    export_report_to_html,
+    generate_replay_data,
+)
+from .plot import (  # noqa: F401
+    TimeSeriesVisualization,
+    plot_feature_importance,  # plot_event_barh
+    plot_histogram_grid,  # plot_histogram_comparison grid
+)
+
+#: reference name for the object-store schema scan (schema.py:62-98); ours
+#: accepts any Hadoop filesystem URI (s3a://, gs://, hdfs://, file://)
+create_data_schema_from_s3_path = create_data_schema_from_uri
