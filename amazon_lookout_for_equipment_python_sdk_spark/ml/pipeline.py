@@ -70,6 +70,12 @@ class AnomalyDetector:
         self.pca_model = None
         self.threshold: float | None = None
         self._err_p50: float | None = None
+        # fitted parameters as plain arrays (the scoring path reads these,
+        # not the MLlib model objects, so a model restored from a payload
+        # scores identically without refitting)
+        self._mean = None
+        self._std = None
+        self._W = None
 
     # --- preprocessing -----------------------------------------------------
 
@@ -137,6 +143,13 @@ class AnomalyDetector:
             k = min(k, len(self.tags) - 1) if len(self.tags) > 1 else 1
             pca = PCA(k=k, inputCol="_scaled", outputCol="_pc")
             self.pca_model = pca.fit(scaled)
+            import numpy as np
+
+            self._mean = np.array(self.scaler_model.mean)
+            std = np.array(self.scaler_model.std)
+            std[std == 0] = 1.0
+            self._std = std
+            self._W = self.pca_model.pc.toArray()
             train_scored = self._score_columns(wide)
             qs = train_scored.approxQuantile(
                 "anomaly_raw", [0.5, cfg.threshold_quantile], 0.0
@@ -197,12 +210,7 @@ class AnomalyDetector:
     def _score_columns(self, wide: DataFrame) -> DataFrame:
         """Standardize, project, reconstruct, residual^2 — all as column
         expressions (JVM codegen; no UDF)."""
-        import numpy as np
-
-        mean = np.array(self.scaler_model.mean)
-        std = np.array(self.scaler_model.std)
-        std[std == 0] = 1.0
-        W = self.pca_model.pc.toArray()  # d x k
+        mean, std, W = self._mean, self._std, self._W  # d; d; d x k
         d, k = W.shape
         xs = [
             ((F.col(t) - float(mean[i])) / float(std[i])).alias(f"_x{i}")
@@ -234,6 +242,52 @@ class AnomalyDetector:
         return out.select(
             "bucket_ts", *self.tags, *[f"_r{i}" for i in range(d)], "anomaly_raw"
         )
+
+    # --- persistence (Catalog.register_model payload) -----------------------
+
+    def to_payload(self) -> dict:
+        """JSON-serializable fitted state: exact scoring parity on restore
+        (the reference persists models server-side; ours round-trip through
+        the Catalog's model registry as plain JSON)."""
+        if self.config.status != "SUCCESS":
+            raise RuntimeError("fit() the model before persisting it")
+        cfg = self.config
+        return {
+            "model_name": cfg.model_name,
+            "sampling_rate": cfg.sampling_rate,
+            "off_condition": cfg.off_condition,
+            "signal_subset": cfg.signal_subset,
+            "threshold_quantile": cfg.threshold_quantile,
+            "tags": self.tags,
+            "mean": [float(x) for x in self._mean],
+            "std": [float(x) for x in self._std],
+            "components": [[float(x) for x in row] for row in self._W],
+            "threshold": float(self.threshold),
+            "err_p50": float(self._err_p50),
+        }
+
+    @classmethod
+    def from_payload(cls, payload: dict) -> "AnomalyDetector":
+        """Rebuild a scoring-ready detector from :meth:`to_payload` output —
+        no refit, bit-identical transform()."""
+        import numpy as np
+
+        cfg = ModelConfig(
+            model_name=payload["model_name"],
+            sampling_rate=payload["sampling_rate"],
+            off_condition=payload.get("off_condition"),
+            signal_subset=payload.get("signal_subset"),
+            threshold_quantile=payload.get("threshold_quantile", 0.99),
+        )
+        det = cls(cfg)
+        det.tags = list(payload["tags"])
+        det._mean = np.array(payload["mean"])
+        det._std = np.array(payload["std"])
+        det._W = np.array(payload["components"])
+        det.threshold = payload["threshold"]
+        det._err_p50 = payload["err_p50"]
+        cfg.status = "SUCCESS"
+        return det
 
     def transform(self, df_long: DataFrame, component: str = "machine") -> DataFrame:
         """Score a long table -> (timestamp, prediction, anomaly_score,
