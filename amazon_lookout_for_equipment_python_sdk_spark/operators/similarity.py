@@ -244,6 +244,91 @@ def embedding_near_dup(
     )
 
 
+# --- IVF (inverted-file) ANN — the second scale path ------------------------
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse-quantizer build: seeded MLlib KMeans over the corpus ->
+    (centroids ndarray [n_cells x dim], assignments DataFrame (id, cell)).
+
+    The IVF structure is the classic ANN inverted file: each vector lives
+    in exactly one centroid cell; queries probe only the nearest ``nprobe``
+    cells.  Build is one MLlib job (distributed kmeans||); assignment is
+    one Arrow-batched pass.  At 100 TB the assignments DataFrame is the
+    index — write it partitioned by cell so a probe prunes to nprobe/ n_cells
+    of the data.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        id_col, array_to_vector(_as_double(F.col(vec_col))).alias("_feat")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell")
+    model = km.fit(feats)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(feats).select(id_col, "cell")
+    return centroids, assigned
+
+
+def _nearest_cells(q: "pd.Series | list[float]", centroids, nprobe: int):
+    """Top-nprobe centroid cells by cosine (driver-side, numpy)."""
+    import numpy as np
+
+    v = np.asarray(q, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1) * (np.linalg.norm(v) or 1.0)
+    cos = centroids @ v / np.where(norms == 0, 1.0, norms)
+    return [int(c) for c in np.argsort(-cos)[:nprobe]]
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    assigned: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN search: each query probes its ``nprobe`` nearest cells, then
+    exact cosine top-k within the probed candidates.  The probe list is
+    computed driver-side (queries are few; centroids are tiny) and joined
+    as a broadcast (query, cell) table — the corpus is touched only where
+    cell matches, i.e. ~nprobe/n_cells of it."""
+    spark = vectors.sparkSession
+    probe_rows = [
+        (r[query_id_col], cell, [float(x) for x in r[vec_col]])
+        for r in queries.select(query_id_col, vec_col).collect()
+        for cell in _nearest_cells(r[vec_col], centroids, nprobe)
+    ]
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, f"{query_id_col} long, cell int, _qvec array<double>"
+        )
+    )
+    cands = vectors.join(assigned, id_col).join(probes, "cell")
+    scored = cands.filter(F.col(query_id_col) != F.col(id_col)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_qvec"), F.col(vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -81,6 +81,37 @@ def test_lsh_cosine_topk_subset_of_bruteforce(spark, planted_vectors):
         assert key in brute and abs(brute[key] - r["cos"]) < 1e-12
 
 
+def test_ivf_ann_recall(spark, planted_vectors):
+    """IVF: seeded build is deterministic; probing nprobe cells recovers
+    most of the brute-force top-5 (clustered planted data)."""
+    cents, assigned = sim.ivf_build(planted_vectors, n_cells=8, seed=42)
+    assert cents.shape == (8, 64)
+    assert assigned.count() == 50
+    queries = planted_vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {}
+    for r in sim.cosine_topk(planted_vectors, queries, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in sim.ivf_cosine_topk(
+        planted_vectors, queries, cents, assigned, k=5, nprobe=4
+    ).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # the planted near-copy (cos ~0.999) must be found for every query
+    for q in range(5):
+        assert 100 + q in ivf.get(q, set()), (q, sorted(ivf.get(q, set())))
+    # determinism: rebuilding with the same seed gives identical centroids
+    cents2, _ = sim.ivf_build(planted_vectors, n_cells=8, seed=42)
+    import numpy as np
+
+    np.testing.assert_array_equal(cents, cents2)
+
+
 def test_simhash_near_pairs_exact_within_radius(spark):
     """Banded hamming join is exact for hamming <= bands-1: a doc pair
     differing in one token (few simhash bits) is found; bands guard
