@@ -162,6 +162,7 @@ class ModelEvaluation:
             num_bins,
             key_col="tag",
             value_col="value",
+            with_edges=True,
         )
         return plot_histogram_grid(
             hists,

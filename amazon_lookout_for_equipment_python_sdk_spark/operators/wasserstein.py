@@ -39,6 +39,7 @@ def density_histograms(
     num_bins: int = 20,
     key_col: str = "tag",
     value_col: str = "value",
+    with_edges: bool = False,
 ) -> DataFrame:
     """Per-signal, per-subset density histograms over shared edges.
 
@@ -80,16 +81,25 @@ def density_histograms(
             F.explode(F.sequence(F.lit(0), F.lit(num_bins - 1))).alias("bin"),
         )
     )
+    w = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
+    edge_cols = (
+        [
+            (F.col("min_value") + F.col("bin") * w).alias("bin_start"),
+            w.alias("bin_width"),
+        ]
+        if with_edges
+        else []
+    )
     return (
         grid.join(binned, [key_col, "subset", "bin"], "left")
         .select(
             key_col,
             "subset",
             "bin",
-            (
-                F.coalesce(F.col("cnt"), F.lit(0))
-                / (F.col("n") * ((F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))))
-            ).alias("density"),
+            (F.coalesce(F.col("cnt"), F.lit(0)) / (F.col("n") * w)).alias(
+                "density"
+            ),
+            *edge_cols,
         )
     )
 
