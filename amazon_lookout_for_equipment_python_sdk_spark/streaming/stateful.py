@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator: online run-compaction (SURVEY
+§2.10's ``applyInPandasWithState`` mapping; the streaming twin of the batch
+M2 operator ``operators.intervals.compact_runs``).
+
+The batch engine compacts per-timestamp anomaly flags into (start, end)
+ranges after the fact; a scheduler emitting per-slot predictions wants the
+same ranges ONLINE — a run that spans micro-batches must stay open in
+state until a non-flagged point (or a time gap) closes it.  That is
+exactly Structured Streaming's arbitrary-stateful-processing contract:
+``groupBy(key).applyInPandasWithState`` with one state record per key
+holding the currently-open run.
+
+Semantics (mirrors compact_runs, intervals.py):
+- rows are processed in event-time order within each batch;
+- a run breaks when the flag drops to 0 or the gap to the previous point
+  exceeds ``step_seconds``;
+- closed runs are emitted append-mode as (key, start, end, n_points);
+- the open tail run survives in checkpointed state across batches and
+  restarts (exactly-once with a checkpoint location).
+
+Cross-batch ordering: the file-per-slot contract delivers slots in
+arrival order per component; rows older than the open run's tail are
+counted into the open run only if they extend it — the operator assumes
+per-key monotone batch order, like the reference's scheduler does.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output schema of the closed-range stream
+RANGE_SCHEMA = (
+    "key string, start timestamp, end timestamp, n_points long"
+)
+#: per-key state: open run (start, last_ts, n_points) or nulls
+STATE_SCHEMA = "start timestamp, last_ts timestamp, n_points long"
+
+
+def _compact_batch(key, pdf_iter, state: GroupState, step_seconds: int):
+    (key_val,) = key
+    if state.exists:
+        run_start, last_ts, n_points = state.get
+    else:
+        run_start = last_ts = None
+        n_points = 0
+    closed: list[tuple] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts, flag in zip(pdf["ts"], pdf["flag"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            gap_breaks = (
+                run_start is not None
+                and (ts - last_ts).total_seconds() > step_seconds
+            )
+            if flag == 1:
+                if run_start is None:
+                    run_start, last_ts, n_points = ts, ts, 1
+                elif gap_breaks:
+                    closed.append((key_val, run_start, last_ts, n_points))
+                    run_start, last_ts, n_points = ts, ts, 1
+                else:
+                    last_ts, n_points = ts, n_points + 1
+            else:
+                if run_start is not None:
+                    closed.append((key_val, run_start, last_ts, n_points))
+                    run_start, last_ts, n_points = None, None, 0
+    if run_start is not None:
+        state.update((run_start, last_ts, n_points))
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["key", "start", "end", "n_points"]
+        )
+
+
+def compact_runs_stream(
+    stream: DataFrame,
+    step_seconds: int,
+    key_col: str = "component",
+    ts_col: str = "timestamp",
+    flag_col: str = "prediction",
+) -> DataFrame:
+    """Wire the online compaction onto a streaming DataFrame: returns the
+    append-mode stream of CLOSED anomaly ranges (key, start, end,
+    n_points).  Start it with ``.writeStream`` and a checkpoint; open runs
+    recover from state after restarts."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(flag_col).cast("int").alias("flag"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _compact_batch(key, it, st, step_seconds),
+        outputStructType=RANGE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -275,6 +275,106 @@ def test_inspection_report(tmp_path):
     assert content.startswith("<!DOCTYPE html>") and "repsched" in content
 
 
+def test_stateful_compact_runs_stream(spark, tmp_path):
+    """Online M2: a flagged run spanning micro-batches stays open in
+    checkpointed state and closes with the correct (start, end, n_points)
+    when the flag drops in a later batch — including across a query
+    restart (state recovery)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        compact_runs_stream,
+    )
+
+    indir = tmp_path / "pred_in"
+    outdir = tmp_path / "ranges_out"
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("component,timestamp,prediction\n")
+            for ts, p in rows:
+                f.write(f"m1,{ts},{p}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "component string, timestamp timestamp, prediction int"
+            )
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        ranges = compact_runs_stream(stream, step_seconds=60)
+        q = (
+            ranges.writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: run opens (2 flagged points), nothing closes yet
+    write_batch(
+        "b1.csv",
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:01:00", 1)],
+    )
+    run_once()
+    got = spark.read.schema(
+        "key string, start timestamp, end timestamp, n_points long"
+    ).parquet(str(outdir / "data"))
+    assert got.count() == 0  # run still open in state
+
+    # batch 2 (fresh query, same checkpoint -> state recovered): one more
+    # flagged point extends the run, then a 0 closes it
+    write_batch(
+        "b2.csv",
+        [("2024-01-01 10:02:00", 1), ("2024-01-01 10:03:00", 0)],
+    )
+    run_once()
+    rows = (
+        spark.read.schema(
+            "key string, start timestamp, end timestamp, n_points long"
+        )
+        .parquet(str(outdir / "data"))
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "m1"
+    assert r["start"] == datetime(2024, 1, 1, 10, 0, 0)
+    assert r["end"] == datetime(2024, 1, 1, 10, 2, 0)
+    assert r["n_points"] == 3
+
+    # batch 3: a gap larger than step_seconds breaks a run into two
+    write_batch(
+        "b3.csv",
+        [
+            ("2024-01-01 11:00:00", 1),
+            ("2024-01-01 11:05:00", 1),  # 5-min gap > 60s -> new run
+            ("2024-01-01 11:06:00", 0),
+        ],
+    )
+    run_once()
+    rows = (
+        spark.read.schema(
+            "key string, start timestamp, end timestamp, n_points long"
+        )
+        .parquet(str(outdir / "data"))
+        .orderBy("start")
+        .collect()
+    )
+    assert len(rows) == 3
+    assert (rows[1]["start"], rows[1]["n_points"]) == (
+        datetime(2024, 1, 1, 11, 0, 0),
+        1,
+    )
+    assert (rows[2]["start"], rows[2]["n_points"]) == (
+        datetime(2024, 1, 1, 11, 5, 0),
+        1,
+    )
+
+
 def test_replay_generator_empty_slots(spark, tmp_path):
     rows = []
     # 30 minutes of history with a 10-minute hole (minutes 10..19)
