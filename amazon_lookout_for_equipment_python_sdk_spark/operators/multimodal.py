@@ -1,12 +1,18 @@
 """Multimodal columns: binary payloads + typed metadata (north-star op).
 
 Treats image/audio/video as opaque ``binary`` columns with a typed metadata
-struct, processed with Arrow-batched ``mapInPandas`` — the Spark-side
+struct, processed with Arrow-batched ``mapInPandas``.  The Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested; the actual codecs are STUBBED (this container ships no image/audio
-libraries): ``decode_stub`` derives deterministic fake features from the
-bytes, and ``decode_image``/``decode_audio`` raise NotImplementedError with
-instructions, exactly as a deployment would swap in Pillow/torchaudio.
+tested, and so are the codecs for UNCOMPRESSED formats — none of which
+need any library beyond numpy/stdlib:
+
+- images: 24-bit uncompressed BMP and binary PPM (P6) decode to
+  ``(h, w, 3)`` uint8 arrays; nearest-neighbor resize; BMP re-encode;
+- audio: PCM WAV decodes via the stdlib ``wave`` module to int16 samples;
+- compressed formats (PNG/JPEG/MP3/MP4 frames) still raise
+  NotImplementedError with swap-in instructions (this container ships no
+  codec libraries), and ``decode_stub`` remains the deterministic testing
+  stand-in.
 
 Scale design: mapInPandas streams Arrow batches — no per-row Python
 round-trip, no driver collect; binary payloads never shuffle unless the
@@ -16,8 +22,13 @@ follows the input files; heavy decode work scales linearly with executors.
 
 from __future__ import annotations
 
+import io
+import re
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -55,19 +66,141 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - deployment hook
-    """Swap in a real decoder (e.g. Pillow: Image.open(BytesIO(payload)))."""
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    Real decode for uncompressed formats (24-bit BI_RGB BMP; binary PPM
+    P6).  Compressed formats raise NotImplementedError — swap in Pillow
+    (``Image.open(BytesIO(payload))``) in deployments that ship it.
+    """
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image codecs are not available in this environment; install Pillow "
-        "and replace multimodal.decode_image"
+        "only uncompressed BMP/PPM decode is built in; install Pillow and "
+        "replace multimodal.decode_image for compressed formats"
     )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - deployment hook
-    raise NotImplementedError(
-        "audio codecs are not available in this environment; install "
-        "soundfile/torchaudio and replace multimodal.decode_audio"
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BMP stores BGR
+    return rgb if top_down else rgb[::-1]
+
+
+def _decode_ppm(payload: bytes) -> "np.ndarray":
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("malformed PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    data = payload[m.end() : m.end() + w * h * 3]
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (round-trips through
+    :func:`decode_image`)."""
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = row_size - w * 3
+    pixel_bytes = bytearray()
+    bgr = img[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    for r in range(h):
+        pixel_bytes += bgr[r].tobytes() + b"\x00" * pad
+    size = 54 + len(pixel_bytes)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
     )
+    return header + dib + bytes(pixel_bytes)
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize, BMP in/out (pure numpy index sampling)."""
+    img = decode_image(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return encode_bmp(img[np.ix_(ys, xs)])
+
+
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode PCM WAV to (samples int16 [n, channels], sample_rate) via the
+    stdlib ``wave`` module.  Compressed audio raises NotImplementedError —
+    swap in soundfile/torchaudio where available."""
+    if payload is None or payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "only PCM WAV decode is built in; install soundfile/torchaudio "
+            "and replace multimodal.decode_audio for compressed formats"
+        )
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        if sw != 2:
+            raise NotImplementedError(f"only 16-bit PCM supported (got {8*sw}-bit)")
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").reshape(n, ch)
+        return samples, wf.getframerate()
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """(n, channels) int16 -> PCM WAV bytes (round-trips through
+    :func:`decode_audio`)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Real image features from decoded pixels: per-channel mean/std in
+    [0, 1] + a (dim-6)-bin grayscale histogram (density)."""
+    img = decode_image(payload).astype(np.float64) / 255.0
+    feats = [float(img[:, :, c].mean()) for c in range(3)]
+    feats += [float(img[:, :, c].std()) for c in range(3)]
+    n_hist = max(dim - 6, 0)
+    if n_hist:
+        gray = img.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=n_hist, range=(0.0, 1.0))
+        feats += [float(x) for x in hist / max(gray.size, 1)]
+    return feats[:dim]
+
+
+def audio_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Real audio features: per-stripe RMS over ``dim-1`` stripes (scaled
+    to [0, 1]) + zero-crossing rate of the first channel."""
+    samples, _rate = decode_audio(payload)
+    x = samples[:, 0].astype(np.float64) / 32768.0
+    stripes = max(dim - 1, 1)
+    n = max(len(x) // stripes, 1)
+    feats = [
+        float(np.sqrt(np.mean(x[i * n : (i + 1) * n] ** 2)))
+        if len(x[i * n : (i + 1) * n])
+        else 0.0
+        for i in range(stripes)
+    ]
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    return (feats + [zc])[:dim]
 
 
 def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
@@ -85,13 +218,16 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, decoder=decode_stub
+    media: DataFrame, dim: int = 8, decoder=None
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, feature rows out.
 
     ``decoder(payload) -> list[float]`` runs per row INSIDE the batch loop;
-    swapping the stub for a real codec changes no Spark plumbing.
+    swapping decoders changes no Spark plumbing.  Defaults to the
+    deterministic byte-stripe stub; use :func:`media_features` for the
+    real-codec dispatch.
     """
+    fn = decoder or (lambda b: decode_stub(b, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,14 +238,33 @@ def extract_features(
                     "n_bytes": pdf["payload"].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda b: decoder(b, dim) if decoder is decode_stub
-                        else decoder(b)
-                    ),
+                    "feature": pdf["payload"].map(fn),
                 }
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction with REAL codecs where the payload format allows
+    (BMP/PPM pixels, PCM WAV samples), deterministic byte-stripe stub
+    otherwise (compressed formats, unknown magic, nulls)."""
+
+    def decoder(b):
+        if b is None:
+            return [0.0] * dim
+        try:
+            if bytes(b[:2]) in (b"BM", b"P6"):
+                f = image_features(b, dim)
+            elif bytes(b[:4]) == b"RIFF":
+                f = audio_features(b, dim)
+            else:
+                return decode_stub(b, dim)
+            return (f + [0.0] * dim)[:dim]
+        except (NotImplementedError, ValueError):
+            return decode_stub(b, dim)
+
+    return extract_features(media, dim, decoder)
 
 
 def frame_sample_plan(

@@ -146,11 +146,74 @@ def test_multimodal_extract_features(spark):
     assert rows[4].n_bytes == 0 and all(v == 0.0 for v in rows[4].feature)
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_compressed_formats_raise():
+    # compressed formats stay deployment hooks (no codec libs shipped)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"x")
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"x")
+        mm.decode_audio(b"ID3\x04" + b"\x00" * 16)
+
+
+def _bmp_bytes():
+    import numpy as np
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:, :3] = [255, 0, 0]   # left half red
+    img[:, 3:] = [0, 0, 255]   # right half blue
+    return mm.encode_bmp(img), img
+
+
+def _wav_bytes():
+    import numpy as np
+
+    t = np.arange(800)
+    x = (np.sin(2 * np.pi * t / 40) * 16000).astype("<i2").reshape(-1, 1)
+    return mm.encode_wav(x, 8000), x
+
+
+def test_multimodal_real_codecs_roundtrip():
+    import numpy as np
+
+    bmp, img = _bmp_bytes()
+    back = mm.decode_image(bmp)
+    np.testing.assert_array_equal(back, img)
+    # PPM decode
+    ppm = b"P6\n6 4\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(mm.decode_image(ppm), img)
+    # nearest-neighbor resize halves dimensions, preserves the two colors
+    small = mm.decode_image(mm.resize_image(bmp, 3, 2))
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == [255, 0, 0]).all() and (small[0, 2] == [0, 0, 255]).all()
+    wav, x = _wav_bytes()
+    samples, rate = mm.decode_audio(wav)
+    assert rate == 8000
+    np.testing.assert_array_equal(samples, x)
+
+
+def test_multimodal_media_features_dispatch(spark):
+    """media_features uses real pixel/sample statistics for decodable
+    payloads and the byte-stripe stub otherwise."""
+    bmp, img = _bmp_bytes()
+    wav, _ = _wav_bytes()
+    rows = [
+        (1, "image", bytes(bmp), ("image/bmp", 6, 4, None)),
+        (2, "audio", bytes(wav), ("audio/wav", None, None, 100)),
+        (3, "image", b"\xff" * 32, (None, None, None, None)),  # unknown magic
+    ]
+    out = {
+        r.media_id: list(r.feature)
+        for r in mm.media_features(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA), dim=8
+        ).collect()
+    }
+    # image: mean R = half red -> 0.5, mean G = 0, mean B = 0.5
+    assert abs(out[1][0] - 0.5) < 1e-6
+    assert out[1][1] == 0.0
+    assert abs(out[1][2] - 0.5) < 1e-6
+    # audio: sine RMS ~ 16000/32768/sqrt(2) ~ 0.345 per stripe
+    assert all(0.3 < v < 0.4 for v in out[2][:7]), out[2]
+    # unknown magic falls back to the stub: all-0xff -> 1.0 stripes
+    assert all(abs(v - 1.0) < 1e-6 for v in out[3])
 
 
 def test_multimodal_frame_sample_plan(spark):
