@@ -181,7 +181,9 @@ def _pairs_in_list(ids: Column) -> Column:
     )
 
 
-def candidate_pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs_from_banded(
+    banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Docs sharing any (band, bucket) become a candidate pair (a < b).
 
     One groupBy shuffle on (band, bucket) then row-local pair generation —
@@ -189,13 +191,18 @@ def candidate_pairs_from_banded(banded: DataFrame, id_col: str = "doc_id") -> Da
     are collected per group: fine because real LSH buckets are small (hex
     buckets distribute uniformly); a degenerate all-identical corpus makes
     one giant bucket, which is quadratic in ANY candidate scheme — cap it
-    upstream with exact dedup first.
+    upstream with exact dedup first, and/or pass ``max_bucket`` to DROP
+    oversized buckets (the standard posting-list cap: a bucket that large
+    is either exact-dup mass or hash degeneracy, and the pairs it would
+    emit are where the quadratic blowup lives at 100 TB).
     """
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return (
         grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
