@@ -101,6 +101,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    max_stopword_ratio: float | None = None,
+    min_avg_token_len: float | None = None,
+    max_avg_token_len: float | None = None,
+) -> DataFrame:
+    """Training-data quality gate: keep documents passing the standard
+    length/stopword/token-shape heuristics (the usual LLM-corpus cleanup
+    pass).  Computes :func:`text_stats` once and filters on it — one
+    row-local projection + filter, no shuffle."""
+    out = text_stats(df, text_col)
+    cond = F.col("n_tokens") >= min_tokens
+    if max_tokens is not None:
+        cond = cond & (F.col("n_tokens") <= max_tokens)
+    if max_stopword_ratio is not None:
+        cond = cond & (F.col("stopword_ratio") <= max_stopword_ratio)
+    if min_avg_token_len is not None:
+        cond = cond & (F.col("avg_token_len") >= min_avg_token_len)
+    if max_avg_token_len is not None:
+        cond = cond & (F.col("avg_token_len") <= max_avg_token_len)
+    return out.filter(cond)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the text (corpus is already normalized;
     callers can pre-apply lower/trim/space-collapse for raw corpora)."""

@@ -47,6 +47,36 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = f"""
+SELECT doc_id, n_tokens, stopword_ratio, avg_token_len
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         (length(text) - (len(string_split(text, ' ')) - 1))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+  FROM documents) t
+WHERE n_tokens >= 20 AND stopword_ratio <= 0.4
+  AND avg_token_len >= 3.0 AND avg_token_len <= 12.0
+"""
+
+
+@register("quality_filter", _QUALITY_SQL)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: length + stopword-ratio + token-shape
+    heuristics over text_stats (the standard LLM-corpus cleanup pass)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.quality_filter(
+        docs,
+        min_tokens=20,
+        max_stopword_ratio=0.4,
+        min_avg_token_len=3.0,
+        max_avg_token_len=12.0,
+    )
+    return out.select("doc_id", "n_tokens", "stopword_ratio", "avg_token_len")
+
+
 # ---------------------------------------------------------------------------
 # Language-ID heuristic (marker lexicons, deterministic argmax)
 # ---------------------------------------------------------------------------
