@@ -57,10 +57,18 @@ class Catalog:
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump(meta, f)
 
-    def ingest_data(self, name: str, csv_root: str) -> dict:
+    def ingest_data(
+        self, name: str, csv_root: str, partition_by_date: bool = False
+    ) -> dict:
         """Read each component's CSVs with the imposed schema, validate
         column sets, write partitioned Parquet (long layout, partitioned by
-        component — SURVEY §4.1 partition-pruning note)."""
+        component — SURVEY §4.1 partition-pruning note).
+
+        ``partition_by_date`` adds a ``ts_date`` partition column so P4
+        time-range predicates prune whole date directories at the scan —
+        at 100 TB this turns "read a week" into touching 7/N of the data
+        before row-group stats even apply.
+        """
         path = self._dataset_path(name)
         schemas = sch.struct_types_from_schema(self._schema_json(name))
         parts = []
@@ -86,11 +94,15 @@ class Catalog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        part_cols = ["component"]
+        if partition_by_date:
+            out = out.withColumn("ts_date", F.to_date("ts"))
+            part_cols.append("ts_date")
         data_path = os.path.join(path, "data")
         (
-            out.repartition("component")
+            out.repartition(*[F.col(c) for c in part_cols])
             .write.mode("overwrite")
-            .partitionBy("component")
+            .partitionBy(*part_cols)
             .parquet(data_path)
         )
         n = self.spark.read.parquet(data_path).count()

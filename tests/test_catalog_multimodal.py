@@ -51,6 +51,29 @@ def test_catalog_create_ingest_load(catalog, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_catalog_ingest_date_partitioning(catalog, tmp_path):
+    """partition_by_date: a time-range filter must prune date partitions
+    at the scan (PartitionFilters on ts_date), not just row groups."""
+    csv_root = str(tmp_path / "csvs2")
+    d = os.path.join(csv_root, "pump")
+    os.makedirs(d)
+    with open(os.path.join(d, "pump.csv"), "w") as f:
+        f.write("Timestamp,p1\n")
+        for day in (1, 2, 3):
+            for h in range(3):
+                f.write(f"2024-01-{day:02d}T{h:02d}:00:00.000000,{float(h)}\n")
+    schema_json = sch.create_data_schema({"pump": ["Timestamp", "p1"]})
+    catalog.create_dataset("dated", schema_json)
+    res = catalog.ingest_data("dated", csv_root, partition_by_date=True)
+    assert res["rows_ingested"] == 9
+    df = catalog.load_dataset("dated")
+    assert "ts_date" in df.columns
+    pruned = df.filter(F.col("ts_date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "ts_date" in plan
+    assert pruned.count() == 3
+
+
 def test_catalog_listing_pagination(catalog):
     schema_json = sch.create_data_schema({"c": ["Timestamp", "t1"]})
     for name in ["a1", "a2", "a3", "b1"]:
