@@ -57,8 +57,10 @@ from .streaming import (  # noqa: F401
 from .plot import (  # noqa: F401
     TimeSeriesVisualization,
     plot_feature_importance,  # plot_event_barh
-    plot_histogram_grid,  # plot_histogram_comparison grid
+    plot_histogram_comparison,
+    plot_histogram_grid,
 )
+from .operators.histogram import compute_bin_edges  # noqa: F401
 
 #: reference name for the object-store schema scan (schema.py:62-98); ours
 #: accepts any Hadoop filesystem URI (s3a://, gs://, hdfs://, file://)

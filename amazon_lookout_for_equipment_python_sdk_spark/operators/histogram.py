@@ -30,6 +30,28 @@ def signal_bounds(
     )
 
 
+def compute_bin_edges(
+    df: DataFrame,
+    num_bins: int = 10,
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-signal shared bin edges: ``num_bins + 1`` equal-width edges over
+    the signal's global min..max (reference plot.py:747-793
+    ``compute_bin_edges`` — there over a list of pandas series, here one
+    row per signal with an edges array).  Degenerate ranges follow the
+    numpy widen rule."""
+    b = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
+    width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
+    return b.select(
+        key_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bins)),
+            lambda i: F.col("min_value") + i.cast("double") * width,
+        ).alias("edges"),
+    )
+
+
 def widen_degenerate_bounds(bounds: DataFrame) -> DataFrame:
     """numpy degenerate-range rule (np.histogram on a constant sample uses
     range (v-0.5, v+0.5)): widen min==max bounds by 0.5 each side so bin

@@ -6,5 +6,6 @@ from .viz import (  # noqa: F401
     TimeSeriesVisualization,
     feature_importance_frame,
     plot_feature_importance,
+    plot_histogram_comparison,
     plot_histogram_grid,
 )

@@ -318,6 +318,37 @@ def plot_histogram_grid(
     return {"signals": signals, "subsets": subsets, "n_cells": len(cells)}
 
 
+def plot_histogram_comparison(
+    timeseries_1: DataFrame,
+    timeseries_2: DataFrame,
+    path: str,
+    label_1: str = "first",
+    label_2: str = "second",
+    num_bins: int = 20,
+    value_col: str = "value",
+) -> dict:
+    """Two-distribution overlay over SHARED edges (reference
+    plot_histogram_comparison, plot.py:795-856): tag each input, union,
+    shared-edge density histograms, one overlaid cell."""
+    from ..operators.wasserstein import density_histograms
+
+    tagged = timeseries_1.select(
+        F.lit("_cmp").alias("tag"),
+        F.col(value_col).alias("value"),
+        F.lit(label_1).alias("subset"),
+    ).unionByName(
+        timeseries_2.select(
+            F.lit("_cmp").alias("tag"),
+            F.col(value_col).alias("value"),
+            F.lit(label_2).alias("subset"),
+        )
+    )
+    hists = density_histograms(tagged, "subset", num_bins, with_edges=True)
+    return plot_histogram_grid(
+        hists, path, key_col="tag", ncols=1, max_plots=1
+    )
+
+
 # --- feature-importance bars (plot.py:858-907) -------------------------------
 
 

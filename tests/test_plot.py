@@ -112,6 +112,27 @@ def test_histogram_grid(spark, events, tmp_path):
     assert svg.count("<rect") > 20  # grid frames + histogram bars
 
 
+def test_compute_bin_edges_and_comparison(spark, tmp_path):
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark import (
+        compute_bin_edges,
+        plot_histogram_comparison,
+    )
+
+    df = spark.createDataFrame(
+        [("s", float(v)) for v in range(11)], "tag string, value double"
+    )
+    edges = compute_bin_edges(df, num_bins=10).collect()[0]["edges"]
+    np.testing.assert_allclose(edges, np.linspace(0.0, 10.0, 11), rtol=1e-12)
+    a = spark.range(100).select((F.col("id") % 10).cast("double").alias("value"))
+    b = spark.range(100).select((F.col("id") % 5 + 5).cast("double").alias("value"))
+    out = str(tmp_path / "cmp.svg")
+    info = plot_histogram_comparison(a, b, out, "train", "eval")
+    assert set(info["subsets"]) == {"train", "eval"}
+    assert open(out).read().startswith("<svg")
+
+
 def test_feature_importance(spark, tmp_path):
     rows = [
         (1, [("machine\\s1", 0.7), ("machine\\s2", 0.2), ("machine\\s3", 0.1)]),
