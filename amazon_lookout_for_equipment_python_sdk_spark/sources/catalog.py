@@ -58,7 +58,11 @@ class Catalog:
             json.dump(meta, f)
 
     def ingest_data(
-        self, name: str, csv_root: str, partition_by_date: bool = False
+        self,
+        name: str,
+        csv_root: str,
+        partition_by_date: bool = False,
+        mode: str = "overwrite",
     ) -> dict:
         """Read each component's CSVs with the imposed schema, validate
         column sets, write partitioned Parquet (long layout, partitioned by
@@ -68,7 +72,13 @@ class Catalog:
         time-range predicates prune whole date directories at the scan —
         at 100 TB this turns "read a week" into touching 7/N of the data
         before row-group stats even apply.
+
+        ``mode='append'`` ingests incrementally (the reference's repeated
+        start_data_ingestion_job runs accumulate into the dataset); the
+        default overwrite replaces the table.
         """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         path = self._dataset_path(name)
         schemas = sch.struct_types_from_schema(self._schema_json(name))
         parts = []
@@ -101,7 +111,7 @@ class Catalog:
         data_path = os.path.join(path, "data")
         (
             out.repartition(*[F.col(c) for c in part_cols])
-            .write.mode("overwrite")
+            .write.mode(mode)
             .partitionBy(*part_cols)
             .parquet(data_path)
         )

@@ -1,6 +1,6 @@
 """Structured Streaming scheduler semantics (SURVEY §2.10 ST1-ST8)."""
 
-from .stateful import compact_runs_stream  # noqa: F401
+from .stateful import compact_runs_stream, streaming_resample_mean  # noqa: F401
 from .scheduler import (  # noqa: F401
     InferenceScheduler,
     SchedulerConfig,

@@ -77,6 +77,38 @@ def _compact_batch(key, pdf_iter, state: GroupState, step_seconds: int):
         )
 
 
+def streaming_resample_mean(
+    stream: DataFrame,
+    rate_seconds: int,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the batch A1 resample: event-time tumbling-window
+    mean per signal with a REAL watermark — append mode emits a window
+    only once the watermark (max event time - allowance) passes its end,
+    which is the honest Structured Streaming shape of the scheduler's
+    DataDelayOffset late-data allowance (ST3): late rows within the
+    allowance still update their window; later ones are dropped by the
+    engine."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), f"{rate_seconds} seconds"),
+        )
+        .agg(F.avg(value_col).alias("avg_value"))
+        .select(
+            key_col,
+            F.col("window.start").alias("bucket_ts"),
+            "avg_value",
+        )
+    )
+
+
 def compact_runs_stream(
     stream: DataFrame,
     step_seconds: int,

@@ -74,6 +74,20 @@ def test_catalog_ingest_date_partitioning(catalog, tmp_path):
     assert pruned.count() == 3
 
 
+def test_catalog_ingest_append_mode(catalog, tmp_path):
+    csv_root = str(tmp_path / "csvs3")
+    _write_component_csvs(csv_root, {"pump": ["p1"]})
+    schema_json = sch.create_data_schema({"pump": ["Timestamp", "p1"]})
+    catalog.create_dataset("inc", schema_json)
+    assert catalog.ingest_data("inc", csv_root)["rows_ingested"] == 10
+    assert (
+        catalog.ingest_data("inc", csv_root, mode="append")["rows_ingested"]
+        == 20
+    )
+    with pytest.raises(ValueError, match="mode"):
+        catalog.ingest_data("inc", csv_root, mode="merge")
+
+
 def test_catalog_listing_pagination(catalog):
     schema_json = sch.create_data_schema({"c": ["Timestamp", "t1"]})
     for name in ["a1", "a2", "a3", "b1"]:

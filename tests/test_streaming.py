@@ -375,6 +375,71 @@ def test_stateful_compact_runs_stream(spark, tmp_path):
     )
 
 
+def test_streaming_resample_watermark(spark, tmp_path):
+    """A1 streaming twin: append mode finalizes a window only after the
+    watermark passes its end; in-allowance late rows still count."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_resample_mean,
+    )
+
+    indir = tmp_path / "ts_in"
+    outdir = tmp_path / "ts_out"
+    ckpt = str(tmp_path / "ts_ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("tag,ts,value\n")
+            for ts, v in rows:
+                f.write(f"s1,{ts},{v}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("tag string, ts timestamp, value double")
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        out = streaming_resample_mean(
+            stream, 300, watermark="5 minutes"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_schema = "tag string, bucket_ts timestamp, avg_value double"
+    # batch 1: two rows in window 10:00-10:05 + one late-ish row in the
+    # same window + a row advancing event time past window end + allowance
+    write_batch(
+        "b1.csv",
+        [
+            ("2024-01-01 10:00:30", 10.0),
+            ("2024-01-01 10:01:30", 20.0),
+            ("2024-01-01 10:02:00", 30.0),
+            ("2024-01-01 10:12:00", 99.0),  # watermark -> 10:07 > 10:05
+        ],
+    )
+    run_once()
+    # window finalization emits on the next trigger after the watermark
+    # advances; drive one more (possibly empty) batch
+    write_batch("b2.csv", [("2024-01-01 10:13:00", 1.0)])
+    run_once()
+    rows = {
+        r["bucket_ts"]: r["avg_value"]
+        for r in spark.read.schema(out_schema)
+        .parquet(str(outdir / "data"))
+        .collect()
+    }
+    assert datetime(2024, 1, 1, 10, 0, 0) in rows, rows
+    assert abs(rows[datetime(2024, 1, 1, 10, 0, 0)] - 20.0) < 1e-9
+
+
 def test_replay_generator_empty_slots(spark, tmp_path):
     rows = []
     # 30 minutes of history with a 10-minute hole (minutes 10..19)
