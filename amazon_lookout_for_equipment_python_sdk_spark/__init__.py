@@ -53,6 +53,7 @@ from .streaming import (  # noqa: F401
     build_inspection_report,  # LookoutEquipmentSchedulerInspector
     export_report_to_html,
     generate_replay_data,
+    prepare_inference_data,
 )
 from .plot import (  # noqa: F401
     TimeSeriesVisualization,

@@ -83,24 +83,30 @@ def write_inference_chunks(
     tag_col: str = "tagname",
     value_col: str = "value",
     filename_ts_format: str = "%Y%m%d%H%M%S",
+    slot_col: str | None = None,
 ) -> list[str]:
     """S9 — slot-chunked CSVs named ``{component}{delim}{slot_ts}.csv``
     (reference dataset.py:303-334; scheduler contract scheduler.py:198-209).
 
-    Slot = floor(ts / frequency).  Writes one Spark CSV job partitioned by
-    (component, slot), then renames each single part file to the contract
-    name.  Returns the list of written file paths.
+    Slot = floor(ts / frequency), or the caller's precomputed ``slot_col``
+    (a yyyyMMddHHmmss string — prepare_inference_data restamps slots to
+    'now' and can't derive them from the data timestamps).  Writes one
+    Spark CSV job partitioned by (component, slot), then renames each
+    single part file to the contract name.  Returns written file paths.
     """
     secs = frequency_minutes * 60
-    slotted = df_long.withColumn(
-        "_slot",
-        F.date_format(
-            F.timestamp_seconds(
-                F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
+    if slot_col is not None:
+        slotted = df_long.withColumnRenamed(slot_col, "_slot")
+    else:
+        slotted = df_long.withColumn(
+            "_slot",
+            F.date_format(
+                F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
+                ),
+                "yyyyMMddHHmmss",
             ),
-            "yyyyMMddHHmmss",
-        ),
-    )
+        )
     tags = [
         r[0]
         for r in df_long.select(tag_col).distinct().orderBy(tag_col).collect()
@@ -117,8 +123,12 @@ def write_inference_chunks(
         *tags,
     )
     staging = os.path.join(out_dir, "_staging")
+    # partition cols lead the in-partition sort so the file writer's
+    # required ordering is satisfied and Timestamps stay time-sorted
+    # (reference chunk CSVs are sequential, dataset.py:303-334)
     (
         out.repartition(F.col(component_col), F.col("_slot"))
+        .sortWithinPartitions(component_col, "_slot", "Timestamp")
         .write.mode("overwrite")
         .option("header", True)
         .partitionBy(component_col, "_slot")

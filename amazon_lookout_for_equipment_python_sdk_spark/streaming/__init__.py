@@ -9,5 +9,6 @@ from .scheduler import (  # noqa: F401
     export_report_to_html,
     generate_replay_data,
     next_wakeup,
+    prepare_inference_data,
     slot_bounds_for,
 )

@@ -408,6 +408,76 @@ def generate_replay_data(
     }
 
 
+def prepare_inference_data(
+    df_long: DataFrame,
+    out_dir: str,
+    start_date,
+    num_sequences: int = 3,
+    frequency_minutes: int = 5,
+    now: datetime | None = None,
+    delimiter: str = "_",
+) -> dict:
+    """Reference ``prepare_inference_data`` (dataset.py:242-336): extract
+    ``num_sequences`` consecutive ``frequency``-minute windows starting at
+    ``start_date``, restamp each window's rows onto the scheduler's
+    upcoming wakeup slots (slot i = floor(now) + i*freq; rows inside a
+    window are positionally restamped at freq-minute spacing,
+    dataset.py:316-323), and write one ``{component}{delim}{stamp}.csv``
+    per component per sequence.
+
+    One Spark job end-to-end: window tagging is a column expression,
+    positional restamping a per-sequence dense_rank (each sequence holds
+    one wakeup's worth of rows, so the per-partition window is tiny), and
+    the file-name contract comes from the same staging+rename sink as the
+    replay generator.  ``now`` is injectable for deterministic tests.
+    """
+    from ..sources.sinks import write_inference_chunks
+
+    if isinstance(start_date, str):
+        start_date = datetime.fromisoformat(start_date)
+    now = now or datetime.now()
+    base_tm = slot_bounds_for(now, frequency_minutes)[0]
+    secs = frequency_minutes * 60
+    start_epoch = int(start_date.timestamp())
+    base_epoch = int(base_tm.timestamp())
+
+    seq = F.floor((F.unix_timestamp(F.col("ts")) - F.lit(start_epoch)) / secs)
+    df = df_long.withColumn("_seq", seq).filter(
+        (F.col("_seq") >= 0) & (F.col("_seq") < num_sequences)
+    )
+    from pyspark.sql import Window
+
+    rn = (
+        F.dense_rank().over(Window.partitionBy("_seq").orderBy("ts")) - 1
+    )
+    out = df.select(
+        F.timestamp_seconds(
+            F.lit(base_epoch) + (F.col("_seq") + rn) * secs
+        ).alias("timestamp"),
+        F.col("component"),
+        F.col("tag").alias("tagname"),
+        "value",
+        F.date_format(
+            F.timestamp_seconds(F.lit(base_epoch) + F.col("_seq") * secs),
+            "yyyyMMddHHmmss",
+        ).alias("_slot"),
+    )
+    written = write_inference_chunks(
+        out,
+        out_dir,
+        frequency_minutes=frequency_minutes,
+        delimiter=delimiter,
+        slot_col="_slot",
+    )
+    return {
+        "written": sorted(written),
+        "slots": [
+            format_slot(base_tm + timedelta(minutes=frequency_minutes * i))
+            for i in range(num_sequences)
+        ],
+    }
+
+
 # --- inspection report (reference scheduler.py:172-276) ----------------------
 
 

@@ -375,6 +375,48 @@ def test_stateful_compact_runs_stream(spark, tmp_path):
     )
 
 
+def test_prepare_inference_data(spark, tmp_path):
+    """Reference dataset.py:242-336 parity: 2 sequences extracted from
+    start_date, restamped to the next wakeup slots, one CSV per component
+    per sequence with the stamp in the file name."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        prepare_inference_data,
+    )
+
+    rows = []
+    for i in range(20):  # 20 minutes of 1-min data, 2 components
+        ts = f"2024-01-01 08:{i:02d}:00"
+        rows.append((ts, "pump", "p1", float(i)))
+        rows.append((ts, "motor", "m1", float(i * 2)))
+    df = spark.createDataFrame(
+        rows, "ts string, component string, tag string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "component", "tag", "value")
+    out = tmp_path / "inf_in"
+    out.mkdir()
+    report = prepare_inference_data(
+        df,
+        str(out),
+        start_date="2024-01-01 08:00:00",
+        num_sequences=2,
+        frequency_minutes=5,
+        now=datetime(2024, 6, 1, 12, 3, 0),  # floors to 12:00
+    )
+    assert report["slots"] == ["20240601120000", "20240601120500"]
+    names = sorted(os.path.basename(p) for p in report["written"])
+    assert names == [
+        "motor_20240601120000.csv",
+        "motor_20240601120500.csv",
+        "pump_20240601120000.csv",
+        "pump_20240601120500.csv",
+    ]
+    # rows restamped positionally at freq spacing from the slot stamp
+    lines = open(out / "pump_20240601120000.csv").read().splitlines()
+    stamps = [ln.split(",")[0] for ln in lines[1:]]
+    assert stamps[0] == "2024-06-01T12:00:00.000000"
+    assert stamps[1] == "2024-06-01T12:05:00.000000"
+    assert len(stamps) == 5  # five 1-min rows in the 5-min window
+
+
 def test_streaming_resample_watermark(spark, tmp_path):
     """A1 streaming twin: append mode finalizes a window only after the
     watermark passes its end; in-allowance late rows still count."""
