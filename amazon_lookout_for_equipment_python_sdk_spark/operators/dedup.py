@@ -325,6 +325,90 @@ def ngram_jaccard_lsh(
     )
 
 
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc gets its
+    component's minimum id as ``cluster`` (the canonical survivor).
+
+    Iterative min-label propagation: each round joins current labels
+    through the symmetric edge list and keeps the minimum seen — the
+    standard Spark connected-components-lite, converging in O(diameter)
+    rounds (near-dup clusters are shallow; ``max_iter`` is a guard, and
+    non-convergence raises rather than returning wrong clusters).  Each
+    round is one broadcast-or-shuffle join + hash agg on (node); no
+    driver-side graph.
+    """
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each node, min label among its neighbors
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "label", "_dl"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("_nl"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        old, labels = labels, new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} iterations"
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster")
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-duplicate removal: LSH-pruned exact Jaccard pairs ->
+    connected components -> keep each cluster's minimum id.  Returns the
+    surviving rows of ``df``."""
+    pairs = ngram_jaccard_lsh(
+        df, shingle_n=shingle_n, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    ).select("a", "b")
+    clusters = near_dup_clusters(df.select(id_col), pairs, id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,

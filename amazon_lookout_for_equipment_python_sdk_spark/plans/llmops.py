@@ -272,6 +272,38 @@ def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.candidate_pairs_from_banded(banded)
 
 
+_NEAR_DUP_CLUSTER_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_LSH_SQL.rstrip()}),
+edges AS (
+  SELECT a AS src, b AS dst FROM jp
+  UNION
+  SELECT b AS src, a AS dst FROM jp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("near_dup_clusters", _NEAR_DUP_CLUSTER_SQL)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH-verified
+    Jaccard pairs; every doc labeled with its component's min id (the
+    canonical survivor).  Engine side is iterative min-label propagation
+    (O(diameter) joins); oracle side a recursive-CTE closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_lsh(docs, shingle_n=3, threshold=0.5).select(
+        "a", "b"
+    )
+    return dd.near_dup_clusters(docs.select("doc_id"), pairs)
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------

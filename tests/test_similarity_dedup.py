@@ -135,6 +135,35 @@ def test_simhash_near_pairs_exact_within_radius(spark):
         dd.simhash_near_pairs(df, max_hamming=5, bands=4)
 
 
+def test_near_dup_clusters_and_removal(spark):
+    """Chained near-dups (A~B, B~C but A!~C) must land in ONE cluster
+    (transitive closure), with the min id surviving."""
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    words = base.split()
+    v1 = " ".join(words)
+    v2 = " ".join(words[:-1] + ["yesterday"])          # ~ v1
+    v3 = " ".join(["hey"] + words[:-1] + ["someday"])  # ~ v2, less ~ v1
+    other = "completely different content about spark catalyst planner internals and shuffles"
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3), (9, other)], "doc_id long, text string"
+    )
+    pairs = dd.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.4)
+    got_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in dd.near_dup_clusters(
+            df.select("doc_id"), pairs.select("a", "b")
+        ).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[9] == 9
+    kept = sorted(
+        r["doc_id"] for r in dd.dedup_near(df, threshold=0.4).collect()
+    )
+    assert kept == [1, 9]
+
+
 def test_bpe_tokens(spark):
     df = spark.createDataFrame(
         [(1, "hello world42 it's a test-case!!")], "id int, text string"
