@@ -333,23 +333,44 @@ def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ANN top-k: candidates = vectors in the query's hyperplane bucket,
-    then exact cosine rank within candidates.  Trades recall for a bucket
-    equi-join; recall vs brute force is asserted in tests."""
-    vb = vectors.withColumn("_bkt", hyperplane_bucket(F.col(vec_col), num_planes, dim))
+    """ANN top-k: candidates = vectors sharing ANY table's hyperplane
+    bucket with the query (multi-table banding — single-table all-planes
+    buckets lose recall fast as planes grow), then exact cosine rank
+    within the deduplicated candidates.  Corpus buckets come from the
+    Arrow-batched path; recall vs brute force is asserted in tests."""
+    buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
+    vb = vectors.select(
+        id_col,
+        vec_col,
+        F.posexplode(buckets_udf(_as_double(F.col(vec_col)))).alias(
+            "_tbl", "_bkt"
+        ),
+    )
     qb = F.broadcast(
         queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-        ).withColumn("_bkt", hyperplane_bucket(F.col("_qvec"), num_planes, dim))
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        ).select(
+            query_id_col,
+            "_qvec",
+            F.posexplode(buckets_udf(_as_double(F.col("_qvec")))).alias(
+                "_tbl", "_bkt"
+            ),
+        )
     )
-    scored = vb.join(qb, "_bkt").filter(F.col(query_id_col) != F.col(id_col)).select(
+    cands = (
+        vb.join(qb, ["_tbl", "_bkt"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, "_qvec", vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
         query_id_col,
         id_col,
         cosine(F.col("_qvec"), F.col(vec_col)).alias("cos"),

@@ -79,6 +79,12 @@ def test_lsh_cosine_topk_subset_of_bruteforce(spark, planted_vectors):
     for r in ann:
         key = (r["query_id"], r["vec_id"])
         assert key in brute and abs(brute[key] - r["cos"]) < 1e-12
+    # multi-table banding must recover each query's planted near-copy
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in range(3):
+        assert 100 + q in by_q.get(q, set()), (q, by_q)
 
 
 def test_ivf_ann_recall(spark, planted_vectors):
