@@ -1,6 +1,7 @@
 """Sources and sinks (SURVEY §2.1 S1-S13)."""
 
 from .readers import (  # noqa: F401
+    load_sample_bundle,
     read_component_csv,
     read_inference_results,
     read_labels_csv,

@@ -63,6 +63,48 @@ def read_timeranges_txt(spark: SparkSession, path: str) -> dict[str, str]:
     return dict(zip(keys, rows[:4]))
 
 
+def load_sample_bundle(spark: SparkSession, bundle_dir: str) -> dict:
+    """Reference ``load_dataset`` bundle semantics (dataset.py:77-150)
+    minus the S3 download: a directory holding ``*.parquet`` (wide
+    time-series), headerless ``labels.csv``, ``tags_description.csv`` and
+    4-line ``timeranges.txt`` becomes the same dict the reference returns
+    — data / labels / tags_description DataFrames + the four train/eval
+    bound strings.  Works against any Hadoop-readable URI."""
+    import glob as _glob
+    import os as _os
+
+    pq_files = sorted(_glob.glob(_os.path.join(bundle_dir, "*.parquet")))
+    if not pq_files:
+        raise ValueError(f"no parquet time-series found under {bundle_dir!r}")
+    bounds = read_timeranges_txt(
+        spark, _os.path.join(bundle_dir, "timeranges.txt")
+    )
+    # pandas-written bundles (like the reference's expander.parquet) carry
+    # timestamp[ns], which Spark rejects — fall back to the nanos-as-long
+    # legacy read and truncate to micros with exact integer division
+    try:
+        data = spark.read.parquet(*pq_files)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        data = spark.read.parquet(*pq_files)
+        for f_name, f_type in data.dtypes:
+            if f_name == "Timestamp" and f_type == "bigint":
+                data = data.withColumn(
+                    "Timestamp",
+                    F.timestamp_micros(F.expr("Timestamp div 1000")),
+                )
+    return {
+        "data": data,
+        "labels": read_labels_csv(
+            spark, _os.path.join(bundle_dir, "labels.csv")
+        ),
+        "tags_description": read_tags_description(
+            spark, _os.path.join(bundle_dir, "tags_description.csv")
+        ),
+        **bounds,
+    }
+
+
 INFERENCE_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("timestamp", T.TimestampType(), True),

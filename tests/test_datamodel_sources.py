@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from amazon_lookout_for_equipment_python_sdk_spark import datamodel as dm
 from amazon_lookout_for_equipment_python_sdk_spark.sources import (
+    load_sample_bundle,
     read_component_csv,
     read_inference_results,
     read_labels_csv,
@@ -81,6 +82,35 @@ def test_component_csv_sink_and_schema_inference(spark, tmp_path):
                 for line in open(csv_file).read().splitlines()[1:]
             ]
             assert stamps == sorted(stamps), csv_file
+
+
+def test_load_sample_bundle(spark, tmp_path):
+    """Reference load_dataset bundle layout -> dict of frames + bounds
+    (dataset.py:77-150, minus the S3 download)."""
+    import pandas as pd
+
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    pd.DataFrame(
+        {
+            "Timestamp": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "p1": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    ).to_parquet(bundle / "expander.parquet")
+    (bundle / "labels.csv").write_text(
+        "2024-01-01 00:01:00,2024-01-01 00:02:00\n"
+    )
+    (bundle / "tags_description.csv").write_text("Tag,Subsystem\np1,pump\n")
+    (bundle / "timeranges.txt").write_text(
+        "2024-01-01 00:00:00\n2024-01-01 00:03:00\n"
+        "2024-01-01 00:03:00\n2024-01-01 00:05:00\n"
+    )
+    d = load_sample_bundle(spark, str(bundle))
+    assert d["data"].count() == 6
+    assert d["labels"].collect()[0]["start"].minute == 1
+    assert d["tags_description"].collect()[0]["Subsystem"] == "pump"
+    assert d["training_start"] == "2024-01-01 00:00:00"
+    assert d["evaluation_end"] == "2024-01-01 00:05:00"
 
 
 def test_component_csv_roundtrip_read(spark, tmp_path):
