@@ -385,7 +385,12 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} iterations"
         )
-    return labels.select(
+    # cut the iteration lineage and release the loop cache — without this
+    # every call would leak one persisted O(corpus) DataFrame for the
+    # session's lifetime
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster")
     )
 

@@ -125,7 +125,11 @@ def stamp_points(
             )
         ).alias("_blk"),
     )
-    p = points.withColumn("_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk))
+    # _rid preserves input multiplicity: grouping on data columns alone
+    # would silently collapse duplicate point rows into one output row
+    p = points.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk)
+    )
     joined = p.join(
         F.broadcast(r),
         (p["_blk"] == r["_blk"])
@@ -133,8 +137,10 @@ def stamp_points(
         & (p[ts_col] <= r["end"]),
         "left",
     )
-    return joined.groupBy(*[p[c] for c in points.columns]).agg(
-        F.coalesce(F.max("_code"), F.lit(0)).alias("prediction")
+    return (
+        joined.groupBy(p["_rid"], *[p[c] for c in points.columns])
+        .agg(F.coalesce(F.max("_code"), F.lit(0)).alias("prediction"))
+        .drop("_rid")
     )
 
 

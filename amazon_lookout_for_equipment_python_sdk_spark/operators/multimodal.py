@@ -227,7 +227,10 @@ def extract_features(
     deterministic byte-stripe stub; use :func:`media_features` for the
     real-codec dispatch.
     """
-    fn = decoder or (lambda b: decode_stub(b, dim))
+    if decoder is None or decoder is decode_stub:
+        fn = lambda b: decode_stub(b, dim)  # noqa: E731 — honor dim
+    else:
+        fn = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,7 +264,9 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             else:
                 return decode_stub(b, dim)
             return (f + [0.0] * dim)[:dim]
-        except (NotImplementedError, ValueError):
+        except Exception:  # noqa: BLE001 — any undecodable payload (corrupt
+            # header, wave.Error, short buffer) falls back to the stub; one
+            # bad file must never kill a corpus-wide job
             return decode_stub(b, dim)
 
     return extract_features(media, dim, decoder)

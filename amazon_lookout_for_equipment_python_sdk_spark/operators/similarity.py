@@ -304,17 +304,25 @@ def ivf_cosine_topk(
     computed driver-side (queries are few; centroids are tiny) and joined
     as a broadcast (query, cell) table — the corpus is touched only where
     cell matches, i.e. ~nprobe/n_cells of it."""
+    from pyspark.sql import types as T
+
     spark = vectors.sparkSession
     probe_rows = [
         (r[query_id_col], cell, [float(x) for x in r[vec_col]])
         for r in queries.select(query_id_col, vec_col).collect()
         for cell in _nearest_cells(r[vec_col], centroids, nprobe)
     ]
-    probes = F.broadcast(
-        spark.createDataFrame(
-            probe_rows, f"{query_id_col} long, cell int, _qvec array<double>"
-        )
+    # id type follows the queries frame (string/long/... all valid)
+    probe_schema = T.StructType(
+        [
+            T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType
+            ),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+        ]
     )
+    probes = F.broadcast(spark.createDataFrame(probe_rows, probe_schema))
     cands = vectors.join(assigned, id_col).join(probes, "cell")
     scored = cands.filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,

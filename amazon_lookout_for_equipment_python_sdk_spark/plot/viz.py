@@ -32,16 +32,18 @@ from .render import (
 
 
 def _epoch(ts) -> float:
-    if hasattr(ts, "timestamp"):
-        return ts.timestamp()
-    if isinstance(ts, str):
-        from datetime import datetime, timezone
+    """Naive timestamps are ALWAYS interpreted as UTC.  pandas Timestamps
+    already do that, but python datetimes (Spark .collect() rows, user
+    split values) treat naive as local time — mixing the two shifts
+    ribbons against series by the driver's UTC offset on non-UTC hosts."""
+    from datetime import datetime, timezone
 
-        return (
-            datetime.fromisoformat(ts)
-            .replace(tzinfo=timezone.utc)
-            .timestamp()
-        )
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if hasattr(ts, "timestamp"):
+        if getattr(ts, "tzinfo", None) is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return ts.timestamp()
     return float(ts)
 
 
@@ -377,13 +379,18 @@ def plot_feature_importance(
     reference line at 1/num_features (plot.py:858-907; ref line 902-903:
     'threshold' = uniform contribution).  ``results``: scored frame with a
     ``diagnostics array<struct<name,value>>`` column."""
-    n_features = results.select(
-        F.explode("diagnostics").alias("d")
-    ).select("d.name").distinct().count()
+    totals = results.select(F.explode("diagnostics").alias("d")).agg(
+        F.countDistinct("d.name").alias("n_features"),
+        F.sum("d.value").alias("grand_total"),
+    ).collect()[0]
+    n_features = totals["n_features"]
     top = feature_importance_frame(results, num_signals).collect()
     labels = [r["name"] for r in top]
     values = [r["importance"] for r in top]
-    total = sum(values) or 1.0
+    # shares normalize by the TOTAL contribution over ALL features, not
+    # just the plotted top-N — otherwise bars inflate past the 1/n
+    # reference line whenever features outnumber num_signals
+    total = totals["grand_total"] or 1.0
     shares = [v / total for v in values]
     ref = 1.0 / n_features if n_features else None
     render.render_barh(path, labels, shares, ref_line=ref, title=title)

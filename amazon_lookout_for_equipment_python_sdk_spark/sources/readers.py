@@ -81,18 +81,31 @@ def load_sample_bundle(spark: SparkSession, bundle_dir: str) -> dict:
     )
     # pandas-written bundles (like the reference's expander.parquet) carry
     # timestamp[ns], which Spark rejects — fall back to the nanos-as-long
-    # legacy read and truncate to micros with exact integer division
+    # legacy read and truncate to micros with exact integer division.
+    # Only THAT failure triggers the fallback (anything else re-raises as
+    # the real error), and the session conf is restored afterwards so
+    # unrelated reads don't silently surface nanos columns as bigint.
     try:
         data = spark.read.parquet(*pq_files)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        data = spark.read.parquet(*pq_files)
-        for f_name, f_type in data.dtypes:
-            if f_name == "Timestamp" and f_type == "bigint":
-                data = data.withColumn(
-                    "Timestamp",
-                    F.timestamp_micros(F.expr("Timestamp div 1000")),
-                )
+    except Exception as e:
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            data = spark.read.parquet(*pq_files)
+            for f_name, f_type in data.dtypes:
+                if f_name == "Timestamp" and f_type == "bigint":
+                    data = data.withColumn(
+                        "Timestamp",
+                        F.timestamp_micros(F.expr("Timestamp div 1000")),
+                    )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     return {
         "data": data,
         "labels": read_labels_csv(

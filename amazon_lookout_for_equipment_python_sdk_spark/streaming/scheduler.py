@@ -320,16 +320,26 @@ class InferenceScheduler:
             self.config.output_dir, f"_staging_{batch_id}_{stamp}"
         )
         lines.coalesce(1).write.mode("overwrite").text(staging)
-        parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+        # replay idempotency: foreachBatch is at-least-once, so a naive
+        # append would duplicate rows when a crashed batch re-runs.  Each
+        # batch owns an immutable per-slot part file (overwritten on
+        # replay), and the slot's contract file is rebuilt from all parts
+        # — re-running any batch yields byte-identical results.
+        parts_dir = os.path.join(self.config.output_dir, "_parts", stamp)
+        os.makedirs(parts_dir, exist_ok=True)
+        batch_part = os.path.join(parts_dir, f"batch-{batch_id:012d}.jsonl")
         n_scored = 0
-        mode = "ab" if os.path.exists(out_path) else "wb"
-        with open(out_path, mode) as fout:
-            for p in parts:
+        with open(batch_part, "wb") as fout:
+            for p in sorted(glob.glob(os.path.join(staging, "part-*"))):
                 with open(p, "rb") as fin:
                     data = fin.read()
                 n_scored += data.count(b"\n")
                 fout.write(data)
         shutil.rmtree(staging)
+        with open(out_path, "wb") as fout:
+            for p in sorted(glob.glob(os.path.join(parts_dir, "batch-*.jsonl"))):
+                with open(p, "rb") as fin:
+                    fout.write(fin.read())
         return n_scored
 
     # -- ST6 audit log --------------------------------------------------------

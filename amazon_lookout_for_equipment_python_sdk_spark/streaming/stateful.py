@@ -47,9 +47,15 @@ def _compact_batch(key, pdf_iter, state: GroupState, step_seconds: int):
         run_start = last_ts = None
         n_points = 0
     closed: list[tuple] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        for ts, flag in zip(pdf["ts"], pdf["flag"]):
+    # Arrow delivers large groups as MULTIPLE chunks in arbitrary order;
+    # sorting each chunk alone would let event time run backwards across
+    # chunk boundaries and corrupt the run logic.  A key's per-batch rows
+    # are slot-sized by the scheduler contract, so one concat+sort is the
+    # correct (and bounded) total order.
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, flag in zip(whole["ts"], whole["flag"]):
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
             gap_breaks = (
                 run_start is not None

@@ -185,6 +185,26 @@ def test_histogram_constant_signal_matches_numpy(spark):
     assert not h["density"].isna().any()
 
 
+def test_stamp_points_preserves_duplicate_rows(spark):
+    """Duplicate point rows (same ts scored twice) must keep their
+    multiplicity through the stamp — a groupBy on data columns alone
+    would collapse them."""
+    pts = spark.createDataFrame(
+        [("2024-01-01 00:05:00",)] * 2 + [("2024-01-01 02:00:00",)],
+        "ts string",
+    ).select(F.to_timestamp("ts").alias("ts"))
+    pred = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "start string, end string",
+    ).select(
+        F.to_timestamp("start").alias("start"),
+        F.to_timestamp("end").alias("end"),
+    )
+    out = intervals.stamp_points(pts, pred).collect()
+    assert len(out) == 3
+    assert sorted(r["prediction"] for r in out) == [0, 1, 1]
+
+
 def test_off_condition_dsl():
     from amazon_lookout_for_equipment_python_sdk_spark.functions import (
         parse_off_condition,

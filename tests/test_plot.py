@@ -152,3 +152,8 @@ def test_feature_importance(spark, tmp_path):
     assert abs(sum(info["share"]) - 1.0) < 1e-9
     svg = open(out).read()
     assert "machine\\s1" in svg and "stroke-dasharray" in svg
+    # top-N < n_features: shares stay fractions of the GRAND total (the
+    # truncated bars must not renormalize to 1 and jump the ref line)
+    info2 = plot_feature_importance(scored, str(tmp_path / "imp2.svg"), num_signals=2)
+    assert abs(sum(info2["share"]) - 0.9) < 1e-9  # s1+s2 = 1.8 of 2.0
+    assert abs(info2["ref_line"] - 1.0 / 3) < 1e-12
