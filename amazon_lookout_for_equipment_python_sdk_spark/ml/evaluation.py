@@ -109,12 +109,28 @@ class ModelEvaluation:
 
     def _tagged_subsets(self, df_long: DataFrame) -> DataFrame:
         """Join signal values to the 0/1/2 stamped points and label each row
-        normal/anomalous (reference evaluation.py:222-226 index split)."""
-        stamped = self.stamped_points()
-        return df_long.join(
-            stamped.withColumnRenamed("timestamp", "ts"), "ts", "inner"
-        ).withColumn(
-            "subset", F.when(F.col("prediction") == 0, "normal").otherwise("anomalous")
+        normal/anomalous (reference evaluation.py:222-226 index split).
+
+        Raw rows join on their ENCLOSING sampling bucket, not exact ts
+        equality — predictions live on the resampled grid, so an
+        equality join would silently drop every off-grid raw value (e.g.
+        4/5 of 1-min data under a PT5M model) and bias the ranking
+        sample.  The reference ranks all values inside each range."""
+        from ..operators.timeseries import bucket
+
+        stamped = self.stamped_points().withColumnRenamed(
+            "timestamp", "_slot_ts"
+        )
+        return (
+            df_long.withColumn("_slot_ts", bucket(F.col("ts"), self.rate))
+            .join(stamped, "_slot_ts", "inner")
+            .drop("_slot_ts")
+            .withColumn(
+                "subset",
+                F.when(F.col("prediction") == 0, "normal").otherwise(
+                    "anomalous"
+                ),
+            )
         )
 
     def rank_signals(
@@ -152,12 +168,21 @@ class ModelEvaluation:
         from ..operators.wasserstein import density_histograms
         from ..plot.viz import plot_histogram_grid
 
+        from ..operators.wasserstein import rank_signals_by_shift
+
+        # one stamped-points pipeline feeds both the ranking and the
+        # histograms (rebuilding it would double the dominant join cost)
+        tagged = self._tagged_subsets(df_long)
         ranked = [
             r["tag"]
-            for r in self.rank_signals(df_long, num_bins, top_n=max_plots).collect()
+            for r in rank_signals_by_shift(
+                tagged, "subset", "normal", "anomalous",
+                num_bins=num_bins, key_col="tag", value_col="value",
+                top_n=max_plots,
+            ).collect()
         ]
         hists = density_histograms(
-            self._tagged_subsets(df_long),
+            tagged,
             "subset",
             num_bins,
             key_col="tag",

@@ -197,7 +197,11 @@ class AnomalyDetector:
                 F.sum(F.when(~pred & is_anom, 1).otherwise(0)).alias(f"_fn{i}")
             )
         counts = flagged.agg(*aggs).collect()[0]
-        best, best_f1 = self.threshold, -1.0
+        # only override the quantile threshold when some candidate actually
+        # separates the labels (f1 > 0): labels disjoint from the training
+        # window give f1=0 everywhere, and picking the p50 candidate then
+        # would flag half of all timestamps
+        best, best_f1 = self.threshold, 0.0
         for i, t in enumerate(cands):
             tp, fp, fn = counts[f"_tp{i}"], counts[f"_fp{i}"], counts[f"_fn{i}"]
             f1 = 2 * tp / max(2 * tp + fp + fn, 1)

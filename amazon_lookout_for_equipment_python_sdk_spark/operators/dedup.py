@@ -134,6 +134,11 @@ def minhash_banded(
     row-local (no shuffle at all before the candidate join).  Bucket key is
     the sorted concat of ``perm:minhash`` entries inside the band, matching
     ``lsh_candidate_pairs``'s construction bit-for-bit."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a remainder "
+            "would silently drop the trailing permutations from the banding"
+        )
     rpb = num_perm // bands
     docs = _with_digests(
         _shingle_array(df, shingle_n, text_col, id_col), num_perm
@@ -219,6 +224,10 @@ def lsh_candidate_pairs(
     """LSH banding from a (id, perm, minhash) signature table; prefer
     ``minhash_banded`` + ``candidate_pairs_from_banded`` when starting from
     raw documents (skips this groupBy shuffle entirely)."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows_per_band = num_perm // bands
     banded = (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))

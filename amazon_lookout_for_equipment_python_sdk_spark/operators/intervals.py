@@ -97,12 +97,14 @@ def stamp_points(
     """Reference evaluation.py:206-224: prediction = 0 normal, 1 inside a
     predicted range, 2 inside a labeled range (labels win).
 
-    One pass over the point set: both range tables are tagged with their
-    code (1/2), unioned, block-bucketed, broadcast, and left-joined once;
-    overlap multiplicity collapses with ``groupBy(points).agg(max(code))``
-    — labels win because 2 > 1.  Exactly one shuffle of the big side (the
-    final hash agg; the join itself is broadcast), vs. the naive
-    per-range-set distinct-and-rejoin which shuffles it ~4 times.
+    ZERO shuffles of the point set and exact row multiplicity: both range
+    tables are tagged with their code (1/2), unioned, block-bucketed, and
+    collapsed to one broadcast row per block holding that block's range
+    array.  Each point left-joins its block (broadcast hash join) and
+    computes ``max(code over containing ranges)`` ROW-LOCALLY with
+    filter/transform/array_max — no groupBy, so duplicate point rows pass
+    through 1:1 and nothing depends on nondeterministic row ids.  Labels
+    win because 2 > 1.
     """
     sets = []
     for ranges, code in ((predicted, 1), (labeled, 2)):
@@ -114,34 +116,36 @@ def stamp_points(
         return points.withColumn("prediction", F.lit(0))
     all_ranges = reduce(DataFrame.unionByName, sets)
     blk = F.lit(block_seconds)
-    r = all_ranges.select(
-        "start",
-        "end",
-        "_code",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col("start")) / blk),
-                F.floor(F.unix_timestamp(F.col("end")) / blk),
-            )
-        ).alias("_blk"),
+    r_blocks = (
+        all_ranges.select(
+            F.struct("start", "end", "_code").alias("_r"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col("start")) / blk),
+                    F.floor(F.unix_timestamp(F.col("end")) / blk),
+                )
+            ).alias("_blk"),
+        )
+        .groupBy("_blk")
+        .agg(F.collect_list("_r").alias("_rs"))
     )
-    # _rid preserves input multiplicity: grouping on data columns alone
-    # would silently collapse duplicate point rows into one output row
-    p = points.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+    p = points.withColumn(
         "_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk)
     )
-    joined = p.join(
-        F.broadcast(r),
-        (p["_blk"] == r["_blk"])
-        & (p[ts_col] >= r["start"])
-        & (p[ts_col] <= r["end"]),
-        "left",
+    joined = p.join(F.broadcast(r_blocks), "_blk", "left")
+    ts = F.col(ts_col)
+    code_here = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("_rs"),
+                lambda r: (ts >= r["start"]) & (ts <= r["end"]),
+            ),
+            lambda r: r["_code"],
+        )
     )
-    return (
-        joined.groupBy(p["_rid"], *[p[c] for c in points.columns])
-        .agg(F.coalesce(F.max("_code"), F.lit(0)).alias("prediction"))
-        .drop("_rid")
-    )
+    return joined.withColumn(
+        "prediction", F.coalesce(code_here, F.lit(0))
+    ).drop("_blk", "_rs")
 
 
 def compact_runs(

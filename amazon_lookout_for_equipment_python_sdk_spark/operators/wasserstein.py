@@ -52,6 +52,11 @@ def density_histograms(
     (2) per-(signal, subset, bin) counts; the bin grid is rebuilt from the
     tiny aggregates (no driver collect, no per-subset rescans).
     """
+    # null values carry no sample mass: np.histogram(density=True) operates
+    # on the non-null sample, and letting nulls reach the binning would
+    # count them into per-subset totals (null bin) while the grid drops
+    # them — deflating every density for sparse signals
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
     width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
     binned = (

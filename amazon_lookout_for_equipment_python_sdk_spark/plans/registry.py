@@ -47,8 +47,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     truncation bit-for-bit; float division would drift by up to 256 ns).
     """
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        finally:
+            # restore so unrelated reads in the same session fail loudly on
+            # nanos columns instead of silently surfacing bigints (the
+            # schema of `df` is already resolved at this point)
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

@@ -109,15 +109,18 @@ class Catalog:
             out = out.withColumn("ts_date", F.to_date("ts"))
             part_cols.append("ts_date")
         data_path = os.path.join(path, "data")
+        n_added = out.count()
         (
             out.repartition(*[F.col(c) for c in part_cols])
             .write.mode(mode)
             .partitionBy(*part_cols)
             .parquet(data_path)
         )
-        n = self.spark.read.parquet(data_path).count()
-        self._update_meta(name, status="ACTIVE", rows=n)
-        return {"status": "SUCCESS", "rows_ingested": n}
+        total = self.spark.read.parquet(data_path).count()
+        self._update_meta(name, status="ACTIVE", rows=total)
+        # rows_ingested = THIS job's rows (append accumulates; meta.rows
+        # tracks the cumulative table size)
+        return {"status": "SUCCESS", "rows_ingested": n_added}
 
     def load_dataset(self, name: str) -> DataFrame:
         return self.spark.read.parquet(

@@ -98,15 +98,23 @@ def write_inference_chunks(
     if slot_col is not None:
         slotted = df_long.withColumnRenamed(slot_col, "_slot")
     else:
-        slotted = df_long.withColumn(
-            "_slot",
-            F.date_format(
-                F.timestamp_seconds(
-                    F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
-                ),
-                "yyyyMMddHHmmss",
-            ),
+        slot_ts = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
         )
+        spark_fmt = {
+            "%Y%m%d%H%M%S": "yyyyMMddHHmmss",
+            "%Y-%m-%d-%H-%M-%S": "yyyy-MM-dd-HH-mm-ss",
+        }
+        if filename_ts_format == "EPOCH":
+            slot_stamp = F.unix_timestamp(slot_ts).cast("string")
+        elif filename_ts_format in spark_fmt:
+            slot_stamp = F.date_format(slot_ts, spark_fmt[filename_ts_format])
+        else:
+            raise ValueError(
+                f"unsupported filename_ts_format {filename_ts_format!r}; "
+                f"use one of {sorted(spark_fmt)} or 'EPOCH'"
+            )
+        slotted = df_long.withColumn("_slot", slot_stamp)
     tags = [
         r[0]
         for r in df_long.select(tag_col).distinct().orderBy(tag_col).collect()

@@ -84,6 +84,12 @@ def next_wakeup(now: datetime, frequency_minutes: int) -> datetime:
 def format_slot(slot: datetime, fmt: str = "yyyyMMddHHmmss") -> str:
     strf = FILENAME_TS_FORMATS[fmt]
     if strf == "EPOCH":
+        # naive slots are UTC wall time everywhere in this engine; a bare
+        # .timestamp() would shift the epoch by the driver's UTC offset
+        from datetime import timezone
+
+        if slot.tzinfo is None:
+            slot = slot.replace(tzinfo=timezone.utc)
         return str(int(slot.timestamp()))
     return slot.strftime(strf)
 
@@ -443,13 +449,18 @@ def prepare_inference_data(
     """
     from ..sources.sinks import write_inference_chunks
 
+    from datetime import timezone
+
     if isinstance(start_date, str):
         start_date = datetime.fromisoformat(start_date)
     now = now or datetime.now()
     base_tm = slot_bounds_for(now, frequency_minutes)[0]
     secs = frequency_minutes * 60
-    start_epoch = int(start_date.timestamp())
-    base_epoch = int(base_tm.timestamp())
+    # naive datetimes are UTC wall time (matching the UTC Spark session);
+    # .timestamp() on a naive value would inject the driver's local offset
+    # and desynchronize the extraction window and slot stamps from the data
+    start_epoch = int(start_date.replace(tzinfo=timezone.utc).timestamp())
+    base_epoch = int(base_tm.replace(tzinfo=timezone.utc).timestamp())
 
     seq = F.floor((F.unix_timestamp(F.col("ts")) - F.lit(start_epoch)) / secs)
     df = df_long.withColumn("_seq", seq).filter(

@@ -80,10 +80,12 @@ def test_catalog_ingest_append_mode(catalog, tmp_path):
     schema_json = sch.create_data_schema({"pump": ["Timestamp", "p1"]})
     catalog.create_dataset("inc", schema_json)
     assert catalog.ingest_data("inc", csv_root)["rows_ingested"] == 10
+    # append reports THIS job's rows; the table accumulates
     assert (
         catalog.ingest_data("inc", csv_root, mode="append")["rows_ingested"]
-        == 20
+        == 10
     )
+    assert catalog.load_dataset("inc").count() == 20
     with pytest.raises(ValueError, match="mode"):
         catalog.ingest_data("inc", csv_root, mode="merge")
 
