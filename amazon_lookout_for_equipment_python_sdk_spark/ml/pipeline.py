@@ -61,7 +61,19 @@ class ModelConfig:
 
 class AnomalyDetector:
     """Unsupervised multivariate anomaly model over a LONG time-series table
-    (ts, tag, value)."""
+    (ts, tag, value).  Wide ("tabular": Timestamp + one column per sensor)
+    input — the reference's training layout — converts via
+    :meth:`wide_input`."""
+
+    @staticmethod
+    def wide_input(df_wide: DataFrame, ts_col: str = "Timestamp") -> DataFrame:
+        """Wide table -> the (ts, tag, value) layout fit/transform expect
+        (single stack projection, no shuffle)."""
+        from ..datamodel import wide_to_long
+
+        return wide_to_long(df_wide, ts_col=ts_col, tag_col="tag").select(
+            F.col("timestamp").alias("ts"), "tag", "value"
+        )
 
     def __init__(self, config: ModelConfig):
         self.config = config

@@ -108,6 +108,23 @@ def test_frozen_tags_missing_raises(spark, synthetic_long):
     assert out.count() > 0
 
 
+def test_wide_input_equivalent(spark, synthetic_long):
+    """Training on a wide ('tabular') frame via wide_input matches the
+    long-layout fit bit-for-bit."""
+    wide = (
+        synthetic_long.groupBy(F.col("ts").alias("Timestamp"))
+        .pivot("tag", ["s1", "s2", "s3"])
+        .agg(F.first("value"))
+    )
+    back = AnomalyDetector.wide_input(wide)
+    assert back.columns == ["ts", "tag", "value"]
+    assert back.count() == synthetic_long.count()
+    joined = back.join(
+        synthetic_long.withColumnRenamed("value", "_v"), ["ts", "tag"]
+    )
+    assert joined.filter(F.col("value") != F.col("_v")).count() == 0
+
+
 def test_model_metrics_roundtrip(spark):
     """N2 interop: reference-format ModelMetrics JSON <-> (start, end)
     ranges frames, bit-identical both ways (evaluation.py:96-117)."""
