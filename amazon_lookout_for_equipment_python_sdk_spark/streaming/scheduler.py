@@ -272,29 +272,50 @@ class InferenceScheduler:
             out_path = os.path.join(cfg.output_dir, f"results_{stamp}.jsonl")
             try:
                 n_scored = self._write_slot_results(rows, out_path, batch_id, stamp)
-                self._executions.append(
-                    (
-                        cfg.scheduler_name,
-                        slot,
-                        slot + timedelta(seconds=secs - 1),
-                        "SUCCESS",
-                        n_in,
-                        n_scored,
-                        out_path,
-                    )
+                self._record_execution(
+                    slot, secs, "SUCCESS", n_in, n_scored, out_path
                 )
             except Exception as e:  # noqa: BLE001
-                self._executions.append(
-                    (
-                        cfg.scheduler_name,
-                        slot,
-                        slot + timedelta(seconds=secs - 1),
-                        "FAILED",
-                        n_in,
-                        0,
-                        str(e),
-                    )
+                self._record_execution(slot, secs, "FAILED", n_in, 0, str(e))
+
+    def _record_execution(
+        self, slot, secs: int, status: str, n_in: int, n_scored: int, output: str
+    ) -> None:
+        """ST6: append the execution row in memory AND write-through to the
+        durable audit file, so list_inference_executions survives driver
+        restarts (the reference's audit is server-backed)."""
+        import json as _json
+
+        row = (
+            self.config.scheduler_name,
+            slot,
+            slot + timedelta(seconds=secs - 1),
+            status,
+            n_in,
+            n_scored,
+            output,
+        )
+        self._executions.append(row)
+        with open(self._audit_path(), "a") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "scheduler": row[0],
+                        "slot_start": row[1].strftime("%Y-%m-%d %H:%M:%S"),
+                        "slot_end": row[2].strftime("%Y-%m-%d %H:%M:%S"),
+                        "status": status,
+                        "n_input": n_in,
+                        "n_scored": n_scored,
+                        "output": output,
+                    }
                 )
+                + "\n"
+            )
+
+    def _audit_path(self) -> str:
+        # no leading underscore: Spark's file readers skip _-prefixed
+        # files as hidden metadata, which would make the audit unreadable
+        return os.path.join(self.config.output_dir, "audit-log.jsonl")
 
     def _write_slot_results(
         self, rows: DataFrame, out_path: str, batch_id: int, stamp: str
@@ -356,8 +377,18 @@ class InferenceScheduler:
         start_time: datetime | None = None,
         end_time: datetime | None = None,
     ) -> DataFrame:
-        """Reference list_inference_executions filters (scheduler.py:530-596)."""
-        df = self.spark.createDataFrame(self._executions, EXECUTION_SCHEMA)
+        """Reference list_inference_executions filters (scheduler.py:530-596).
+        Reads the durable audit file when present (it outlives driver
+        restarts); falls back to the in-memory rows otherwise."""
+        audit = self._audit_path()
+        if os.path.exists(audit):
+            df = (
+                self.spark.read.schema(EXECUTION_SCHEMA)
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                .json(audit)
+            )
+        else:
+            df = self.spark.createDataFrame(self._executions, EXECUTION_SCHEMA)
         if execution_status:
             df = df.filter(F.col("status") == execution_status)
         if start_time:

@@ -245,6 +245,43 @@ def test_scheduler_late_file_appends_not_overwrites(spark, tmp_path):
     assert sorted(e["n_scored"] for e in execs) == [1, 1]
 
 
+def test_audit_log_survives_restart(spark, tmp_path):
+    """ST6: a fresh InferenceScheduler over the same output dir still
+    lists past executions (durable audit, not just driver memory)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    _write_slot_csv(
+        str(indir / "pump_20240101100000.csv"),
+        [("2024-01-01T10:00:30.000000", 1.0, 2.0)],
+    )
+    cfg = SchedulerConfig(
+        scheduler_name="audsched",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    # "restart": new object, no in-memory rows
+    cfg2 = SchedulerConfig(
+        scheduler_name="audsched",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+    )
+    sched2 = InferenceScheduler(spark, cfg2, _simple_score_fn)
+    rows = sched2.list_inference_executions().collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "SUCCESS" and rows[0]["n_scored"] == 1
+    assert rows[0]["slot_start"] == datetime(2024, 1, 1, 10, 0, 0)
+
+
 def test_inspection_report(tmp_path):
     cfg = SchedulerConfig(
         scheduler_name="repsched",
