@@ -40,14 +40,21 @@ def dedup_exact(
 
 def _shingle_array(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, _sh: array<string>) — distinct word n-gram shingles per doc,
-    computed row-local (no shuffle); docs shorter than n words drop out."""
+    computed row-local (no shuffle); docs shorter than n words drop out.
+
+    The sequence is guarded for short docs: ``sequence(1, 0)`` in Spark
+    steps DOWN to [1, 0] and ``slice(arr, 0, n)`` then throws — a 2-word
+    document must yield an empty shingle array, not a crashed job."""
     words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
-        )
-    )
+    sh = F.when(
+        F.size("_w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return words.select(id_col, sh.alias("_sh")).filter(F.size("_sh") > 0)
 
 

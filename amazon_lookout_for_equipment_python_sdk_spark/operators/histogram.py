@@ -81,6 +81,9 @@ def histogram(
     wider set than ``df`` (the reference shares edges across normal/anomalous
     subsets, evaluation.py:282-299).
     """
+    # null values carry no sample mass — unguarded they'd land in the LAST
+    # bin, because F.least skips null arguments: least(floor(null), 19)=19
+    df = df.filter(F.col(value_col).isNotNull())
     if bounds is None:
         bounds = signal_bounds(df, key_col, value_col)
     b = F.broadcast(widen_degenerate_bounds(bounds))

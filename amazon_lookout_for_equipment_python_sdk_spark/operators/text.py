@@ -34,12 +34,17 @@ def tokens(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings — JVM-side higher-order functions:
-    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(words, i, n)))."""
+    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(words, i, n))).
+    Guarded for texts shorter than n words (Spark's sequence(1, 0) steps
+    DOWN and slice(arr, 0, n) throws) — short texts yield []."""
     w = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exploded_shingles(
@@ -49,10 +54,13 @@ def exploded_shingles(
     so ``split`` runs once per row — inlining it into the transform lambda
     re-evaluates it per shingle (O(tokens^2) per doc)."""
     words = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
-    )
+    sh = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return words.select(
         id_col, F.explode(F.array_distinct(sh)).alias("sh")
     )

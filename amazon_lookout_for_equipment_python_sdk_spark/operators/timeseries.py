@@ -61,15 +61,19 @@ def resample_first(
 ) -> DataFrame:
     """``resample(rule).first()`` per series (reference plot.py:673).
 
-    "First" = value at the earliest timestamp in the bucket; ties broken by
-    ``tiebreak_col`` for determinism.  Implemented with ``min_by`` over a
-    struct so it stays a single hash aggregation (no window + filter pass).
+    pandas ``.first()`` returns the first NON-NULL value in the bucket, so
+    the ordering key is nulled out for null-valued rows — ``min_by``
+    ignores rows whose ordering expression is null, giving "value at the
+    earliest non-null row" (null only when the whole bucket is null).
+    Ties broken by ``tiebreak_col`` for determinism.  Stays a single hash
+    aggregation (no window + filter pass).
     """
     order = (
         F.struct(F.col(ts_col), F.col(tiebreak_col))
         if tiebreak_col
         else F.struct(F.col(ts_col))
     )
+    order = F.when(F.col(value_col).isNotNull(), order)
     return (
         df.groupBy(key_col, bucket(F.col(ts_col), rate_seconds).alias("bucket_ts"))
         .agg(F.min_by(F.col(value_col), order).alias("first_value"))
@@ -229,6 +233,7 @@ def restamp_positional(
     step_seconds: int,
     ts_col: str = "ts",
     key_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Replace timestamps with a synthetic equal-length ``date_range``
     (reference dataset.py:316-323): i-th row by old ts order gets
@@ -237,12 +242,15 @@ def restamp_positional(
     ALWAYS pass ``key_col`` on large inputs: the keyless fallback is an
     unpartitioned window, i.e. a single-partition global sort (the
     reference restamps one component at a time, dataset.py:303-323, so a
-    key exists in every real call).
+    key exists in every real call).  Pass ``tiebreak_col`` when duplicate
+    timestamps are possible — without it, tied rows can swap positions
+    between runs and receive different synthetic stamps.
     """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
-        Window.partitionBy(key_col).orderBy(ts_col)
+        Window.partitionBy(key_col).orderBy(*order)
         if key_col
-        else Window.orderBy(ts_col)
+        else Window.orderBy(*order)
     )
     return df.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
         ts_col,

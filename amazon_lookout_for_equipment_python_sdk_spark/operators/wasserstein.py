@@ -129,10 +129,17 @@ def wasserstein_between_density_vectors(
         .withColumn("r", F.row_number().over(wa))
         .select(key_col, "r", F.col("density").alias("db"))
     )
-    return (
+    d = (
         a.join(b, [key_col, "r"])
         .groupBy(key_col)
         .agg(F.avg(F.abs(F.col("da") - F.col("db"))).alias("distance"))
+    )
+    # a signal missing one subset entirely (e.g. zero predicted anomalies)
+    # must collapse to distance 0.0, not vanish from the ranking — the
+    # reference's except-branch semantics (evaluation.py:308-309)
+    keys = hists.select(key_col).distinct()
+    return keys.join(d, key_col, "left").select(
+        key_col, F.coalesce(F.col("distance"), F.lit(0.0)).alias("distance")
     )
 
 
@@ -165,18 +172,30 @@ def raw_sample_emd(
     value_col: str = "value",
 ) -> DataFrame:
     """Extension (SURVEY §7 hard-part 1): textbook binned EMD between the two
-    RAW sample distributions: sum(|cdf_a - cdf_b|) * bin_width."""
-    hists = density_histograms(df, split_col, num_bins, key_col, value_col)
+    RAW sample distributions: sum(|cdf_a - cdf_b|) * bin_width.
+
+    bin_width comes from the histogram output itself (with_edges) — a
+    separate signal_bounds pass would rescan the full raw DataFrame just
+    to recompute min/max."""
+    hists = density_histograms(
+        df, split_col, num_bins, key_col, value_col, with_edges=True
+    )
     w = Window.partitionBy(key_col, "subset").orderBy("bin")
     cdf = hists.withColumn("cdf", F.sum("density").over(w))
-    a = cdf.filter(F.col("subset") == subset_a).select(key_col, "bin", F.col("cdf").alias("ca"))
-    b = cdf.filter(F.col("subset") == subset_b).select(key_col, "bin", F.col("cdf").alias("cb"))
-    bounds = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
-    width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
+    a = cdf.filter(F.col("subset") == subset_a).select(
+        key_col, "bin", "bin_width", F.col("cdf").alias("ca")
+    )
+    b = cdf.filter(F.col("subset") == subset_b).select(
+        key_col, "bin", F.col("cdf").alias("cb")
+    )
     return (
         a.join(b, [key_col, "bin"])
-        .groupBy(key_col)
+        .groupBy(key_col, "bin_width")
         .agg(F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("_absdiff"))
-        .join(F.broadcast(bounds), key_col)
-        .select(key_col, (F.col("_absdiff") * width * width).alias("emd"))
+        .select(
+            key_col,
+            (F.col("_absdiff") * F.col("bin_width") * F.col("bin_width")).alias(
+                "emd"
+            ),
+        )
     )

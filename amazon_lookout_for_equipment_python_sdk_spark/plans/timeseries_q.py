@@ -160,15 +160,24 @@ def minmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HIST_SQL = """
-WITH bounds AS (
-  SELECT event_type, min(value) AS min_value, max(value) AS max_value,
-         count(*) AS n FROM events GROUP BY 1
+WITH bounds0 AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         count(*) AS n FROM events WHERE value IS NOT NULL GROUP BY 1
+), bounds AS (
+  -- numpy degenerate-range rule, mirroring the engine's
+  -- widen_degenerate_bounds: min==max widens by 0.5 each side
+  SELECT event_type,
+         CASE WHEN mx = mn THEN mn - 0.5 ELSE mn END AS min_value,
+         CASE WHEN mx = mn THEN mx + 0.5 ELSE mx END AS max_value,
+         n
+  FROM bounds0
 ), binned AS (
   SELECT e.event_type,
          CAST(least(floor((e.value - b.min_value) /
                           ((b.max_value - b.min_value)/20.0)), 19) AS INTEGER) AS bin,
          count(*) AS cnt
   FROM events e JOIN bounds b USING (event_type)
+  WHERE e.value IS NOT NULL
   GROUP BY 1, 2
 ), grid AS (
   SELECT b.event_type, g.bin, b.min_value, b.max_value, b.n
@@ -203,10 +212,15 @@ _WASS_SQL = f"""
 WITH tagged AS (
   SELECT event_type, value,
          CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'train' ELSE 'eval' END AS subset
-  FROM events
-), bounds AS (
-  SELECT event_type, min(value) AS min_value, max(value) AS max_value
+  FROM events WHERE value IS NOT NULL
+), bounds0 AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
   FROM tagged GROUP BY 1
+), bounds AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN mn - 0.5 ELSE mn END AS min_value,
+         CASE WHEN mx = mn THEN mx + 0.5 ELSE mx END AS max_value
+  FROM bounds0
 ), counts AS (
   SELECT t.event_type, t.subset,
          CAST(least(floor((t.value - b.min_value) /
@@ -242,7 +256,10 @@ WITH tagged AS (
 )
 SELECT event_type, distance,
        CAST(row_number() OVER (ORDER BY distance DESC, event_type) AS INTEGER) AS rnk
-FROM dist
+FROM (
+  -- signals missing one subset collapse to 0.0, mirroring the engine
+  SELECT b.event_type, COALESCE(d.distance, 0.0) AS distance
+  FROM bounds b LEFT JOIN dist d USING (event_type)) t
 """
 
 
@@ -536,21 +553,16 @@ def positional_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-key (the reference restamps one component at a time,
     dataset.py:303-323), so the row_number window partitions by event_type
     — no single-partition global sort at scale."""
-    from pyspark.sql import Window
-
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return (
-        events.withColumn("_rn", F.row_number().over(w) - 1)
-        .select(
-            "event_id",
-            "event_type",
-            (
-                F.lit("2025-01-01 00:00:00").cast("timestamp")
-                + F.make_interval(secs=F.col("_rn") * 60)
-            ).alias("new_ts"),
-        )
+    out = ts_ops.restamp_positional(
+        events.select("event_id", "event_type", "ts"),
+        "2025-01-01 00:00:00",
+        60,
+        ts_col="ts",
+        key_col="event_type",
+        tiebreak_col="event_id",
     )
+    return out.select("event_id", "event_type", F.col("ts").alias("new_ts"))
 
 
 # ---------------------------------------------------------------------------

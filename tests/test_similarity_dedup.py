@@ -170,6 +170,24 @@ def test_near_dup_clusters_and_removal(spark):
     assert kept == [1, 9]
 
 
+def test_short_docs_do_not_crash_shingling(spark):
+    """Docs shorter than the shingle width must yield empty shingle sets,
+    not a crashed job (Spark's sequence(1, 0) steps DOWN to [1, 0] and
+    slice(arr, 0, n) throws)."""
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "a much longer document with several words here")],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.1)
+    assert pairs.count() == 0  # nothing shares shingles; and no crash
+    assert dd.minhash_banded(df).select("doc_id").distinct().count() == 1
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import text as _tx
+    from pyspark.sql import functions as _F
+
+    sh = df.select(_tx.shingles(_F.col("text"), 3).alias("s")).collect()
+    assert [len(r["s"]) for r in sh] == [0, 0, 6]
+
+
 def test_bpe_tokens(spark):
     df = spark.createDataFrame(
         [(1, "hello world42 it's a test-case!!")], "id int, text string"
