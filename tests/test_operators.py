@@ -185,6 +185,26 @@ def test_histogram_constant_signal_matches_numpy(spark):
     assert not h["density"].isna().any()
 
 
+def test_resample_first_skips_interior_nulls(spark):
+    """pandas resample().first() returns the first NON-null value in the
+    bucket; an all-null bucket stays null."""
+    rows = [
+        ("2024-01-01 00:00:10", "s", None),
+        ("2024-01-01 00:01:00", "s", 5.0),
+        ("2024-01-01 00:02:00", "s", 7.0),
+        ("2024-01-01 00:05:30", "s", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, tag string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "tag", "value")
+    out = {
+        r["bucket_ts"].minute: r["first_value"]
+        for r in ts_ops.resample_first(df, 300).collect()
+    }
+    assert out[0] == 5.0  # null at 00:00:10 skipped
+    assert out[5] is None  # all-null bucket stays null
+
+
 def test_stamp_points_preserves_duplicate_rows(spark):
     """Duplicate point rows (same ts scored twice) must keep their
     multiplicity through the stamp — a groupBy on data columns alone
