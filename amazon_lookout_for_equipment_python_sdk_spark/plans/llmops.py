@@ -395,9 +395,9 @@ WITH planes AS (
   SELECT p.p, list_transform(range(0, 64), d ->
     CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), '|', CAST(d AS VARCHAR))), 1, 12)) AS BIGINT)
       / 140737488355328.0 - 1.0) AS w
-  FROM (SELECT unnest(generate_series(0, 15)) AS p) p
+  FROM (SELECT unnest(generate_series(0, 31)) AS p) p
 ), proj AS (
-  SELECT e.vec_id, pl.p // 4 AS tbl, pl.p % 4 AS i,
+  SELECT e.vec_id, pl.p // 8 AS tbl, pl.p % 8 AS i,
          list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS proj
   FROM embeddings e, planes pl
 ), bkt AS (
@@ -422,14 +422,16 @@ WHERE cos >= 0.45
 @register("embedding_near_dup", _NEAR_DUP_SQL)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
-    candidates (4 tables x 4 planes, md5-derived deterministic planes; one
-    groupBy per (table, bucket)) + exact cosine >= 0.45 verify — the
-    oracle mirrors the same LSH so results match bit-for-bit."""
+    candidates (4 tables x 8 planes = 256 buckets/table — 4-plane tables
+    have only 16 buckets, whose candidate pairs grow quadratically with
+    corpus size; md5-derived deterministic planes; one groupBy per
+    (table, bucket)) + exact cosine >= 0.45 verify — the oracle mirrors
+    the same LSH so results match bit-for-bit."""
     out = sim.embedding_near_dup(
         load(spark, sf_dir, "embeddings"),
         threshold=0.45,
         num_tables=4,
-        planes_per_table=4,
+        planes_per_table=8,
         dim=64,
     )
     return out.select("a", "b", qfloor(F.col("cos"), 6).alias("cos"))
