@@ -485,8 +485,10 @@ def simhash48(
     is 1 iff sum over tokens of (+1 if bit set else -1) > 0.
 
     Portable construction: conv(first 12 hex chars, 16, 10) fits int64.
-    Explodes (doc x token x bit) — heavy but linear; at scale the bit
-    dimension (48) is a constant factor and everything map-side-combines.
+    One explode to (doc x token) rows, then ALL 48 bit votes aggregate in
+    a single map-side-combining hash agg (48 conditional-sum expressions
+    in codegen).  The previous shape exploded doc x token x 48 bits
+    through TWO shuffles — 48x the shuffle volume for the same result.
     """
     toks = df.select(
         F.col(id_col),
@@ -494,16 +496,16 @@ def simhash48(
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
     )
-    bits = toks.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(47))).alias("bit"),
-    ).withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_v{b}")
+            for b in range(48)
+        ]
     )
+    sim = None
+    for b in range(48):
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.alias("simhash"))
