@@ -88,6 +88,10 @@ class ModelEvaluation:
         self.rate = sampling_rate_s
 
     def predicted_ranges(self) -> DataFrame:
+        # keyless compact_runs = one-partition window; acceptable here
+        # because the input is ONE model's resampled timeline (rows =
+        # slots, e.g. ~105k/year at PT5M), not raw data.  Multi-asset
+        # callers should compact per key via compact_runs(key_col=...).
         return compact_runs(
             self.scored,
             F.col("prediction") == 1,
@@ -168,8 +172,6 @@ class ModelEvaluation:
         from ..operators.wasserstein import density_histograms
         from ..plot.viz import plot_histogram_grid
 
-        from ..operators.wasserstein import rank_signals_by_shift
-
         # one stamped-points pipeline feeds both the ranking and the
         # histograms (rebuilding it would double the dominant join cost)
         tagged = self._tagged_subsets(df_long)
@@ -204,15 +206,19 @@ class ModelEvaluation:
         path: str,
         max_plots: int = 12,
         resample: str | None = None,
+        ranking: list[str] | None = None,
     ) -> dict:
         """§2.13 — ranked signal time-series panels with predicted ranges as
-        ribbons (reference plot_signals, evaluation.py:480-555)."""
+        ribbons (reference plot_signals, evaluation.py:480-555).  Pass
+        ``ranking`` (e.g. from a prior rank_signals/plot_histograms call)
+        to skip recomputing the stamped-points ranking pipeline."""
         from ..plot.viz import TimeSeriesVisualization
 
-        ranked = [
+        ranked = ranking or [
             r["tag"]
             for r in self.rank_signals(df_long, top_n=max_plots).collect()
         ]
+        ranked = ranked[:max_plots]
         viz = TimeSeriesVisualization(
             df_long, "timeseries", resample=resample
         )

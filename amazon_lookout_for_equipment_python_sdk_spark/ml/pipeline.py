@@ -52,9 +52,12 @@ class ModelConfig:
     evaluation_end: str | None = None
     off_condition: str | None = None  # OFF-time DSL 'component\\tag < 0.0', model.py:109-123
     signal_subset: list[str] | None = None  # subset schema, model.py:210-223
-    n_components: int | None = None  # PCA k; default: keep 95% variance cap d-1
+    n_components: int | None = None  # PCA k; default d // 2, capped at d-1
     threshold_quantile: float = 0.99
-    seed: int = 42
+    #: recorded for request parity (model.py:166-192); the training window
+    #: is applied by fit() via training_start/end, the evaluation window by
+    #: the caller when selecting transform() input
+    seed: int = 42  # reserved; the pipeline is deterministic without RNG
 
     status: str = field(default="NOT_TRAINED", init=False)  # M5 lifecycle
 
@@ -316,7 +319,6 @@ class AnomalyDetector:
             )
         wide = self._prepare_wide(df_long, tags=self.tags)
         scored = self._score_columns(wide)
-        d = len(self.tags)
         diag = F.array(
             *[
                 F.struct(

@@ -119,7 +119,11 @@ class SchedulerConfig:
     components: list[str]
     tags: list[str]  # sensor columns (excluding Timestamp)
     frequency: str = "PT5M"  # ST1; {PT5M, PT10M, PT15M, PT30M, PT1H}
-    delay_offset_minutes: int = 0  # ST3
+    #: ST3 advisory: our file source gives an UNBOUNDED late allowance
+    #: (files for an already-scored slot are appended whenever they land),
+    #: which is strictly more permissive than the reference's wait-then-
+    #: give-up; the knob feeds the inspection report's documented behavior
+    delay_offset_minutes: int = 0
     timezone_offset: str = "+00:00"
     delimiter: str = "_"
     filename_ts_format: str = "yyyyMMddHHmmss"
@@ -170,19 +174,27 @@ class InferenceScheduler:
             [T.StructField("Timestamp", T.TimestampType(), True)]
             + [T.StructField(t, T.DoubleType(), True) for t in cfg.tags]
         )
+        # enforceSchema=False makes Spark VALIDATE the CSV header against
+        # the schema's field names — without it, a user-supplied tag order
+        # differing from the files' column order silently swaps sensor
+        # values (positional binding), scoring every signal with the wrong
+        # statistics while reporting SUCCESS
         stream = (
             self.spark.readStream.schema(schema)
             .option("header", True)
+            .option("enforceSchema", False)
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
             .csv(os.path.join(cfg.input_dir, "*.csv"))
             .withColumn("_file", F.input_file_name())
         )
-        # ST3 (DataDelayOffsetInMinutes) is handled in _process_batch, not by
-        # a watermark: with a foreachBatch sink and no stateful operator a
-        # watermark is a no-op.  A file landing after its slot was already
-        # scored is delivered by the file source in a later micro-batch and
-        # its rows are APPENDED to the slot's results file (never an
-        # overwrite), with a second audit row recording the catch-up run.
+        # ST3 (DataDelayOffsetInMinutes): with a foreachBatch sink and no
+        # stateful operator a watermark would be a no-op, so the engine's
+        # late allowance is UNBOUNDED instead — a file landing after its
+        # slot was already scored is delivered by the file source in a
+        # later micro-batch and its rows are APPENDED to the slot's
+        # results file (never an overwrite), with a second audit row
+        # recording the catch-up run.  delay_offset_minutes is advisory
+        # (inspection report); see SchedulerConfig.
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option(
@@ -256,6 +268,24 @@ class InferenceScheduler:
         in_slot_cond = (F.col("Timestamp") >= F.col("_slot")) & (
             F.col("Timestamp") <= F.col("_slot") + F.make_interval(secs=F.lit(secs - 1))
         )
+        # unparseable file names (wrong delimiter/stamp format) must not
+        # vanish silently — record a FAILED audit row naming the files
+        bad_files = [
+            r["_file"]
+            for r in parsed.filter(F.col("_slot").isNull())
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        if bad_files:
+            self._record_execution(
+                None,
+                secs,
+                "FAILED",
+                0,
+                0,
+                f"unparseable file names: {sorted(bad_files)[:5]}",
+            )
         # per-slot metadata (tiny: one row per slot in this batch)
         slot_meta = (
             parsed.filter(F.col("_slot").isNotNull())
@@ -286,23 +316,25 @@ class InferenceScheduler:
         restarts (the reference's audit is server-backed)."""
         import json as _json
 
+        end = slot + timedelta(seconds=secs - 1) if slot is not None else None
         row = (
             self.config.scheduler_name,
             slot,
-            slot + timedelta(seconds=secs - 1),
+            end,
             status,
             n_in,
             n_scored,
             output,
         )
         self._executions.append(row)
+        fmt = lambda t: t.strftime("%Y-%m-%d %H:%M:%S") if t else None  # noqa: E731
         with open(self._audit_path(), "a") as f:
             f.write(
                 _json.dumps(
                     {
                         "scheduler": row[0],
-                        "slot_start": row[1].strftime("%Y-%m-%d %H:%M:%S"),
-                        "slot_end": row[2].strftime("%Y-%m-%d %H:%M:%S"),
+                        "slot_start": fmt(slot),
+                        "slot_end": fmt(end),
                         "status": status,
                         "n_input": n_in,
                         "n_scored": n_scored,
@@ -477,6 +509,13 @@ def prepare_inference_data(
     one wakeup's worth of rows, so the per-partition window is tiny), and
     the file-name contract comes from the same staging+rename sink as the
     replay generator.  ``now`` is injectable for deterministic tests.
+
+    NOTE (reference-faithful quirk, dataset.py:316-323): rows inside a
+    sequence are restamped at FREQUENCY-minute spacing, which assumes the
+    input is already resampled at sampling rate == frequency (the
+    reference tutorial's layout).  Feeding finer-grained data produces
+    rows outside the slot window, which the scheduler's ST4 filter then
+    drops — resample first.
     """
     from ..sources.sinks import write_inference_chunks
 

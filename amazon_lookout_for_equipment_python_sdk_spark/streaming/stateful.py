@@ -68,7 +68,12 @@ def _compact_batch(key, pdf_iter, state: GroupState, step_seconds: int):
                     closed.append((key_val, run_start, last_ts, n_points))
                     run_start, last_ts, n_points = ts, ts, 1
                 else:
-                    last_ts, n_points = ts, n_points + 1
+                    # a late cross-batch row inside the open run must not
+                    # REWIND last_ts (that would truncate the range end and
+                    # make the next on-time row look like a gap break)
+                    last_ts = max(last_ts, ts)
+                    run_start = min(run_start, ts)
+                    n_points += 1
             else:
                 if run_start is not None:
                     closed.append((key_val, run_start, last_ts, n_points))
