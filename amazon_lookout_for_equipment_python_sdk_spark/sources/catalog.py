@@ -151,11 +151,27 @@ class Catalog:
         return [self._meta(n) for n in page], token
 
     def list_models(
-        self, dataset_name: str, prefix: str | None = None
-    ) -> list[str]:
+        self,
+        dataset_name: str,
+        prefix: str | None = None,
+        max_results: int | None = None,
+        next_token: int = 0,
+    ) -> list[str] | tuple[list[str], int | None]:
+        """Reference list_models MaxResults/NextToken contract
+        (model.py:39-66).  Without ``max_results`` returns the full name
+        list (legacy); with it, ``(page, next_token | None)``."""
         mdir = os.path.join(self._dataset_path(dataset_name), "models")
         names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
-        return [n for n in names if not prefix or n.startswith(prefix)]
+        names = [n for n in names if not prefix or n.startswith(prefix)]
+        if max_results is None:
+            return names
+        page = names[next_token : next_token + max_results]
+        token = (
+            next_token + max_results
+            if next_token + max_results < len(names)
+            else None
+        )
+        return page, token
 
     def register_model(self, dataset_name: str, model_name: str, payload: dict):
         mdir = os.path.join(self._dataset_path(dataset_name), "models")

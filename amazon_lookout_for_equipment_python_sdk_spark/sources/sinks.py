@@ -84,6 +84,7 @@ def write_inference_chunks(
     value_col: str = "value",
     filename_ts_format: str = "%Y%m%d%H%M%S",
     slot_col: str | None = None,
+    tz_offset_minutes: int = 0,
 ) -> list[str]:
     """S9 — slot-chunked CSVs named ``{component}{delim}{slot_ts}.csv``
     (reference dataset.py:303-334; scheduler contract scheduler.py:198-209).
@@ -93,6 +94,11 @@ def write_inference_chunks(
     'now' and can't derive them from the data timestamps).  Writes one
     Spark CSV job partitioned by (component, slot), then renames each
     single part file to the contract name.  Returns written file paths.
+
+    ``tz_offset_minutes`` (F3): file-name stamps are WALL TIME at the
+    scheduler's InputTimeZoneOffset (reference localizes before stamping,
+    dataset.py:534) — stamp = UTC slot + offset.  EPOCH stamps are
+    absolute and exempt, symmetric with the scheduler's read side.
     """
     secs = frequency_minutes * 60
     if slot_col is not None:
@@ -101,6 +107,8 @@ def write_inference_chunks(
         slot_ts = F.timestamp_seconds(
             F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
         )
+        if tz_offset_minutes and filename_ts_format != "EPOCH":
+            slot_ts = slot_ts + F.make_interval(mins=F.lit(tz_offset_minutes))
         spark_fmt = {
             "%Y%m%d%H%M%S": "yyyyMMddHHmmss",
             "%Y-%m-%d-%H-%M-%S": "yyyy-MM-dd-HH-mm-ss",

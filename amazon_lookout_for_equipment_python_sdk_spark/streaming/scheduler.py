@@ -119,16 +119,43 @@ class SchedulerConfig:
     components: list[str]
     tags: list[str]  # sensor columns (excluding Timestamp)
     frequency: str = "PT5M"  # ST1; {PT5M, PT10M, PT15M, PT30M, PT1H}
-    #: ST3 advisory: our file source gives an UNBOUNDED late allowance
-    #: (files for an already-scored slot are appended whenever they land),
-    #: which is strictly more permissive than the reference's wait-then-
-    #: give-up; the knob feeds the inspection report's documented behavior
+    #: ST3: how long after a slot boundary the scheduler waits before a
+    #: missing component file becomes a FAILED execution (reference
+    #: DataDelayOffsetInMinutes, scheduler.py:355-357, 187-189).  Files
+    #: that land even later are STILL scored (appended with a catch-up
+    #: SUCCESS row) — strictly more permissive than the reference's
+    #: give-up, but the FAILED signal fires at the same moment.
     delay_offset_minutes: int = 0
     timezone_offset: str = "+00:00"
     delimiter: str = "_"
     filename_ts_format: str = "yyyyMMddHHmmss"
+    #: per-component sensor columns (reference file contract is per
+    #: component, scheduler.py:196-209; schema.py per-component fields).
+    #: None -> every component shares ``tags``.  Keys must be components;
+    #: values may include "Timestamp" first (ignored) for schema parity.
+    component_columns: dict[str, list[str]] | None = None
 
     status: str = field(default="NOT_CREATED", init=False)
+
+    @property
+    def all_tags(self) -> list[str]:
+        """Ordered union of every component's sensor columns."""
+        if not self.component_columns:
+            return list(self.tags)
+        seen: list[str] = []
+        for comp in sorted(self.component_columns):
+            for c in self.component_columns[comp]:
+                if c != "Timestamp" and c not in seen:
+                    seen.append(c)
+        return seen
+
+    def columns_for(self, component: str) -> list[str]:
+        """Sensor columns (no Timestamp) for one component."""
+        if self.component_columns and component in self.component_columns:
+            return [
+                c for c in self.component_columns[component] if c != "Timestamp"
+            ]
+        return list(self.tags)
 
     @property
     def frequency_minutes(self) -> int:
@@ -149,14 +176,46 @@ EXECUTION_SCHEMA = (
 class InferenceScheduler:
     """ST7 lifecycle around a Structured Streaming query."""
 
-    def __init__(self, spark: SparkSession, config: SchedulerConfig, score_fn):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: SchedulerConfig,
+        score_fn,
+        now_fn=None,
+    ):
         """``score_fn(batch_wide_df) -> DataFrame`` with columns
-        (timestamp, prediction, anomaly_score, diagnostics)."""
+        (timestamp, prediction, anomaly_score, diagnostics).  ``now_fn``
+        injects the wall clock for the ST3 due-slot audit (tests)."""
         self.spark = spark
         self.config = config
         self.score_fn = score_fn
+        self.now_fn = now_fn or datetime.now
         self.query = None
         self._executions: list[tuple] = []
+        #: ST3 bookkeeping: slot stamp -> (slot_start, components arrived)
+        self._arrived: dict[str, tuple[datetime, set]] = {}
+        #: slots whose expected-vs-arrived diff has been audited (a missing
+        #: file is recorded FAILED exactly once); seeded from the durable
+        #: audit log so a restarted scheduler never double-records
+        self._audited_slots: set[str] = set()
+        self._seed_audited_slots()
+
+    def _seed_audited_slots(self) -> None:
+        import json as _json
+
+        path = self._audit_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = _json.loads(line)
+                except ValueError:
+                    continue
+                out = row.get("output") or ""
+                m = re.match(r"missing input files for slot (\S+):", out)
+                if row.get("status") == "FAILED" and m:
+                    self._audited_slots.add(m.group(1))
 
     # -- create/start/stop/delete (reference scheduler.py:408-512) ----------
 
@@ -170,31 +229,59 @@ class InferenceScheduler:
         if self.config.status == "NOT_CREATED":
             raise RuntimeError("create() the scheduler first")
         cfg = self.config
-        schema = T.StructType(
-            [T.StructField("Timestamp", T.TimestampType(), True)]
-            + [T.StructField(t, T.DoubleType(), True) for t in cfg.tags]
-        )
-        # enforceSchema=False makes Spark VALIDATE the CSV header against
-        # the schema's field names — without it, a user-supplied tag order
-        # differing from the files' column order silently swaps sensor
-        # values (positional binding), scoring every signal with the wrong
-        # statistics while reporting SUCCESS
-        stream = (
-            self.spark.readStream.schema(schema)
-            .option("header", True)
-            .option("enforceSchema", False)
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-            .csv(os.path.join(cfg.input_dir, "*.csv"))
-            .withColumn("_file", F.input_file_name())
-        )
+
+        def _reader(columns: list[str], path_glob: str) -> DataFrame:
+            schema = T.StructType(
+                [T.StructField("Timestamp", T.TimestampType(), True)]
+                + [T.StructField(t, T.DoubleType(), True) for t in columns]
+            )
+            # enforceSchema=False makes Spark VALIDATE the CSV header
+            # against the schema's field names — without it, a tag order
+            # differing from the files' column order silently swaps sensor
+            # values (positional binding), scoring every signal with the
+            # wrong statistics while reporting SUCCESS
+            return (
+                self.spark.readStream.schema(schema)
+                .option("header", True)
+                .option("enforceSchema", False)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .csv(path_glob)
+                .withColumn("_file", F.input_file_name())
+            )
+
+        if cfg.component_columns:
+            # per-component file contract (reference scheduler.py:196-209):
+            # one stream per component with ITS schema, aligned onto the
+            # union of all sensors (absent sensors = null) and unioned.
+            # Each source tracks its own files in the shared checkpoint.
+            all_tags = cfg.all_tags
+            stream = None
+            for comp in sorted(cfg.component_columns):
+                cols = cfg.columns_for(comp)
+                s = _reader(
+                    cols,
+                    os.path.join(cfg.input_dir, f"{comp}{cfg.delimiter}*.csv"),
+                ).select(
+                    "Timestamp",
+                    *[
+                        F.col(t) if t in cols
+                        else F.lit(None).cast("double").alias(t)
+                        for t in all_tags
+                    ],
+                    "_file",
+                )
+                stream = s if stream is None else stream.unionByName(s)
+        else:
+            stream = _reader(cfg.tags, os.path.join(cfg.input_dir, "*.csv"))
         # ST3 (DataDelayOffsetInMinutes): with a foreachBatch sink and no
-        # stateful operator a watermark would be a no-op, so the engine's
-        # late allowance is UNBOUNDED instead — a file landing after its
-        # slot was already scored is delivered by the file source in a
-        # later micro-batch and its rows are APPENDED to the slot's
-        # results file (never an overwrite), with a second audit row
-        # recording the catch-up run.  delay_offset_minutes is advisory
-        # (inspection report); see SchedulerConfig.
+        # stateful operator a watermark would be a no-op.  Instead, every
+        # batch ends with an expected-vs-arrived diff: once a slot is
+        # ``delay_offset_minutes`` past its boundary, each component file
+        # that never arrived is recorded as a FAILED execution (reference
+        # scheduler.py:187-189, 355-357).  A file landing even later is
+        # still scored — the file source delivers it in a later micro-batch
+        # and its rows are APPENDED to the slot's results file (never an
+        # overwrite), with a catch-up SUCCESS audit row.
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option(
@@ -257,56 +344,174 @@ class InferenceScheduler:
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """ST4+ST5 per wakeup: event-time filter each discovered slot, score
-        it, and write its JSON-lines results — all JVM-side.  The only
-        driver-side collect is the per-slot metadata aggregate (#slots rows);
-        result rows are serialized with ``to_json`` and written by Spark,
-        then renamed/appended into the per-slot contract file (the same
-        metadata-only rename trick as sinks.write_inference_chunks)."""
+        it, and write its JSON-lines results — all JVM-side, in exactly TWO
+        Spark jobs however many slots a catch-up batch contains:
+
+        1. one metadata aggregate (per-slot in-window counts + arrived
+           components + unparseable file names — #slots driver rows);
+        2. one write of every slot's scored lines, ``partitionBy`` slot
+           stamp, each slot a parallel task instead of a serial
+           ``coalesce(1)`` job per slot.
+
+        The driver then only moves finished part files into the per-slot
+        contract files (metadata renames, proportional to slot count).
+        Ends with the ST3 expected-file audit."""
         cfg = self.config
-        parsed = self._parse_filenames(batch_df)
+        sc = self.spark.sparkContext
+        # job group so tests (and ops) can count the jobs a batch costs
+        sc.setJobGroup(
+            f"scheduler-{cfg.scheduler_name}-batch-{batch_id}",
+            f"{cfg.scheduler_name} micro-batch {batch_id}",
+        )
+        parsed = self._parse_filenames(batch_df).persist()
         secs = cfg.frequency_minutes * 60
         in_slot_cond = (F.col("Timestamp") >= F.col("_slot")) & (
             F.col("Timestamp") <= F.col("_slot") + F.make_interval(secs=F.lit(secs - 1))
         )
-        # unparseable file names (wrong delimiter/stamp format) must not
-        # vanish silently — record a FAILED audit row naming the files
-        bad_files = [
-            r["_file"]
-            for r in parsed.filter(F.col("_slot").isNull())
-            .select("_file")
-            .distinct()
-            .collect()
-        ]
-        if bad_files:
-            self._record_execution(
-                None,
-                secs,
-                "FAILED",
-                0,
-                0,
-                f"unparseable file names: {sorted(bad_files)[:5]}",
+        # job 1 — per-slot metadata (tiny: one row per slot in this batch);
+        # the null-slot group carries the unparseable file names
+        meta = (
+            parsed.groupBy("_slot", "_slot_str")
+            .agg(
+                F.count(F.when(in_slot_cond, 1)).alias("n_in"),
+                F.collect_set("_component").alias("_comps"),
+                F.collect_set(
+                    F.when(F.col("_slot").isNull(), F.col("_file"))
+                ).alias("_bad"),
             )
-        # per-slot metadata (tiny: one row per slot in this batch)
-        slot_meta = (
-            parsed.filter(F.col("_slot").isNotNull())
-            .groupBy("_slot", "_slot_str")
-            .agg(F.count(F.when(in_slot_cond, 1)).alias("n_in"))
             .collect()
         )
-        for meta in sorted(slot_meta, key=lambda r: r["_slot"]):
-            slot, stamp, n_in = meta["_slot"], meta["_slot_str"], meta["n_in"]
-            rows = (
-                parsed.filter((F.col("_slot") == F.lit(slot)) & in_slot_cond)
-                .drop("_file", "_component", "_slot_str", "_slot")
+        # unparseable file names (wrong delimiter/stamp format) must not
+        # vanish silently — record a FAILED audit row naming the files
+        bad_files = sorted(
+            {f for m in meta if m["_slot"] is None for f in m["_bad"]}
+        )
+        if bad_files:
+            self._record_execution(
+                None, secs, "FAILED", 0, 0,
+                f"unparseable file names: {bad_files[:5]}",
             )
-            out_path = os.path.join(cfg.output_dir, f"results_{stamp}.jsonl")
-            try:
-                n_scored = self._write_slot_results(rows, out_path, batch_id, stamp)
-                self._record_execution(
-                    slot, secs, "SUCCESS", n_in, n_scored, out_path
+        slots = sorted(
+            (m for m in meta if m["_slot"] is not None),
+            key=lambda m: m["_slot"],
+        )
+        for m in slots:  # ST3 bookkeeping for the expected-file audit
+            entry = self._arrived.setdefault(m["_slot_str"], (m["_slot"], set()))
+            entry[1].update(m["_comps"])
+        # build every slot's scored-lines plan lazily, then write them all
+        # in ONE job partitioned by slot stamp
+        ok_slots: list[tuple] = []
+        branches = []
+        for m in slots:
+            slot, stamp, n_in = m["_slot"], m["_slot_str"], m["n_in"]
+            rows = parsed.filter(
+                (F.col("_slot") == F.lit(slot)) & in_slot_cond
+            ).drop("_file", "_component", "_slot_str", "_slot")
+            if cfg.component_columns:
+                # per-component files carry disjoint sensor subsets at the
+                # same timestamps: merge them into full feature rows
+                rows = rows.groupBy("Timestamp").agg(
+                    *[
+                        F.first(t, ignorenulls=True).alias(t)
+                        for t in cfg.all_tags
+                    ]
                 )
-            except Exception as e:  # noqa: BLE001
+            try:
+                lines = self._scored_lines(rows).withColumn(
+                    "_slot_str", F.lit(stamp)
+                )
+            except Exception as e:  # noqa: BLE001 — per-slot analysis error
                 self._record_execution(slot, secs, "FAILED", n_in, 0, str(e))
+                continue
+            branches.append(lines)
+            ok_slots.append((slot, stamp, n_in))
+        if branches:
+            union = branches[0]
+            for b in branches[1:]:
+                union = union.unionByName(b)
+            staging = os.path.join(self.config.output_dir, f"_staging_{batch_id}")
+            try:
+                # job 2 — one task per slot; the sort pins a deterministic
+                # row order so at-least-once replays are byte-identical,
+                # and leads with the partition column so the file writer
+                # doesn't re-sort (which would scramble timestamp order)
+                (
+                    union.repartition(F.col("_slot_str"))
+                    .sortWithinPartitions("_slot_str", "value")
+                    .write.mode("overwrite")
+                    .partitionBy("_slot_str")
+                    .text(staging)
+                )
+            except Exception as e:  # noqa: BLE001 — whole-write failure
+                for slot, stamp, n_in in ok_slots:
+                    self._record_execution(slot, secs, "FAILED", n_in, 0, str(e))
+            else:
+                for slot, stamp, n_in in ok_slots:
+                    out_path = os.path.join(
+                        cfg.output_dir, f"results_{stamp}.jsonl"
+                    )
+                    n_scored = self._move_slot_parts(staging, stamp, batch_id)
+                    self._record_execution(
+                        slot, secs, "SUCCESS", n_in, n_scored, out_path
+                    )
+            shutil.rmtree(staging, ignore_errors=True)
+        parsed.unpersist()
+        self.audit_missing_files()
+
+    def audit_missing_files(
+        self, now: datetime | None = None, since: datetime | None = None
+    ) -> int:
+        """ST3/ST6 — the reference's primary ops signal: for every slot
+        that is ``delay_offset_minutes`` past its boundary, diff
+        ``expected_filenames`` against what actually arrived and record one
+        FAILED execution naming the missing component files
+        (scheduler.py:187-189, 355-357; found later via
+        ``list_inference_executions(execution_status="FAILED")``).
+
+        Runs automatically after every micro-batch over the slots the file
+        source has seen.  Pass ``since`` to ALSO audit the full slot grid
+        from that instant (catches slots where no file at all arrived —
+        batches only fire on arrivals).  Returns #FAILED rows recorded;
+        each slot is audited once (durable across restarts via the audit
+        log)."""
+        cfg = self.config
+        now = now or self.now_fn()
+        freq = timedelta(minutes=cfg.frequency_minutes)
+        delay = timedelta(minutes=cfg.delay_offset_minutes)
+        secs = cfg.frequency_minutes * 60
+        candidates: dict[str, tuple[datetime, set]] = dict(self._arrived)
+        if since is not None:
+            t = slot_bounds_for(since, cfg.frequency_minutes)[0]
+            while t + freq + delay <= now:
+                candidates.setdefault(self._stamp_for_slot(t), (t, set()))
+                t += freq
+        n_recorded = 0
+        for stamp in sorted(candidates):
+            slot, comps = candidates[stamp]
+            if stamp in self._audited_slots:
+                continue
+            if slot + freq + delay > now:
+                continue  # still inside the delay allowance
+            missing = sorted(set(cfg.components) - set(comps))
+            if missing:
+                names = [f"{c}{cfg.delimiter}{stamp}.csv" for c in missing]
+                self._record_execution(
+                    slot, secs, "FAILED", 0, 0,
+                    f"missing input files for slot {stamp}: {names}",
+                )
+                n_recorded += 1
+            self._audited_slots.add(stamp)
+        return n_recorded
+
+    def _stamp_for_slot(self, slot: datetime) -> str:
+        """UTC slot -> file-name stamp (wall time at the configured
+        InputTimeZoneOffset; EPOCH stamps are absolute)."""
+        cfg = self.config
+        if cfg.filename_ts_format != "EPOCH":
+            slot = slot + timedelta(
+                minutes=parse_tz_offset_minutes(cfg.timezone_offset)
+            )
+        return format_slot(slot, cfg.filename_ts_format)
 
     def _record_execution(
         self, slot, secs: int, status: str, n_in: int, n_scored: int, output: str
@@ -349,13 +554,10 @@ class InferenceScheduler:
         # files as hidden metadata, which would make the audit unreadable
         return os.path.join(self.config.output_dir, "audit-log.jsonl")
 
-    def _write_slot_results(
-        self, rows: DataFrame, out_path: str, batch_id: int, stamp: str
-    ) -> int:
-        """Score one slot and write/append its JSON-lines file.  Record shape
-        (scheduler.py:619-650): timestamp, prediction, optional
-        anomaly_score, diagnostics only on prediction==1.  Rows stay in the
-        JVM end-to-end; the driver only moves the finished part file."""
+    def _scored_lines(self, rows: DataFrame) -> DataFrame:
+        """Score one slot -> single-column ``value`` JSON-lines DataFrame.
+        Record shape (scheduler.py:619-650): timestamp, prediction,
+        optional anomaly_score, diagnostics only on prediction==1."""
         scored = self.score_fn(rows)
         cols = [
             F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
@@ -370,31 +572,31 @@ class InferenceScheduler:
                     "diagnostics"
                 )
             )
-        lines = scored.select(
+        return scored.select(
             F.to_json(
                 F.struct(*cols), {"ignoreNullFields": "true"}
             ).alias("value")
         )
-        staging = os.path.join(
-            self.config.output_dir, f"_staging_{batch_id}_{stamp}"
-        )
-        lines.coalesce(1).write.mode("overwrite").text(staging)
-        # replay idempotency: foreachBatch is at-least-once, so a naive
-        # append would duplicate rows when a crashed batch re-runs.  Each
-        # batch owns an immutable per-slot part file (overwritten on
-        # replay), and the slot's contract file is rebuilt from all parts
-        # — re-running any batch yields byte-identical results.
+
+    def _move_slot_parts(self, staging: str, stamp: str, batch_id: int) -> int:
+        """Driver-side metadata moves only.  Replay idempotency:
+        foreachBatch is at-least-once, so a naive append would duplicate
+        rows when a crashed batch re-runs.  Each batch owns an immutable
+        per-slot part file (overwritten on replay), and the slot's contract
+        file is rebuilt from all parts — re-running any batch yields
+        byte-identical results."""
         parts_dir = os.path.join(self.config.output_dir, "_parts", stamp)
         os.makedirs(parts_dir, exist_ok=True)
         batch_part = os.path.join(parts_dir, f"batch-{batch_id:012d}.jsonl")
         n_scored = 0
+        slot_dir = os.path.join(staging, f"_slot_str={stamp}")
         with open(batch_part, "wb") as fout:
-            for p in sorted(glob.glob(os.path.join(staging, "part-*"))):
+            for p in sorted(glob.glob(os.path.join(slot_dir, "part-*"))):
                 with open(p, "rb") as fin:
                     data = fin.read()
                 n_scored += data.count(b"\n")
                 fout.write(data)
-        shutil.rmtree(staging)
+        out_path = os.path.join(self.config.output_dir, f"results_{stamp}.jsonl")
         with open(out_path, "wb") as fout:
             for p in sorted(glob.glob(os.path.join(parts_dir, "batch-*.jsonl"))):
                 with open(p, "rb") as fin:
@@ -408,10 +610,17 @@ class InferenceScheduler:
         execution_status: str | None = None,
         start_time: datetime | None = None,
         end_time: datetime | None = None,
+        max_results: int | None = None,
+        next_token: int = 0,
     ) -> DataFrame:
-        """Reference list_inference_executions filters (scheduler.py:530-596).
-        Reads the durable audit file when present (it outlives driver
-        restarts); falls back to the in-memory rows otherwise."""
+        """Reference list_inference_executions filters + MaxResults/NextToken
+        pagination (scheduler.py:530-596, 551-583).  Reads the durable audit
+        file when present (it outlives driver restarts); falls back to the
+        in-memory rows otherwise.
+
+        Without ``max_results`` returns the full DataFrame (legacy).  With
+        it, returns ``(page_df, next_token | None)`` — pages walk a
+        deterministic (slot_start, status, output) ordering."""
         audit = self._audit_path()
         if os.path.exists(audit):
             df = (
@@ -427,7 +636,21 @@ class InferenceScheduler:
             df = df.filter(F.col("slot_start") >= F.lit(start_time))
         if end_time:
             df = df.filter(F.col("slot_end") <= F.lit(end_time))
-        return df
+        if max_results is None:
+            return df
+        # one job: fetch max_results+1 to probe for a next page (the audit
+        # is metadata-sized — a page collect is cheap by construction)
+        probe = (
+            df.orderBy("slot_start", "status", "output")
+            .offset(next_token)
+            .limit(max_results + 1)
+            .collect()
+        )
+        token = next_token + max_results if len(probe) > max_results else None
+        page = self.spark.createDataFrame(
+            probe[:max_results], EXECUTION_SCHEMA
+        )
+        return page, token
 
 
 # --- ST8: replay generator ---------------------------------------------------
@@ -440,12 +663,19 @@ def generate_replay_data(
     frequency_minutes: int = 5,
     duration_minutes: int = 60,
     delimiter: str = "_",
+    timezone_offset: str = "+00:00",
 ) -> dict:
     """Shift the tail of historical data so it ends 'now', chunk it by the
     upload frequency, emit per-slot component CSVs, and report empty slots
-    as failures (reference dataset.py:420-556, empty tracking 539-551)."""
+    as failures (reference dataset.py:420-556, empty tracking 539-551).
+
+    ``timezone_offset`` (F3): file-name stamps are wall time in the
+    scheduler's zone (the reference localizes UTC history to the
+    scheduler's tz before stamping, dataset.py:534) — symmetric with the
+    read-side conversion in ``InferenceScheduler._parse_filenames``."""
     from ..sources.sinks import write_inference_chunks
 
+    offset_min = parse_tz_offset_minutes(timezone_offset)
     bounds = df_long.agg(F.max("ts").alias("mx")).collect()[0]
     # shift so history ends at start_at - 1s: nothing spills into the slot
     # that begins at start_at (the replay window is [start_at - duration,
@@ -461,7 +691,8 @@ def generate_replay_data(
         >= F.lit(start_at - timedelta(minutes=duration_minutes))
     )
     written = write_inference_chunks(
-        shifted, out_dir, frequency_minutes=frequency_minutes, delimiter=delimiter
+        shifted, out_dir, frequency_minutes=frequency_minutes,
+        delimiter=delimiter, tz_offset_minutes=offset_min,
     )
     components = [
         r[0] for r in df_long.select("component").distinct().collect()
@@ -476,7 +707,9 @@ def generate_replay_data(
     expected = {
         os.path.join(out_dir, name)
         for s in slots
-        for name in expected_filenames(components, s, delimiter)
+        for name in expected_filenames(
+            components, s + timedelta(minutes=offset_min), delimiter
+        )
     }
     missing = sorted(expected - set(written))
     return {
@@ -587,7 +820,9 @@ def build_inspection_report(
     for deterministic tests.
     """
     if component_columns is None:
-        component_columns = {c: ["Timestamp", *cfg.tags] for c in cfg.components}
+        component_columns = {
+            c: ["Timestamp", *cfg.columns_for(c)] for c in cfg.components
+        }
     now = now or datetime.now()
     freq = cfg.frequency_minutes
     slot_start, slot_end = slot_bounds_for(now, freq)

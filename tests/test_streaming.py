@@ -200,10 +200,12 @@ def test_scheduler_tz_offset_and_dash_delimiter(spark, tmp_path):
     assert ex[0]["slot_start"] == datetime(2024, 1, 1, 10, 0, 0)
 
 
-def test_scheduler_late_file_appends_not_overwrites(spark, tmp_path):
-    """ST3: a file for an already-scored slot (second component arriving
-    late) appends to the slot's results file; earlier output survives and
-    the audit log gains a second execution row."""
+def test_scheduler_missing_file_failed_then_late_append(spark, tmp_path):
+    """ST3 parity (reference scheduler.py:187-189, 355-357): a component
+    file absent once the delay allowance passes records a FAILED execution
+    naming the expected file; a later delivery still scores (append, not
+    overwrite) with a catch-up SUCCESS row, and the FAILED row is recorded
+    exactly once."""
     indir = tmp_path / "in"
     outdir = tmp_path / "out"
     indir.mkdir()
@@ -227,6 +229,14 @@ def test_scheduler_late_file_appends_not_overwrites(spark, tmp_path):
     sched.stop()
     out = str(outdir / "results_20240101100000.jsonl")
     assert len(open(out).readlines()) == 1
+    # the slot is long past start+freq+delay -> motor's absence is FAILED
+    failed = sched.list_inference_executions(
+        execution_status="FAILED"
+    ).collect()
+    assert len(failed) == 1
+    assert failed[0]["slot_start"] == datetime(2024, 1, 1, 10, 0, 0)
+    assert "motor_20240101100000.csv" in failed[0]["output"]
+    assert "pump" not in failed[0]["output"]
     # late arrival: motor's file for the SAME slot lands after the wakeup
     _write_slot_csv(
         str(indir / "motor_20240101100000.csv"),
@@ -240,9 +250,271 @@ def test_scheduler_late_file_appends_not_overwrites(spark, tmp_path):
         "2024-01-01 10:00:30",
         "2024-01-01 10:01:00",
     ]
+    execs = sched.list_inference_executions().orderBy("output").collect()
+    assert sorted(e["status"] for e in execs) == [
+        "FAILED",
+        "SUCCESS",
+        "SUCCESS",
+    ]
+    # catch-up run scored motor's row; FAILED not duplicated
+    assert (
+        len(
+            sched.list_inference_executions(
+                execution_status="FAILED"
+            ).collect()
+        )
+        == 1
+    )
+
+
+def test_audit_missing_files_empty_slot_grid(spark, tmp_path):
+    """A slot where NO file at all arrived leaves no micro-batch to piggy-
+    back on; audit_missing_files(since=...) walks the slot grid and records
+    one FAILED row per due slot listing every expected file."""
+    cfg = SchedulerConfig(
+        scheduler_name="gridsched",
+        input_dir=str(tmp_path / "in"),
+        output_dir=str(tmp_path / "out"),
+        components=["pump", "motor"],
+        tags=["p1"],
+        frequency="PT5M",
+        delay_offset_minutes=3,
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    n = sched.audit_missing_files(
+        now=datetime(2024, 1, 1, 10, 14, 0),
+        since=datetime(2024, 1, 1, 10, 0, 0),
+    )
+    # due slots at 10:14 with 3-min delay: 10:00 (due 10:08), 10:05
+    # (due 10:13); 10:10 is due at 10:18 -> not yet
+    assert n == 2
+    failed = (
+        sched.list_inference_executions(execution_status="FAILED")
+        .orderBy("slot_start")
+        .collect()
+    )
+    assert [e["slot_start"] for e in failed] == [
+        datetime(2024, 1, 1, 10, 0, 0),
+        datetime(2024, 1, 1, 10, 5, 0),
+    ]
+    assert "pump_20240101100000.csv" in failed[0]["output"]
+    assert "motor_20240101100000.csv" in failed[0]["output"]
+    # idempotent: re-auditing records nothing new
+    assert (
+        sched.audit_missing_files(
+            now=datetime(2024, 1, 1, 10, 14, 0),
+            since=datetime(2024, 1, 1, 10, 0, 0),
+        )
+        == 0
+    )
+    # ...even from a restarted scheduler (seeded from the durable audit)
+    sched2 = InferenceScheduler(spark, cfg, _simple_score_fn)
+    assert (
+        sched2.audit_missing_files(
+            now=datetime(2024, 1, 1, 10, 14, 0),
+            since=datetime(2024, 1, 1, 10, 0, 0),
+        )
+        == 0
+    )
+
+
+def test_scheduler_per_component_schemas(spark, tmp_path):
+    """Per-component file contract (reference scheduler.py:196-209): two
+    components with DIFFERENT sensor sets stream through one scheduler;
+    each file validates against its own header and the slot's scored rows
+    carry the merged full feature vector."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    with open(indir / "pump_20240101100000.csv", "w") as f:
+        f.write("Timestamp,flow,pressure\n")
+        f.write("2024-01-01T10:00:30.000000,1.5,7.0\n")
+    with open(indir / "motor_20240101100000.csv", "w") as f:
+        f.write("Timestamp,rpm\n")
+        f.write("2024-01-01T10:00:30.000000,900.0\n")
+        f.write("2024-01-01T10:01:30.000000,910.0\n")
+
+    def score_fn(batch):
+        # sees the merged union schema: flow, pressure, rpm
+        return batch.select(
+            F.col("Timestamp").alias("timestamp"),
+            F.when(
+                F.col("flow").isNotNull() & F.col("rpm").isNotNull(), 1
+            ).otherwise(0).alias("prediction"),
+            (
+                F.coalesce(F.col("flow"), F.lit(0.0))
+                + F.coalesce(F.col("rpm"), F.lit(0.0))
+            ).alias("anomaly_score"),
+        )
+
+    cfg = SchedulerConfig(
+        scheduler_name="percomp",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump", "motor"],
+        tags=[],
+        frequency="PT5M",
+        component_columns={
+            "pump": ["Timestamp", "flow", "pressure"],
+            "motor": ["Timestamp", "rpm"],
+        },
+    )
+    assert cfg.all_tags == ["rpm", "flow", "pressure"]
+    sched = InferenceScheduler(spark, cfg, score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    recs = sorted(
+        (json.loads(line) for line in open(outdir / "results_20240101100000.jsonl")),
+        key=lambda r: r["timestamp"],
+    )
+    # 10:00:30 exists in BOTH files -> merged row has flow AND rpm
+    assert recs[0]["timestamp"] == "2024-01-01 10:00:30"
+    assert recs[0]["prediction"] == 1
+    assert abs(recs[0]["anomaly_score"] - 901.5) < 1e-9
+    # 10:01:30 only in motor's file -> flow null -> prediction 0
+    assert recs[1]["timestamp"] == "2024-01-01 10:01:30"
+    assert recs[1]["prediction"] == 0
+    assert abs(recs[1]["anomaly_score"] - 910.0) < 1e-9
     execs = sched.list_inference_executions().collect()
+    assert [e["status"] for e in execs] == ["SUCCESS"]
+    assert execs[0]["n_input"] == 3  # pre-merge in-slot file rows
+    assert execs[0]["n_scored"] == 2  # merged feature rows
+
+
+def test_multi_slot_catchup_constant_jobs(spark, tmp_path):
+    """A catch-up batch writes every slot file from a CONSTANT number of
+    Spark jobs (one metadata aggregate + one partitionBy write + the
+    engine's fixed source/commit jobs), not one serial coalesce(1) job per
+    slot — 6 slots must cost no more jobs than 1 slot (measured: 5)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    # six PT5M slots 10:00..10:25
+    for i in range(6):
+        mm = 5 * i
+        stamp = f"2024010110{mm:02d}00"
+        _write_slot_csv(
+            str(indir / f"pump_{stamp}.csv"),
+            [(f"2024-01-01T10:{mm:02d}:30.000000", 1.0 + i, 2.0)],
+        )
+    cfg = SchedulerConfig(
+        scheduler_name="catchup",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+        frequency="PT5M",
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    outs = sorted(glob.glob(str(outdir / "results_*.jsonl")))
+    assert len(outs) == 6
+    for p in outs:
+        assert len(open(p).readlines()) == 1
+    execs = sched.list_inference_executions().collect()
+    assert sorted(e["status"] for e in execs) == ["SUCCESS"] * 6
+    job_ids = (
+        spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "scheduler-catchup-batch-0"
+        )
+    )
+    assert 1 <= len(job_ids) <= 5, job_ids
+
+
+def test_replay_tz_offset_roundtrip(spark, tmp_path):
+    """ST8 + F3: replay file names are stamped in the scheduler's zone
+    (-05:00 -> stamp = UTC slot - 5h, reference dataset.py:534); a
+    scheduler configured with the same offset converts them back and the
+    ST4 event-time filter keeps the (UTC) data rows."""
+    rows = [
+        (f"2024-01-01 00:{i:02d}:00", "pump", "p1", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, component string, tag string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "component", "tag", "value")
+    indir = tmp_path / "replay"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    report = generate_replay_data(
+        df,
+        str(indir),
+        start_at=datetime(2024, 6, 1, 12, 0, 0),
+        frequency_minutes=5,
+        duration_minutes=10,
+        timezone_offset="-05:00",
+    )
+    names = sorted(os.path.basename(p) for p in report["written"])
+    # UTC slots 11:50 and 11:55 stamped at wall time 06:50 / 06:55
+    assert names == ["pump_20240601065000.csv", "pump_20240601065500.csv"]
+    assert report["empty_slots"] == []
+
+    def score_fn(batch):
+        return batch.select(
+            F.col("Timestamp").alias("timestamp"),
+            F.lit(0).alias("prediction"),
+        )
+
+    cfg = SchedulerConfig(
+        scheduler_name="tzreplay",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1"],
+        frequency="PT5M",
+        timezone_offset="-05:00",
+    )
+    sched = InferenceScheduler(spark, cfg, score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    execs = sched.list_inference_executions().orderBy("slot_start").collect()
     assert [e["status"] for e in execs] == ["SUCCESS", "SUCCESS"]
-    assert sorted(e["n_scored"] for e in execs) == [1, 1]
+    # slots parsed back to UTC; every replay row inside its slot
+    assert [e["slot_start"] for e in execs] == [
+        datetime(2024, 6, 1, 11, 50, 0),
+        datetime(2024, 6, 1, 11, 55, 0),
+    ]
+    assert [e["n_scored"] for e in execs] == [5, 5]
+
+
+def test_list_executions_pagination(spark, tmp_path):
+    """S11/T3 parity: MaxResults/NextToken paging over >50 executions."""
+    cfg = SchedulerConfig(
+        scheduler_name="pagesched",
+        input_dir=str(tmp_path / "in"),
+        output_dir=str(tmp_path / "out"),
+        components=["pump"],
+        tags=["p1"],
+        frequency="PT5M",
+        delay_offset_minutes=0,
+    )
+    sched = InferenceScheduler(spark, cfg, _simple_score_fn)
+    sched.create()
+    # 55 empty due slots -> 55 FAILED rows
+    n = sched.audit_missing_files(
+        now=datetime(2024, 1, 1, 10, 0, 0),
+        since=datetime(2024, 1, 1, 5, 25, 0),
+    )
+    assert n == 55
+    seen = []
+    token = 0
+    pages = 0
+    while token is not None:
+        page, token = sched.list_inference_executions(
+            max_results=50, next_token=token
+        )
+        rows = page.collect()
+        seen.extend(rows)
+        pages += 1
+    assert pages == 2 and len(seen) == 55
+    assert len({r["slot_start"] for r in seen}) == 55
 
 
 def test_audit_log_survives_restart(spark, tmp_path):
