@@ -54,6 +54,10 @@ class ModelConfig:
     signal_subset: list[str] | None = None  # subset schema, model.py:210-223
     n_components: int | None = None  # PCA k; default d // 2, capped at d-1
     threshold_quantile: float = 0.99
+    #: transform-time missing-tag guard (see _prepare_wide); disable for
+    #: huge batch scoring runs where the single-partition count window on
+    #: the pivoted slot table would bottleneck
+    validate_inputs: bool = True
     #: recorded for request parity (model.py:166-192); the training window
     #: is applied by fit() via training_start/end, the evaluation window by
     #: the caller when selecting transform() input
@@ -97,33 +101,65 @@ class AnomalyDetector:
     def _prepare_wide(self, df_long: DataFrame, tags: list[str] | None = None) -> DataFrame:
         """resample+ffill per tag, then pivot wide (one row per slot).
 
-        ``tags=None`` (fit path) discovers the tag set from the data;
-        passing the frozen fit-time list (transform path) pins the pivot to
-        the trained feature order and raises a descriptive error if the
-        inference data is missing any trained tag — a renamed/reordered tag
-        set must never silently mis-scale features.
+        ``tags=None`` (fit path) discovers the tag set from the data (one
+        distinct scan — fit runs once).  Passing the frozen fit-time list
+        (transform path) pins the pivot to the trained feature order and
+        stays FULLY LAZY: no tag-discovery job per transform (the
+        scheduler's score_fn calls this per slot per micro-batch, where an
+        extra full pass + driver round-trip just to pre-build an error
+        message serializes the hot path).  A missing trained tag instead
+        raises from a guard INSIDE the plan — an ``assert_true`` over
+        per-tag counts windowed across the pivoted slot table — so the
+        descriptive error still surfaces on the caller's action and a
+        renamed/reordered tag set can never silently mis-scale features.
         """
         cfg = self.config
         rate = iso8601_duration_to_seconds(cfg.sampling_rate)
         if cfg.signal_subset:
             df_long = df_long.filter(F.col("tag").isin(*cfg.signal_subset))
         filled = resample_ffill(df_long, rate, ts_col="ts", key_col="tag")
-        present = sorted(r[0] for r in df_long.select("tag").distinct().collect())
+        validate = False
         if tags is None:
-            tags = present
+            tags = sorted(
+                r[0] for r in df_long.select("tag").distinct().collect()
+            )
         else:
-            missing = sorted(set(tags) - set(present))
-            if missing:
-                raise ValueError(
-                    f"model {cfg.model_name!r} was trained on tags {tags}; "
-                    f"input data is missing {missing}"
-                )
+            validate = cfg.validate_inputs
         wide = (
             filled.groupBy("bucket_ts")
             .pivot("tag", tags)
             .agg(F.first("value", ignorenulls=True))
-            .na.drop()
         )
+        if validate:
+            # the guard window is keyless, i.e. single-partition — but it
+            # runs over the PIVOTED table (one row per resample slot, not
+            # per raw reading), post-aggregation; months of PT5M slots are
+            # ~10^4 rows.  cfg.validate_inputs opts out for huge scoring
+            # runs.  concat_ws skips nulls, so the message lists exactly
+            # the all-null (= absent) tags; 0-row input raises nothing
+            # (empty in, empty out).
+            from pyspark.sql import Window
+
+            w = Window.partitionBy()
+            absent = F.concat_ws(
+                ", ",
+                *[F.when(F.count(t).over(w) == 0, F.lit(t)) for t in tags],
+            )
+            chk = F.assert_true(
+                absent == F.lit(""),
+                F.concat(
+                    F.lit(
+                        f"model {cfg.model_name!r} was trained on tags "
+                        f"{tags}; input data is missing: "
+                    ),
+                    absent,
+                ),
+            )
+            wide = wide.select(
+                F.when(chk.isNull(), F.col("bucket_ts")).alias("bucket_ts"),
+                *tags,
+            )
+        wide = wide.na.drop()
         if cfg.off_condition:
             # machine-off slots are excluded wholesale (M4: the condition on
             # one tag gates every signal at that timestamp, model.py:109-123);

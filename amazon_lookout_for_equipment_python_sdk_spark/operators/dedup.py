@@ -194,7 +194,10 @@ def _pairs_in_list(ids: Column) -> Column:
 
 
 def candidate_pairs_from_banded(
-    banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    cap_observation=None,
 ) -> DataFrame:
     """Docs sharing any (band, bucket) become a candidate pair (a < b).
 
@@ -207,6 +210,11 @@ def candidate_pairs_from_banded(
     oversized buckets (the standard posting-list cap: a bucket that large
     is either exact-dup mass or hash degeneracy, and the pairs it would
     emit are where the quadratic blowup lives at 100 TB).
+
+    ``cap_observation``: an optional ``pyspark.sql.Observation`` that
+    records ``dropped_buckets`` / ``max_bucket_seen`` during the caller's
+    action (zero extra jobs) so capped runs leave an auditable stat
+    instead of silently shrinking the candidate set.
     """
     grouped = (
         banded.groupBy("band", "bucket")
@@ -214,6 +222,14 @@ def candidate_pairs_from_banded(
         .filter(F.size("_ids") > 1)
     )
     if max_bucket is not None:
+        if cap_observation is not None:
+            grouped = grouped.observe(
+                cap_observation,
+                F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.max(F.size("_ids")).alias("max_bucket_seen"),
+            )
         grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return (
         grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
@@ -320,17 +336,27 @@ def ngram_jaccard_lsh(
     bands: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+    cap_observation=None,
 ) -> DataFrame:
     """The scale path: MinHash-LSH candidate pruning + exact Jaccard only on
     candidates.  Signatures/band buckets are row-local (zero shuffle),
     candidates are one groupBy on (band, bucket), and the exact verify is
     two hash joins of the candidate table against doc shingle arrays — no
-    quadratic inverted-index self-join anywhere in the plan."""
+    quadratic inverted-index self-join anywhere in the plan.
+
+    ``max_bucket`` caps the posting list per (band, bucket): a bucket
+    bigger than this is exact-dup mass or hash degeneracy (run exact dedup
+    first) and would emit O(size^2) pairs — the one place the linear plan
+    could go quadratic on a pathological corpus.  ``None`` disables;
+    ``cap_observation`` records the drop stat."""
     cand = minhash_banded(
         df, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     )
-    pairs = candidate_pairs_from_banded(cand, id_col)
+    pairs = candidate_pairs_from_banded(
+        cand, id_col, max_bucket=max_bucket, cap_observation=cap_observation
+    )
     return ngram_jaccard_pairs(
         df,
         shingle_n=shingle_n,
@@ -364,6 +390,7 @@ def near_dup_clusters(
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
+    cached = None  # the persisted handle backing `labels` (unpersist target)
     for _ in range(max_iter):
         # neighbor labels: for each node, min label among its neighbors
         nbr = (
@@ -377,27 +404,32 @@ def near_dup_clusters(
             .agg(F.min("_dl").alias("_nl"))
             .withColumnRenamed("src", "node")
         )
+        # labels only ever decrease, so "changed" is new < old — computed
+        # on the SAME row as the propagation and drained by the one agg
+        # action that also materializes the cache: one join + one job per
+        # round (the old shape paid a second labels join just to count)
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+        )
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("long").alias("_chg"),
             )
+            .persist()
         )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        old, labels = labels, new_labels
-        old.unpersist()
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
+        labels = new_labels.drop("_chg")
+        if cached is not None:
+            cached.unpersist()
+        cached = new_labels
+        if not changed:
             break
     else:
+        if cached is not None:
+            cached.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} iterations"
         )
@@ -405,7 +437,8 @@ def near_dup_clusters(
     # every call would leak one persisted O(corpus) DataFrame for the
     # session's lifetime
     final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    if cached is not None:
+        cached.unpersist()
     return final.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster")
     )
@@ -417,13 +450,19 @@ def dedup_near(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: LSH-pruned exact Jaccard pairs ->
     connected components -> keep each cluster's minimum id.  Returns the
-    surviving rows of ``df``."""
+    surviving rows of ``df``.
+
+    Run :func:`dedup_exact` FIRST on real corpora: mass exact duplicates
+    all land in one LSH bucket, and ``max_bucket`` (the posting-list cap)
+    will then DROP that bucket's pairs rather than go quadratic — capped
+    exact-dups would survive near-dedup."""
     pairs = ngram_jaccard_lsh(
         df, shingle_n=shingle_n, threshold=threshold,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, max_bucket=max_bucket,
     ).select("a", "b")
     clusters = near_dup_clusters(df.select(id_col), pairs, id_col)
     keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)

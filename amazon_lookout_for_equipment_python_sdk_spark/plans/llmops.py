@@ -269,7 +269,10 @@ def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = dd.minhash_banded(
         load(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3
     )
-    return dd.candidate_pairs_from_banded(banded)
+    # posting-list cap wired (far above any bucket this corpus produces,
+    # so the oracle SQL — which has no cap — stays value-identical; it
+    # exists to bound the quadratic pair expansion on degenerate corpora)
+    return dd.candidate_pairs_from_banded(banded, max_bucket=10_000)
 
 
 _NEAR_DUP_CLUSTER_SQL = f"""
@@ -483,4 +486,25 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .drop("rnk")
+    )
+
+
+@register("lsh_cosine_topk")  # rows-only: ANN output is approximate by design
+def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path, benched: multi-table hyperplane-LSH candidates
+    + exact cosine rank within candidates only (same 5 probes / k=10 as
+    ``cosine_topk``, the brute-force baseline it's measured against).
+    16 tables x 3 planes holds recall >= 0.9 vs brute force on this corpus
+    (asserted in tests/test_similarity_dedup.py) while touching only the
+    bucket-join candidates — the knob set that scales: tables bound recall,
+    planes bound candidate volume per table."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_cosine_topk(
+        emb, queries, k=10, num_tables=16, planes_per_table=3
+    )
+    return out.select(
+        "query_id", "vec_id", qfloor(F.col("cos"), 6).alias("cos")
     )

@@ -130,6 +130,17 @@ def create_data_schema_from_uri(root_uri: str, spark: SparkSession) -> str:
     return create_data_schema(dict(sorted(components.items())))
 
 
+def hadoop_dir_exists(spark: SparkSession, uri: str) -> bool:
+    """True if ``uri`` resolves to a directory on its Hadoop FileSystem —
+    the URI-scheme twin of ``os.path.isdir`` (works for ``file://``,
+    ``s3a://``, ``hdfs://``, ...)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(conf)
+    return bool(fs.exists(path) and fs.getFileStatus(path).isDirectory())
+
+
 def parse_data_schema(schema_json: str) -> dict[str, ComponentSchema]:
     """JSON schema doc -> {component_name: ComponentSchema} (typed parse —
     the reference uses ``eval`` on schema strings, dataset.py:871; N4 says

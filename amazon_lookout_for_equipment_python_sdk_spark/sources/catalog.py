@@ -82,9 +82,21 @@ class Catalog:
         path = self._dataset_path(name)
         schemas = sch.struct_types_from_schema(self._schema_json(name))
         parts = []
+        # S2: a URI-schemed root (file://, s3a://, hdfs://) resolves through
+        # the Hadoop FileSystem — same existence semantics as a local path
+        is_uri = "://" in csv_root
         for comp, st in schemas.items():
-            comp_dir = os.path.join(csv_root, comp)
-            if not os.path.isdir(comp_dir):
+            comp_dir = (
+                f"{csv_root.rstrip('/')}/{comp}"
+                if is_uri
+                else os.path.join(csv_root, comp)
+            )
+            exists = (
+                sch.hadoop_dir_exists(self.spark, comp_dir)
+                if is_uri
+                else os.path.isdir(comp_dir)
+            )
+            if not exists:
                 raise ValueError(f"missing CSV directory for component {comp!r}")
             df = read_component_csv(
                 self.spark, comp_dir, st, ts_format=TRAINING_TS_FORMAT

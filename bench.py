@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "simhash_near_pairs",
     "embedding_near_dup",
     "cosine_topk",
+    "lsh_cosine_topk",
     "text_stats",
     "token_count_bpe",
     "quality_filter",

@@ -51,6 +51,30 @@ def test_catalog_create_ingest_load(catalog, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_catalog_ingest_from_uri_root(catalog, tmp_path):
+    """S2 — ingest against a URI-schemed root: the file:// scheme resolves
+    through the Hadoop FileSystem, the exact code path an s3a:// bucket
+    takes on a cluster (reference ingests from S3, dataset.py:729-777)."""
+    csv_root = str(tmp_path / "csvs_uri")
+    comps = {"pump": ["p1", "p2"], "motor": ["m1"]}
+    _write_component_csvs(csv_root, comps)
+    schema_json = sch.create_data_schema(
+        {c: ["Timestamp"] + tags for c, tags in comps.items()}
+    )
+    catalog.create_dataset("uriplant", schema_json)
+    res = catalog.ingest_data("uriplant", f"file://{csv_root}")
+    assert res["status"] == "SUCCESS"
+    assert res["rows_ingested"] == 30
+    df = catalog.load_dataset("uriplant")
+    assert df.count() == 30
+    # a missing component dir is still a descriptive error through the FS
+    catalog.create_dataset("uriplant2", sch.create_data_schema(
+        {"pump": ["Timestamp", "p1"], "fan": ["Timestamp", "f1"]}
+    ))
+    with pytest.raises(ValueError, match="missing CSV directory.*fan"):
+        catalog.ingest_data("uriplant2", f"file://{csv_root}")
+
+
 def test_catalog_ingest_date_partitioning(catalog, tmp_path):
     """partition_by_date: a time-range filter must prune date partitions
     at the scan (PartitionFilters on ts_date), not just row groups."""

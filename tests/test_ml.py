@@ -89,14 +89,16 @@ def test_diagnostics_sum_to_one(spark, synthetic_long):
 
 def test_frozen_tags_missing_raises(spark, synthetic_long):
     """transform() must pivot against the fit-time tag list: inference data
-    missing a trained tag raises instead of silently mis-scaling."""
+    missing a trained tag raises (from the in-plan guard, at action time)
+    instead of silently mis-scaling."""
     cfg = ModelConfig(model_name="m3b", sampling_rate="PT5M")
     det = AnomalyDetector(cfg).fit(
         synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 00:00:00"))
     )
     assert det.tags == ["s1", "s2", "s3"]
-    with pytest.raises(ValueError, match="missing \\['s3'\\]"):
-        det.transform(synthetic_long.filter(F.col("tag") != "s3"))
+    bad = det.transform(synthetic_long.filter(F.col("tag") != "s3"))
+    with pytest.raises(Exception, match="missing: s3"):
+        bad.count()
     # extra tags in the input are ignored; trained tag set stays frozen
     extra = synthetic_long.union(
         synthetic_long.filter(F.col("tag") == "s1").withColumn(
@@ -106,6 +108,25 @@ def test_frozen_tags_missing_raises(spark, synthetic_long):
     out = det.transform(extra)
     assert det.tags == ["s1", "s2", "s3"]
     assert out.count() > 0
+
+
+def test_transform_is_fully_lazy(spark, synthetic_long):
+    """The r2-flagged per-transform tag-discovery job is gone: building
+    transform()'s plan triggers ZERO Spark jobs (the scheduler calls it
+    per slot per micro-batch), and the frozen-tag pivot still scores."""
+    cfg = ModelConfig(model_name="m3lazy", sampling_rate="PT5M")
+    det = AnomalyDetector(cfg).fit(
+        synthetic_long.filter(F.col("ts") < F.lit("2024-03-02 00:00:00"))
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("transform-lazy-check", "must stay empty")
+    try:
+        scored = det.transform(synthetic_long)
+    finally:
+        sc.setJobGroup("transform-lazy-after", "actions ok")
+    jobs = sc.statusTracker().getJobIdsForGroup("transform-lazy-check")
+    assert list(jobs) == [], jobs
+    assert scored.count() > 0
 
 
 def test_wide_input_equivalent(spark, synthetic_long):
@@ -151,13 +172,29 @@ def test_model_metrics_roundtrip(spark):
     empty = ranges_from_model_metrics(spark, doc, "labeled_ranges")
     assert empty.count() == 0
     assert empty.columns == ["start", "end"]
-    # and a reference-style payload with T-separated microsecond stamps
-    ref_doc = (
+    # reference-literal payloads: T-separated stamps WITH fractional
+    # seconds (the SDK's own %Y-%m-%dT%H:%M:%S.%f, dataset.py:163) and
+    # WITHOUT — both must decode to the same instants and round-trip
+    # through model_metrics_json to the identical canonical document
+    with_frac = (
         '{"labeled_ranges": [{"start": "2021-01-05T12:00:00.000000", '
         '"end": "2021-01-06T00:00:00.000000"}], "predicted_ranges": []}'
     )
-    lab = ranges_from_model_metrics(spark, ref_doc, "labeled_ranges")
-    assert lab.count() == 1
+    no_frac = (
+        '{"labeled_ranges": [{"start": "2021-01-05T12:00:00", '
+        '"end": "2021-01-06T00:00:00"}], "predicted_ranges": []}'
+    )
+    decoded = []
+    for payload in (with_frac, no_frac):
+        lab = ranges_from_model_metrics(spark, payload, "labeled_ranges")
+        rows = lab.orderBy("start").collect()
+        assert [(r["start"].isoformat(), r["end"].isoformat()) for r in rows] == [
+            ("2021-01-05T12:00:00", "2021-01-06T00:00:00")
+        ]
+        decoded.append(model_metrics_json(None, labeled=lab))
+    # both formats re-encode to the same reference wire document
+    assert decoded[0] == decoded[1]
+    assert '"2021-01-05T12:00:00.000000"' in decoded[0]
 
 
 def test_untrained_raises(spark, synthetic_long):

@@ -200,3 +200,56 @@ def test_bpe_tokens(spark):
         "hello", "world", "42", "it", "'", "s", "a", "test", "-", "case", "!!",
     ]
     assert row["ws"] == 5
+
+
+def test_max_bucket_caps_degenerate_corpus(spark):
+    """The posting-list cap: 1k identical docs (one giant LSH bucket) must
+    complete with a BOUNDED candidate count when capped — and the drop is
+    recorded via the cap Observation, never silent.  Uncapped, this bucket
+    alone would emit ~500k pairs (the quadratic blowup the cap exists to
+    stop at 100 TB)."""
+    from pyspark.sql import Observation
+
+    rows = [(i, "the exact same document text repeated") for i in range(1000)]
+    # a second, tiny duplicate group (bucket size 2, far under the cap)
+    rows += [(2000, "a genuinely different document about other things"),
+             (2001, "a genuinely different document about other things")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation()
+    out = dd.ngram_jaccard_lsh(
+        df, shingle_n=3, threshold=0.5, max_bucket=50, cap_observation=obs
+    )
+    pairs = out.collect()
+    # the 1000-dup bucket is dropped; the small near-dup pair survives
+    assert {(r["a"], r["b"]) for r in pairs} == {(2000, 2001)}
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["max_bucket_seen"] == 1000
+    # and the registered defaults keep a cap wired (not None)
+    import inspect
+
+    assert inspect.signature(dd.ngram_jaccard_lsh).parameters[
+        "max_bucket"
+    ].default == 10_000
+    assert inspect.signature(dd.dedup_near).parameters[
+        "max_bucket"
+    ].default == 10_000
+
+
+def test_benched_lsh_topk_recall_vs_bruteforce(spark):
+    """The benched ANN query must hold recall >= 0.9 against the exact
+    brute-force baseline on the real embeddings testdata before anyone
+    relies on it at scale."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    brute = {}
+    for r in q.QUERIES["cosine_topk"](spark, sf_dir).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann = {}
+    for r in q.QUERIES["lsh_cosine_topk"](spark, sf_dir).collect():
+        ann.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute[qq] & ann.get(qq, set())) / len(brute[qq]) for qq in brute
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
