@@ -151,31 +151,16 @@ def minhash_signatures(
     )
 
 
-def minhash_banded(
-    df: DataFrame,
-    num_perm: int = 8,
-    bands: int = 2,
-    shingle_n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id, band, bucket) LSH band buckets straight from documents —
-    row-local (no shuffle at all before the candidate join).  Bucket key is
-    the sorted concat of ``perm:minhash`` entries inside the band, matching
-    ``lsh_candidate_pairs``'s construction bit-for-bit."""
-    if num_perm % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide num_perm ({num_perm}) — a remainder "
-            "would silently drop the trailing permutations from the banding"
-        )
+def _sig_col(num_perm: int) -> Column:
+    """array<string> of the num_perm minhash values (from ``_d*`` digests)."""
+    return F.array(*[_perm_min(p) for p in range(num_perm)])
+
+
+def _band_entries_from_sig(num_perm: int, bands: int) -> Column:
+    """array<struct<band,bucket>> from the ``_sig`` column: bucket key is
+    the sorted concat of ``perm:minhash`` entries inside the band."""
     rpb = num_perm // bands
-    docs = _with_digests(
-        _shingle_array(df, shingle_n, text_col, id_col), num_perm
-    )
-    sig = docs.select(
-        id_col, F.array(*[_perm_min(p) for p in range(num_perm)]).alias("_sig")
-    )
-    band_entries = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -196,9 +181,123 @@ def minhash_banded(
             for b in range(bands)
         ]
     )
-    return sig.select(id_col, F.explode(band_entries).alias("_e")).select(
+
+
+def minhash_banded(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) LSH band buckets straight from documents —
+    row-local (no shuffle at all before the candidate join).  Bucket key is
+    the sorted concat of ``perm:minhash`` entries inside the band, matching
+    ``lsh_candidate_pairs``'s construction bit-for-bit."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a remainder "
+            "would silently drop the trailing permutations from the banding"
+        )
+    docs = _with_digests(
+        _shingle_array(df, shingle_n, text_col, id_col), num_perm
+    )
+    sig = docs.select(id_col, _sig_col(num_perm).alias("_sig"))
+    return sig.select(
+        id_col, F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e")
+    ).select(
         id_col, F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket")
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+    cap_observation=None,
+    carry_shingles: bool = False,
+) -> DataFrame:
+    """Fused LSH candidate pairs — ONE shuffle end-to-end.
+
+    The (id, signature[, shingle-array]) member struct rides THROUGH the
+    (band, bucket) groupBy, and cross-band duplicate pairs are eliminated
+    by FIRST-MATCHING-BAND ownership (a pair is emitted only by the lowest
+    band whose signature slices agree — recomputed row-local from the two
+    carried signatures) instead of a ``distinct`` — so the whole candidate
+    pipeline is: row-local signatures -> one groupBy -> row-local pair
+    expansion + ownership filter.  The previous shape paid a second
+    shuffle for the distinct and (for verification) two more joins back to
+    per-doc arrays; each shuffle is a stage barrier at any scale and the
+    O(candidates) distinct is pure overhead.
+
+    ``carry_shingles=True`` adds each doc's shingle array to the member
+    struct (columns ``_sha``/``_shb`` on the output) so an exact verify
+    needs NO join — the bucket shuffle then carries ~bands x corpus-shingle
+    bytes, the classic shuffle-vs-recompute trade, bounded by
+    ``max_bucket`` exactly like the pair expansion itself.
+    """
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a remainder "
+            "would silently drop the trailing permutations from the banding"
+        )
+    rpb = num_perm // bands
+    docs = _with_digests(
+        _shingle_array(df, shingle_n, text_col, id_col), num_perm
+    ).withColumn("_sig", _sig_col(num_perm))
+    fields = [F.col(id_col).alias("i"), F.col("_sig").alias("g")]
+    if carry_shingles:
+        fields.append(F.col("_sh").alias("h"))
+    banded = docs.select(
+        F.struct(*fields).alias("_m"),
+        F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e"),
+    ).select("_m", F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket is not None:
+        if cap_observation is not None:
+            grouped = grouped.observe(
+                cap_observation,
+                F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.max(F.size("_ids")).alias("max_bucket_seen"),
+            )
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    cols = [
+        F.col("_p.a.i").alias("a"),
+        F.col("_p.b.i").alias("b"),
+        F.col("_p.a.g").alias("_ga"),
+        F.col("_p.b.g").alias("_gb"),
+        "band",
+    ]
+    if carry_shingles:
+        cols += [F.col("_p.a.h").alias("_sha"), F.col("_p.b.h").alias("_shb")]
+    pairs = grouped.select(
+        "band", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+    ).select(*cols)
+    # bands whose signature slices agree for this pair (statically
+    # unrolled — bands is tiny); non-empty by construction (the current
+    # band's bucket matched).  The pair belongs to its FIRST matching band.
+    match_flags = F.array(
+        *[
+            F.slice(F.col("_ga"), b * rpb + 1, rpb)
+            == F.slice(F.col("_gb"), b * rpb + 1, rpb)
+            for b in range(bands)
+        ]
+    )
+    first_match = F.array_position(match_flags, F.lit(True)) - 1
+    out = pairs.filter(first_match == F.col("band"))
+    keep = ["a", "b"] + (["_sha", "_shb"] if carry_shingles else [])
+    return out.select(*keep)
 
 
 def _pairs_in_list(ids: Column) -> Column:
@@ -371,21 +470,43 @@ def ngram_jaccard_lsh(
     bigger than this is exact-dup mass or hash degeneracy (run exact dedup
     first) and would emit O(size^2) pairs — the one place the linear plan
     could go quadratic on a pathological corpus.  ``None`` disables;
-    ``cap_observation`` records the drop stat."""
-    cand = minhash_banded(
+    ``cap_observation`` records the drop stat.
+
+    Physical shape: the FUSED candidate path (one groupBy shuffle, shingle
+    arrays carried in the bucket members, first-matching-band ownership
+    instead of a distinct — see :func:`minhash_candidate_pairs`) with the
+    exact verify inlined as row-local ``array_intersect`` on the carried
+    arrays: the whole query is signatures -> one shuffle -> codegen."""
+    thr_millionths = int(round(threshold * 1_000_000))
+    pairs = minhash_candidate_pairs(
         df, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, max_bucket=max_bucket,
+        cap_observation=cap_observation, carry_shingles=True,
     )
-    pairs = candidate_pairs_from_banded(
-        cand, id_col, max_bucket=max_bucket, cap_observation=cap_observation
+    common = pairs.select(
+        "a",
+        "b",
+        F.size(F.array_intersect("_sha", "_shb")).alias("n_common"),
+        F.size("_sha").alias("na"),
+        F.size("_shb").alias("nb"),
     )
-    return ngram_jaccard_pairs(
-        df,
-        shingle_n=shingle_n,
-        threshold=threshold,
-        text_col=text_col,
-        id_col=id_col,
-        candidates=pairs,
+    return (
+        common.withColumn(
+            "n_union", F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        .filter(
+            F.col("n_common") * 1_000_000
+            >= F.lit(thr_millionths) * F.col("n_union")
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "n_union",
+            (F.col("n_common") / F.col("n_union").cast("double")).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -542,18 +663,34 @@ def simhash_near_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("_ids") <= max_bucket)
-    pairs = (
-        grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
-        .select(
-            F.col("_p.a.i").alias("a"),
-            F.col("_p.b.i").alias("b"),
-            F.col("_p.a.s").alias("_sa"),
-            F.col("_p.b.s").alias("_sb"),
-        )
-        .distinct()
+    pairs = grouped.select(
+        "band", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+    ).select(
+        "band",
+        F.col("_p.a.i").alias("a"),
+        F.col("_p.b.i").alias("b"),
+        F.col("_p.a.s").alias("_sa"),
+        F.col("_p.b.s").alias("_sb"),
     )
+    # first-matching-band ownership replaces the cross-band distinct (one
+    # fewer shuffle): the pair's matching chunks recompute row-local from
+    # the carried signatures, and only the lowest matching band emits it
+    chunk_mask = (1 << chunk_bits) - 1
+    match_flags = F.array(
+        *[
+            F.shiftright(F.col("_sa"), k * chunk_bits).bitwiseAND(
+                F.lit(chunk_mask)
+            )
+            == F.shiftright(F.col("_sb"), k * chunk_bits).bitwiseAND(
+                F.lit(chunk_mask)
+            )
+            for k in range(bands)
+        ]
+    )
+    first_match = F.array_position(match_flags, F.lit(True)) - 1
     return (
-        pairs.withColumn(
+        pairs.filter(first_match == F.col("band"))
+        .withColumn(
             "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
         )
         .filter(F.col("hamming") <= max_hamming)

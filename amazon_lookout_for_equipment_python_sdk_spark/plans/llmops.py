@@ -266,13 +266,14 @@ def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate near-dup pairs from band-bucket collisions.  Band buckets are
     computed row-local (minhash_banded) — the only shuffle is the candidate
     equi-join itself."""
-    banded = dd.minhash_banded(
-        load(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3
+    # fused single-shuffle candidates; posting-list cap wired (far above
+    # any bucket this corpus produces, so the oracle SQL — which has no
+    # cap — stays value-identical; it exists to bound the quadratic pair
+    # expansion on degenerate corpora)
+    return dd.minhash_candidate_pairs(
+        load(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3,
+        max_bucket=10_000,
     )
-    # posting-list cap wired (far above any bucket this corpus produces,
-    # so the oracle SQL — which has no cap — stays value-identical; it
-    # exists to bound the quadratic pair expansion on degenerate corpora)
-    return dd.candidate_pairs_from_banded(banded, max_bucket=10_000)
 
 
 _NEAR_DUP_CLUSTER_SQL = f"""
