@@ -213,31 +213,51 @@ def embedding_near_dup(
 
     Recall is the standard banding curve (1 - (1 - p^planes)^tables with
     p = 1 - angle/pi); the brute-force all-pairs variant exists only as
-    the small-SF oracle."""
+    the small-SF oracle.
+
+    Physical shape (fused, mirrors dedup.minhash_candidate_pairs): the
+    (id, vector, bucket-array) struct rides through the (table, bucket)
+    groupBy, cross-table duplicate pairs are owned by their FIRST matching
+    table (recomputed row-local from the carried bucket arrays), and the
+    cosine verify runs on the carried vectors — one shuffle end-to-end,
+    no distinct, no joins back to the vector table.  The shuffle carries
+    num_tables x vector bytes; the join shape it replaces shuffled the
+    vectors twice anyway and paid three extra stage barriers."""
     from .dedup import _pairs_in_list
 
     buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
-    vb = vectors.select(
-        id_col,
-        F.posexplode(buckets_udf(_as_double(F.col(vec_col)))).alias(
-            "table", "bucket"
-        ),
+    withb = vectors.select(
+        F.struct(
+            F.col(id_col).alias("i"),
+            _as_double(F.col(vec_col)).alias("v"),
+            buckets_udf(_as_double(F.col(vec_col))).alias("bk"),
+        ).alias("_m")
+    )
+    banded = withb.select(
+        "_m", F.posexplode(F.col("_m.bk")).alias("table", "bucket")
     )
     grouped = (
-        vb.groupBy("table", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        banded.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    cand = (
-        grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .distinct()
+    pairs = grouped.select(
+        "table", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+    ).select(
+        "table",
+        F.col("_p.a.i").alias("a"),
+        F.col("_p.b.i").alias("b"),
+        F.col("_p.a.bk").alias("_ba"),
+        F.col("_p.b.bk").alias("_bb"),
+        F.col("_p.a.v").alias("_va"),
+        F.col("_p.b.v").alias("_vb"),
     )
-    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vc = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    match_flags = F.array(
+        *[F.col("_ba")[t] == F.col("_bb")[t] for t in range(num_tables)]
+    )
+    first_match = F.array_position(match_flags, F.lit(True)) - 1
     return (
-        cand.join(va, "a")
-        .join(vc, "b")
+        pairs.filter(first_match == F.col("table"))
         .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("a", "b", "cos")

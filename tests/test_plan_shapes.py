@@ -70,3 +70,20 @@ def test_flagship_windows_are_per_key(spark):
         if ln.strip().startswith(("+- Sort", ":- Sort"))
     ]
     assert sorts and all("event_type" in s for s in sorts), plan
+
+
+def test_fused_lsh_paths_single_shuffle(spark):
+    """The fused LSH shapes (signature/vector structs riding through the
+    bucket groupBy, first-matching-band ownership instead of a distinct,
+    verify on carried payloads) are exactly ONE exchange end-to-end — a
+    regression to join-back-and-distinct shows up as extra exchanges."""
+    for name in (
+        "ngram_jaccard_lsh",
+        "minhash_lsh_candidates",
+        "simhash_near_pairs",
+        "embedding_near_dup",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
