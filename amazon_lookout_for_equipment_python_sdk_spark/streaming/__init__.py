@@ -1,6 +1,10 @@
 """Structured Streaming scheduler semantics (SURVEY §2.10 ST1-ST8)."""
 
-from .stateful import compact_runs_stream, streaming_resample_mean  # noqa: F401
+from .stateful import (  # noqa: F401
+    compact_runs_stream,
+    streaming_dedup_exact,
+    streaming_resample_mean,
+)
 from .scheduler import (  # noqa: F401
     InferenceScheduler,
     SchedulerConfig,

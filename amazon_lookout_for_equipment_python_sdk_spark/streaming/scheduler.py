@@ -603,6 +603,38 @@ class InferenceScheduler:
                     fout.write(fin.read())
         return n_scored
 
+    def get_predictions(
+        self,
+        start_time: datetime | None = None,
+        end_time: datetime | None = None,
+        expand_diagnostics: bool = False,
+    ) -> DataFrame:
+        """Reference ``scheduler.get_predictions`` (scheduler.py:598-662):
+        read every execution's JSON-lines output as one typed DataFrame
+        (S7 — the reference ``eval``s each line), time-sorted, optionally
+        with diagnostics exploded + pivoted into ``component\\tag``
+        columns (N1, scheduler.py:636-657)."""
+        from ..sources.readers import (
+            INFERENCE_RESULT_SCHEMA,
+            pivot_diagnostics,
+            read_inference_results,
+        )
+
+        paths = sorted(
+            glob.glob(os.path.join(self.config.output_dir, "results_*.jsonl"))
+        )
+        if not paths:
+            df = self.spark.createDataFrame([], INFERENCE_RESULT_SCHEMA)
+        else:
+            df = read_inference_results(self.spark, paths)
+        if start_time:
+            df = df.filter(F.col("timestamp") >= F.lit(start_time))
+        if end_time:
+            df = df.filter(F.col("timestamp") <= F.lit(end_time))
+        if expand_diagnostics:
+            df = pivot_diagnostics(df)
+        return df.orderBy("timestamp")
+
     # -- ST6 audit log --------------------------------------------------------
 
     def list_inference_executions(

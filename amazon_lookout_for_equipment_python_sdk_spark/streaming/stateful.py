@@ -29,6 +29,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output schema of the closed-range stream
@@ -145,3 +146,34 @@ def compact_runs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — first arrival of each distinct text wins,
+    across micro-batches (the online twin of ``operators.dedup.
+    dedup_exact``; an ingest pipeline dedups continuously, not in one
+    batch pass).
+
+    State is one row per distinct fingerprint.  With ``ts_col`` +
+    ``watermark`` the dedup uses ``dropDuplicatesWithinWatermark`` so the
+    fingerprint state EXPIRES once the watermark passes — bounded state,
+    the only shape that survives an unbounded corpus stream (duplicates
+    arriving further apart than the watermark are kept; that is the
+    documented trade).  Without a watermark the state grows with the
+    distinct-document count — fine for bounded replays, documented
+    unbounded otherwise."""
+    from ..operators.text import fingerprint
+
+    out = stream.withColumn("fp", fingerprint(F.col(text_col)))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        ).drop("fp")
+    return out.dropDuplicates(["fp"]).drop("fp")

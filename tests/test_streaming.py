@@ -813,3 +813,139 @@ def test_replay_generator_empty_slots(spark, tmp_path):
     # the 10-minute hole = 2 empty slots recorded as missing
     assert len(report["empty_slots"]) == 2
     assert len(report["written"]) == 4
+
+
+def test_get_predictions_reads_all_outputs(spark, tmp_path):
+    """Reference get_predictions parity (scheduler.py:598-662): all
+    executions' JSON-lines concatenated, time-sorted, diagnostics
+    expandable to component\\tag columns (N1)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    for mm in (0, 5):
+        _write_slot_csv(
+            str(indir / f"pump_2024010110{mm:02d}00.csv"),
+            [(f"2024-01-01T10:{mm:02d}:30.000000", 1.0 + mm, 2.0)],
+        )
+
+    def score_fn(batch):
+        return batch.select(
+            F.col("Timestamp").alias("timestamp"),
+            F.when(F.col("p1") > 2.0, 1).otherwise(0).alias("prediction"),
+            F.lit(0.5).alias("anomaly_score"),
+            F.when(
+                F.col("p1") > 2.0,
+                F.array(
+                    F.struct(
+                        F.lit("pump\\p1").alias("name"), F.lit(1.0).alias("value")
+                    )
+                ),
+            ).alias("diagnostics"),
+        )
+
+    cfg = SchedulerConfig(
+        scheduler_name="gp",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump"],
+        tags=["p1", "p2"],
+    )
+    sched = InferenceScheduler(spark, cfg, score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    preds = sched.get_predictions().collect()
+    assert [r["timestamp"] for r in preds] == [
+        datetime(2024, 1, 1, 10, 0, 30),
+        datetime(2024, 1, 1, 10, 5, 30),
+    ]
+    assert [r["prediction"] for r in preds] == [0, 1]
+    wide = sched.get_predictions(expand_diagnostics=True)
+    assert "pump\\p1" in wide.columns
+    row = wide.filter(F.col("prediction") == 1).collect()[0]
+    assert row["pump\\p1"] == 1.0
+    # time filters
+    only_late = sched.get_predictions(
+        start_time=datetime(2024, 1, 1, 10, 5, 0)
+    ).collect()
+    assert len(only_late) == 1
+    # empty dir -> empty typed frame, not a crash
+    cfg2 = SchedulerConfig(
+        scheduler_name="gp2",
+        input_dir=str(indir),
+        output_dir=str(tmp_path / "out2"),
+        components=["pump"],
+        tags=["p1", "p2"],
+    )
+    empty = InferenceScheduler(spark, cfg2, score_fn).get_predictions()
+    assert empty.count() == 0
+    assert "diagnostics" in empty.columns
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Online exact dedup: duplicates across micro-batches are dropped via
+    checkpointed fingerprint state; watermark bounds the state."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_dedup_exact,
+    )
+
+    indir = tmp_path / "docs_in"
+    outdir = tmp_path / "docs_out"
+    ckpt = str(tmp_path / "docs_ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("doc_id,ts,text\n")
+            for i, ts, txt in rows:
+                f.write(f"{i},{ts},{txt}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string"
+            )
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        deduped = streaming_dedup_exact(
+            stream, ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(
+        "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "alpha doc"),
+            (2, "2024-01-01 10:00:30", "alpha doc"),  # in-batch dup
+            (3, "2024-01-01 10:01:00", "beta doc"),
+        ],
+    )
+    run_once()
+    # cross-batch dup of 'beta doc' inside the watermark -> dropped
+    write_batch(
+        "b2.csv",
+        [
+            (4, "2024-01-01 10:02:00", "beta doc"),
+            (5, "2024-01-01 10:03:00", "gamma doc"),
+        ],
+    )
+    run_once()
+    rows = (
+        spark.read.schema("doc_id long, ts timestamp, text string")
+        .parquet(str(outdir / "data"))
+        .collect()
+    )
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+    assert len({r["text"] for r in rows}) == len(rows)
