@@ -377,26 +377,34 @@ def lsh_cosine_topk(
     vb = vectors.select(
         id_col,
         vec_col,
-        F.posexplode(buckets_udf(_as_double(F.col(vec_col)))).alias(
-            "_tbl", "_bkt"
-        ),
+        buckets_udf(_as_double(F.col(vec_col))).alias("_vbk"),
+    ).select(
+        id_col, vec_col, "_vbk", F.posexplode("_vbk").alias("_tbl", "_bkt")
     )
     qb = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            buckets_udf(_as_double(F.col(vec_col))).alias("_qbk"),
         ).select(
             query_id_col,
             "_qvec",
-            F.posexplode(buckets_udf(_as_double(F.col("_qvec")))).alias(
-                "_tbl", "_bkt"
-            ),
+            "_qbk",
+            F.posexplode("_qbk").alias("_tbl", "_bkt"),
         )
     )
+    # cross-table duplicate candidates are owned by their FIRST matching
+    # table (recomputed row-local from the two carried bucket arrays)
+    # instead of a dropDuplicates shuffle — the broadcast join stays the
+    # only wide operation before the top-k window
+    match_flags = F.array(
+        *[F.col("_vbk")[t] == F.col("_qbk")[t] for t in range(num_tables)]
+    )
+    first_match = F.array_position(match_flags, F.lit(True)) - 1
     cands = (
         vb.join(qb, ["_tbl", "_bkt"])
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, "_qvec", vec_col)
-        .dropDuplicates([query_id_col, id_col])
+        .filter(first_match == F.col("_tbl"))
     )
     scored = cands.select(
         query_id_col,

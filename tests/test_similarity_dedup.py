@@ -253,3 +253,32 @@ def test_benched_lsh_topk_recall_vs_bruteforce(spark):
     ]
     assert len(recalls) == 5
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_fused_candidates_equal_legacy_distinct_path(spark):
+    """The fused single-shuffle candidate generator (first-matching-band
+    ownership) must emit EXACTLY the pair set of the legacy shape
+    (banded -> groupBy -> distinct) on corpora with heavy cross-band
+    collisions — duplicates from many docs sharing both bands included."""
+    rows = []
+    # 3 groups of similar docs + singletons; identical docs collide in
+    # EVERY band, exercising the cross-band dedup
+    for g in range(3):
+        base = f"group {g} shares this exact sentence body for overlap"
+        for i in range(4):
+            rows.append((g * 10 + i, base))
+    for i in range(5):
+        rows.append((100 + i, f"unique document number {i} with its own words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    legacy = {
+        (r["a"], r["b"])
+        for r in dd.candidate_pairs_from_banded(
+            dd.minhash_banded(df, 8, 2, 3), "doc_id"
+        ).collect()
+    }
+    fused = [
+        (r["a"], r["b"])
+        for r in dd.minhash_candidate_pairs(df, 8, 2, 3).collect()
+    ]
+    assert len(fused) == len(set(fused)), "fused path emitted duplicates"
+    assert set(fused) == legacy
