@@ -28,6 +28,55 @@ from pyspark.sql import functions as F
 from .readers import TRAINING_TS_FORMAT
 
 
+def _component_tag_map(
+    df_long: DataFrame, component_col: str, tag_col: str
+) -> dict[str, list[str]]:
+    """{component: sorted tag list} from the data (one tiny distinct job —
+    the result is metadata-sized: #components x #tags rows)."""
+    comp_tags: dict[str, list[str]] = {}
+    for r in df_long.select(component_col, tag_col).distinct().collect():
+        comp_tags.setdefault(r[0], []).append(r[1])
+    return {c: sorted(ts) for c, ts in comp_tags.items()}
+
+
+def _component_line_expr(
+    comp_tags: dict[str, list[str]],
+    component_col: str,
+    ts_str_col,
+) -> "F.Column":
+    """CSV data line PER COMPONENT: each component's line carries ONLY its
+    own tag columns (reference files never contain other components'
+    sensors, dataset.py:160-162) — a CASE over the component name inside
+    one job, instead of per-component jobs or an all-tags pivot.  Doubles
+    render via CAST AS STRING (same representation Spark's CSV writer
+    uses); nulls become empty fields."""
+    line = None
+    for comp, tags in sorted(comp_tags.items()):
+        branch = F.concat_ws(
+            ",",
+            ts_str_col,
+            *[
+                F.coalesce(F.col(t).cast("string"), F.lit(""))
+                for t in tags
+            ],
+        )
+        cond = F.col(component_col) == comp
+        line = F.when(cond, branch) if line is None else line.when(cond, branch)
+    return line
+
+
+def _component_header_expr(
+    comp_tags: dict[str, list[str]], component_col: str
+) -> "F.Column":
+    """Header line per component: ``Timestamp,<its own tags>``."""
+    hdr = None
+    for comp, tags in sorted(comp_tags.items()):
+        branch = F.lit("Timestamp," + ",".join(tags))
+        cond = F.col(component_col) == comp
+        hdr = F.when(cond, branch) if hdr is None else hdr.when(cond, branch)
+    return hdr
+
+
 def write_component_csvs(
     df_long: DataFrame,
     out_dir: str,
@@ -37,40 +86,55 @@ def write_component_csvs(
     value_col: str = "value",
 ) -> None:
     """S8 — one CSV directory per component with the reference's wide
-    layout and timestamp format (dataset.py:154-167).
+    layout, PER-COMPONENT columns, and timestamp format
+    (dataset.py:154-167: each component's CSV holds Timestamp + that
+    component's sensors only).
 
-    Long input (ts, component, tag, value) -> per-component wide CSV.
-    partitionBy(component) prunes + parallelizes; each component's rows are
-    pivoted to wide inside its partition.
+    Long input (ts, component, tag, value) -> per-component wide CSV in
+    ONE Spark job: pivot over the tag union, then serialize each row to
+    its component's CSV line via a CASE expression; header lines ride the
+    same write as rank-0 rows.  partitionBy(component) prunes +
+    parallelizes.
     """
-    tags = [
-        r[0]
-        for r in df_long.select(tag_col).distinct().orderBy(tag_col).collect()
-    ]
+    spark = df_long.sparkSession
+    comp_tags = _component_tag_map(df_long, component_col, tag_col)
+    all_tags = sorted({t for ts in comp_tags.values() for t in ts})
     wide = (
         df_long.groupBy(component_col, ts_col)
-        .pivot(tag_col, tags)
+        .pivot(tag_col, all_tags)
         .agg(F.first(value_col, ignorenulls=True))
     )
-    out = wide.select(
-        component_col,
-        F.date_format(ts_col, TRAINING_TS_FORMAT).alias("Timestamp"),
-        *tags,
+    ts_str = F.date_format(ts_col, TRAINING_TS_FORMAT)
+    data = wide.select(
+        F.col(component_col),
+        F.lit(1).alias("_ord"),
+        ts_str.alias("_ts"),
+        _component_line_expr(comp_tags, component_col, ts_str).alias("_line"),
     )
-    # one shuffle: co-locate each component, then sort inside its partition —
-    # a global orderBy before repartition would pay a full sort and then
-    # destroy it (reference CSVs are time-sorted, dataset.py:154-167).
-    # component leads the sort so FileFormatWriter's required ordering on
-    # partition columns is already satisfied (it would otherwise re-sort by
-    # component alone and scramble the Timestamps)
+    headers = spark.createDataFrame(
+        [
+            (c, 0, "", "Timestamp," + ",".join(tags))
+            for c, tags in comp_tags.items()
+        ],
+        f"{component_col} string, _ord int, _ts string, _line string",
+    )
+    # one shuffle: co-locate each component, header first then time-sorted
+    # rows — the sort leads with the partition column so FileFormatWriter
+    # doesn't re-sort (which would scramble the Timestamps)
     (
-        out.repartition(F.col(component_col))
-        .sortWithinPartitions(component_col, "Timestamp")
+        data.unionByName(headers)
+        .repartition(F.col(component_col))
+        .sortWithinPartitions(component_col, "_ord", "_ts")
+        .select(component_col, "_line")
         .write.mode("overwrite")
-        .option("header", True)
         .partitionBy(component_col)
-        .csv(out_dir)
+        .text(out_dir)
     )
+    # schema inference walks for *.csv — rename the text parts (metadata
+    # ops, one per component partition)
+    for comp_dir in glob.glob(os.path.join(out_dir, f"{component_col}=*")):
+        for p in glob.glob(os.path.join(comp_dir, "part-*.txt")):
+            shutil.move(p, p[: -len(".txt")] + ".csv")
 
 
 def write_inference_chunks(
@@ -91,9 +155,14 @@ def write_inference_chunks(
 
     Slot = floor(ts / frequency), or the caller's precomputed ``slot_col``
     (a yyyyMMddHHmmss string — prepare_inference_data restamps slots to
-    'now' and can't derive them from the data timestamps).  Writes one
-    Spark CSV job partitioned by (component, slot), then renames each
-    single part file to the contract name.  Returns written file paths.
+    'now' and can't derive them from the data timestamps).  Each
+    component's chunk carries ONLY its own sensor columns (the reference
+    builds every component file from its subsystem's tag subset,
+    dataset.py:310; the scheduler's per-component header validation
+    rejects foreign columns).  One Spark job partitioned by
+    (component, slot) — per-component CSV lines via a CASE expression,
+    headers riding as rank-0 rows — then per-file metadata renames to the
+    contract names.  Returns written file paths.
 
     ``tz_offset_minutes`` (F3): file-name stamps are WALL TIME at the
     scheduler's InputTimeZoneOffset (reference localizes before stamping,
@@ -123,52 +192,64 @@ def write_inference_chunks(
                 f"use one of {sorted(spark_fmt)} or 'EPOCH'"
             )
         slotted = df_long.withColumn("_slot", slot_stamp)
-    tags = [
-        r[0]
-        for r in df_long.select(tag_col).distinct().orderBy(tag_col).collect()
-    ]
+    comp_tags = _component_tag_map(df_long, component_col, tag_col)
+    all_tags = sorted({t for ts in comp_tags.values() for t in ts})
     wide = (
         slotted.groupBy(component_col, "_slot", ts_col)
-        .pivot(tag_col, tags)
+        .pivot(tag_col, all_tags)
         .agg(F.first(value_col, ignorenulls=True))
     )
-    out = wide.select(
-        component_col,
-        "_slot",
-        F.date_format(ts_col, TRAINING_TS_FORMAT).alias("Timestamp"),
-        *tags,
+    ts_str = F.date_format(ts_col, TRAINING_TS_FORMAT)
+    data = wide.select(
+        F.col(component_col),
+        F.col("_slot"),
+        F.lit(1).alias("_ord"),
+        ts_str.alias("_ts"),
+        _component_line_expr(comp_tags, component_col, ts_str).alias("_line"),
+    )
+    # per-(component, slot) header rows: slots are derived from the data,
+    # so the header set is a tiny distinct branch of the same lineage
+    headers = (
+        wide.select(component_col, "_slot")
+        .distinct()
+        .select(
+            component_col,
+            "_slot",
+            F.lit(0).alias("_ord"),
+            F.lit("").alias("_ts"),
+            _component_header_expr(comp_tags, component_col).alias("_line"),
+        )
     )
     staging = os.path.join(out_dir, "_staging")
     # partition cols lead the in-partition sort so the file writer's
-    # required ordering is satisfied and Timestamps stay time-sorted
+    # required ordering is satisfied: header first, then time-sorted rows
     # (reference chunk CSVs are sequential, dataset.py:303-334)
     (
-        out.repartition(F.col(component_col), F.col("_slot"))
-        .sortWithinPartitions(component_col, "_slot", "Timestamp")
+        data.unionByName(headers)
+        .repartition(F.col(component_col), F.col("_slot"))
+        .sortWithinPartitions(component_col, "_slot", "_ord", "_ts")
+        .select(component_col, "_slot", "_line")
         .write.mode("overwrite")
-        .option("header", True)
         .partitionBy(component_col, "_slot")
-        .csv(staging)
+        .text(staging)
     )
     written: list[str] = []
     for comp_dir in sorted(glob.glob(os.path.join(staging, f"{component_col}=*"))):
         comp = os.path.basename(comp_dir).split("=", 1)[1]
         for slot_dir in sorted(glob.glob(os.path.join(comp_dir, "_slot=*"))):
             slot = os.path.basename(slot_dir).split("=", 1)[1]
-            parts = glob.glob(os.path.join(slot_dir, "part-*.csv"))
+            parts = glob.glob(os.path.join(slot_dir, "part-*.txt"))
             if not parts:
                 continue
             dest = os.path.join(out_dir, f"{comp}{delimiter}{slot}.csv")
             if len(parts) == 1:
                 shutil.move(parts[0], dest)
-            else:  # defensive: concatenate (repartition should prevent this)
+            else:  # defensive: concatenate (repartition should prevent
+                # this; header lines are data rows here, so no stripping)
                 with open(dest, "wb") as fout:
-                    for i, p in enumerate(sorted(parts)):
+                    for p in sorted(parts):
                         with open(p, "rb") as fin:
-                            data = fin.read()
-                            if i > 0:  # strip duplicate header
-                                data = data.split(b"\n", 1)[1]
-                            fout.write(data)
+                            fout.write(fin.read())
             written.append(dest)
     shutil.rmtree(staging)
     return written

@@ -73,7 +73,10 @@ def test_component_csv_sink_and_schema_inference(spark, tmp_path):
     doc = sch.create_data_schema_from_dir(tree, spark)
     parsed = sch.parse_data_schema(doc)
     assert parsed["pump"].fields[0] == "Timestamp"
-    assert set(parsed["pump"].fields[1:]) == {"m1", "p1", "p2"}
+    # per-component columns (reference dataset.py:160-162): pump's file
+    # carries pump's sensors only, never motor's
+    assert set(parsed["pump"].fields[1:]) == {"p1", "p2"}
+    assert set(parsed["motor"].fields[1:]) == {"m1"}
     # reference CSVs are time-sorted within each component (dataset.py:154-167)
     for d in comp_dirs:
         for csv_file in glob.glob(os.path.join(out, d, "*.csv")):
@@ -117,7 +120,7 @@ def test_component_csv_roundtrip_read(spark, tmp_path):
     out = str(tmp_path / "train_data")
     long_df = _long_df(spark)
     write_component_csvs(long_df, out)
-    st = sch.ComponentSchema("pump", ["Timestamp", "m1", "p1", "p2"]).to_struct_type()
+    st = sch.ComponentSchema("pump", ["Timestamp", "p1", "p2"]).to_struct_type()
     back = read_component_csv(
         spark,
         os.path.join(out, "component=pump"),
@@ -126,8 +129,8 @@ def test_component_csv_roundtrip_read(spark, tmp_path):
     )
     assert back.count() == 30
     assert back.filter(F.col("p1").isNull()).count() == 0
-    # motor rows live in their own partition; pump partition has null m1
-    assert back.filter(F.col("m1").isNotNull()).count() == 0
+    # motor's sensors never appear in pump's files (dataset.py:160-162)
+    assert "m1" not in back.columns
 
 
 def test_inference_chunk_sink_contract(spark, tmp_path):
@@ -146,9 +149,12 @@ def test_inference_chunk_sink_contract(spark, tmp_path):
         "pump_20240101001000.csv",
         "pump_20240101002000.csv",
     ]
-    with open(written[0]) as f:
-        header = f.readline().strip().split(",")
-    assert header[0] == "Timestamp"
+    # per-component headers: each chunk carries only its own sensors
+    with open(written[0]) as f:  # motor_...
+        assert f.readline().strip() == "Timestamp,m1"
+    pump_file = [p for p in written if "pump" in os.path.basename(p)][0]
+    with open(pump_file) as f:
+        assert f.readline().strip() == "Timestamp,p1,p2"
 
 
 def test_labels_tags_timeranges_readers(spark, tmp_path):
