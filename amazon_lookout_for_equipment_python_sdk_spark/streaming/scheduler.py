@@ -485,6 +485,7 @@ class InferenceScheduler:
             while t + freq + delay <= now:
                 candidates.setdefault(self._stamp_for_slot(t), (t, set()))
                 t += freq
+        expected_comps = set(cfg.components) | set(cfg.component_columns or {})
         n_recorded = 0
         for stamp in sorted(candidates):
             slot, comps = candidates[stamp]
@@ -492,7 +493,7 @@ class InferenceScheduler:
                 continue
             if slot + freq + delay > now:
                 continue  # still inside the delay allowance
-            missing = sorted(set(cfg.components) - set(comps))
+            missing = sorted(expected_comps - set(comps))
             if missing:
                 names = [f"{c}{cfg.delimiter}{stamp}.csv" for c in missing]
                 self._record_execution(

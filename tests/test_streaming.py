@@ -949,3 +949,64 @@ def test_streaming_dedup_exact(spark, tmp_path):
     texts = sorted(r["text"] for r in rows)
     assert texts == ["alpha doc", "beta doc", "gamma doc"]
     assert len({r["text"] for r in rows}) == len(rows)
+
+
+def test_replay_to_percomponent_scheduler_roundtrip(spark, tmp_path):
+    """Integration seam: generate_replay_data now writes per-component
+    columns (S9 fidelity), and the per-component scheduler must consume
+    its own replay output end-to-end — validated headers, merged feature
+    rows, get_predictions over the results."""
+    rows = []
+    for i in range(10):
+        ts = f"2024-01-01 00:{i:02d}:00"
+        rows.append((ts, "pump", "flow", 1.0 + i))
+        rows.append((ts, "pump", "pressure", 7.0 + i))
+        rows.append((ts, "motor", "rpm", 900.0 + i))
+    df = spark.createDataFrame(
+        rows, "ts string, component string, tag string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "component", "tag", "value")
+    indir = tmp_path / "replay_in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    report = generate_replay_data(
+        df, str(indir), start_at=datetime(2024, 6, 1, 12, 0, 0),
+        frequency_minutes=5, duration_minutes=10,
+    )
+    assert report["empty_slots"] == []
+    # per-component columns in the replay files (S9 <-> ST2 contract)
+    with open(indir / "pump_20240601115000.csv") as f:
+        assert f.readline().strip() == "Timestamp,flow,pressure"
+    with open(indir / "motor_20240601115000.csv") as f:
+        assert f.readline().strip() == "Timestamp,rpm"
+
+    def score_fn(batch):
+        return batch.select(
+            F.col("Timestamp").alias("timestamp"),
+            F.when(
+                F.col("flow").isNotNull() & F.col("rpm").isNotNull(), 1
+            ).otherwise(0).alias("prediction"),
+        )
+
+    cfg = SchedulerConfig(
+        scheduler_name="rtpc",
+        input_dir=str(indir),
+        output_dir=str(outdir),
+        components=["pump", "motor"],
+        tags=[],
+        frequency="PT5M",
+        component_columns={
+            "pump": ["Timestamp", "flow", "pressure"],
+            "motor": ["Timestamp", "rpm"],
+        },
+    )
+    sched = InferenceScheduler(spark, cfg, score_fn)
+    sched.create()
+    sched.start(available_now=True)
+    sched.await_termination()
+    sched.stop()
+    execs = sched.list_inference_executions().collect()
+    assert sorted(e["status"] for e in execs) == ["SUCCESS", "SUCCESS"]
+    preds = sched.get_predictions().collect()
+    # every slot row has both components' sensors -> all predictions 1
+    assert len(preds) == 10
+    assert all(r["prediction"] == 1 for r in preds)
