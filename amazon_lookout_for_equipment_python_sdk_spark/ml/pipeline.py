@@ -56,7 +56,9 @@ class ModelConfig:
     threshold_quantile: float = 0.99
     #: transform-time missing-tag guard (see _prepare_wide); disable for
     #: huge batch scoring runs where the single-partition count window on
-    #: the pivoted slot table would bottleneck
+    #: the pivoted slot table would bottleneck.  DOCUMENTED TRADE: with
+    #: the guard off, a missing trained tag pivots to an all-null column
+    #: and na.drop() yields an EMPTY transform output instead of an error
     validate_inputs: bool = True
     #: recorded for request parity (model.py:166-192); the training window
     #: is applied by fit() via training_start/end, the evaluation window by

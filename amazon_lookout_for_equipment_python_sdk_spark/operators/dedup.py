@@ -222,7 +222,7 @@ def minhash_candidate_pairs(
     cap_observation=None,
     carry_shingles: bool = False,
 ) -> DataFrame:
-    """Fused LSH candidate pairs — ONE shuffle end-to-end.
+    """Fused LSH candidate pairs — one CORPUS-sized shuffle end-to-end.
 
     The (id, signature[, shingle-array]) member struct rides THROUGH the
     (band, bucket) groupBy, and cross-band duplicate pairs are eliminated
@@ -234,6 +234,11 @@ def minhash_candidate_pairs(
     shuffle for the distinct and (for verification) two more joins back to
     per-doc arrays; each shuffle is a stage barrier at any scale and the
     O(candidates) distinct is pure overhead.
+
+    With ``max_bucket`` set, ownership would be wrong (a pair whose first
+    matching band's bucket was dropped must still surface via a surviving
+    band), so the capped path dedups with a pair-level groupBy instead —
+    an extra shuffle, but over candidate pairs, never the corpus.
 
     ``carry_shingles=True`` adds each doc's shingle array to the member
     struct (columns ``_sha``/``_shb`` on the output) so an exact verify
@@ -284,20 +289,32 @@ def minhash_candidate_pairs(
     pairs = grouped.select(
         "band", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
     ).select(*cols)
-    # bands whose signature slices agree for this pair (statically
-    # unrolled — bands is tiny); non-empty by construction (the current
-    # band's bucket matched).  The pair belongs to its FIRST matching band.
-    match_flags = F.array(
-        *[
-            F.slice(F.col("_ga"), b * rpb + 1, rpb)
-            == F.slice(F.col("_gb"), b * rpb + 1, rpb)
-            for b in range(bands)
-        ]
-    )
-    first_match = F.array_position(match_flags, F.lit(True)) - 1
-    out = pairs.filter(first_match == F.col("band"))
-    keep = ["a", "b"] + (["_sha", "_shb"] if carry_shingles else [])
-    return out.select(*keep)
+    payload = ["_sha", "_shb"] if carry_shingles else []
+    if max_bucket is None:
+        # cross-band dedup by FIRST-MATCHING-BAND ownership (statically
+        # unrolled — bands is tiny); the match set is non-empty by
+        # construction (the current band's bucket matched).  Exact ONLY
+        # when no bucket can be dropped: with a cap, a pair whose first
+        # matching band was capped must still be emitted by a later
+        # surviving band, so the capped path dedups at the pair level
+        # instead (below).
+        match_flags = F.array(
+            *[
+                F.slice(F.col("_ga"), b * rpb + 1, rpb)
+                == F.slice(F.col("_gb"), b * rpb + 1, rpb)
+                for b in range(bands)
+            ]
+        )
+        first_match = F.array_position(match_flags, F.lit(True)) - 1
+        out = pairs.filter(first_match == F.col("band"))
+        return out.select("a", "b", *payload)
+    # capped: dedup across surviving band expansions — one extra shuffle,
+    # but over CANDIDATE PAIRS (small by design), never the corpus
+    if payload:
+        return pairs.groupBy("a", "b").agg(
+            *[F.first(c).alias(c) for c in payload]
+        )
+    return pairs.select("a", "b").distinct()
 
 
 def _pairs_in_list(ids: Column) -> Column:
@@ -627,13 +644,17 @@ def simhash_near_pairs(
     is EXACT — no recall loss, no quadratic self-join.  Returns
     (a, b, hamming).
 
-    One groupBy, zero joins: the (id, simhash) pair rides THROUGH the
-    (band, chunk) buckets as a struct, so candidate pairs come out already
-    carrying both signatures and the ``bit_count(xor)`` verify is row-local
-    — the previous shape joined the signature table back twice (2 extra
-    shuffles + 2 recomputes of the signature UDF).  ``max_bucket`` is the
+    Zero joins: the (id, simhash) pair rides THROUGH the (band, chunk)
+    buckets as a struct, so candidate pairs come out already carrying both
+    signatures and the ``bit_count(xor)`` verify is row-local — the
+    previous shape joined the signature table back twice (2 extra shuffles
+    + 2 recomputes of the signature UDF).  ``max_bucket`` is the
     posting-list cap (a chunk bucket bigger than this is exact-dup mass;
-    dedup_exact first)."""
+    dedup_exact first); with the cap on, a pair ALL of whose shared chunks
+    live in over-cap buckets is dropped (that is the cap's documented
+    semantics), while a pair with any surviving shared chunk is kept —
+    cross-band dedup then runs at the pair level; uncapped, dedup is the
+    zero-shuffle first-matching-band ownership filter."""
     chunk_bits = 48 // bands
     if max_hamming > bands - 1:
         raise ValueError(
@@ -672,25 +693,35 @@ def simhash_near_pairs(
         F.col("_p.a.s").alias("_sa"),
         F.col("_p.b.s").alias("_sb"),
     )
-    # first-matching-band ownership replaces the cross-band distinct (one
-    # fewer shuffle): the pair's matching chunks recompute row-local from
-    # the carried signatures, and only the lowest matching band emits it
-    chunk_mask = (1 << chunk_bits) - 1
-    match_flags = F.array(
-        *[
-            F.shiftright(F.col("_sa"), k * chunk_bits).bitwiseAND(
-                F.lit(chunk_mask)
-            )
-            == F.shiftright(F.col("_sb"), k * chunk_bits).bitwiseAND(
-                F.lit(chunk_mask)
-            )
-            for k in range(bands)
-        ]
-    )
-    first_match = F.array_position(match_flags, F.lit(True)) - 1
+    if max_bucket is None:
+        # first-matching-band ownership replaces the cross-band distinct
+        # (one fewer shuffle): the pair's matching chunks recompute
+        # row-local from the carried signatures, and only the lowest
+        # matching band emits it.  Only exact without a cap — see
+        # minhash_candidate_pairs for the capped rationale.
+        chunk_mask = (1 << chunk_bits) - 1
+        match_flags = F.array(
+            *[
+                F.shiftright(F.col("_sa"), k * chunk_bits).bitwiseAND(
+                    F.lit(chunk_mask)
+                )
+                == F.shiftright(F.col("_sb"), k * chunk_bits).bitwiseAND(
+                    F.lit(chunk_mask)
+                )
+                for k in range(bands)
+            ]
+        )
+        first_match = F.array_position(match_flags, F.lit(True)) - 1
+        deduped = pairs.filter(first_match == F.col("band"))
+    else:
+        # capped: a pair found via any SURVIVING chunk must be kept even
+        # if an earlier matching chunk's bucket was dropped — dedup at the
+        # pair level (shuffle over candidates, not corpus)
+        deduped = pairs.groupBy("a", "b").agg(
+            F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
+        )
     return (
-        pairs.filter(first_match == F.col("band"))
-        .withColumn(
+        deduped.withColumn(
             "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -207,10 +207,11 @@ def write_inference_chunks(
         ts_str.alias("_ts"),
         _component_line_expr(comp_tags, component_col, ts_str).alias("_line"),
     )
-    # per-(component, slot) header rows: slots are derived from the data,
-    # so the header set is a tiny distinct branch of the same lineage
+    # per-(component, slot) header rows: the pair set comes from the
+    # PRE-pivot lineage (slotted) — deriving it from `wide` would re-run
+    # the whole groupBy+pivot aggregate just to enumerate header keys
     headers = (
-        wide.select(component_col, "_slot")
+        slotted.select(component_col, "_slot")
         .distinct()
         .select(
             component_col,

@@ -139,12 +139,14 @@ class SchedulerConfig:
 
     @property
     def all_tags(self) -> list[str]:
-        """Ordered union of every component's sensor columns."""
+        """Ordered union of every component's sensor columns — components
+        not keyed in ``component_columns`` contribute their ``tags``
+        fallback, so a partial dict still covers every expected file."""
         if not self.component_columns:
             return list(self.tags)
         seen: list[str] = []
-        for comp in sorted(self.component_columns):
-            for c in self.component_columns[comp]:
+        for comp in sorted(set(self.components) | set(self.component_columns)):
+            for c in self.columns_for(comp):
                 if c != "Timestamp" and c not in seen:
                     seen.append(c)
         return seen
@@ -186,10 +188,17 @@ class InferenceScheduler:
         """``score_fn(batch_wide_df) -> DataFrame`` with columns
         (timestamp, prediction, anomaly_score, diagnostics).  ``now_fn``
         injects the wall clock for the ST3 due-slot audit (tests)."""
+        from datetime import timezone
+
         self.spark = spark
         self.config = config
         self.score_fn = score_fn
-        self.now_fn = now_fn or datetime.now
+        # naive slots are UTC wall time everywhere in this engine, so the
+        # audit clock must be UTC too — a local datetime.now() on a UTC+k
+        # driver would declare slots due k hours early (or late)
+        self.now_fn = now_fn or (
+            lambda: datetime.now(timezone.utc).replace(tzinfo=None)
+        )
         self.query = None
         self._executions: list[tuple] = []
         #: ST3 bookkeeping: slot stamp -> (slot_start, components arrived)
@@ -201,6 +210,16 @@ class InferenceScheduler:
         self._seed_audited_slots()
 
     def _seed_audited_slots(self) -> None:
+        """Re-learn audited slots from the durable log so a restarted
+        scheduler neither double-records a missing-file FAILED row nor
+        (worse) re-audits an already-SCORED slot as fully missing — after
+        a restart ``_arrived`` is empty, so without seeding the SUCCESS
+        stamps a grid audit (``since=...``) would see every past slot as
+        file-less.  Trade-off, documented: a slot that was scored
+        partially (SUCCESS) before the restart is considered audited, so
+        a missing-component FAILED row it hadn't earned yet is not
+        recorded after the restart (the audit rows don't carry per-
+        component arrivals)."""
         import json as _json
 
         path = self._audit_path()
@@ -216,6 +235,9 @@ class InferenceScheduler:
                 m = re.match(r"missing input files for slot (\S+):", out)
                 if row.get("status") == "FAILED" and m:
                     self._audited_slots.add(m.group(1))
+                m2 = re.search(r"results_(.+)\.jsonl$", out)
+                if row.get("status") == "SUCCESS" and m2:
+                    self._audited_slots.add(m2.group(1))
 
     # -- create/start/stop/delete (reference scheduler.py:408-512) ----------
 
@@ -253,15 +275,21 @@ class InferenceScheduler:
             # per-component file contract (reference scheduler.py:196-209):
             # one stream per component with ITS schema, aligned onto the
             # union of all sensors (absent sensors = null) and unioned.
+            # Components not keyed in component_columns fall back to
+            # cfg.tags (columns_for), so a partial dict can't silently
+            # drop a component's files while the audit still expects them.
             # Each source tracks its own files in the shared checkpoint.
+            comps = sorted(set(cfg.components) | set(cfg.component_columns))
             all_tags = cfg.all_tags
             stream = None
-            for comp in sorted(cfg.component_columns):
+            for comp in comps:
                 cols = cfg.columns_for(comp)
-                s = _reader(
-                    cols,
-                    os.path.join(cfg.input_dir, f"{comp}{cfg.delimiter}*.csv"),
-                ).select(
+                if not cols:
+                    raise ValueError(
+                        f"component {comp!r} has no sensor columns (set "
+                        "component_columns[comp] or tags)"
+                    )
+                s = _reader(cols, self._component_glob(comp)).select(
                     "Timestamp",
                     *[
                         F.col(t) if t in cols
@@ -313,6 +341,25 @@ class InferenceScheduler:
     def await_termination(self, timeout: int | None = None) -> None:
         if self.query is not None:
             self.query.awaitTermination(timeout)
+
+    def _component_glob(self, component: str) -> str:
+        """Glob for one component's slot files, with the stamp shape baked
+        in so a component whose name extends another's by a delimiter
+        ('pump' vs 'pump_unit' with '_') never matches its sibling's
+        files — 'pump_*' would read pump_unit_20240101.csv with pump's
+        schema and fail header validation for the whole stream."""
+        cfg = self.config
+        stamp_glob = {
+            "yyyyMMddHHmmss": "[0-9]" * 14,
+            "yyyy-MM-dd-HH-mm-ss": (
+                "[0-9]" * 4 + "-" + "[0-9]" * 2 + "-" + "[0-9]" * 2
+                + "-" + "[0-9]" * 2 + "-" + "[0-9]" * 2 + "-" + "[0-9]" * 2
+            ),
+            "EPOCH": "[0-9]*",
+        }[cfg.filename_ts_format]
+        return os.path.join(
+            cfg.input_dir, f"{component}{cfg.delimiter}{stamp_glob}.csv"
+        )
 
     # -- per-batch processing (ST2+ST4+ST5) ----------------------------------
 
@@ -442,9 +489,33 @@ class InferenceScheduler:
                     .partitionBy("_slot_str")
                     .text(staging)
                 )
-            except Exception as e:  # noqa: BLE001 — whole-write failure
-                for slot, stamp, n_in in ok_slots:
-                    self._record_execution(slot, secs, "FAILED", n_in, 0, str(e))
+            except Exception:  # noqa: BLE001
+                # fault isolation: one slot's runtime failure must not
+                # take the batch's healthy slots down with it (their input
+                # files are consumed by this batch and never re-delivered)
+                # — fall back to independent per-slot writes, recording
+                # FAILED only for the slots that actually fail
+                shutil.rmtree(staging, ignore_errors=True)
+                for (slot, stamp, n_in), lines in zip(ok_slots, branches):
+                    try:
+                        lines.drop("_slot_str").orderBy("value").coalesce(
+                            1
+                        ).write.mode("overwrite").text(
+                            os.path.join(staging, f"_slot_str={stamp}")
+                        )
+                        n_scored = self._move_slot_parts(
+                            staging, stamp, batch_id
+                        )
+                        self._record_execution(
+                            slot, secs, "SUCCESS", n_in, n_scored,
+                            os.path.join(
+                                cfg.output_dir, f"results_{stamp}.jsonl"
+                            ),
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        self._record_execution(
+                            slot, secs, "FAILED", n_in, 0, str(e)
+                        )
             else:
                 for slot, stamp, n_in in ok_slots:
                     out_path = os.path.join(

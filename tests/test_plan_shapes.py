@@ -72,18 +72,23 @@ def test_flagship_windows_are_per_key(spark):
     assert sorts and all("event_type" in s for s in sorts), plan
 
 
-def test_fused_lsh_paths_single_shuffle(spark):
+def test_fused_lsh_paths_shuffle_budget(spark):
     """The fused LSH shapes (signature/vector structs riding through the
-    bucket groupBy, first-matching-band ownership instead of a distinct,
-    verify on carried payloads) are exactly ONE exchange end-to-end — a
-    regression to join-back-and-distinct shows up as extra exchanges."""
-    for name in (
-        "ngram_jaccard_lsh",
-        "minhash_lsh_candidates",
-        "simhash_near_pairs",
-        "embedding_near_dup",
+    bucket groupBy, verify on carried payloads, no joins back to per-doc
+    tables): exactly one CORPUS-sized exchange.  The capped queries add
+    one pair-level dedup exchange (candidates only — required for
+    correctness when a bucket can be dropped); the uncapped
+    embedding_near_dup uses first-matching-band ownership and stays at
+    one.  A regression to join-back-and-distinct shows up as extra
+    exchanges."""
+    for name, max_exchanges in (
+        ("ngram_jaccard_lsh", 2),
+        ("minhash_lsh_candidates", 2),
+        ("simhash_near_pairs", 2),
+        ("embedding_near_dup", 1),
     ):
         plan = _plan(spark, name)
-        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        n = plan.count("Exchange hashpartitioning")
+        assert 1 <= n <= max_exchanges, (name, n, plan)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name

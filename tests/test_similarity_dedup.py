@@ -276,9 +276,14 @@ def test_fused_candidates_equal_legacy_distinct_path(spark):
             dd.minhash_banded(df, 8, 2, 3), "doc_id"
         ).collect()
     }
-    fused = [
-        (r["a"], r["b"])
-        for r in dd.minhash_candidate_pairs(df, 8, 2, 3).collect()
-    ]
-    assert len(fused) == len(set(fused)), "fused path emitted duplicates"
-    assert set(fused) == legacy
+    # both dedup strategies: pair-level groupBy (capped, the default) and
+    # first-matching-band ownership (uncapped)
+    for mb in (10_000, None):
+        fused = [
+            (r["a"], r["b"])
+            for r in dd.minhash_candidate_pairs(
+                df, 8, 2, 3, max_bucket=mb
+            ).collect()
+        ]
+        assert len(fused) == len(set(fused)), (mb, "duplicates emitted")
+        assert set(fused) == legacy, mb
