@@ -80,40 +80,49 @@ def _shingle_array(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFra
     ).filter(F.size("_sh") > 0)
 
 
-#: permutations carved per md5 digest: 32 hex chars -> 4 x 8-hex (32-bit)
-#: slices.  One salted md5 per shingle feeds 4 permutations, so 8 perms
-#: cost 2 md5 calls per shingle instead of 8 — md5 is the dominant cost of
-#: the whole MinHash pipeline (BENCH r1: 4.5s of honest md5 compute).
-_PERMS_PER_DIGEST = 4
+#: universal-hash permutation constants: perm p of a 48-bit base hash h is
+#: ``(A[p]*h + B[p]) mod P`` with P the largest prime below 2^32.  One md5
+#: per shingle feeds ALL permutations (r2 paid 2 md5 calls via the
+#: 4-slices-per-digest trick; md5 is the dominant JVM cost of the whole
+#: MinHash pipeline, and the multiply-add is free next to it).  A[p] < 2^15
+#: keeps ``A[p]*h < 2^63`` — no 64-bit overflow, so Spark and the DuckDB
+#: oracle (both BIGINT) compute identical values.
+_PERM_A = [9973, 12007, 14033, 16061, 18041, 20063, 22073, 24091]
+_PERM_B = [1, 7, 13, 19, 29, 37, 43, 53]
+_PERM_P = 4_294_967_291  # largest prime < 2^32
 
 
-def _digest_col(salt: int) -> "F.Column":
-    """array of md5('salt|shingle') over the doc's shingle array —
-    materialized once per salt so codegen shares it across the 4
-    permutations sliced from it."""
+def _h48_col() -> "F.Column":
+    """array<long> of 48-bit base hashes over the doc's shingle array: the
+    first 12 hex chars of one md5 per shingle — materialized once so
+    codegen shares it across every permutation derived from it."""
     return F.transform(
         F.col("_sh"),
-        lambda s: F.md5(F.concat_ws("|", F.lit(str(salt)), s)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
+
+
+def _perm_expr(p: int):
+    """h -> permutation p of h (closure, NOT default-arg lambda: a
+    default arg would raise transform's lambda arity and bind the array
+    index instead)."""
+    a, b = _PERM_A[p], _PERM_B[p]
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_PERM_P)
 
 
 def _perm_min(p: int) -> "F.Column":
-    """Permutation p's minhash: min over shingles of the p-th 8-hex slice
-    of the salted digest array ``_d{p // 4}`` (fixed-width hex, so the
-    lexicographic array_min IS the numeric 32-bit min)."""
-    chunk = (p % _PERMS_PER_DIGEST) * 8 + 1
-    return F.array_min(
-        F.transform(
-            F.col(f"_d{p // _PERMS_PER_DIGEST}"),
-            lambda h: F.substring(h, chunk, 8),
-        )
-    )
+    """Permutation p's minhash: numeric min over the doc's base-hash array
+    ``_h`` of the p-th universal-hash permutation."""
+    return F.array_min(F.transform(F.col("_h"), _perm_expr(p)))
 
 
 def _with_digests(docs: DataFrame, num_perm: int) -> DataFrame:
-    for salt in range((num_perm + _PERMS_PER_DIGEST - 1) // _PERMS_PER_DIGEST):
-        docs = docs.withColumn(f"_d{salt}", _digest_col(salt))
-    return docs
+    if num_perm > len(_PERM_A):
+        raise ValueError(
+            f"num_perm {num_perm} exceeds the {len(_PERM_A)} fixed "
+            "permutation constants — extend _PERM_A/_PERM_B"
+        )
+    return docs.withColumn("_h", _h48_col())
 
 
 def minhash_signatures(
@@ -123,14 +132,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature rows: (id, perm, minhash-hex).
+    """MinHash signature rows: (id, perm, minhash: long).
 
-    Permutation p's hash of shingle s is the p-th 8-hex-char slice of
-    ``md5((p div 4) || '|' || s)`` — 4 independent 32-bit permutations per
-    salted digest, so 8 perms need only 2 md5 calls per shingle (md5 is the
-    dominant pipeline cost).  The signature entry is the lexicographic
-    minimum of a fixed-width hex slice — deterministic, portable, and equal
-    to the numeric min.
+    Permutation p's hash of shingle s is ``(A[p]*h48(s) + B[p]) mod P``
+    where ``h48(s)`` is the first 12 hex chars of md5(s) as a 48-bit int
+    and P is the largest prime < 2^32 — ONE md5 per shingle feeds all
+    permutations (md5 is the dominant pipeline cost; the multiply-add is
+    free), and every step is exact 63-bit-safe integer arithmetic, so the
+    DuckDB oracle reproduces it bit-for-bit.
 
     Scale: entirely row-local — the per-perm minimum is ``array_min`` over
     the doc's shingle array inside whole-stage codegen, so signatures cost
@@ -152,30 +161,26 @@ def minhash_signatures(
 
 
 def _sig_col(num_perm: int) -> Column:
-    """array<string> of the num_perm minhash values (from ``_d*`` digests)."""
+    """array<long> of the num_perm minhash values (from the ``_h`` base
+    hashes)."""
     return F.array(*[_perm_min(p) for p in range(num_perm)])
 
 
 def _band_entries_from_sig(num_perm: int, bands: int) -> Column:
     """array<struct<band,bucket>> from the ``_sig`` column: bucket key is
-    the sorted concat of ``perm:minhash`` entries inside the band."""
+    the ``:``-joined minhash values inside the band, in permutation order
+    (fixed order — deterministic without any sort)."""
     rpb = num_perm // bands
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "",
-                    F.array_sort(
-                        F.array(
-                            *[
-                                F.concat_ws(
-                                    ":", F.lit(str(p)), F.col("_sig")[p]
-                                )
-                                for p in range(b * rpb, (b + 1) * rpb)
-                            ]
-                        )
-                    ),
+                    ":",
+                    *[
+                        F.col("_sig")[p].cast("string")
+                        for p in range(b * rpb, (b + 1) * rpb)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -262,21 +267,6 @@ def minhash_candidate_pairs(
         F.struct(*fields).alias("_m"),
         F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e"),
     ).select("_m", F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"))
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    if max_bucket is not None:
-        if cap_observation is not None:
-            grouped = grouped.observe(
-                cap_observation,
-                F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
-                    "dropped_buckets"
-                ),
-                F.max(F.size("_ids")).alias("max_bucket_seen"),
-            )
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     cols = [
         F.col("_p.a.i").alias("a"),
         F.col("_p.b.i").alias("b"),
@@ -286,35 +276,21 @@ def minhash_candidate_pairs(
     ]
     if carry_shingles:
         cols += [F.col("_p.a.h").alias("_sha"), F.col("_p.b.h").alias("_shb")]
-    pairs = grouped.select(
-        "band", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+    pairs = _expand_bucket_pairs(
+        banded, "band", max_bucket, cap_observation
     ).select(*cols)
+    # per-band collision flags, recomputed row-local from the carried
+    # signatures (statically unrolled — bands is tiny); non-empty by
+    # construction (the current band's bucket matched)
+    match_flags = F.array(
+        *[
+            F.slice(F.col("_ga"), b * rpb + 1, rpb)
+            == F.slice(F.col("_gb"), b * rpb + 1, rpb)
+            for b in range(bands)
+        ]
+    )
     payload = ["_sha", "_shb"] if carry_shingles else []
-    if max_bucket is None:
-        # cross-band dedup by FIRST-MATCHING-BAND ownership (statically
-        # unrolled — bands is tiny); the match set is non-empty by
-        # construction (the current band's bucket matched).  Exact ONLY
-        # when no bucket can be dropped: with a cap, a pair whose first
-        # matching band was capped must still be emitted by a later
-        # surviving band, so the capped path dedups at the pair level
-        # instead (below).
-        match_flags = F.array(
-            *[
-                F.slice(F.col("_ga"), b * rpb + 1, rpb)
-                == F.slice(F.col("_gb"), b * rpb + 1, rpb)
-                for b in range(bands)
-            ]
-        )
-        first_match = F.array_position(match_flags, F.lit(True)) - 1
-        out = pairs.filter(first_match == F.col("band"))
-        return out.select("a", "b", *payload)
-    # capped: dedup across surviving band expansions — one extra shuffle,
-    # but over CANDIDATE PAIRS (small by design), never the corpus
-    if payload:
-        return pairs.groupBy("a", "b").agg(
-            *[F.first(c).alias(c) for c in payload]
-        )
-    return pairs.select("a", "b").distinct()
+    return _dedup_cross_band(pairs, match_flags, "band", max_bucket, payload)
 
 
 def _pairs_in_list(ids: Column) -> Column:
@@ -329,6 +305,76 @@ def _pairs_in_list(ids: Column) -> Column:
             ),
         )
     )
+
+
+def _expand_bucket_pairs(
+    banded: DataFrame,
+    band_col: str = "band",
+    max_bucket: int | None = None,
+    cap_observation=None,
+) -> DataFrame:
+    """Shared LSH bucket -> candidate-pair skeleton: group members by
+    (band, bucket), apply the posting-list cap, expand each bucket's
+    members into (a < b) pairs row-local.
+
+    ``banded`` carries (``_m`` member column — an id or a payload struct —
+    ``band_col``, ``bucket``); output is (``band_col``, ``_p``) pair rows
+    with ``_p.a``/``_p.b`` the two members.  This is the one groupBy
+    shuffle of every LSH path (MinHash, SimHash, hyperplane); cross-band
+    dedup is the CALLER's job via :func:`_dedup_cross_band` because the
+    payload columns differ per operator.
+
+    ``max_bucket`` drops over-cap buckets (quadratic-pair mass on
+    degenerate corpora); ``cap_observation`` (a
+    ``pyspark.sql.Observation``) records ``dropped_buckets`` /
+    ``max_bucket_seen`` during the caller's action, zero extra jobs."""
+    grouped = (
+        banded.groupBy(band_col, "bucket")
+        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket is not None:
+        if cap_observation is not None:
+            grouped = grouped.observe(
+                cap_observation,
+                F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.max(F.size("_ids")).alias("max_bucket_seen"),
+            )
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    return grouped.select(
+        band_col, F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+    )
+
+
+def _dedup_cross_band(
+    pairs: DataFrame,
+    match_flags: Column,
+    band_col: str,
+    max_bucket: int | None,
+    payload: list[str],
+) -> DataFrame:
+    """Cross-band pair dedup, shared by every fused LSH path.
+
+    Uncapped: FIRST-MATCHING-BAND ownership — ``match_flags`` is the
+    per-band "this pair's keys collide in band b" boolean array, recomputed
+    row-local from carried payloads, and only the lowest matching band
+    emits the pair: zero extra shuffle, exact when no bucket can be
+    dropped.  Capped: a pair whose first matching band was dropped must
+    still surface via a surviving band, so ownership is wrong — dedup at
+    the pair level instead (one extra shuffle, but over CANDIDATE PAIRS,
+    never the corpus).  Output columns: a, b, *payload."""
+    if max_bucket is None:
+        first_match = F.array_position(match_flags, F.lit(True)) - 1
+        return pairs.filter(first_match == F.col(band_col)).select(
+            "a", "b", *payload
+        )
+    if payload:
+        return pairs.groupBy("a", "b").agg(
+            *[F.first(c).alias(c) for c in payload]
+        )
+    return pairs.select("a", "b").distinct()
 
 
 def candidate_pairs_from_banded(
@@ -354,23 +400,13 @@ def candidate_pairs_from_banded(
     action (zero extra jobs) so capped runs leave an auditable stat
     instead of silently shrinking the candidate set.
     """
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    if max_bucket is not None:
-        if cap_observation is not None:
-            grouped = grouped.observe(
-                cap_observation,
-                F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
-                    "dropped_buckets"
-                ),
-                F.max(F.size("_ids")).alias("max_bucket_seen"),
-            )
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return (
-        grouped.select(F.explode(_pairs_in_list(F.col("_ids"))).alias("_p"))
+        _expand_bucket_pairs(
+            banded.select(F.col(id_col).alias("_m"), "band", "bucket"),
+            "band",
+            max_bucket,
+            cap_observation,
+        )
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
@@ -394,8 +430,16 @@ def lsh_candidate_pairs(
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
+            # sort by perm, then join the minhash values in that fixed
+            # order — identical key construction to _band_entries_from_sig
             F.concat_ws(
-                "", F.array_sort(F.collect_list(F.concat_ws(":", F.col("perm").cast("string"), "minhash")))
+                ":",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ),
+                    lambda e: e["minhash"].cast("string"),
+                ),
             ).alias("bucket")
         )
     )
@@ -677,49 +721,30 @@ def simhash_near_pairs(
     banded = sigs.select(
         member.alias("_m"), F.explode(chunk_entries).alias("_e")
     ).select("_m", F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"))
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
-    pairs = grouped.select(
-        "band", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
-    ).select(
+    pairs = _expand_bucket_pairs(banded, "band", max_bucket).select(
         "band",
         F.col("_p.a.i").alias("a"),
         F.col("_p.b.i").alias("b"),
         F.col("_p.a.s").alias("_sa"),
         F.col("_p.b.s").alias("_sb"),
     )
-    if max_bucket is None:
-        # first-matching-band ownership replaces the cross-band distinct
-        # (one fewer shuffle): the pair's matching chunks recompute
-        # row-local from the carried signatures, and only the lowest
-        # matching band emits it.  Only exact without a cap — see
-        # minhash_candidate_pairs for the capped rationale.
-        chunk_mask = (1 << chunk_bits) - 1
-        match_flags = F.array(
-            *[
-                F.shiftright(F.col("_sa"), k * chunk_bits).bitwiseAND(
-                    F.lit(chunk_mask)
-                )
-                == F.shiftright(F.col("_sb"), k * chunk_bits).bitwiseAND(
-                    F.lit(chunk_mask)
-                )
-                for k in range(bands)
-            ]
-        )
-        first_match = F.array_position(match_flags, F.lit(True)) - 1
-        deduped = pairs.filter(first_match == F.col("band"))
-    else:
-        # capped: a pair found via any SURVIVING chunk must be kept even
-        # if an earlier matching chunk's bucket was dropped — dedup at the
-        # pair level (shuffle over candidates, not corpus)
-        deduped = pairs.groupBy("a", "b").agg(
-            F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
-        )
+    # per-chunk collision flags, recomputed row-local from the carried
+    # signatures (see _dedup_cross_band for the capped/uncapped trade)
+    chunk_mask = (1 << chunk_bits) - 1
+    match_flags = F.array(
+        *[
+            F.shiftright(F.col("_sa"), k * chunk_bits).bitwiseAND(
+                F.lit(chunk_mask)
+            )
+            == F.shiftright(F.col("_sb"), k * chunk_bits).bitwiseAND(
+                F.lit(chunk_mask)
+            )
+            for k in range(bands)
+        ]
+    )
+    deduped = _dedup_cross_band(
+        pairs, match_flags, "band", max_bucket, ["_sa", "_sb"]
+    )
     return (
         deduped.withColumn(
             "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
@@ -749,6 +774,11 @@ def _simhash48_udf():
     @F.pandas_udf("long")
     def udf(texts: pd.Series) -> pd.Series:
         out = []
+        # per-batch token-hash memo: corpus vocabulary repeats heavily
+        # across docs, so each distinct token is md5'd ONCE per Arrow
+        # batch instead of once per (doc, token) — bounded by batch
+        # vocabulary, reset per call (no unbounded worker-lifetime growth)
+        memo: dict[str, int] = {}
         for t in texts:
             if t is None:
                 out.append(None)  # split(null) drops the doc upstream too
@@ -756,13 +786,13 @@ def _simhash48_udf():
             counts: dict[str, int] = {}
             for tok in t.split(" "):
                 counts[tok] = counts.get(tok, 0) + 1
-            hs = np.array(
-                [
-                    int(hashlib.md5(k.encode()).hexdigest()[:12], 16)
-                    for k in counts
-                ],
-                dtype=np.uint64,
-            )
+            hs = np.empty(len(counts), dtype=np.uint64)
+            for j, k in enumerate(counts):
+                v = memo.get(k)
+                if v is None:
+                    v = int(hashlib.md5(k.encode()).hexdigest()[:12], 16)
+                    memo[k] = v
+                hs[j] = v
             cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
             bits = ((hs[:, None] >> _BITS) & 1).astype(np.int64)
             votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)

@@ -223,7 +223,7 @@ def embedding_near_dup(
     no distinct, no joins back to the vector table.  The shuffle carries
     num_tables x vector bytes; the join shape it replaces shuffled the
     vectors twice anyway and paid three extra stage barriers."""
-    from .dedup import _pairs_in_list
+    from .dedup import _dedup_cross_band, _expand_bucket_pairs
 
     buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
     withb = vectors.select(
@@ -236,14 +236,7 @@ def embedding_near_dup(
     banded = withb.select(
         "_m", F.posexplode(F.col("_m.bk")).alias("table", "bucket")
     )
-    grouped = (
-        banded.groupBy("table", "bucket")
-        .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    pairs = grouped.select(
-        "table", F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
-    ).select(
+    pairs = _expand_bucket_pairs(banded, "table").select(
         "table",
         F.col("_p.a.i").alias("a"),
         F.col("_p.b.i").alias("b"),
@@ -252,13 +245,15 @@ def embedding_near_dup(
         F.col("_p.a.v").alias("_va"),
         F.col("_p.b.v").alias("_vb"),
     )
+    # per-table collision flags from the carried bucket arrays
     match_flags = F.array(
         *[F.col("_ba")[t] == F.col("_bb")[t] for t in range(num_tables)]
     )
-    first_match = F.array_position(match_flags, F.lit(True)) - 1
+    deduped = _dedup_cross_band(
+        pairs, match_flags, "table", None, ["_va", "_vb"]
+    )
     return (
-        pairs.filter(first_match == F.col("table"))
-        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        deduped.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("a", "b", "cos")
     )

@@ -10,7 +10,33 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
-from .registry import load, qfloor, register, sql_qfloor
+from ..operators.dedup import _PERM_A, _PERM_B, _PERM_P
+from .registry import load, load_par, qfloor, register, sql_qfloor
+
+#: MinHash permutation table for the oracle, generated from the SAME
+#: constants the engine uses (operators/dedup.py) so they cannot drift:
+#: perm p of the 48-bit base hash h is (a*h + b) % P — 63-bit-safe BIGINT
+#: arithmetic, identical in Spark and DuckDB.
+_PERM_VALUES_SQL = ", ".join(
+    f"({p}, {a}, {b})" for p, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+)
+
+#: shared sigs/banded CTE tail (applies on top of a `sh` CTE of
+#: (doc_id, sh) shingle rows): one md5 per shingle -> 48-bit base hash ->
+#: 8 universal-hash permutations -> per-band bucket key joined in
+#: permutation order.
+_MINHASH_CTES_SQL = f"""h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT) AS h48
+  FROM sh
+), sigs AS (
+  SELECT doc_id, p.perm, min((p.a * h48 + p.b) % {_PERM_P}) AS minhash
+  FROM h, (VALUES {_PERM_VALUES_SQL}) p(perm, a, b)
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm) AS bucket
+  FROM sigs GROUP BY 1, 2
+)"""
 
 # ---------------------------------------------------------------------------
 # Text stats (quality scoring features)
@@ -178,11 +204,11 @@ def jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard >= 0.5 near-dup pairs via inverted-index
     join; integer cross-product threshold (no float compare)."""
     return dd.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+        load_par(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
     )
 
 
-_JACCARD_LSH_SQL = """
+_JACCARD_LSH_SQL = f"""
 WITH sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -191,18 +217,7 @@ WITH sh AS (
   FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), sigs AS (
-  SELECT doc_id, p.perm,
-         min(substr(md5(concat(CAST(p.perm // 4 AS VARCHAR), '|', sh)),
-                    (p.perm % 4) * 8 + 1, 8)) AS minhash
-  FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
-  GROUP BY 1, 2
-), banded AS (
-  SELECT doc_id, perm // 4 AS band,
-         string_agg(concat(CAST(perm AS VARCHAR), ':', minhash), ''
-                    ORDER BY concat(CAST(perm AS VARCHAR), ':', minhash)) AS bucket
-  FROM sigs GROUP BY 1, 2
-), cand AS (
+), {_MINHASH_CTES_SQL}, cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
   WHERE x.doc_id < y.doc_id
@@ -227,7 +242,7 @@ def jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-local signatures, one (band,bucket) groupBy) + exact Jaccard via
     array_intersect on candidate pairs only — no quadratic self-join."""
     return dd.ngram_jaccard_lsh(
-        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+        load_par(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
     )
 
 
@@ -235,25 +250,14 @@ def jaccard_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_MINHASH_SQL = """
+_MINHASH_SQL = f"""
 WITH sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
            i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
   FROM documents
-), sigs AS (
-  SELECT doc_id, p.perm,
-         min(substr(md5(concat(CAST(p.perm // 4 AS VARCHAR), '|', sh)),
-                    (p.perm % 4) * 8 + 1, 8)) AS minhash
-  FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm) p
-  GROUP BY 1, 2
-), banded AS (
-  SELECT doc_id, perm // 4 AS band,
-         string_agg(concat(CAST(perm AS VARCHAR), ':', minhash), ''
-                    ORDER BY concat(CAST(perm AS VARCHAR), ':', minhash)) AS bucket
-  FROM sigs GROUP BY 1, 2
-)
+), {_MINHASH_CTES_SQL}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
 WHERE x.doc_id < y.doc_id
@@ -271,7 +275,7 @@ def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap — stays value-identical; it exists to bound the quadratic pair
     # expansion on degenerate corpora)
     return dd.minhash_candidate_pairs(
-        load(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3,
+        load_par(spark, sf_dir, "documents"), num_perm=8, bands=2, shingle_n=3,
         max_bucket=10_000,
     )
 
@@ -301,7 +305,7 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs; every doc labeled with its component's min id (the
     canonical survivor).  Engine side is iterative min-label propagation
     (O(diameter) joins); oracle side a recursive-CTE closure."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_lsh(docs, shingle_n=3, threshold=0.5).select(
         "a", "b"
     )

@@ -62,6 +62,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + guarantee at least ``defaultParallelism`` partitions.
+
+    Small-SF parquet is one row group, so the scan is ONE partition and
+    every row-local stage downstream (md5 signatures, shingling) runs on a
+    single core of the 32-core local box.  A round-robin repartition of the
+    tiny input (<1 MB shuffle) buys full-width codegen parallelism.  At
+    cluster scale the scan already exceeds core count, the condition is
+    false, and this is a no-op — the check reads the planned partition
+    count, not a heuristic.  Use for compute-dense pipelines only; cheap
+    scan-bound queries lose more to the extra exchange than they gain."""
+    df = load(spark, sf_dir, table)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn

@@ -56,7 +56,7 @@ def run_one(spark, sf_dir: str, name: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     # warm-up at the smallest SF (JIT/codegen/parquet footer caches)
     for name in BENCH_QUERIES:
@@ -64,8 +64,9 @@ def main() -> None:
             run_one(spark, "/root/testdata/sf0.001", name)
         except Exception:
             pass
-    # best-of-N: single runs are JIT/GC-noisy (one observed 3x outlier);
-    # min over reps measures the plan, not the pauses
+    # best-of-N: single runs are JIT/GC-noisy (observed 3-4x outliers that
+    # can hit BOTH of 2 consecutive reps when a full GC lands mid-query);
+    # min over 3 reps measures the plan, not the pauses
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(
