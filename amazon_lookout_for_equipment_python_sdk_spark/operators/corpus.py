@@ -1,0 +1,261 @@
+"""Corpus-preparation operators for LLM-scale training-data pipelines:
+benchmark decontamination, document chunking, content-hash splits,
+stratified sampling, vocabulary building, exact grouped quantiles.
+
+These extend the reference's data-prep surface (SURVEY §2.14 north star)
+with the operations a 100 TB pretraining pipeline runs between dedup and
+tokenization.  Everything is built-in Spark SQL functions (JVM, codegen) —
+no Python UDFs; every float that reaches an oracle is produced by an
+IEEE-deterministic pipeline (see plans/queries.py module doc).
+
+Scale notes per operator are inline; the common theme: the corpus side is
+always row-local (shingle/chunk/hash projections), the only shuffles are
+per-doc or per-token hash aggregations with map-side partial combine, and
+the benchmark side of decontamination is broadcast (eval suites are tiny
+relative to a pretraining corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import exploded_shingles, fingerprint_bucket, tokens
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share word n-gram shingles with an
+    evaluation benchmark (the standard n-gram decontamination pass run
+    before pretraining; n=13 in most published pipelines, parameterized
+    here because the synthetic docs are short).
+
+    Returns one row per ``train`` document: ``n_sh`` distinct shingles,
+    ``n_hit`` of them that appear anywhere in ``eval_df``, and
+    ``contamination`` = n_hit / n_sh (null for docs shorter than the
+    shingle width).
+
+    Scale: the eval side is a benchmark suite — thousands of docs vs a
+    100 TB corpus — so its distinct shingle set is broadcast and the train
+    side never shuffles text: shingling is row-local codegen, the
+    membership probe is a broadcast left join on the shingle string, and
+    the per-doc rollup is a map-combinable count aggregation keyed by
+    ``id_col``.  A left join (not left_semi) keeps the per-doc hit COUNT,
+    which callers need to threshold partial contamination.
+    """
+    tr = exploded_shingles(train, shingle_n, text_col, id_col)
+    ev = (
+        exploded_shingles(eval_df, shingle_n, text_col, id_col)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = tr.join(F.broadcast(ev), "sh", "left")
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    )
+    # docs shorter than the shingle width produce zero shingle rows and
+    # would vanish from the groupBy — restore them with n_sh = 0
+    return (
+        train.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            # null (not 0) for shingle-less docs: "no evidence", and no
+            # division by zero under ANSI mode
+            F.when(
+                F.col("n_sh") > 0,
+                F.col("n_hit") / F.col("n_sh").cast("double"),
+            ).alias("contamination"),
+        )
+    )
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap
+    (stride < chunk_tokens), the standard context-window packing step
+    before tokenization.  Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Row-local throughout: the chunk strings are materialized INSIDE a
+    single higher-order ``transform`` over the start-position sequence and
+    only then exploded — exploding start positions first and slicing after
+    would carry the full token array into every output row (O(tokens²/
+    stride) bytes per doc through the explode).  No shuffle at all.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+    w = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(w, s, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size(w) - s + 1).alias("n_tokens"),
+        ),
+    )
+    keep = [c for c in df.columns if c not in (text_col,)]
+    return (
+        df.select(*keep, F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            *keep,
+            "chunk_idx",
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# --- content-hash split -----------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each document to train/valid/test by CONTENT hash (md5 of the
+    text, mod 100) — the split survives re-sharding, re-ordering, and
+    dedup, and exact duplicates always land in the same split (no
+    train/test leakage through dups), which row-number or random splits
+    don't guarantee.  Row-local, zero shuffle.
+    """
+    if not 0 < train_pct + valid_pct < 100:
+        raise ValueError("train_pct + valid_pct must be in (0, 100)")
+    b = fingerprint_bucket(F.col(text_col), 12) % 100
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + valid_pct, "valid")
+        .otherwise("test"),
+    )
+
+
+# --- stratified deterministic sampling --------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: the first ``n_per_stratum`` docs of
+    each stratum in content-hash order (md5 of text, id tie-break) — an
+    unbiased, reproducible subsample whose membership is independent of
+    row order and partitioning.
+
+    Scale: the naive shape is one sort per stratum (a window), which on a
+    10 TB stratum is a huge sort for a tiny output.  ``prefilter_buckets``
+    is the scale path: rows are first cut to ``hash % prefilter_buckets ==
+    0`` — a row-local filter that keeps ~1/buckets of each stratum — and
+    only the survivors are sorted.  Choose buckets ≲ stratum_size /
+    (10 · n_per_stratum) so the prefilter keeps comfortably more than
+    ``n_per_stratum`` rows per stratum; membership equals the unfiltered
+    sample's whenever every kept rank < n_per_stratum survives, which the
+    10× margin makes overwhelmingly likely (hash ranks are uniform).
+    """
+    h = fingerprint_bucket(F.col(text_col), 12)
+    out = df
+    if prefilter_buckets is not None and prefilter_buckets > 1:
+        out = out.filter(h % prefilter_buckets == 0)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+# --- vocabulary / token frequency ------------------------------------------
+
+
+def token_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: per token, total occurrence ``count`` and
+    document frequency ``doc_freq`` — the input to vocab pruning, IDF
+    weighting, and tokenizer training.
+
+    Two-level aggregation: explode → (doc, token) count → (token) rollup.
+    Both levels are hash aggregations with map-side partial combine; the
+    second shuffles one row per (doc, distinct token), already a small
+    fraction of corpus bytes.  Hot tokens ("the") are naturally combined
+    map-side, so token skew does not concentrate on one reducer.
+    """
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.sum("_tf").alias("count"), F.count(F.lit(1)).alias("doc_freq")
+    )
+
+
+# --- exact grouped quantiles ------------------------------------------------
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of ``value_col`` per group
+    (corpus length-distribution reporting).  One output row per group with
+    a ``q<percent>`` column per requested quantile.
+
+    Implemented as explicit order statistics — row_number over the sorted
+    group + the textbook interpolation ``v[lo] + (v[hi]−v[lo])·frac`` —
+    rather than ``percentile()``, so the arithmetic is bit-identical
+    across engines (each step is a single IEEE op on exact integers).
+
+    Scale: one shuffle (the per-group sort window); the follow-up
+    aggregation rides the same partitioning.  Groups are assumed many
+    rows each (it's a per-source/per-lang report) — for a single giant
+    group this becomes one sorted partition, where approx_percentile is
+    the right tool instead.
+    """
+    v = F.col(value_col)
+    w = Window.partitionBy(group_col).orderBy(v)
+    ranked = (
+        df.select(group_col, v)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+    )
+    aggs = []
+    for q in qs:
+        pos = (F.col("_cnt") - 1) * F.lit(q)  # row-level, constant per group
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo = F.max(F.when(F.col("_rn") == lo, v))
+        vhi = F.max(F.when(F.col("_rn") == hi, v))
+        frac = F.max(pos - lo)  # constant within the group
+        aggs.append((vlo + (vhi - vlo) * frac).alias(f"q{int(q * 100)}"))
+    return ranked.groupBy(group_col).agg(*aggs)

@@ -257,3 +257,45 @@ def restamp_positional(
         F.to_timestamp(F.lit(new_start))
         + F.make_interval(secs=F.col("_rn") * step_seconds),
     ).drop("_rn")
+
+
+# --- sessionization ---------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    whenever the gap to the previous event exceeds ``gap_minutes``.  Adds
+    ``session_seq`` (1-based per key, in time order) — the classic
+    lag-then-running-sum idiom (J5's lead pairing turned into run ids).
+
+    Timestamps compare at microsecond precision (``unix_micros``), exact
+    integer arithmetic.  Pass ``tiebreak_col`` (e.g. the event id) so rows
+    with identical timestamps order deterministically; ties never split a
+    session either way (gap 0), but lag order affects nothing else only
+    when the tie-break makes it reproducible.
+
+    Scale: one shuffle — everything rides a single per-key window (lag and
+    the running sum share the same sort), so the cost is a hash partition
+    by key + per-key sort, parallel across keys.  Skewed keys (one user
+    with billions of events) would need a coarse time-bucket pre-split;
+    session boundaries crossing the split would then need a merge pass.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_session = (
+        prev.isNull() | ((us - prev) > gap_minutes * 60 * 1_000_000)
+    ).cast("long")
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

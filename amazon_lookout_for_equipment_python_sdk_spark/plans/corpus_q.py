@@ -1,0 +1,278 @@
+"""Corpus-preparation query layer: decontamination, chunking, splits,
+sampling, vocabulary, length quantiles, sessionization (SURVEY §2.14
+training-data-pipeline operators beyond dedup/similarity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as cp
+from ..operators import timeseries as ts_ops
+from .registry import det_sum, load, load_par, qfloor, register, sql_det_sum
+
+#: DuckDB word-5-gram shingle expression (1-based inclusive slice [i:i+4])
+_SHINGLE5_SQL = (
+    "unnest(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 4, 0) + 1), "
+    "i -> array_to_string((string_split(text,' '))[i:i+4], ' '))))"
+)
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_SQL = f"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+), ev AS (
+  SELECT DISTINCT {_SHINGLE5_SQL} AS sh
+  FROM documents WHERE source = 'src0'
+), sh AS (
+  SELECT doc_id, {_SHINGLE5_SQL} AS sh FROM tr
+), agg AS (
+  SELECT s.doc_id, count(*) AS n_sh,
+         CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM sh s LEFT JOIN ev e USING (sh)
+  GROUP BY 1
+)
+SELECT t.doc_id, coalesce(n_sh, 0) AS n_sh, coalesce(n_hit, 0) AS n_hit,
+       CASE WHEN n_sh > 0
+            THEN floor((n_hit / CAST(n_sh AS DOUBLE)) * 1e6) / 1e6
+       END AS contamination
+FROM tr t LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("contamination_check", _CONTAMINATION_SQL)
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram benchmark decontamination: docs from source src0 act as the
+    held-out eval suite; every other doc is scored by the fraction of its
+    distinct 5-gram shingles that appear anywhere in the eval set
+    (broadcast membership probe — the eval side is tiny by contract)."""
+    docs = load_par(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    out = cp.contamination_check(train, ev, shingle_n=5)
+    return out.select(
+        "doc_id",
+        "n_sh",
+        "n_hit",
+        qfloor(F.col("contamination"), 6).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS st
+  FROM t
+)
+SELECT doc_id, CAST((st - 1) // 8 AS INT) AS chunk_idx,
+       array_to_string(toks[st:st+15], ' ') AS chunk_text,
+       CAST(least(16, len(toks) - st + 1) AS INT) AS n_tokens
+FROM s
+"""
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 16-token chunks, stride 8 (50% overlap);
+    chunk strings built inside one row-local higher-order transform."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cp.chunk_documents(docs, chunk_tokens=16, stride=8)
+    return out.select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Content-hash split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) % 100 AS b
+  FROM documents) t
+"""
+
+
+@register("hash_split_sample", _SPLIT_SQL)
+def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/valid/test split (90/5/5): stable under
+    re-sharding and dedup; exact duplicates land in the same split."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return cp.hash_split(docs).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT),
+                    doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 20
+"""
+
+
+@register("stratified_sample_lang", _STRATIFIED_SQL)
+def stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsample: first 20 docs per language in
+    content-hash order — reproducible, independent of row order."""
+    docs = load(spark, sf_dir, "documents")
+    out = cp.stratified_sample(docs, strata_col="lang", n_per_stratum=20)
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary (token frequency + doc frequency), top-100
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY 1, 2
+)
+SELECT tok AS token, CAST(sum(tf) AS BIGINT) AS n_occur,
+       count(*) AS n_docs
+FROM tf GROUP BY 1
+ORDER BY n_occur DESC, token
+LIMIT 100
+"""
+
+
+@register("token_vocab_top100", _VOCAB_SQL)
+def vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by total count (token
+    tie-break), with document frequency — two-level map-combinable
+    aggregation, no token skew hotspot."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cp.token_vocab(docs)
+    return (
+        out.select(
+            "token",
+            F.col("count").alias("n_occur"),
+            F.col("doc_freq").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occur"), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped length quantiles
+# ---------------------------------------------------------------------------
+
+def _sql_quantile(q: float) -> str:
+    # e-notation literal => DOUBLE in DuckDB (a plain 0.5 parses as DECIMAL
+    # and the whole interpolation would stay exact-decimal, diverging from
+    # Spark's IEEE doubles)
+    lit = f"{q:e}"
+    pos = f"(cnt-1)*{lit}"
+    vlo = f"max(CASE WHEN rn = floor({pos}) THEN n_chars END)"
+    vhi = f"max(CASE WHEN rn = ceil({pos}) THEN n_chars END)"
+    return f"{vlo} + ({vhi} - {vlo}) * max({pos} - floor({pos})) AS q{int(q * 100)}"
+
+
+_QUANTILE_SQL = f"""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source,
+  {_sql_quantile(0.5)},
+  {_sql_quantile(0.9)},
+  {_sql_quantile(0.99)}
+FROM r GROUP BY 1
+"""
+
+
+@register("length_quantiles_by_source", _QUANTILE_SQL)
+def quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source doc-length quantiles (p50/p90/p99) via explicit
+    order statistics + linear interpolation — each arithmetic step is a
+    single IEEE op on exact integers, bit-identical across engines
+    (built-in percentile() implementations are not)."""
+    docs = load(spark, sf_dir, "documents")
+    return cp.group_quantiles(
+        docs, value_col="n_chars", group_col="source", qs=(0.5, 0.9, 0.99)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization
+# ---------------------------------------------------------------------------
+
+_GAP_MINUTES = 480  # 8 h — splits the synthetic per-user event stream well
+
+_SESSION_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), s AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > CAST({_GAP_MINUTES} AS BIGINT) * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       {sql_det_sum('value')} AS value_sum
+FROM t GROUP BY 1, 2
+"""
+
+
+@register("sessionize_events", _SESSION_SQL)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (8-h inactivity gap):
+    lag + running-sum run ids on one per-user window, then per-session
+    rollup — the W1-style idiom generalized to user analytics."""
+    ev = load(spark, sf_dir, "events")
+    s = ts_ops.sessionize(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        gap_minutes=_GAP_MINUTES,
+        tiebreak_col="event_id",
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000.0)
+        ).alias("duration_s"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        det_sum(F.col("value")).alias("value_sum"),
+    )

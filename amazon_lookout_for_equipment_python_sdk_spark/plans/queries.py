@@ -6,3 +6,4 @@ from .registry import ORACLE_SQL, QUERIES, load  # noqa: F401
 from . import timeseries_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
+from . import corpus_q  # noqa: F401,E402

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "text_stats",
     "token_count_bpe",
     "quality_filter",
+    "contamination_check",
+    "sessionize_events",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Corpus-preparation operators: decontamination, chunking, splits,
+sampling, vocabulary, quantiles, sessionization (operators/corpus.py +
+timeseries.sessionize).  Value-level correctness is driver/oracle-checked
+at sf0.01; these tests pin semantics and edge cases on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import corpus as cp
+from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+    sessionize,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_counts_and_short_doc(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),   # shingles: "a b c", "b c d", "c d e", "d e f"
+            (2, "x y z w v"),     # none shared with eval
+            (3, "a b"),           # shorter than shingle width -> no evidence
+        ],
+    )
+    ev = _docs(spark, [(100, "a b c d q")])  # shingles incl "a b c", "b c d"
+    out = {
+        r["doc_id"]: r
+        for r in cp.contamination_check(train, ev, shingle_n=3).collect()
+    }
+    assert out[1]["n_sh"] == 4 and out[1]["n_hit"] == 2
+    assert out[1]["contamination"] == pytest.approx(0.5)
+    assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
+    assert out[3]["n_sh"] == 0 and out[3]["contamination"] is None
+
+
+def test_chunk_documents_bounds_and_overlap(spark):
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))])
+    rows = sorted(
+        cp.chunk_documents(docs, chunk_tokens=16, stride=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts at token 0, 8, 16 (1-based 1, 9, 17)
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["n_tokens"] == 16 and rows[0]["chunk_text"].startswith("t0 ")
+    assert rows[1]["chunk_text"].startswith("t8 ")  # 50% overlap
+    assert rows[2]["n_tokens"] == 4  # 20 - 16 trailing tokens
+    assert rows[2]["chunk_text"] == "t16 t17 t18 t19"
+    with pytest.raises(ValueError):
+        cp.chunk_documents(docs, chunk_tokens=8, stride=9)
+
+
+def test_hash_split_deterministic_and_dup_consistent(spark):
+    docs = _docs(spark, [(i, f"doc number {i}") for i in range(50)] + [(99, "doc number 7")])
+    out = cp.hash_split(docs).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    # exact duplicates land in the same split regardless of id
+    assert by_id[99] == by_id[7]
+    # stable across recomputation
+    again = {r["doc_id"]: r["split"] for r in cp.hash_split(docs).collect()}
+    assert by_id == again
+    assert set(by_id.values()) <= {"train", "valid", "test"}
+
+
+def test_stratified_sample_prefilter_consistency(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "fr") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    full = cp.stratified_sample(docs, n_per_stratum=5)
+    assert full.groupBy("lang").count().rdd.map(tuple).collectAsMap() == {
+        "en": 5,
+        "fr": 5,
+    }
+    # the prefiltered scale path returns the same members when every kept
+    # rank survives the prefilter (buckets=1 keeps everything)
+    same = cp.stratified_sample(docs, n_per_stratum=5, prefilter_buckets=1)
+    assert sorted(r["doc_id"] for r in full.collect()) == sorted(
+        r["doc_id"] for r in same.collect()
+    )
+
+
+def test_token_vocab_counts(spark):
+    docs = _docs(spark, [(1, "a b a"), (2, "a c")])
+    out = {r["token"]: r for r in cp.token_vocab(docs).collect()}
+    assert out["a"]["count"] == 3 and out["a"]["doc_freq"] == 2
+    assert out["b"]["count"] == 1 and out["b"]["doc_freq"] == 1
+    assert out["c"]["doc_freq"] == 1
+
+
+def test_group_quantiles_interpolation(spark):
+    # group g: values 0..10 -> p50 = 5, p90 = 9 exactly; group h: [1, 2]
+    rows = [("g", float(v)) for v in range(11)] + [("h", 1.0), ("h", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        r["grp"]: r
+        for r in cp.group_quantiles(df, "v", "grp", qs=(0.5, 0.9)).collect()
+    }
+    assert out["g"]["q50"] == pytest.approx(5.0)
+    assert out["g"]["q90"] == pytest.approx(9.0)
+    # interpolated: (2-1)*0.5 -> 1.5
+    assert out["h"]["q50"] == pytest.approx(1.5)
+    assert out["h"]["q90"] == pytest.approx(1.9)
+
+
+def test_sessionize_gap_boundary(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10),
+        (1, t0 + dt.timedelta(minutes=30), 11),       # exactly gap -> same
+        (1, t0 + dt.timedelta(minutes=61), 12),       # > gap -> new session
+        (2, t0, 20),                                  # other user independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            df, key_col="user_id", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[10] == 1 and out[11] == 1  # gap == limit does not split
+    assert out[12] == 2
+    assert out[20] == 1
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    plan = (
+        sessionize(df, key_col="user_id", gap_minutes=30, tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # lag + running sum share one per-key window: exactly one exchange
+    assert plan.count("Exchange") == 1
