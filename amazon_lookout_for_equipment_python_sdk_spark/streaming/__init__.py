@@ -2,6 +2,7 @@
 
 from .stateful import (  # noqa: F401
     compact_runs_stream,
+    sessionize_stream,
     streaming_dedup_exact,
     streaming_resample_mean,
 )

@@ -177,3 +177,104 @@ def streaming_dedup_exact(
             ["fp"]
         ).drop("fp")
     return out.dropDuplicates(["fp"]).drop("fp")
+
+
+# --- online sessionization --------------------------------------------------
+
+#: output schema of the closed-session stream
+SESSION_OUT_SCHEMA = (
+    "key string, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+#: per-key state: the open session
+SESSION_STATE_SCHEMA = "start timestamp, last_ts timestamp, n_events long"
+
+
+def _epoch_ms(ts) -> int:
+    import datetime as _dt
+
+    ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+    # session timestamps are tz-naive UTC (engine convention, SURVEY §1.2);
+    # pin the zone explicitly so the epoch doesn't depend on process TZ
+    return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+
+
+def _sessionize_batch(key, pdf_iter, state: GroupState, gap_seconds: int):
+    (key_val,) = key
+    cols = ["key", "session_start", "session_end", "n_events"]
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap with no new events: the open
+        # session can never be extended — close and emit it
+        start, last_ts, n_events = state.get
+        state.remove()
+        yield pd.DataFrame([(key_val, start, last_ts, n_events)], columns=cols)
+        return
+    start = last_ts = None
+    n_events = 0
+    if state.exists:
+        start, last_ts, n_events = state.get
+    closed: list[tuple] = []
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        # same chunk-ordering hazard as _compact_batch: one global sort
+        whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts in whole["ts"]:
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if start is None:
+                start, last_ts, n_events = ts, ts, 1
+            elif (ts - last_ts).total_seconds() > gap_seconds:
+                closed.append((key_val, start, last_ts, n_events))
+                start, last_ts, n_events = ts, ts, 1
+            else:
+                last_ts = max(last_ts, ts)
+                start = min(start, ts)
+                n_events += 1
+    if start is not None:
+        state.update((start, last_ts, n_events))
+        # close the session once the watermark passes its extension window;
+        # the timeout must sit strictly beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(
+                _epoch_ms(last_ts) + gap_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(closed, columns=cols)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Online gap-based sessionization — the streaming twin of the batch
+    ``operators.timeseries.sessionize``: an append-mode stream of CLOSED
+    sessions (key, session_start, session_end, n_events).
+
+    A session closes two ways: a newer in-order event arrives with a gap
+    over ``gap_minutes`` (emitted in that batch), or the event-time
+    watermark passes ``last_ts + gap`` with nothing new (event-time
+    timeout — the idle tail sessions a pure gap check would hold open
+    forever).  State is one open session per key, checkpointed; restarts
+    recover it.
+
+    Scale: state size is O(active keys), not O(events); per batch each
+    key's rows move once through an Arrow-batched pandas sort.  The
+    watermark bounds both late data and state lifetime — the same
+    ST3-style trade documented on ``streaming_dedup_exact``.
+    """
+    prepared = stream.withWatermark(ts_col, watermark).select(
+        F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("ts")
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _sessionize_batch(key, it, st, gap_minutes * 60),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

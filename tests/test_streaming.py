@@ -1010,3 +1010,82 @@ def test_replay_to_percomponent_scheduler_roundtrip(spark, tmp_path):
     # every slot row has both components' sensors -> all predictions 1
     assert len(preds) == 10
     assert all(r["prediction"] == 1 for r in preds)
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    """Online sessionization: an in-batch gap closes a session immediately;
+    the open tail survives micro-batches in state; the event-time timeout
+    closes an idle session once the watermark passes last_ts + gap."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        sessionize_stream,
+    )
+
+    indir = tmp_path / "sess_in"
+    outdir = tmp_path / "sess_out"
+    ckpt = str(tmp_path / "sess_ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("user_id,ts\n")
+            for uid, ts in rows:
+                f.write(f"{uid},{ts}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        sessions = sessionize_stream(
+            stream, gap_minutes=30, watermark="10 minutes"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_out():
+        return spark.read.schema(SESSION_READ_SCHEMA).parquet(
+            str(outdir / "data")
+        )
+
+    SESSION_READ_SCHEMA = (
+        "key string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+
+    # batch 1: user A has two events 10:00/10:05, then a 31-min gap to
+    # 10:36 -> first session closes in-batch, second stays open in state
+    write_batch(
+        "b1.csv",
+        [
+            ("A", "2024-01-01 10:00:00"),
+            ("A", "2024-01-01 10:05:00"),
+            ("A", "2024-01-01 10:36:00"),
+        ],
+    )
+    run_once()
+    rows = read_out().collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2
+    assert str(rows[0]["session_end"]) == "2024-01-01 10:05:00"
+
+    # batch 2: user B far in the future pushes the watermark past A's
+    # last_ts + gap; a further batch lets the engine fire A's timeout
+    write_batch("b2.csv", [("B", "2024-01-01 13:00:00")])
+    run_once()
+    write_batch("b3.csv", [("B", "2024-01-01 13:01:00")])
+    run_once()
+    by_key = {
+        (r["key"], str(r["session_start"])): r for r in read_out().collect()
+    }
+    idle = by_key.get(("A", "2024-01-01 10:36:00"))
+    assert idle is not None, f"timeout session missing: {sorted(by_key)}"
+    assert idle["n_events"] == 1
+    assert str(idle["session_end"]) == "2024-01-01 10:36:00"
