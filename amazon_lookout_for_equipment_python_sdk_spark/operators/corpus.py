@@ -259,3 +259,49 @@ def group_quantiles(
         frac = F.max(pos - lo)  # constant within the group
         aggs.append((vlo + (vhi - vlo) * frac).alias(f"q{int(q * 100)}"))
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+# --- tf-idf term weighting --------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by tf·idf with the LINEAR idf variant
+    ``idf = N / doc_freq`` — chosen over log-idf deliberately: every step
+    (integer multiply, one IEEE divide) is bit-identical across engines,
+    while ``ln`` implementations are only 1-ulp-accurate and may disagree.
+    Ranking is deterministic (score desc, token asc tie-break).
+
+    Output: (id, token, tf, doc_freq, tfidf).
+
+    Scale: tf and doc_freq are the same two map-combinable aggregations as
+    :func:`token_vocab`; the tf→doc_freq join is broadcast-sized (one row
+    per vocab term); N rides in as a 1-row broadcast cross join.  The
+    final top-k window partitions by document — thousands of rows each at
+    most, no skew hotspot.
+    """
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("_n")) / F.col("doc_freq").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "tfidf")
+    )

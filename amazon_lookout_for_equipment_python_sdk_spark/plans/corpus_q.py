@@ -276,3 +276,38 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
         det_sum(F.col("value")).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS doc_freq FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.tok AS token, t.tf, d.doc_freq,
+         (t.tf * n.n) / CAST(d.doc_freq AS DOUBLE) AS tfidf
+  FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n
+)
+SELECT doc_id, token, tf, doc_freq, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored) x
+WHERE rk <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf·idf (linear idf = N/doc_freq — bit-
+    portable across engines, unlike 1-ulp ln); deterministic tie-break on
+    token."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return cp.tfidf_top_terms(docs, k=3)

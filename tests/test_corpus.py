@@ -142,3 +142,18 @@ def test_sessionize_plan_single_shuffle(spark):
     )
     # lag + running sum share one per-key window: exactly one exchange
     assert plan.count("Exchange") == 1
+
+
+def test_tfidf_top_terms_ranking(spark):
+    # "z" appears only in doc 1 (rare -> high idf); "a" is everywhere
+    docs = _docs(
+        spark,
+        [(1, "z z a"), (2, "a b"), (3, "a b")],
+    )
+    out = cp.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    assert top[1]["token"] == "z"
+    # tf=2, N=3, doc_freq=1 -> 6.0
+    assert top[1]["tfidf"] == pytest.approx(6.0)
+    # docs 2/3: tie between a (1*3/3=1.0) and b (1*3/2=1.5) -> b wins
+    assert top[2]["token"] == "b" and top[3]["token"] == "b"

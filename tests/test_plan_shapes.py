@@ -92,3 +92,36 @@ def test_fused_lsh_paths_shuffle_budget(spark):
         assert 1 <= n <= max_exchanges, (name, n, plan)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """contamination_check: the eval-suite shingle probe must be a
+    broadcast join (the eval side is benchmark-sized by contract) and the
+    train-side text must never cartesian/sort-merge against it."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # parquet scans keep their pushed source filters (train vs eval split)
+    assert "PushedFilters: [IsNotNull(source)" in plan, plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """chunk_documents is row-local: no exchange besides the (possible)
+    input repartition, and the chunk strings come from one higher-order
+    transform before the explode."""
+    plan = _plan(spark, "chunk_documents")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Generate posexplode" in plan, plan
+
+
+def test_sessionize_events_single_window(spark):
+    """sessionize_events: lag, running sum, and the session rollup all
+    ride ONE per-user hash partitioning."""
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    sorts = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith(("+- Sort", ":- Sort"))
+    ]
+    assert sorts and all("user_id" in s for s in sorts), plan
