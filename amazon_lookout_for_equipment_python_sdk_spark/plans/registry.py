@@ -39,17 +39,24 @@ ROUND = 4
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a driver testdata table.
 
-    ``events.ts`` is parquet timestamp[ns], which Spark has no native type
-    for — read it as long (legacy conf) and truncate to microseconds with
+    ``events.ts`` has shipped as either parquet timestamp[us] (read
+    natively) or timestamp[ns], which Spark has no type for.  Only the
+    nanos layout fails the plain read; on that specific failure, re-read
+    with the legacy nanos-as-long conf and truncate to microseconds with
     exact integer division (matches DuckDB's ``CAST(ts AS TIMESTAMP)``
     truncation bit-for-bit; float division would drift by up to 256 ns).
     """
-    if table == "events":
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        if table != "events" or "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            df = spark.read.parquet(path)
         finally:
             # restore so unrelated reads in the same session fail loudly on
             # nanos columns instead of silently surfacing bigints (the
@@ -59,7 +66,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             else:
                 spark.conf.set(conf_key, prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
