@@ -48,9 +48,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     path = f"{sf_dir}/{table}.parquet"
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        # tz-naive parquet timestamps surface as TIMESTAMP_NTZ under Spark
+        # 4's native reader; several operators (unix_micros in sessionize)
+        # require TIMESTAMP.  Session tz is pinned UTC (session.py), so the
+        # cast is value-preserving and bit-identical to DuckDB's naive
+        # timestamps.  Normalizing here keeps every downstream operator
+        # type-stable across both shipped layouts.
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+        return df
     except Exception as e:
-        if table != "events" or "PARQUET_TYPE_ILLEGAL" not in str(e):
+        # Spark >=3.4 raises with the PARQUET_TYPE_ILLEGAL error class;
+        # older releases emit only the plain-text "Illegal Parquet type".
+        nanos = any(
+            s in str(e) for s in ("PARQUET_TYPE_ILLEGAL", "Illegal Parquet type")
+        )
+        if table != "events" or not nanos:
             raise
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key, None)
