@@ -279,10 +279,14 @@ def tfidf_top_terms(
     Output: (id, token, tf, doc_freq, tfidf).
 
     Scale: tf and doc_freq are the same two map-combinable aggregations as
-    :func:`token_vocab`; the tf→doc_freq join is broadcast-sized (one row
-    per vocab term); N rides in as a 1-row broadcast cross join.  The
-    final top-k window partitions by document — thousands of rows each at
-    most, no skew hotspot.
+    :func:`token_vocab`.  The tf→doc_freq join is deliberately NOT
+    broadcast: a web-scale corpus has 1e8+ distinct tokens, so collecting
+    the vocabulary to the driver would OOM.  tf is already hash-partitioned
+    by (id, token) from its groupBy and dfreq by token from its own — the
+    token-keyed shuffle hash join Catalyst picks unhinted reuses dfreq's
+    exchange and only re-keys tf, which is the scale-safe plan.  N rides in
+    as a 1-row broadcast cross join.  The final top-k window partitions by
+    document — thousands of rows each at most, no skew hotspot.
     """
     tf = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
@@ -292,7 +296,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(F.count(F.lit(1)).alias("_n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

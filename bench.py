@@ -69,23 +69,31 @@ def main() -> None:
     # best-of-N: single runs are JIT/GC-noisy (observed 3-4x outliers that
     # can hit BOTH of 2 consecutive reps when a full GC lands mid-query);
     # min over 3 reps measures the plan, not the pauses
+    # A failing query must not zero out the whole artifact: record the error
+    # under "errors" and keep timing the rest (r3's bench died entirely when
+    # one query hit an AnalysisException).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(
-            min(run_one(spark, sf_dir, name) for _ in range(reps)), 3
-        )
+        try:
+            timings[name] = round(
+                min(run_one(spark, sf_dir, name) for _ in range(reps)), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

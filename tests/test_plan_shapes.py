@@ -114,6 +114,27 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Generate posexplode" in plan, plan
 
 
+def test_tfidf_no_vocabulary_broadcast(spark):
+    """tfidf_top_terms must not HINT-broadcast the doc_freq (vocabulary)
+    side: at web scale the vocab is 1e8+ tokens and a forced broadcast
+    OOMs the driver.  The only legitimate hint is the 1-row corpus-count
+    crossJoin.  With auto-broadcast disabled, the token join must plan as
+    a shuffle join (Catalyst stays free to adapt at small runtime sizes)."""
+    df = entrymod.queries()["tfidf_top_terms"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tfidf_top_terms")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # token-keyed join present and NOT broadcast; the 1-row N hint is the
+    # only broadcast left
+    assert plan.count("BroadcastHashJoin") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
 def test_sessionize_events_single_window(spark):
     """sessionize_events: lag, running sum, and the session rollup all
     ride ONE per-user hash partitioning."""

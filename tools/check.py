@@ -7,6 +7,11 @@ tolerance; any exact mismatch is flagged loudly since the driver hashes
 values.
 
 Usage: python tools/check.py [name ...]
+
+Fast pre-commit gate: ``python tools/check.py --analyze`` builds every
+``queries()`` entry at sf0.001 and forces analysis via ``.schema`` without
+executing — catches type/resolution errors (e.g. an operator rejecting
+TIMESTAMP_NTZ) in seconds.  Run it before any end-of-round commit.
 """
 
 from __future__ import annotations
@@ -90,7 +95,31 @@ def compare(name, spark_df, con, sql):
     return not problems
 
 
+def analyze_all() -> None:
+    """Analysis-only sweep: resolve every query's plan at sf0.001.
+
+    ``.schema`` triggers full analysis (resolution + type checking) without
+    running a job, so the whole registry checks in seconds."""
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("check")
+    qs = entrymod.queries()
+    bad = 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        try:
+            _ = fn(spark, sf_dir).schema
+            print(f"[OK  ] {name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"[ERR ] {name}: {type(e).__name__}: {e}")
+            bad += 1
+    print(f"\n{len(qs) - bad}/{len(qs)} analyzed clean in {time.time()-t0:.1f}s")
+    sys.exit(1 if bad else 0)
+
+
 def main():
+    if "--analyze" in sys.argv[1:]:
+        analyze_all()
+        return
     only = set(sys.argv[1:])
     spark = get_spark("check")
     con = duckdb.connect()
