@@ -471,8 +471,12 @@ WHERE rnk <= 10
 @register("cosine_topk", _COS_SQL)
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 probe vectors; ranking on the
-    quantized cosine so near-ties break deterministically by vec_id."""
-    emb = load(spark, sf_dir, "embeddings")
+    quantized cosine so near-ties break deterministically by vec_id.
+
+    The scan is compute-dense (3 sequential 64-element folds per
+    (row, probe)) — ``load_par`` spreads the single small-SF row group
+    across all cores; no-op once the scan has real partitions."""
+    emb = load_par(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
