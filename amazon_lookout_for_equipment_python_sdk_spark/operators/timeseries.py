@@ -268,6 +268,7 @@ def sessionize(
     key_col: str = "user_id",
     gap_minutes: int = 30,
     tiebreak_col: str | None = None,
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: within each key, a new session starts
     whenever the gap to the previous event exceeds ``gap_minutes``.  Adds
@@ -280,22 +281,88 @@ def sessionize(
     session either way (gap 0), but lag order affects nothing else only
     when the tie-break makes it reproducible.
 
-    Scale: one shuffle — everything rides a single per-key window (lag and
-    the running sum share the same sort), so the cost is a hash partition
-    by key + per-key sort, parallel across keys.  Skewed keys (one user
-    with billions of events) would need a coarse time-bucket pre-split;
-    session boundaries crossing the split would then need a merge pass.
+    Scale: the default path is one shuffle — everything rides a single
+    per-key window (lag and the running sum share the same sort), parallel
+    across keys.  A skewed key (one user with billions of events) lands on
+    ONE task there; pass ``skew_buckets`` to enable the coarse
+    time-bucket pre-split: rows window within (key, time-bucket) — fanning
+    a hot key across ``skew_buckets`` tasks — then a per-(key, bucket)
+    summary (tiny: keys x buckets rows) decides which bucket-local first
+    sessions continue the previous bucket's last session and assigns each
+    bucket a session-number offset; a join back on (key, bucket) finalizes
+    the global ``session_seq``.  Identical output to the single-window
+    path (property-tested, ties at bucket boundaries included — ties
+    cannot straddle buckets since equal timestamps bucket together).
     """
+    gap_us = gap_minutes * 60 * 1_000_000
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    w = Window.partitionBy(key_col).orderBy(*order)
     us = F.unix_micros(F.col(ts_col))
-    prev = F.lag(us).over(w)
-    new_session = (
-        prev.isNull() | ((us - prev) > gap_minutes * 60 * 1_000_000)
+    if not skew_buckets:
+        w = Window.partitionBy(key_col).orderBy(*order)
+        prev = F.lag(us).over(w)
+        new_session = (prev.isNull() | ((us - prev) > gap_us)).cast("long")
+        return df.withColumn(
+            "session_seq",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    # --- skew path: (key, time-bucket) pre-split + boundary merge ----------
+    # Bucket width from the global time span: one scalar agg (metadata-sized
+    # driver read, off the row path).
+    lo, hi = df.select(F.min(us), F.max(us)).first()
+    if lo is None:
+        return df.withColumn("session_seq", F.lit(None).cast("long"))
+    width = max((hi - lo) // skew_buckets + 1, 1)
+    bkt = F.floor((us - F.lit(lo)) / F.lit(width))
+    wb = Window.partitionBy(key_col, "_bkt").orderBy(*order)
+    prev = F.lag(F.col("_us")).over(wb)
+    new_flag = (
+        prev.isNull() | ((F.col("_us") - prev) > gap_us)
     ).cast("long")
-    return df.withColumn(
-        "session_seq",
-        F.sum(new_session).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    rows = (
+        df.withColumn("_us", us)
+        .withColumn("_bkt", bkt)
+        .withColumn("_new", new_flag)
+        .withColumn(
+            "_wseq",
+            F.sum("_new").over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
+    # Per-(key, bucket) summary rides the same (key, bucket) partitioning
+    # the window just established; the per-key ordered walk over buckets is
+    # a window over keys x buckets rows only.
+    wk = Window.partitionBy(key_col).orderBy("_bkt")
+    prev_last = F.lag("_last").over(wk)
+    summ = (
+        rows.groupBy(key_col, "_bkt")
+        .agg(
+            F.min("_us").alias("_first"),
+            F.max("_us").alias("_last"),
+            F.sum("_new").alias("_n_new"),
+        )
+        .withColumn(
+            "_adj",
+            (
+                prev_last.isNotNull()
+                & ((F.col("_first") - prev_last) <= gap_us)
+            ).cast("long"),
+        )
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_n_new") - F.col("_adj")).over(
+                    wk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    out = rows.join(
+        summ.select(key_col, "_bkt", "_adj", "_off"), [key_col, "_bkt"]
+    )
+    return out.withColumn(
+        "session_seq", F.col("_off") + F.col("_wseq") - F.col("_adj")
+    ).drop("_bkt", "_us", "_new", "_wseq", "_adj", "_off")

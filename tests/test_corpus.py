@@ -144,6 +144,65 @@ def test_sessionize_plan_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_sessionize_skew_path_equivalent(spark):
+    """Property: the skew_buckets split/merge path is row-identical to the
+    single-window path — sessions spanning bucket boundaries, timestamp
+    ties at boundaries, multiple keys, and varying bucket counts."""
+    import random
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = t0
+        for _ in range(120):
+            # gaps cluster near the 30-min threshold; 0-gap makes ties
+            t = t + dt.timedelta(
+                minutes=rng.choice([0, 0, 1, 5, 29, 30, 31, 90])
+            )
+            rows.append((user, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    base = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            df, key_col="user_id", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    for nb in (1, 2, 7, 64):
+        skew = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(
+                df,
+                key_col="user_id",
+                gap_minutes=30,
+                tiebreak_col="event_id",
+                skew_buckets=nb,
+            ).collect()
+        }
+        assert skew == base, f"skew_buckets={nb}"
+
+
+def test_sessionize_skew_fans_hot_key(spark):
+    """The skew path's row window partitions by (key, bucket) — a hot key's
+    rows no longer all hash to one task."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i) for i in range(50)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    plan = (
+        sessionize(
+            df, key_col="user_id", gap_minutes=30, tiebreak_col="event_id",
+            skew_buckets=8,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(user_id" in plan and "_bkt" in plan, plan
+
+
 def test_tfidf_top_terms_ranking(spark):
     # "z" appears only in doc 1 (rare -> high idf); "a" is everywhere
     docs = _docs(
