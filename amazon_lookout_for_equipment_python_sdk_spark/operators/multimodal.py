@@ -8,8 +8,11 @@ need any library beyond numpy/stdlib:
 
 - images: 24-bit uncompressed BMP and binary PPM (P6) decode to
   ``(h, w, 3)`` uint8 arrays; nearest-neighbor resize; BMP re-encode;
+- PNG (the one compressed format with a stdlib-only container+codec:
+  zlib): 8-bit grayscale/RGB/RGBA, all five scanline filters, non
+  interlaced — decode and encode, round-trip tested per filter type;
 - audio: PCM WAV decodes via the stdlib ``wave`` module to int16 samples;
-- compressed formats (PNG/JPEG/MP3/MP4 frames) still raise
+- remaining compressed formats (JPEG/MP3/MP4 frames) still raise
   NotImplementedError with swap-in instructions (this container ships no
   codec libraries), and ``decode_stub`` remains the deterministic testing
   stand-in.
@@ -26,6 +29,7 @@ import io
 import re
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -70,7 +74,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
     Real decode for uncompressed formats (24-bit BI_RGB BMP; binary PPM
-    P6).  Compressed formats raise NotImplementedError — swap in Pillow
+    P6) and for PNG (stdlib zlib inflate + scanline unfilter).  Other
+    compressed formats raise NotImplementedError — swap in Pillow
     (``Image.open(BytesIO(payload))``) in deployments that ship it.
     """
     if payload is None or len(payload) < 2:
@@ -79,9 +84,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP/PPM decode is built in; install Pillow and "
-        "replace multimodal.decode_image for compressed formats"
+        "only BMP/PPM/PNG decode is built in; install Pillow and "
+        "replace multimodal.decode_image for other compressed formats"
     )
 
 
@@ -114,6 +121,142 @@ def _decode_ppm(payload: bytes) -> "np.ndarray":
         raise NotImplementedError("only maxval=255 PPM supported")
     data = payload[m.end() : m.end() + w * h * 3]
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """PNG -> (h, w, 3) uint8 RGB, stdlib-only (zlib inflate, per-scanline
+    unfilter).  Supports the common web subset: 8-bit depth, grayscale /
+    truecolor / truecolor+alpha, non-interlaced.  Palette, 16-bit, and
+    Adam7 interlace raise NotImplementedError (swap in Pillow).
+
+    Unfiltering is inherently sequential in x for Sub/Average/Paeth (each
+    byte depends on the reconstructed byte one pixel left), so it runs as
+    a scalar loop — per-payload cost, parallel across rows of the Arrow
+    batch like every other decoder here."""
+    pos = 8
+    idat = bytearray()
+    w = h = ch = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace or comp or filt:
+                raise NotImplementedError(
+                    f"PNG subset: 8-bit gray/RGB/RGBA non-interlaced only "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rec = bytearray(h * stride)
+    i = 0
+    for y in range(h):
+        f = raw[i]
+        i += 1
+        rs = y * stride
+        if f == 0:
+            rec[rs : rs + stride] = raw[i : i + stride]
+            i += stride
+            continue
+        if f == 2 and y > 0:  # Up — vectorizable, common case
+            above = np.frombuffer(bytes(rec[rs - stride : rs]), np.uint8)
+            line = np.frombuffer(raw, np.uint8, stride, i)
+            rec[rs : rs + stride] = (line + above).astype(np.uint8).tobytes()
+            i += stride
+            continue
+        for x in range(stride):
+            v = raw[i]
+            i += 1
+            a = rec[rs + x - ch] if x >= ch else 0
+            b = rec[rs - stride + x] if y > 0 else 0
+            if f == 1:
+                r = v + a
+            elif f == 2:
+                r = v + b
+            elif f == 3:
+                r = v + ((a + b) >> 1)
+            elif f == 4:
+                c = rec[rs - stride + x - ch] if (y > 0 and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            rec[rs + x] = r & 0xFF
+    arr = np.frombuffer(bytes(rec), np.uint8).reshape(h, stride)
+    if ch == 1:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    if ch == 3:
+        return arr.reshape(h, w, 3)
+    return arr.reshape(h, w, 4)[:, :, :3].copy()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG bytes.
+
+    ``filter_type`` applies one scanline filter (0-4) to every row — the
+    knob exists so the round-trip tests exercise each unfilter branch of
+    :func:`_decode_png`; 0 (None) is the production default."""
+    h, w, _ = img.shape
+    ch = 3
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:
+            out = line - left
+        elif filter_type == 2:
+            out = line - prev
+        elif filter_type == 3:
+            out = line - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = line - pred
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        raw += bytes([filter_type]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(img: "np.ndarray") -> bytes:
@@ -257,7 +400,7 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
         if b is None:
             return [0.0] * dim
         try:
-            if bytes(b[:2]) in (b"BM", b"P6"):
+            if bytes(b[:2]) in (b"BM", b"P6") or bytes(b[:8]) == PNG_MAGIC:
                 f = image_features(b, dim)
             elif bytes(b[:4]) == b"RIFF":
                 f = audio_features(b, dim)

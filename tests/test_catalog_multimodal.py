@@ -210,11 +210,18 @@ def test_multimodal_extract_features(spark):
 
 
 def test_multimodal_compressed_formats_raise():
-    # compressed formats stay deployment hooks (no codec libs shipped)
+    # formats without an in-sandbox codec stay deployment hooks
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 16)
+    # PNG subset boundary: palette (color type 3) is a documented seam
+    import struct as st
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bad)
 
 
 def _bmp_bytes():
@@ -251,6 +258,50 @@ def test_multimodal_real_codecs_roundtrip():
     samples, rate = mm.decode_audio(wav)
     assert rate == 8000
     np.testing.assert_array_equal(samples, x)
+
+
+def test_multimodal_png_roundtrip_all_filters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    for ft in range(5):  # every scanline filter exercises its unfilter
+        png = mm.encode_png(img, filter_type=ft)
+        np.testing.assert_array_equal(mm.decode_image(png), img, err_msg=f"filter {ft}")
+    # grayscale (color 0) and RGBA (color 6) decode paths, filter-0 scanlines
+    import struct as st
+    import zlib
+
+    gray = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    png_g = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", st.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0))
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        mm.decode_image(png_g), np.repeat(gray[:, :, None], 3, axis=2)
+    )
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png_a = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", st.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0))
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm.decode_image(png_a), rgba[:, :, :3])
+    # media_features dispatches PNG into the real pixel path: half-red /
+    # half-blue image -> mean R = 0.5 exactly (same invariant as the BMP test)
+    flag = np.zeros((4, 6, 3), dtype=np.uint8)
+    flag[:, :3] = [255, 0, 0]
+    flag[:, 3:] = [0, 0, 255]
+    rows = [(1, "image", mm.encode_png(flag), ("image/png", 6, 4, None))]
+    feats = mm.media_features(
+        spark.createDataFrame(rows, mm.MEDIA_SCHEMA), dim=8
+    ).collect()[0].feature
+    assert abs(feats[0] - 0.5) < 1e-6 and feats[1] == 0.0
 
 
 def test_multimodal_media_features_dispatch(spark):
