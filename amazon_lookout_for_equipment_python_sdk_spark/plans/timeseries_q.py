@@ -263,6 +263,87 @@ FROM (
 """
 
 
+_WASS_RAW_SQL = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'train' ELSE 'eval' END AS subset
+  FROM events WHERE value IS NOT NULL
+), bounds0 AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM tagged GROUP BY 1
+), bounds AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN mn - 0.5 ELSE mn END AS min_value,
+         CASE WHEN mx = mn THEN mx + 0.5 ELSE mx END AS max_value
+  FROM bounds0
+), counts AS (
+  SELECT t.event_type, t.subset,
+         CAST(least(floor((t.value - b.min_value) /
+                          ((b.max_value - b.min_value)/20.0)), 19) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM tagged t JOIN bounds b USING (event_type)
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT event_type, subset, count(*) AS n FROM tagged GROUP BY 1, 2
+), grid AS (
+  SELECT b.event_type, s.subset, g.bin, b.min_value, b.max_value
+  FROM bounds b,
+       (SELECT unnest(generate_series(0, 19)) AS bin) g,
+       (SELECT DISTINCT subset FROM tagged) s
+), dens AS (
+  SELECT g.event_type, g.subset, g.bin,
+         ((g.max_value - g.min_value)/20.0) AS width,
+         COALESCE(c.cnt, 0) / (t.n * ((g.max_value - g.min_value)/20.0)) AS density
+  FROM grid g
+  LEFT JOIN counts c ON g.event_type = c.event_type AND g.subset = c.subset AND g.bin = c.bin
+  JOIN totals t ON g.event_type = t.event_type AND g.subset = t.subset
+), cdf AS (
+  SELECT event_type, subset, bin, width,
+         sum(density) OVER (PARTITION BY event_type, subset ORDER BY bin) AS c
+  FROM dens
+)
+SELECT event_type, emd,
+       CAST(row_number() OVER (ORDER BY emd DESC, event_type) AS INTEGER) AS rnk
+FROM (
+  SELECT a.event_type,
+         {sql_qfloor('sum(abs(a.c - b.c)) * any_value(a.width) * any_value(a.width)', 10)} AS emd
+  FROM cdf a JOIN cdf b ON a.event_type = b.event_type AND a.bin = b.bin
+  WHERE a.subset = 'train' AND b.subset = 'eval'
+  GROUP BY 1) t
+"""
+
+
+@register("wasserstein_raw_rank", _WASS_RAW_SQL)
+def wasserstein_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented extension beside the density-vector-parity metric: the
+    textbook binned EMD between the RAW train/eval sample distributions —
+    sum over shared bins of |CDF_train - CDF_eval| * bin_width, the
+    CDF-difference integral (SURVEY §7 hard-part 1).  Oracle mirrors the
+    CDF as a DuckDB window cumsum over the same density grid; both engines
+    run the running sum in bin order, so the floats match bit-for-bit
+    under the same quantization as ``wasserstein_rank``."""
+    from pyspark.sql import Window
+    from ..operators.wasserstein import raw_sample_emd
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "subset",
+        F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), "train").otherwise(
+            "eval"
+        ),
+    )
+    d = raw_sample_emd(
+        events, "subset", "train", "eval", 20,
+        key_col="event_type", value_col="value",
+    )
+    d = d.select("event_type", qfloor(F.col("emd"), 10).alias("emd"))
+    return d.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("emd"), "event_type"))
+        .cast("int"),
+    )
+
+
 @register("wasserstein_rank", _WASS_SQL)
 def wasserstein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+A7 — per-signal Wasserstein distance between train/eval density
