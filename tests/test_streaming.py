@@ -1089,3 +1089,98 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     assert idle is not None, f"timeout session missing: {sorted(by_key)}"
     assert idle["n_events"] == 1
     assert str(idle["session_end"]) == "2024-01-01 10:36:00"
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Equivalence: replaying a fixture through sessionize_stream yields
+    exactly the session set the batch ``sessionize`` computes on the same
+    rows — (key, start, end, n_events) for every CLOSED session.  A
+    far-future sentinel user pushes the watermark past every real event so
+    all real sessions close; the sentinel's own open session is excluded."""
+    import datetime as dt
+    import random
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        sessionize,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        sessionize_stream,
+    )
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    for uid in ("A", "B", "C"):
+        t = t0
+        for _ in range(40):
+            t = t + dt.timedelta(minutes=rng.choice([0, 1, 5, 29, 30, 31, 95]))
+            rows.append((uid, t))
+    rows.sort(key=lambda r: r[1])
+
+    indir = tmp_path / "eq_in"
+    outdir = tmp_path / "eq_out"
+    ckpt = str(tmp_path / "eq_ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, batch):
+        with open(indir / name, "w") as f:
+            f.write("user_id,ts\n")
+            for uid, ts in batch:
+                f.write(f"{uid},{ts}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # replay in 3 time-ordered chunks, then sentinel batches that advance
+    # the watermark far past the data and fire the idle timeouts
+    n = len(rows)
+    write_batch("b1.csv", rows[: n // 3])
+    run_once()
+    write_batch("b2.csv", rows[n // 3 : 2 * n // 3])
+    run_once()
+    write_batch("b3.csv", rows[2 * n // 3 :])
+    run_once()
+    far = max(r[1] for r in rows) + dt.timedelta(days=2)
+    write_batch("b4.csv", [("ZZ", far)])
+    run_once()
+    write_batch("b5.csv", [("ZZ", far + dt.timedelta(minutes=1))])
+    run_once()
+
+    streamed = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.schema(
+            "key string, session_start timestamp, session_end timestamp, "
+            "n_events long"
+        )
+        .parquet(str(outdir / "data"))
+        .collect()
+        if r["key"] != "ZZ"
+    }
+
+    batch_df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, key_col="user_id", gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert streamed == batch
