@@ -303,6 +303,43 @@ def _nearest_cells(q: "pd.Series | list[float]", centroids, nprobe: int):
     return [int(c) for c in np.argsort(-cos)[:nprobe]]
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Distributed probe selection: (query_id, cell, _qvec) — each query's
+    ``nprobe`` nearest centroid cells by cosine.
+
+    The centroid table (n_cells rows — tiny by construction) broadcasts
+    against the query frame; the per-query rank is a window over n_cells
+    rows per query.  No driver-side iteration anywhere — the query side
+    stays a DataFrame end-to-end and never collects."""
+    spark = queries.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent = F.broadcast(
+        spark.createDataFrame(cent_rows, "cell int, _cvec array<double>")
+    )
+    # zero-norm guard mirrors _nearest_cells: a zero denominator becomes 1.0
+    denom = norm(F.col("_qvec")) * norm(F.col("_cvec"))
+    cos = dot(F.col("_qvec"), F.col("_cvec")) / F.when(
+        denom == 0.0, F.lit(1.0)
+    ).otherwise(denom)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_ccos"), "cell")
+    return (
+        queries.select(
+            query_id_col, _as_double(F.col(vec_col)).alias("_qvec")
+        )
+        .crossJoin(cent)
+        .withColumn("_ccos", cos)
+        .withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= nprobe)
+        .select(query_id_col, "cell", "_qvec")
+    )
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -313,31 +350,44 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probe_mode: str = "broadcast",
 ) -> DataFrame:
     """IVF ANN search: each query probes its ``nprobe`` nearest cells, then
-    exact cosine top-k within the probed candidates.  The probe list is
-    computed driver-side (queries are few; centroids are tiny) and joined
-    as a broadcast (query, cell) table — the corpus is touched only where
-    cell matches, i.e. ~nprobe/n_cells of it."""
-    from pyspark.sql import types as T
+    exact cosine top-k within the probed candidates.  The corpus is touched
+    only where cell matches, i.e. ~nprobe/n_cells of it.
 
-    spark = vectors.sparkSession
-    probe_rows = [
-        (r[query_id_col], cell, [float(x) for x in r[vec_col]])
-        for r in queries.select(query_id_col, vec_col).collect()
-        for cell in _nearest_cells(r[vec_col], centroids, nprobe)
-    ]
-    # id type follows the queries frame (string/long/... all valid)
-    probe_schema = T.StructType(
-        [
-            T.StructField(
-                query_id_col, queries.schema[query_id_col].dataType
-            ),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+    ``probe_mode='broadcast'`` (default, the scale path) builds the
+    (query, cell) probe table with :func:`ivf_probe_cells` — a broadcast
+    centroid join, no per-query driver iteration or collect; the finished
+    probe table (queries x nprobe rows) then broadcasts into the corpus
+    join (drop to a plain cell join for query batches too big to
+    broadcast).  ``probe_mode='driver'`` keeps the original tiny path
+    (numpy argsort over collected queries) for interactive handfuls of
+    probes, where a 2-job plan beats a window."""
+    if probe_mode == "broadcast":
+        probes = F.broadcast(
+            ivf_probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+        )
+    else:
+        from pyspark.sql import types as T
+
+        spark = vectors.sparkSession
+        probe_rows = [
+            (r[query_id_col], cell, [float(x) for x in r[vec_col]])
+            for r in queries.select(query_id_col, vec_col).collect()
+            for cell in _nearest_cells(r[vec_col], centroids, nprobe)
         ]
-    )
-    probes = F.broadcast(spark.createDataFrame(probe_rows, probe_schema))
+        # id type follows the queries frame (string/long/... all valid)
+        probe_schema = T.StructType(
+            [
+                T.StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        probes = F.broadcast(spark.createDataFrame(probe_rows, probe_schema))
     cands = vectors.join(assigned, id_col).join(probes, "cell")
     scored = cands.filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,

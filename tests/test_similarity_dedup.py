@@ -99,10 +99,11 @@ def test_ivf_ann_recall(spark, planted_vectors):
     brute = {}
     for r in sim.cosine_topk(planted_vectors, queries, k=5).collect():
         brute.setdefault(r["query_id"], set()).add(r["vec_id"])
-    ivf = {}
-    for r in sim.ivf_cosine_topk(
+    out_bcast = sim.ivf_cosine_topk(
         planted_vectors, queries, cents, assigned, k=5, nprobe=4
-    ).collect():
+    )
+    ivf = {}
+    for r in out_bcast.collect():
         ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [
         len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute
@@ -111,6 +112,26 @@ def test_ivf_ann_recall(spark, planted_vectors):
     # the planted near-copy (cos ~0.999) must be found for every query
     for q in range(5):
         assert 100 + q in ivf.get(q, set()), (q, sorted(ivf.get(q, set())))
+    # the legacy driver probe path returns the identical result set
+    driver_rows = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_cosine_topk(
+            planted_vectors, queries, cents, assigned, k=5, nprobe=4,
+            probe_mode="driver",
+        ).collect()
+    }
+    bcast_rows = {(r["query_id"], r["vec_id"]) for r in out_bcast.collect()}
+    assert bcast_rows == driver_rows
+    # distributed probes: the whole probe selection lives in ONE plan (a
+    # broadcast centroid join + per-query window) — queries never collect
+    probe_plan = (
+        sim.ivf_probe_cells(queries, cents, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in probe_plan, probe_plan
+    assert probe_plan.count("Window [") == 1, probe_plan
     # determinism: rebuilding with the same seed gives identical centroids
     cents2, _ = sim.ivf_build(planted_vectors, n_cells=8, seed=42)
     import numpy as np
