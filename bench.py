@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "quality_filter",
     "contamination_check",
     "sessionize_events",
+    "wasserstein_raw_rank",
+    "tfidf_top_terms",
 ]
 
 
