@@ -226,6 +226,7 @@ def minhash_candidate_pairs(
     max_bucket: int | None = 10_000,
     cap_observation=None,
     carry_shingles: bool = False,
+    carry_hashes: bool = False,
 ) -> DataFrame:
     """Fused LSH candidate pairs — one CORPUS-sized shuffle end-to-end.
 
@@ -250,6 +251,14 @@ def minhash_candidate_pairs(
     needs NO join — the bucket shuffle then carries ~bands x corpus-shingle
     bytes, the classic shuffle-vs-recompute trade, bounded by
     ``max_bucket`` exactly like the pair expansion itself.
+
+    ``carry_hashes=True`` carries the doc's distinct 48-bit shingle-hash
+    array instead (``_ha``/``_hb``) — the hashes are ALREADY materialized
+    for the signatures, and 8-byte longs shuffle ~3x smaller than word
+    3-gram strings and compare faster in ``array_intersect``.  Jaccard on
+    the hash sets equals Jaccard on the string sets except under a 48-bit
+    md5 collision inside a compared pair; the oracle hashes with the same
+    md5 expression, so results stay bit-identical either way.
     """
     if num_perm % bands:
         raise ValueError(
@@ -263,6 +272,8 @@ def minhash_candidate_pairs(
     fields = [F.col(id_col).alias("i"), F.col("_sig").alias("g")]
     if carry_shingles:
         fields.append(F.col("_sh").alias("h"))
+    if carry_hashes:
+        fields.append(F.array_distinct(F.col("_h")).alias("hh"))
     banded = docs.select(
         F.struct(*fields).alias("_m"),
         F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e"),
@@ -276,6 +287,8 @@ def minhash_candidate_pairs(
     ]
     if carry_shingles:
         cols += [F.col("_p.a.h").alias("_sha"), F.col("_p.b.h").alias("_shb")]
+    if carry_hashes:
+        cols += [F.col("_p.a.hh").alias("_ha"), F.col("_p.b.hh").alias("_hb")]
     pairs = _expand_bucket_pairs(
         banded, "band", max_bucket, cap_observation
     ).select(*cols)
@@ -289,7 +302,9 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    payload = ["_sha", "_shb"] if carry_shingles else []
+    payload = (["_sha", "_shb"] if carry_shingles else []) + (
+        ["_ha", "_hb"] if carry_hashes else []
+    )
     return _dedup_cross_band(pairs, match_flags, "band", max_bucket, payload)
 
 
@@ -533,23 +548,29 @@ def ngram_jaccard_lsh(
     could go quadratic on a pathological corpus.  ``None`` disables;
     ``cap_observation`` records the drop stat.
 
-    Physical shape: the FUSED candidate path (one groupBy shuffle, shingle
-    arrays carried in the bucket members, first-matching-band ownership
-    instead of a distinct — see :func:`minhash_candidate_pairs`) with the
-    exact verify inlined as row-local ``array_intersect`` on the carried
-    arrays: the whole query is signatures -> one shuffle -> codegen."""
+    Physical shape: the FUSED candidate path (one groupBy shuffle,
+    first-matching-band ownership instead of a distinct — see
+    :func:`minhash_candidate_pairs`) with the exact verify inlined as
+    row-local ``array_intersect`` on the carried 48-bit shingle-HASH
+    arrays (``carry_hashes``): the signatures already materialize the
+    hashes, longs shuffle ~3x smaller than 3-gram strings, and the
+    intersect compares longs instead of strings.  The Jaccard is over the
+    hash sets — identical to string-set Jaccard short of a 48-bit md5
+    collision inside a pair, and the DuckDB oracle hashes with the same
+    expression so values match bit-for-bit regardless.  The whole query is
+    signatures -> one shuffle -> codegen."""
     thr_millionths = int(round(threshold * 1_000_000))
     pairs = minhash_candidate_pairs(
         df, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, max_bucket=max_bucket,
-        cap_observation=cap_observation, carry_shingles=True,
+        cap_observation=cap_observation, carry_hashes=True,
     )
     common = pairs.select(
         "a",
         "b",
-        F.size(F.array_intersect("_sha", "_shb")).alias("n_common"),
-        F.size("_sha").alias("na"),
-        F.size("_shb").alias("nb"),
+        F.size(F.array_intersect("_ha", "_hb")).alias("n_common"),
+        F.size("_ha").alias("na"),
+        F.size("_hb").alias("nb"),
     )
     return (
         common.withColumn(

@@ -351,6 +351,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     probe_mode: str = "broadcast",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN search: each query probes its ``nprobe`` nearest cells, then
     exact cosine top-k within the probed candidates.  The corpus is touched
@@ -360,14 +361,17 @@ def ivf_cosine_topk(
     (query, cell) probe table with :func:`ivf_probe_cells` — a broadcast
     centroid join, no per-query driver iteration or collect; the finished
     probe table (queries x nprobe rows) then broadcasts into the corpus
-    join (drop to a plain cell join for query batches too big to
-    broadcast).  ``probe_mode='driver'`` keeps the original tiny path
+    join; pass ``broadcast_probes=False`` for query batches too big to
+    broadcast — the unhinted cell join lets Catalyst/AQE pick the shuffle
+    strategy.  ``probe_mode='driver'`` keeps the original tiny path
     (numpy argsort over collected queries) for interactive handfuls of
     probes, where a 2-job plan beats a window."""
     if probe_mode == "broadcast":
-        probes = F.broadcast(
-            ivf_probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+        probes = ivf_probe_cells(
+            queries, centroids, nprobe, vec_col, query_id_col
         )
+        if broadcast_probes:
+            probes = F.broadcast(probes)
     else:
         from pyspark.sql import types as T
 

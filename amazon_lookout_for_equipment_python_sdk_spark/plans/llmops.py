@@ -215,15 +215,19 @@ WITH sh AS (
            range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
            i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
   FROM documents
+), {_MINHASH_CTES_SQL}, hd AS (
+  -- distinct 48-bit shingle hashes per doc: the engine verifies Jaccard on
+  -- these (carry_hashes), so sizes/intersection mirror the hash sets
+  SELECT DISTINCT doc_id, h48 FROM h
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), {_MINHASH_CTES_SQL}, cand AS (
+  SELECT doc_id, count(*) AS n_sh FROM hd GROUP BY 1
+), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
   WHERE x.doc_id < y.doc_id
 ), common AS (
   SELECT c.a, c.b, count(*) AS n_common
-  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  FROM cand c JOIN hd x ON x.doc_id = c.a JOIN hd y ON y.doc_id = c.b AND y.h48 = x.h48
   GROUP BY 1, 2
 )
 SELECT a, b, n_common,
