@@ -278,6 +278,34 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sessionize_events_skew", _SESSION_SQL)
+def sessionize_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe sessionization path against the SAME oracle as
+    ``sessionize_events``: the (key, time-bucket) pre-split + boundary
+    merge must produce byte-identical sessions to the single-window plan
+    — oracle-checked here on driver data on top of the property test."""
+    ev = load(spark, sf_dir, "events")
+    s = ts_ops.sessionize(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        gap_minutes=_GAP_MINUTES,
+        tiebreak_col="event_id",
+        skew_buckets=8,
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000.0)
+        ).alias("duration_s"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        det_sum(F.col("value")).alias("value_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tf-idf top terms per document
 # ---------------------------------------------------------------------------
