@@ -54,9 +54,13 @@ def test_positional_restamp_is_keyed(spark):
 def test_jaccard_lsh_no_quadratic_selfjoin(spark):
     """The benched Jaccard never builds the all-pairs inverted-index
     self-join: candidates verify via array_intersect, and the only joins
-    are candidate-to-doc lookups."""
+    are candidate-to-doc lookups.  The verify payload is the 48-bit HASH
+    arrays (_ha/_hb), not the string shingle arrays — longs shuffle ~3x
+    smaller; a regression to carrying strings shows up as _sha in the
+    plan."""
     plan = _plan(spark, "ngram_jaccard_lsh")
     assert "array_intersect" in plan
+    assert "_ha" in plan and "_sha" not in plan, plan
     assert "CartesianProduct" not in plan
 
 
