@@ -794,31 +794,51 @@ def _simhash48_udf():
 
     @F.pandas_udf("long")
     def udf(texts: pd.Series) -> pd.Series:
-        out = []
-        # per-batch token-hash memo: corpus vocabulary repeats heavily
-        # across docs, so each distinct token is md5'd ONCE per Arrow
-        # batch instead of once per (doc, token) — bounded by batch
-        # vocabulary, reset per call (no unbounded worker-lifetime growth)
-        memo: dict[str, int] = {}
-        for t in texts:
-            if t is None:
-                out.append(None)  # split(null) drops the doc upstream too
-                continue
-            counts: dict[str, int] = {}
-            for tok in t.split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
-            hs = np.empty(len(counts), dtype=np.uint64)
-            for j, k in enumerate(counts):
-                v = memo.get(k)
-                if v is None:
-                    v = int(hashlib.md5(k.encode()).hexdigest()[:12], 16)
-                    memo[k] = v
-                hs[j] = v
-            cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-            bits = ((hs[:, None] >> _BITS) & 1).astype(np.int64)
-            votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-            out.append(int(((votes > 0).astype(np.uint64) << _BITS).sum()))
-        return pd.Series(out, dtype="object")
+        # Fully batch-vectorized: one flat token array for the whole Arrow
+        # batch, factorized so each DISTINCT token is md5'd once (corpus
+        # vocabulary repeats heavily across docs), per-(doc, token) counts
+        # from one np.unique over a packed key, and the 48-bit vote matrix
+        # accumulated with a single np.add.at — no per-doc Python loops.
+        # All-integer arithmetic, so results are bit-identical to both the
+        # scalar formulation and the DuckDB oracle.
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        valid = texts.notna().to_numpy()
+        toks = texts[valid].str.split(" ")
+        if len(toks):
+            lens = toks.str.len().to_numpy()
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
+            codes, uniques = pd.factorize(flat)
+            nv = len(uniques)
+            hvals = np.fromiter(
+                (
+                    int(hashlib.md5(u.encode()).hexdigest()[:12], 16)
+                    for u in uniques
+                ),
+                dtype=np.uint64,
+                count=nv,
+            )
+            key = doc_idx.astype(np.int64) * nv + codes
+            ukey, ucnt = np.unique(key, return_counts=True)
+            udoc = ukey // nv
+            ucode = ukey % nv
+            votes = np.zeros((len(lens), 48), dtype=np.int64)
+            # chunk the (doc, token) rows so the 48-wide contribution
+            # matrix stays tens of MB regardless of Arrow batch size
+            step = 1 << 17
+            for s in range(0, len(ukey), step):
+                e = s + step
+                bits = ((hvals[ucode[s:e]][:, None] >> _BITS) & 1).astype(
+                    np.int64
+                )
+                contrib = (2 * bits - 1) * ucnt[s:e, None]
+                np.add.at(votes, udoc[s:e], contrib)
+            sigs = ((votes > 0).astype(np.uint64) << _BITS).sum(axis=1)
+            out[valid] = sigs.astype(np.int64)
+        res = pd.Series(out, dtype="object")
+        res[~valid] = None  # split(null) drops the doc upstream too
+        return res
 
     return udf
 
