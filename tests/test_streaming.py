@@ -1184,3 +1184,55 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateless_text_ops_compose_with_streams(spark, tmp_path):
+    """The corpus text operators are stateless projections/filters, so the
+    SAME functions run unchanged on a readStream plan — streamed output
+    equals the batch result on identical rows (the streaming-compat
+    contract for the quality-gate pipeline stage)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        text as tx,
+    )
+
+    indir = tmp_path / "txt_in"
+    outdir = tmp_path / "txt_out"
+    indir.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a a a a a a a a"),
+        (3, "supercalifragilistic expialidocious"),
+        (4, "data row the a data row"),
+    ]
+    with open(indir / "docs.csv", "w") as f:
+        f.write("doc_id,text\n")
+        for i, t in rows:
+            f.write(f'{i},"{t}"\n')
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", True)
+        .csv(str(indir / "*.csv"))
+    )
+    q = (
+        tx.quality_filter(stream, min_tokens=3, max_stopword_ratio=0.6)
+        .writeStream.format("parquet")
+        .option("path", str(outdir / "data"))
+        .option("checkpointLocation", str(tmp_path / "txt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        tuple(r)
+        for r in tx.quality_filter(
+            batch_df, min_tokens=3, max_stopword_ratio=0.6
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(outdir / "data")).collect()
+    }
+    assert got == expect and len(got) >= 1
