@@ -254,3 +254,37 @@ def write_inference_chunks(
             written.append(dest)
     shutil.rmtree(staging)
     return written
+
+
+# --- bucketed parquet tables (co-located joins at scale) --------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet table.
+
+    Bucketing is the standing answer to repeated big-to-big joins and
+    aggregations on the same key at 100 TB: both sides pre-hashed into the
+    same ``num_buckets`` on ``bucket_cols`` join/aggregate WITHOUT a
+    shuffle (Catalyst proves the partitioning from the table metadata;
+    ``tests/test_datamodel_sources.py`` pins the no-Exchange plan).
+    ``sort_cols`` additionally pre-sorts inside each bucket, turning
+    sort-merge joins into zero-sort merges — the right layout for the
+    events table keyed by user/series id.
+
+    Requires a metastore-backed table (``saveAsTable``) — bucketing
+    metadata cannot ride a bare ``parquet(path)`` write."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -199,3 +199,38 @@ def test_inference_results_reader_and_pivot(spark, tmp_path):
     wide = pivot_diagnostics(df)
     assert "pump\\p1" in wide.columns and "motor\\m1" in wide.columns
     assert wide.count() == 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """write_bucketed: two tables bucketed identically on the join key
+    join with ZERO exchanges — the co-located-join layout for repeated
+    big-to-big joins at scale.  (Sort-merge with no Exchange in the plan
+    is the bucketing proof; an unbucketed join of the same frames pays
+    two.)"""
+    from amazon_lookout_for_equipment_python_sdk_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("w")
+    )
+    write_bucketed(a, "t_bucket_a", "user_id", num_buckets=8, sort_cols="user_id")
+    write_bucketed(b, "t_bucket_b", "user_id", num_buckets=8, sort_cols="user_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # tiny test tables would auto-broadcast; at real scale both sides are
+    # too big to broadcast and the bucketed shuffle-free join is the point
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bucket_a").join(
+            spark.table("t_bucket_b"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
