@@ -502,7 +502,58 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_cosine_topk")  # rows-only: ANN output is approximate by design
+#: the ANN oracle mirrors the ENTIRE deterministic pipeline: md5-derived
+#: hyperplane weights (w[p][d] = int(md5('p|d')[:12],16)/2^47 - 1 — exact
+#: int->double), per-(vec, plane) projections via list_dot_product (the
+#: same sequential multiply-add fold the engine's Arrow UDF runs, proven
+#: bit-identical by the cosine_topk oracle), strict proj > 0 sign bits
+#: packed per table, bucket equi-join candidates, and the exact cosine
+#: re-rank on the RAW cosine (quantized only on output, exactly like the
+#: engine).  "Approximate" describes the recall contract, not the
+#: computation — every step is deterministic, so the oracle matches
+#: bit-for-bit.
+_LSH_COS_SQL = f"""
+WITH pw AS (
+  SELECT t, i,
+         list(CAST(concat('0x', substr(md5(concat(t*3 + i, '|', d)), 1, 12))
+                   AS BIGINT) / 140737488355328.0 - 1.0 ORDER BY d) AS wv
+  FROM (SELECT unnest(range(16)) AS t),
+       (SELECT unnest(range(3)) AS i),
+       (SELECT unnest(range(64)) AS d)
+  GROUP BY t, i
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+  SELECT v.vec_id, w.t, w.i, list_dot_product(v.v, w.wv) AS pr
+  FROM vecs v, pw w
+), bkt AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN pr > 0 THEN (1 << i) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+  FROM (SELECT * FROM bkt WHERE vec_id < 5) q
+  JOIN bkt b ON q.t = b.t AND q.bucket = b.bucket
+  WHERE b.vec_id <> q.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(qv.v, bv.v) /
+           (sqrt(list_dot_product(qv.v, qv.v)) *
+            sqrt(list_dot_product(bv.v, bv.v))) AS rawcos
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs bv ON bv.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, {sql_qfloor('rawcos', 6)} AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rawcos DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
+@register("lsh_cosine_topk", _LSH_COS_SQL)
 def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path, benched: multi-table hyperplane-LSH candidates
     + exact cosine rank within candidates only (same 5 probes / k=10 as
@@ -510,7 +561,9 @@ def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 tables x 3 planes holds recall >= 0.9 vs brute force on this corpus
     (asserted in tests/test_similarity_dedup.py) while touching only the
     bucket-join candidates — the knob set that scales: tables bound recall,
-    planes bound candidate volume per table."""
+    planes bound candidate volume per table.  Deterministic end-to-end, so
+    the DuckDB oracle reproduces the full LSH pipeline bit-for-bit
+    (_LSH_COS_SQL)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -20,10 +20,11 @@ def test_oracle_keys_subset_of_queries():
     assert not stray, f"oracle entries without a query: {stray}"
 
 
-def test_oracle_coverage_is_total_except_declared_ann():
-    """Every query has an oracle except the declared approximate ops
-    (rows-only by design).  Growing this allowlist is a deliberate act."""
-    rows_only_by_design = {"lsh_cosine_topk"}
+def test_oracle_coverage_is_total():
+    """EVERY registered query has a DuckDB oracle — since r4 even the ANN
+    path (its md5-derived LSH pipeline is deterministic end-to-end, so the
+    oracle mirrors it bit-for-bit).  A query landing here without an
+    oracle is a deliberate, documented act — not a default."""
     qs = set(entrymod.queries())
     no_oracle = qs - set(entrymod.oracle_sql())
-    assert no_oracle == rows_only_by_design, no_oracle
+    assert no_oracle == set(), no_oracle
