@@ -309,3 +309,80 @@ def tfidf_top_terms(
         .filter(F.col("_rk") <= k)
         .select(id_col, "token", "tf", "doc_freq", "tfidf")
     )
+
+
+# --- PII / URL redaction ----------------------------------------------------
+
+#: (pattern, replacement) pairs applied IN ORDER — order matters: emails
+#: redact before bare digit runs so an address's digits don't half-redact.
+#: Patterns stay in the regex subset Java (Spark) and RE2 (DuckDB) agree
+#: on: character classes, +/{n,} quantifiers — no backrefs, no lookaround.
+REDACTION_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_text(
+    col: Column, rules: tuple[tuple[str, str], ...] = REDACTION_RULES
+) -> Column:
+    """Scrub PII-ish spans (emails, URLs, long digit runs) from a text
+    column — the standard pre-training redaction pass.  Pure
+    ``regexp_replace`` chain: row-local, whole-stage codegen, replacements
+    applied in rule order (each rule sees the previous rule's output,
+    exactly like the SQL oracle's nested regexp_replace calls)."""
+    out = col
+    for pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing plan: assign each document to a training pack of
+    ~``budget_tokens`` whitespace tokens, preserving deterministic
+    (group, id) order — the complement of :func:`chunk_documents` (that
+    splits long docs; this bins short ones).
+
+    Pack assignment is the boundary-crossing rule: a doc starts in the
+    pack numbered ``prev_cumsum // budget`` (prev_cumsum = running token
+    total of earlier docs in its group) — a pack may overrun the budget by
+    at most one document, the standard approximate-packing trade that
+    keeps the rule a pure running sum.  Exact greedy reset-on-overflow
+    packing is order-dependent and non-associative (needs a sequential
+    scan per group); this formulation is one window cumsum — integer
+    arithmetic end-to-end, so the oracle matches bit-for-bit.
+
+    Returns (id, group, n_tokens, pack_id, pack_offset): ``pack_offset``
+    is the doc's token start position within its group's concatenated
+    stream, ``pack_id`` is per-group.
+
+    Scale: one shuffle (hash partition by group) + per-group sort window.
+    A skewed group follows the same time-bucket pre-split recipe as
+    ``sessionize`` if ever needed; pack ids are derived from the cumsum so
+    the split/merge is exact.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(id_col, group_col, n_tok.alias("n_tokens"))
+        .withColumn("pack_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("pack_offset") / F.lit(budget_tokens)).cast("long"),
+        )
+    )

@@ -339,3 +339,70 @@ def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     token."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return cp.tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# PII/URL redaction + sequence packing
+# ---------------------------------------------------------------------------
+
+_REDACT_SQL = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             concat(text, ' mail u', doc_id, '@ex.org via https://ex.org/d/',
+                    doc_id, ' ref 12345678'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS clean
+FROM documents
+"""
+
+
+@register("redact_pii", _REDACT_SQL)
+def redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction pass over documents with injected deterministic
+    email/URL/number spans (the synthetic corpus has none of its own —
+    the injection makes every rule fire on every row).  Pure
+    regexp_replace chain in the Java/RE2-common regex subset, applied in
+    the same rule order on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref 12345678"),
+    )
+    return docs.select("doc_id", cp.redact_text(dirty).alias("clean"))
+
+
+_PACK_SQL = """
+SELECT doc_id, source, n_tokens,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(floor(pack_offset / 512) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents) t) x
+"""
+
+
+@register("pack_documents", _PACK_SQL)
+def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan at a 512-token budget, grouped by source:
+    integer window cumsum -> pack ids (boundary-crossing rule; see
+    operators/corpus.pack_documents for the exact-greedy trade)."""
+    docs = load(spark, sf_dir, "documents")
+    out = cp.pack_documents(
+        docs, budget_tokens=512, group_col="source",
+        text_col="text", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "pack_id",
+    )

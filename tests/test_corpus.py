@@ -216,3 +216,41 @@ def test_tfidf_top_terms_ranking(spark):
     assert top[1]["tfidf"] == pytest.approx(6.0)
     # docs 2/3: tie between a (1*3/3=1.0) and b (1*3/2=1.5) -> b wins
     assert top[2]["token"] == "b" and top[3]["token"] == "b"
+
+
+def test_redact_text_rules_and_order(spark):
+    rows = [
+        (1, "write bob.smith+x@corp.example.co or see https://a.b/c?d=1 now"),
+        (2, "card 1234567890 pin 12345 ok"),  # only the 6+ digit run redacts
+        (3, "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", cp.redact_text(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "write <EMAIL> or see <URL> now"
+    assert out[2] == "card <NUM> pin 12345 ok"
+    assert out[3] == "clean text stays clean"
+
+
+def test_pack_documents_boundary_rule(spark):
+    # group g: token counts 3, 4, 5 with budget 6:
+    # offsets 0, 3, 7 -> packs 0, 0, 1 (doc2 overruns pack 0 — documented)
+    rows = [
+        (1, "g", "a b c"),
+        (2, "g", "a b c d"),
+        (3, "g", "a b c d e"),
+        (4, "h", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+        for r in cp.pack_documents(df, budget_tokens=6).collect()
+    }
+    assert out[1] == (0, 0, 3)
+    assert out[2] == (0, 3, 4)
+    assert out[3] == (1, 7, 5)
+    assert out[4] == (0, 0, 1)  # groups pack independently
