@@ -574,3 +574,53 @@ def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", qfloor(F.col("cos"), 6).alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized cosine top-k (ANN memory scale path)
+# ---------------------------------------------------------------------------
+
+_QCOS_SQL = f"""
+WITH s AS (
+  SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x)))) AS sc
+  FROM embeddings
+), qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(greatest(-127, least(127,
+                  floor(x / s.sc * 127.0 + 0.5))) AS BIGINT)) AS q
+  FROM embeddings, s
+), probes AS (
+  SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5
+), scored AS (
+  SELECT p.query_id, v.vec_id,
+         list_dot_product(p.qq, v.q) /
+           (sqrt(list_dot_product(p.qq, p.qq)) *
+            sqrt(list_dot_product(v.q, v.q))) AS rawq
+  FROM qv v, probes p WHERE v.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, qcos FROM (
+  SELECT query_id, vec_id, {sql_qfloor('rawq', 6)} AS qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rawq DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
+@register("quantized_cosine_topk", _QCOS_SQL)
+def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-QUANTIZED embeddings (symmetric global
+    scale, floor(x+0.5) rounding — one IEEE op, engine-portable unlike
+    round()): the 4x-memory ANN serving layout.  Scores are exact integer
+    dot products; only the final normalization divides, so the oracle is
+    bit-identical."""
+    emb = load_par(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.dequantized_cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", qfloor(F.col("qcos"), 6).alias("qcos")
+    )

@@ -308,3 +308,26 @@ def test_fused_candidates_equal_legacy_distinct_path(spark):
         ]
         assert len(fused) == len(set(fused)), (mb, "duplicates emitted")
         assert set(fused) == legacy, mb
+
+
+def test_quantized_cosine_close_to_exact(spark, planted_vectors):
+    """int8 quantization: top-5 over dequantized cosine keeps high overlap
+    with the exact ranking, and every planted near-copy (cos ~0.999)
+    survives quantization."""
+    queries = planted_vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in sim.cosine_topk(planted_vectors, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in sim.dequantized_cosine_topk(
+        planted_vectors, queries, k=5
+    ).collect():
+        quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    overlaps = [
+        len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+    for q in range(3):
+        assert 100 + q in quant.get(q, set()), (q, sorted(quant.get(q, set())))
