@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "wasserstein_raw_rank",
     "tfidf_top_terms",
+    "quantized_cosine_topk",
 ]
 
 
