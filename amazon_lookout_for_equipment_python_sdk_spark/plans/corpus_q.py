@@ -406,3 +406,84 @@ def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_offset").cast("long").alias("pack_offset"),
         "pack_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-prep pipeline (quality -> dedup -> split -> pack)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_SQL = """
+WITH q AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the', 'a', 'data', 'row')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr,
+         (length(text) - (len(string_split(text, ' ')) - 1))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS atl
+  FROM documents
+), f AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 20 AND swr <= 0.4 AND atl >= 3.0 AND atl <= 12.0
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)
+), surv AS (
+  SELECT f.* FROM f JOIN keep USING (doc_id)
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) % 100 AS b
+        FROM surv) t
+), tr AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM surv s JOIN sp USING (doc_id) WHERE sp.split = 'train'
+)
+SELECT doc_id, source, n_tokens,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(floor(pack_offset / 512) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+  FROM tr) x
+"""
+
+
+@register("corpus_pipeline", _PIPELINE_SQL)
+def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed prep chain a training run actually executes — quality
+    gate -> exact-dedup canonical keep -> content-hash split -> sequence
+    packing of the train split — as ONE lazy plan: Catalyst fuses the
+    row-local stages (quality stats, hashing) into the scans around the
+    two aggregations (dedup groupBy, pack window), demonstrating that the
+    §2.14 operators compose without materialization barriers."""
+    from ..operators import dedup as dd
+    from ..operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    q = tx.quality_filter(
+        docs,
+        min_tokens=20,
+        max_stopword_ratio=0.4,
+        min_avg_token_len=3.0,
+        max_avg_token_len=12.0,
+    )
+    keep = dd.dedup_exact(q).select(F.col("keep_id").alias("doc_id"))
+    surv = q.join(keep, "doc_id", "left_semi")
+    train_ids = (
+        cp.hash_split(surv.select("doc_id", "text"))
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    tr = surv.join(train_ids, "doc_id", "left_semi")
+    out = cp.pack_documents(
+        tr, budget_tokens=512, group_col="source",
+        text_col="text", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "pack_id",
+    )
