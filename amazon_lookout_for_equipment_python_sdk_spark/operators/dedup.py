@@ -856,3 +856,19 @@ def simhash48(
     return df.select(
         F.col(id_col), _simhash48_udf()(F.col(text_col)).alias("simhash")
     ).filter(F.col("simhash").isNotNull())
+
+
+def _doc_sig_frame(
+    df: DataFrame,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, _sig: array<long>) — per-doc MinHash signature vector, all
+    row-local (works unchanged on streaming DataFrames; the streaming LSH
+    operator builds on this)."""
+    docs = _with_digests(
+        _shingle_array(df, shingle_n, text_col, id_col), num_perm
+    )
+    return docs.select(F.col(id_col), _sig_col(num_perm).alias("_sig"))

@@ -4,6 +4,7 @@ from .stateful import (  # noqa: F401
     compact_runs_stream,
     sessionize_stream,
     streaming_dedup_exact,
+    streaming_minhash_candidates,
     streaming_resample_mean,
 )
 from .scheduler import (  # noqa: F401

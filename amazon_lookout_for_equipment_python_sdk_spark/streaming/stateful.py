@@ -278,3 +278,101 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming MinHash-LSH near-dup candidates ------------------------------
+
+#: candidate pair stream: (a, b, band)
+LSH_PAIR_SCHEMA = "a string, b string, band int"
+#: per-(band, bucket) state: member ids + their signatures flattened at
+#: num_perm stride (flat longs — avoids nested-array state codecs)
+LSH_STATE_SCHEMA = "ids array<string>, sigs array<long>"
+
+
+def _lsh_bucket_batch(
+    key, pdf_iter, state: GroupState, num_perm: int, bands: int, max_bucket: int
+):
+    band_val = int(key[0])
+    rpb = num_perm // bands
+
+    def first_matching_band(sa, sb) -> int:
+        for b in range(bands):
+            if sa[b * rpb : (b + 1) * rpb] == sb[b * rpb : (b + 1) * rpb]:
+                return b
+        return bands  # unreachable for true bucket collisions
+
+    if state.exists:
+        ids, flat = state.get
+        ids = list(ids)
+        flat = [int(x) for x in flat]
+    else:
+        ids, flat = [], []
+    sigs = [flat[i * num_perm : (i + 1) * num_perm] for i in range(len(ids))]
+    out: list[tuple] = []
+    for pdf in pdf_iter:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["_sig"]):
+            sig = [int(x) for x in sig]
+            if len(ids) < max_bucket:
+                # first-matching-band ownership, recomputed row-local from
+                # the two signatures — the exact batch rule, so cross-band
+                # duplicate pairs vanish with no global dedup state
+                for prev_id, prev_sig in zip(ids, sigs):
+                    if first_matching_band(sig, prev_sig) == band_val:
+                        a, b = sorted((str(doc_id), str(prev_id)))
+                        out.append((a, b, band_val))
+            ids.append(str(doc_id))
+            sigs.append(sig)
+            flat.extend(sig)
+    state.update((ids, flat))
+    if out:
+        yield pd.DataFrame(out, columns=["a", "b", "band"])
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    num_perm: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Streaming twin of the batch ``dedup.minhash_candidate_pairs``: an
+    append-mode stream of LSH candidate near-dup pairs, emitted the moment
+    the second member of a colliding (band, bucket) arrives.
+
+    Plan shape mirrors the batch fusion 1:1: signatures and band buckets
+    compute row-local on the stream (same md5/permutation arithmetic —
+    bit-identical pairs, batch-equivalence pytest-pinned on a replayed
+    fixture), the ONLY wide operation is the groupBy on (band, bucket),
+    and cross-band duplicates die by the same first-matching-band
+    ownership rule recomputed from the two carried signatures — one state
+    record per bucket, no global dedup state.
+
+    A bucket at ``max_bucket`` stops emitting new pairs (the batch
+    posting-list cap's semantics) but keeps recording members.  State is
+    O(corpus seen) across the stream's lifetime — the honest cost of
+    exact continuous dedup; bolt a ProcessingTimeTimeout eviction on when
+    staleness is acceptable."""
+    from ..operators.dedup import _band_entries_from_sig, _doc_sig_frame
+
+    sig = _doc_sig_frame(stream, num_perm, shingle_n, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        "_sig",
+        F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e"),
+    ).select(
+        "doc_id",
+        "_sig",
+        F.col("_e.band").alias("band"),
+        F.col("_e.bucket").alias("bucket"),
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        lambda key, it, st: _lsh_bucket_batch(
+            key, it, st, num_perm, bands, max_bucket
+        ),
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

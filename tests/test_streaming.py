@@ -1236,3 +1236,83 @@ def test_stateless_text_ops_compose_with_streams(spark, tmp_path):
         for r in spark.read.parquet(str(outdir / "data")).collect()
     }
     assert got == expect and len(got) >= 1
+
+
+def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
+    """Equivalence: replaying a doc corpus through
+    streaming_minhash_candidates in several micro-batches yields exactly
+    the batch minhash_candidate_pairs set — same signatures, same bucket
+    collisions, same first-matching-band cross-band dedup."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_minhash_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark plans "
+        "queries with catalyst and tungsten at scale"
+    )
+    words = base.split()
+    docs = []
+    for i in range(12):
+        # 4 near-dup families of 3 docs each: tiny word substitutions
+        fam, var = divmod(i, 3)
+        w = list(words)
+        w[2] = f"tint{fam}"
+        if var:
+            w[-1] = f"alt{var}"
+        docs.append((i, " ".join(w)))
+    docs += [(100 + i, f"totally unrelated text number {i} about nothing "
+              f"else whatsoever in particular today") for i in range(4)]
+
+    indir = tmp_path / "mh_in"
+    outdir = tmp_path / "mh_out"
+    indir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("doc_id|text\n")
+            for i, t in rows:
+                f.write(f"{i}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+        )
+        q = (
+            streaming_minhash_candidates(stream, num_perm=8, bands=2)
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # replay in 3 chunks: pairs must surface across micro-batch boundaries
+    write_batch("b1.csv", docs[:6])
+    run_once()
+    write_batch("b2.csv", docs[6:11])
+    run_once()
+    write_batch("b3.csv", docs[11:])
+    run_once()
+
+    streamed = {
+        tuple(sorted((int(r["a"]), int(r["b"]))))
+        for r in spark.read.schema(
+            "a string, b string, band int"
+        ).parquet(str(outdir / "data")).collect()
+    }
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in minhash_candidate_pairs(
+            batch_df, num_perm=8, bands=2, max_bucket=None
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
