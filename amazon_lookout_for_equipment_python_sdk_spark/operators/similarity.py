@@ -486,7 +486,7 @@ def quantization_scale(
 
 def quantize_embeddings(
     vectors: DataFrame,
-    scale: DataFrame,
+    scale: "DataFrame | float",
     vec_col: str = "embedding",
     out_col: str = "q_embedding",
 ) -> DataFrame:
@@ -499,20 +499,33 @@ def quantize_embeddings(
     semantics differ (Spark HALF_UP via BigDecimal, DuckDB half-away,
     numpy banker's) but floor is one IEEE op everywhere — identical bits
     in every engine, so the oracle reproduces the quantized values
-    exactly.  The 1-row scale frame broadcasts; quantization stays
-    row-local codegen."""
-    s = F.broadcast(scale)
+    exactly.
+
+    ``scale`` is either the 1-row frame from :func:`quantization_scale`
+    (joined in as a broadcast — fully lazy) or a plain float (quantization
+    becomes pure row-local codegen with zero extra plan nodes).  Callers
+    quantizing several frames against ONE fit (corpus + queries) should
+    collect the scalar once — Spark does not dedupe the repeated 1-row
+    aggregation subtree, so the DataFrame form would re-scan the corpus
+    per quantize call."""
+    if isinstance(scale, DataFrame):
+        scale_col = F.col("_qscale")
+        base = vectors.crossJoin(F.broadcast(scale))
+    else:
+        scale_col = F.lit(float(scale))
+        base = vectors
     q = F.transform(
         _as_double(F.col(vec_col)),
         lambda x: F.greatest(
             F.lit(-127),
             F.least(
                 F.lit(127),
-                F.floor(x / F.col("_qscale") * F.lit(127.0) + F.lit(0.5)),
+                F.floor(x / scale_col * F.lit(127.0) + F.lit(0.5)),
             ),
         ).cast("int"),
     )
-    return vectors.crossJoin(s).withColumn(out_col, q).drop("_qscale")
+    out = base.withColumn(out_col, q)
+    return out.drop("_qscale") if isinstance(scale, DataFrame) else out
 
 
 def dequantized_cosine_topk(
@@ -527,10 +540,15 @@ def dequantized_cosine_topk(
     corpus once (global symmetric scale), rank by the integer-dot cosine.
     The symmetric scale cancels in the cosine, so the whole score is
     INTEGER dot products (exact, no float drift at all) — only the final
-    normalization divides.  Same plan shape as :func:`cosine_topk`."""
-    scale = quantization_scale(vectors, vec_col)
-    qv = quantize_embeddings(vectors, scale, vec_col)
-    qq = quantize_embeddings(queries, scale, vec_col)
+    normalization divides.  Same plan shape as :func:`cosine_topk`.
+
+    The fitted scale is ONE double — collected driver-side (documented
+    eager metadata action, like the IVF centroid pull) so quantizing the
+    corpus and the query frame costs zero extra scans; the DataFrame form
+    would re-run the max-aggregation subtree once per quantize call."""
+    s = quantization_scale(vectors, vec_col).first()[0]
+    qv = quantize_embeddings(vectors, s, vec_col)
+    qq = quantize_embeddings(queries, s, vec_col)
     q = F.broadcast(
         qq.select(query_id_col, F.col("q_embedding").alias("_qvec"))
     )

@@ -117,29 +117,35 @@ def wasserstein_between_density_vectors(
 ) -> DataFrame:
     """W1 distance between two equal-length density vectors per signal
     (the reference's semantic, evaluation.py:290-305):
-    mean(|sorted(a) - sorted(b)|)."""
-    wa = Window.partitionBy(key_col).orderBy("density", "bin")
-    a = (
-        hists.filter(F.col("subset") == subset_a)
-        .withColumn("r", F.row_number().over(wa))
-        .select(key_col, "r", F.col("density").alias("da"))
-    )
-    b = (
-        hists.filter(F.col("subset") == subset_b)
-        .withColumn("r", F.row_number().over(wa))
-        .select(key_col, "r", F.col("density").alias("db"))
-    )
-    d = (
-        a.join(b, [key_col, "r"])
-        .groupBy(key_col)
-        .agg(F.avg(F.abs(F.col("da") - F.col("db"))).alias("distance"))
+    mean(|sorted(a) - sorted(b)|).
+
+    Shape: rank within (signal, subset) then pair the two subsets by rank
+    with a CONDITIONAL aggregation — not a filter-and-self-join, which
+    would re-instantiate (and at scale re-SCAN) the whole upstream
+    histogram pipeline once per subset.  One pass over ``hists``; a rank
+    present in only one subset leaves the other side null, the |diff|
+    null, and avg skips it — exactly the inner-join pairing."""
+    wr = Window.partitionBy(key_col, "subset").orderBy("density", "bin")
+    ranked = hists.filter(
+        F.col("subset").isin(subset_a, subset_b)
+    ).withColumn("r", F.row_number().over(wr))
+    paired = ranked.groupBy(key_col, "r").agg(
+        F.max(F.when(F.col("subset") == subset_a, F.col("density"))).alias("da"),
+        F.max(F.when(F.col("subset") == subset_b, F.col("density"))).alias("db"),
     )
     # a signal missing one subset entirely (e.g. zero predicted anomalies)
     # must collapse to distance 0.0, not vanish from the ranking — the
-    # reference's except-branch semantics (evaluation.py:308-309)
-    keys = hists.select(key_col).distinct()
-    return keys.join(d, key_col, "left").select(
-        key_col, F.coalesce(F.col("distance"), F.lit(0.0)).alias("distance")
+    # reference's except-branch semantics (evaluation.py:308-309).  Such a
+    # signal still has paired rows (one side null -> avg null), so the
+    # coalesce does it WITHOUT a keys-rejoin — the old
+    # `hists.select(key).distinct()` left-join re-instantiated (and at
+    # scale re-scanned) the whole histogram subtree a second time.  (A
+    # signal with rows in NEITHER compared subset would drop out, which
+    # cannot happen for a 2-valued split column.)
+    return paired.groupBy(key_col).agg(
+        F.coalesce(
+            F.avg(F.abs(F.col("da") - F.col("db"))), F.lit(0.0)
+        ).alias("distance")
     )
 
 
@@ -176,21 +182,27 @@ def raw_sample_emd(
 
     bin_width comes from the histogram output itself (with_edges) — a
     separate signal_bounds pass would rescan the full raw DataFrame just
-    to recompute min/max."""
+    to recompute min/max.  Subsets pair by a conditional aggregation on
+    (signal, bin), not a filter-and-self-join — one pass over the
+    histogram pipeline (see wasserstein_between_density_vectors)."""
     hists = density_histograms(
         df, split_col, num_bins, key_col, value_col, with_edges=True
     )
     w = Window.partitionBy(key_col, "subset").orderBy("bin")
     cdf = hists.withColumn("cdf", F.sum("density").over(w))
-    a = cdf.filter(F.col("subset") == subset_a).select(
-        key_col, "bin", "bin_width", F.col("cdf").alias("ca")
-    )
-    b = cdf.filter(F.col("subset") == subset_b).select(
-        key_col, "bin", F.col("cdf").alias("cb")
+    paired = (
+        cdf.filter(F.col("subset").isin(subset_a, subset_b))
+        .groupBy(key_col, "bin")
+        .agg(
+            F.max(F.when(F.col("subset") == subset_a, F.col("cdf"))).alias("ca"),
+            F.max(F.when(F.col("subset") == subset_b, F.col("cdf"))).alias("cb"),
+            F.max("bin_width").alias("bin_width"),
+        )
+        # inner-join pairing: a bin present in only one subset drops
+        .filter(F.col("ca").isNotNull() & F.col("cb").isNotNull())
     )
     return (
-        a.join(b, [key_col, "bin"])
-        .groupBy(key_col, "bin_width")
+        paired.groupBy(key_col, "bin_width")
         .agg(F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("_absdiff"))
         .select(
             key_col,
