@@ -8,11 +8,14 @@ need any library beyond numpy/stdlib:
 
 - images: 24-bit uncompressed BMP and binary PPM (P6) decode to
   ``(h, w, 3)`` uint8 arrays; nearest-neighbor resize; BMP re-encode;
-- PNG (the one compressed format with a stdlib-only container+codec:
-  zlib): 8-bit grayscale/RGB/RGBA, all five scanline filters, non
-  interlaced — decode and encode, round-trip tested per filter type;
+- PNG (stdlib zlib inflate): 8-bit grayscale/RGB/RGBA, all five scanline
+  filters, non-interlaced — decode and encode, round-trip tested per
+  filter type;
+- JPEG: a full baseline codec in ``_jpeg.py`` (DCT + Annex K tables +
+  Huffman, 4:4:4) — the decoder reads tables from the stream so it
+  handles real baseline JPEGs; progressive/subsampled raise (seam);
 - audio: PCM WAV decodes via the stdlib ``wave`` module to int16 samples;
-- remaining compressed formats (JPEG/MP3/MP4 frames) still raise
+- remaining compressed formats (MP3/MP4 frames) still raise
   NotImplementedError with swap-in instructions (this container ships no
   codec libraries), and ``decode_stub`` remains the deterministic testing
   stand-in.
@@ -86,9 +89,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return _decode_ppm(payload)
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ._jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PNG decode is built in; install Pillow and "
-        "replace multimodal.decode_image for other compressed formats"
+        "only BMP/PPM/PNG/baseline-JPEG decode is built in; install "
+        "Pillow and replace multimodal.decode_image for other formats"
     )
 
 
@@ -400,7 +407,10 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
         if b is None:
             return [0.0] * dim
         try:
-            if bytes(b[:2]) in (b"BM", b"P6") or bytes(b[:8]) == PNG_MAGIC:
+            if (
+                bytes(b[:2]) in (b"BM", b"P6", b"\xff\xd8")
+                or bytes(b[:8]) == PNG_MAGIC
+            ):
                 f = image_features(b, dim)
             elif bytes(b[:4]) == b"RIFF":
                 f = audio_features(b, dim)

@@ -212,9 +212,19 @@ def test_multimodal_extract_features(spark):
 def test_multimodal_compressed_formats_raise():
     # formats without an in-sandbox codec stay deployment hooks
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+        mm.decode_image(b"GIF89a" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 16)
+    # JPEG subset boundary: progressive (SOF2) is a documented seam
+    import struct as st
+
+    sof2 = (
+        b"\xff\xd8"
+        + st.pack(">HH", 0xFFC2, 8)
+        + b"\x00" * 6
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(sof2)
     # PNG subset boundary: palette (color type 3) is a documented seam
     import struct as st
 
@@ -302,6 +312,39 @@ def test_multimodal_png_roundtrip_all_filters(spark):
         spark.createDataFrame(rows, mm.MEDIA_SCHEMA), dim=8
     ).collect()[0].feature
     assert abs(feats[0] - 0.5) < 1e-6 and feats[1] == 0.0
+
+
+def test_multimodal_jpeg_roundtrip_and_dispatch(spark):
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import _jpeg as J
+
+    # smooth gradient (JPEG-friendly): lossy round trip stays close
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(x * 5).clip(0, 255), (y * 9).clip(0, 255), ((x + y) * 3).clip(0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    data = J.encode_jpeg(img, quality=90)
+    assert len(data) < img.size  # actually compressed
+    back = mm.decode_image(data)  # dispatch via magic bytes
+    assert back.shape == img.shape
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() < 3.0, err.mean()
+    # flat image survives exactly; odd dims crop back correctly
+    flat = np.full((8, 8, 3), 130, np.uint8)
+    np.testing.assert_array_equal(mm.decode_image(J.encode_jpeg(flat)), flat)
+    odd = np.full((13, 21, 3), 64, np.uint8)
+    assert mm.decode_image(J.encode_jpeg(odd)).shape == odd.shape
+    # media_features: a red/blue flag through JPEG keeps mean R ~0.5
+    fl = np.zeros((8, 8, 3), dtype=np.uint8)
+    fl[:, :4] = [255, 0, 0]
+    fl[:, 4:] = [0, 0, 255]
+    rows = [(1, "image", J.encode_jpeg(fl, 95), ("image/jpeg", 8, 8, None))]
+    feats = mm.media_features(
+        spark.createDataFrame(rows, mm.MEDIA_SCHEMA), dim=8
+    ).collect()[0].feature
+    assert abs(feats[0] - 0.5) < 0.05 and feats[1] < 0.05
 
 
 def test_multimodal_media_features_dispatch(spark):
