@@ -139,6 +139,37 @@ def test_tfidf_no_vocabulary_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
+def test_wasserstein_single_histogram_pipeline(spark):
+    """Both EMD queries pair subsets with a conditional aggregation, NOT a
+    filter-and-self-join — the old shape re-instantiated the whole
+    histogram pipeline per subset (r4 halved the scans: 8+ -> 5).  The
+    scan count IS the guard: a rejoin regression doubles it."""
+    for name in ("wasserstein_rank", "wasserstein_raw_rank"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") <= 5, (name, plan)
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_quantized_topk_two_scans(spark):
+    """quantized_cosine_topk: the fitted scale is a driver scalar, so the
+    plan holds exactly corpus + probe scans (the DataFrame-scale form
+    re-ran the max-agg subtree per quantize call: 4 scans)."""
+    plan = _plan(spark, "quantized_cosine_topk")
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_corpus_pipeline_composes_lazily(spark):
+    """The composed prep chain: semi-joins broadcast, no sort-merge or
+    cartesian anywhere, and the aggregation budget stays at the three
+    intrinsic shuffles (dedup groupBy, split semi-join key agg, pack
+    window)."""
+    plan = _plan(spark, "corpus_pipeline")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sessionize_events_single_window(spark):
     """sessionize_events: lag, running sum, and the session rollup all
     ride ONE per-user hash partitioning."""
