@@ -264,17 +264,81 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes."""
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """DCT + quantize + Huffman-write one 8x8 sample block; returns the
+    new DC predictor."""
+    coeff = _T @ (block - 128.0) @ _T.T
+    quant = np.round(coeff / qtab).astype(np.int64)
+    zz = quant.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    cat, bits = _magnitude(diff)
+    code, length = dc_codes[cat]
+    writer.write(code, length)
+    if cat:
+        writer.write(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            writer.write(zc, zl)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(bits, cat)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        writer.write(ec, el)
+    return int(zz[0])
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    out = np.empty((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsampling``: '444' (no chroma subsampling), '422' (halved
+    horizontally), or '420' (halved both ways — what most real-world
+    JPEGs use; ~2x smaller chroma payload)."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"subsampling must be one of {sorted(factors)}")
+    hy, vy = factors[subsampling]
     h, w, _ = img.shape
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchrom = _scaled_quant(QUANT_CHROM, quality)
     ycc = _rgb_to_ycbcr(img.astype(np.float64))
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw, 3))
-    padded[:h, :w] = ycc
-    padded[h:, :w] = ycc[h - 1 : h, :]  # edge replicate
-    padded[:, w:] = padded[:, w - 1 : w]
+    mh, mw = 8 * vy, 8 * hy  # MCU pixel dims
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    ypad = _pad_edge(ycc[:, :, 0], ph, pw)
+    planes = [ypad]
+    for c in (1, 2):
+        chroma = _pad_edge(ycc[:, :, c], ph, pw)
+        # box-filter downsample by (vy, hy)
+        ds = chroma.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        planes.append(ds)
+    comp_factors = [(hy, vy), (1, 1), (1, 1)]
 
     enc_dc = [
         _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
@@ -287,42 +351,24 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                tsel = 0 if comp == 0 else 1
-                block = padded[by : by + 8, bx : bx + 8, comp] - 128.0
-                coeff = _T @ block @ _T.T
-                qtab = qlum if comp == 0 else qchrom
-                quant = np.round(coeff / qtab).astype(np.int64)
-                zz = quant.reshape(-1)[ZIGZAG]
-                # DC differential
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                cat, bits = _magnitude(diff)
-                code, length = enc_dc[tsel][cat]
-                writer.write(code, length)
-                if cat:
-                    writer.write(bits, cat)
-                # AC run-length
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zc, zl = enc_ac[tsel][0xF0]  # ZRL
-                        writer.write(zc, zl)
-                        run -= 16
-                    cat, bits = _magnitude(v)
-                    code, length = enc_ac[tsel][(run << 4) | cat]
-                    writer.write(code, length)
-                    writer.write(bits, cat)
-                    run = 0
-                if run:
-                    ec, el = enc_ac[tsel][0x00]  # EOB
-                    writer.write(ec, el)
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            for c in range(3):
+                hc, vc = comp_factors[c]
+                tsel = 0 if c == 0 else 1
+                qtab = qlum if c == 0 else qchrom
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        y0 = (my * vc + byy) * 8
+                        x0 = (mx * hc + bxx) * 8
+                        prev_dc[c] = _encode_block(
+                            writer,
+                            planes[c][y0 : y0 + 8, x0 : x0 + 8],
+                            qtab,
+                            enc_dc[tsel],
+                            enc_ac[tsel],
+                            prev_dc[c],
+                        )
     writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -336,10 +382,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    samp_y = (hy << 4) | vy
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -365,9 +412,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
 
-    Tables come from the stream's own DQT/DHT markers.  Raises
-    NotImplementedError for progressive, subsampled, arithmetic, or
-    restart-interval streams."""
+    Tables come from the stream's own DQT/DHT markers; 4:4:4, 4:2:2 and
+    4:2:0 chroma subsampling all decode (most real-world baseline JPEGs
+    are 4:2:0).  Raises NotImplementedError for progressive,
+    arithmetic-coded, or restart-interval streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -416,9 +464,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                comps.append((cid, qid))
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (h, w, comps)
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
@@ -431,43 +477,65 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = frame
     nc = len(comps)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((ph, pw, nc))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mh, mw = 8 * vmax, 8 * hmax  # MCU pixel dims
+    mcuy, mcux = -(-h // mh), -(-w // mw)
+    # per-component planes at native (subsampled) resolution
+    planes = [
+        np.zeros((mcuy * 8 * vc, mcux * 8 * hc))
+        for (_cid, hc, vc, _qid) in comps
+    ]
     reader = _BitReader(payload, pos)
     prev_dc = [0] * nc
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+
+    def read_block(c: int) -> np.ndarray:
+        dc_tab = htables[(0, scan_comps[c][1] >> 4)]
+        ac_tab = htables[(1, scan_comps[c][1] & 0xF)]
+        qtab = qtables[comps[c][3]]
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _read_symbol(reader, dc_tab)
+        diff = _extend(reader.read_bits(cat), cat) if cat else 0
+        prev_dc[c] += diff
+        zz[0] = prev_dc[c]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, cat = sym >> 4, sym & 0xF
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient overflow")
+            zz[k] = _extend(reader.read_bits(cat), cat)
+            k += 1
+        coeff = np.zeros(64, dtype=np.float64)
+        coeff[ZIGZAG] = zz
+        return _T.T @ (coeff.reshape(8, 8) * qtab) @ _T + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for c in range(nc):
-                dc_tab = htables[(0, scan_comps[c][1] >> 4)]
-                ac_tab = htables[(1, scan_comps[c][1] & 0xF)]
-                qtab = qtables[comps[c][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _read_symbol(reader, dc_tab)
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                prev_dc[c] += diff
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0xF
-                    if cat == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient overflow")
-                    zz[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
-                coeff = np.zeros(64, dtype=np.float64)
-                coeff[ZIGZAG] = zz
-                block = _T.T @ (coeff.reshape(8, 8) * qtab) @ _T
-                planes[by : by + 8, bx : bx + 8, c] = block + 128.0
-    planes = planes[:h, :w]
+                _cid, hc, vc, _qid = comps[c]
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        y0 = (my * vc + byy) * 8
+                        x0 = (mx * hc + bxx) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = read_block(c)
+    # upsample subsampled planes to full resolution, crop padding
+    full = np.empty((h, w, nc))
+    for c in range(nc):
+        _cid, hc, vc, _qid = comps[c]
+        p = planes[c]
+        if hc != hmax or vc != vmax:
+            p = np.repeat(np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1)
+        full[:, :, c] = p[:h, :w]
     if nc == 1:
-        gray = np.clip(np.round(planes[:, :, 0]), 0, 255).astype(np.uint8)
+        gray = np.clip(np.round(full[:, :, 0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(planes)
+    return _ycbcr_to_rgb(full)

@@ -336,6 +336,13 @@ def test_multimodal_jpeg_roundtrip_and_dispatch(spark):
     np.testing.assert_array_equal(mm.decode_image(J.encode_jpeg(flat)), flat)
     odd = np.full((13, 21, 3), 64, np.uint8)
     assert mm.decode_image(J.encode_jpeg(odd)).shape == odd.shape
+    # 4:2:2 / 4:2:0 chroma subsampling (what real-world JPEGs use): both
+    # decode, errors grow modestly, odd dims survive the 16x16 MCU pad
+    for ss in ("422", "420"):
+        b = mm.decode_image(J.encode_jpeg(img, quality=90, subsampling=ss))
+        assert b.shape == img.shape
+        assert np.abs(b.astype(int) - img.astype(int)).mean() < 5.0, ss
+    assert mm.decode_image(J.encode_jpeg(odd, 90, "420")).shape == odd.shape
     # media_features: a red/blue flag through JPEG keeps mean R ~0.5
     fl = np.zeros((8, 8, 3), dtype=np.uint8)
     fl[:, :4] = [255, 0, 0]
