@@ -12,10 +12,12 @@ need any library beyond numpy/stdlib:
   filters, non-interlaced — decode and encode, round-trip tested per
   filter type;
 - JPEG: a full baseline codec in ``_jpeg.py`` (DCT + Annex K tables +
-  Huffman, 4:4:4) — the decoder reads tables from the stream so it
-  handles real baseline JPEGs; progressive/subsampled raise (seam);
+  Huffman; 4:4:4 / 4:2:2 / 4:2:0) — the decoder reads tables from the
+  stream so it handles real baseline JPEGs; progressive raises (seam);
 - audio: PCM WAV decodes via the stdlib ``wave`` module to int16 samples;
-- remaining compressed formats (MP3/MP4 frames) still raise
+- video: YUV4MPEG2 (Y4M) encode/decode (C444 + C420) and REAL frame
+  sampling + per-frame features over mapInPandas;
+- remaining compressed formats (MP3/MP4/H.264 frames) still raise
   NotImplementedError with swap-in instructions (this container ships no
   codec libraries), and ``decode_stub`` remains the deterministic testing
   stand-in.
@@ -441,3 +443,137 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# --- video: Y4M (YUV4MPEG2) codec + real frame sampling ---------------------
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(
+    frames: "list[np.ndarray]", fps: int = 30, chroma: str = "444"
+) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> YUV4MPEG2 bytes (the standard
+    UNCOMPRESSED video interchange format — plain header + raw planes, no
+    codec library needed).  ``chroma``: '444' (full) or '420' (2x2
+    box-downsampled Cb/Cr, the common wire layout)."""
+    from ._jpeg import _rgb_to_ycbcr
+
+    if chroma not in ("444", "420"):
+        raise ValueError("chroma must be '444' or '420'")
+    h, w, _ = frames[0].shape
+    if chroma == "420" and (h % 2 or w % 2):
+        raise ValueError("4:2:0 needs even frame dimensions")
+    tag = "C444" if chroma == "444" else "C420jpeg"
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A0:0 {tag}\n".encode()
+    )
+    for fr in frames:
+        ycc = np.clip(np.round(_rgb_to_ycbcr(fr.astype(np.float64))), 0, 255)
+        out += b"FRAME\n"
+        out += ycc[:, :, 0].astype(np.uint8).tobytes()
+        for c in (1, 2):
+            plane = ycc[:, :, c]
+            if chroma == "420":
+                plane = plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            out += np.clip(np.round(plane), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple["list[np.ndarray]", int]:
+    """YUV4MPEG2 bytes -> (list of (h, w, 3) uint8 RGB frames, fps).
+    Supports C444 and C420* chroma (2x2 nearest upsample)."""
+    from ._jpeg import _ycbcr_to_rgb
+
+    if payload[: len(Y4M_MAGIC)] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    params = payload[len(Y4M_MAGIC) : nl].decode().split()
+    w = h = fps = None
+    chroma = "C420jpeg"  # spec default when no C tag
+    for p in params:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fps = int(p[1:].split(":")[0])
+        elif p.startswith("C"):
+            chroma = p
+    if not (w and h):
+        raise ValueError("Y4M missing W/H")
+    if chroma.startswith("C444"):
+        cw, ch = w, h
+    elif chroma.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    else:
+        raise NotImplementedError(f"Y4M chroma {chroma}")
+    frames = []
+    pos = nl + 1
+    frame_bytes = w * h + 2 * cw * ch
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame sync lost")
+        pos = fnl + 1
+        y = np.frombuffer(payload, np.uint8, w * h, pos).reshape(h, w)
+        cb = np.frombuffer(
+            payload, np.uint8, cw * ch, pos + w * h
+        ).reshape(ch, cw)
+        cr = np.frombuffer(
+            payload, np.uint8, cw * ch, pos + w * h + cw * ch
+        ).reshape(ch, cw)
+        if (cw, ch) != (w, h):
+            cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+        ycc = np.stack([y, cb, cr], axis=2).astype(np.float64)
+        frames.append(_ycbcr_to_rgb(ycc))
+        pos += frame_bytes
+    return frames, fps or 30
+
+
+def extract_video_frames(
+    media: DataFrame, every_ms: int = 1000, dim: int = 8
+) -> DataFrame:
+    """REAL frame sampling: decode Y4M video payloads inside Arrow-batched
+    mapInPandas, sample one frame per ``every_ms`` of media time, emit the
+    per-frame pixel features (:func:`image_features` statistics on the
+    sampled frame).  Completes the ``frame_sample_plan`` story — that
+    function derives the (media_id, frame_ts) grid from metadata; this one
+    actually decodes the frames.  Non-Y4M payloads are skipped (emit no
+    rows) rather than failing the corpus job."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                try:
+                    frames, fps = decode_y4m(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                frame_ms = 1000.0 / fps
+                duration_ms = int(len(frames) * frame_ms)
+                for ts in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(int(ts / frame_ms), len(frames) - 1)
+                    fr = frames[idx].astype(np.float64) / 255.0
+                    feats = [float(fr[:, :, c].mean()) for c in range(3)]
+                    feats += [float(fr[:, :, c].std()) for c in range(3)]
+                    feats = (feats + [0.0] * dim)[:dim]
+                    rows.append((int(mid), int(ts), feats))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ts_ms", "feature"]
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -386,3 +386,37 @@ def test_multimodal_frame_sample_plan(spark):
     # only the video row (3500ms) -> frames at 0,1000,2000,3000
     assert {r.media_id for r in rows} == {4}
     assert sorted(r.frame_ts_ms for r in rows) == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_y4m_video_roundtrip_and_frame_features(spark):
+    import numpy as np
+
+    # distinct flat frames -> exact round trip both chroma layouts
+    frames = [np.full((16, 20, 3), v, np.uint8) for v in (10, 80, 160, 240)]
+    for ch in ("444", "420"):
+        back, fps = mm.decode_y4m(mm.encode_y4m(frames, fps=2, chroma=ch))
+        assert fps == 2 and len(back) == 4
+        for b, f in zip(back, frames):
+            np.testing.assert_array_equal(b, f)
+    # real frame sampling through Spark: 4 frames at 2 fps = 2000 ms;
+    # every_ms=1000 samples ts 0 and 1000 -> frames[0], frames[2]
+    payload = mm.encode_y4m(frames, fps=2)
+    rows = [
+        (7, "video", payload, ("video/x-y4m", 20, 16, 2000)),
+        (8, "image", b"\xff" * 16, (None, None, None, None)),  # skipped
+        (9, "video", b"junk", (None, None, None, None)),  # skipped, no crash
+    ]
+    out = sorted(
+        mm.extract_video_frames(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA), every_ms=1000, dim=8
+        ).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in out] == [
+        (7, 0), (7, 1000),
+    ]
+    # frame 0 is flat 10 -> mean ~10/255; frame 2 flat 160 -> ~160/255
+    assert abs(out[0]["feature"][0] - 10 / 255) < 0.01
+    assert abs(out[1]["feature"][0] - 160 / 255) < 0.01
+    # std of a flat frame is ~0
+    assert abs(out[0]["feature"][3]) < 1e-6
