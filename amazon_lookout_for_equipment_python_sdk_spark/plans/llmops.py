@@ -624,3 +624,73 @@ def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", qfloor(F.col("qcos"), 6).alias("qcos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2 normalization
+# ---------------------------------------------------------------------------
+
+_L2_SQL = f"""
+SELECT vec_id,
+       list_transform(
+         CAST(embedding AS DOUBLE[]),
+         x -> {sql_qfloor('x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))', 9)}
+       ) AS unit
+FROM embeddings
+"""
+
+
+@register("embedding_l2_normalize", _L2_SQL)
+def embedding_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize the embedding column (the standard pre-ANN step —
+    cosine becomes a plain dot product downstream).  Row-local transform;
+    the norm is the same sequential fold as every cosine here, so
+    per-element values match DuckDB bit-for-bit under 1e-9 quantization."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(v, lambda x: qfloor(x / nrm, 9)).alias("unit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram vocabulary head
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = """
+WITH bg AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+1], ' '))) AS bigram
+  FROM documents
+)
+SELECT bigram, count(*) AS n_occur
+FROM bg GROUP BY 1
+ORDER BY n_occur DESC, bigram
+LIMIT 100
+"""
+
+
+@register("bigram_vocab_top100", _BIGRAM_SQL)
+def bigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams by occurrence (the n-gram LM / collocation
+    counting primitive; tie-break on the bigram).  One map-combinable
+    hash agg over the exploded bigrams — same shape as token_vocab, no
+    hot-key risk at the 100-row head."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occur"))
+        .orderBy(F.desc("n_occur"), "bigram")
+        .limit(100)
+    )
