@@ -386,3 +386,55 @@ def pack_documents(
             F.floor(F.col("pack_offset") / F.lit(budget_tokens)).cast("long"),
         )
     )
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT greedy packing — the reset-on-overflow rule
+    :func:`pack_documents` documents as its trade: walk each group's docs
+    in id order, open a new pack whenever adding the doc would overflow
+    the budget (docs larger than the budget get a pack of their own).
+    Packs never exceed ``budget_tokens`` except for single oversize docs.
+
+    The scan is order-dependent and non-associative, so it runs as an
+    Arrow-batched ``applyInPandas`` per group (one shuffle on the group
+    key) — the same trade as the stateful streaming operators.  Use the
+    windowed :func:`pack_documents` when approximate boundaries are
+    acceptable; this when the hard cap matters (e.g. fixed-length
+    training buffers)."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    out_schema = (
+        f"{id_col} long, {group_col} string, n_tokens int, "
+        "pack_id long, pack_offset long"
+    )
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        toks = pdf[text_col].str.split(" ").str.len().astype(int)
+        pack, fill, offs, packs = 0, 0, [], []
+        for n in toks:
+            if fill and fill + n > budget_tokens:
+                pack += 1
+                fill = 0
+            offs.append(fill)
+            packs.append(pack)
+            fill += n
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                "n_tokens": toks.to_numpy(),
+                "pack_id": packs,
+                "pack_offset": offs,
+            }
+        )
+
+    return df.select(id_col, group_col, text_col).groupBy(group_col).applyInPandas(
+        walk, schema=out_schema
+    )

@@ -254,3 +254,36 @@ def test_pack_documents_boundary_rule(spark):
     assert out[2] == (0, 3, 4)
     assert out[3] == (1, 7, 5)
     assert out[4] == (0, 0, 1)  # groups pack independently
+
+
+def test_pack_documents_greedy_hard_cap(spark):
+    rows = [
+        (1, "g", "a b c"),        # 3 -> pack 0 (fill 3)
+        (2, "g", "a b c d"),      # 4 -> 3+4 > 6: pack 1 (fill 4)
+        (3, "g", "a b"),          # 2 -> 4+2 = 6 fits: pack 1
+        (4, "g", " ".join("x" * 1 for _ in range(9))),  # 9 > budget: own pack
+        (5, "g", "a"),            # after oversize: new pack
+        (6, "h", "z z z z z z z"),  # 7: oversize alone in its group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in cp.pack_documents_greedy(df, budget_tokens=6).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 0)
+    assert out[3] == (1, 4)
+    assert out[4] == (2, 0)   # oversize doc opens (and owns) pack 2
+    assert out[5] == (3, 0)
+    assert out[6] == (0, 0)
+    # invariant: no pack except single-oversize exceeds the budget
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    counts = defaultdict(int)
+    for r in cp.pack_documents_greedy(df, budget_tokens=6).collect():
+        key = (r["source"], r["pack_id"])
+        sizes[key] += r["n_tokens"]
+        counts[key] += 1
+    for key, total in sizes.items():
+        assert total <= 6 or counts[key] == 1, (key, total)
