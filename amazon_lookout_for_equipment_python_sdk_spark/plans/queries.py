@@ -1,4 +1,13 @@
-"""Aggregated query registry — importing each layer registers its queries."""
+"""Aggregated query registry — importing each layer registers its queries.
+
+Registry ORDER is part of the driver contract: the driver's correctness
+harness evaluates the first 50 registered queries, so any query whose
+implementation changed since its last green CORRECTNESS row MUST sit
+inside that window.  ``_MUST_VERIFY`` pins the queries that lack a green
+driver row from the previous round to the FRONT of the registry, and
+``_STABLE_TAIL`` rotates long-green, untouched queries past position 50.
+tests/test_driver_contract.py asserts both properties.
+"""
 
 from __future__ import annotations
 
@@ -7,3 +16,49 @@ from . import timeseries_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import corpus_q  # noqa: F401,E402
+
+# Queries lacking a green driver CORRECTNESS row as of r4 (r4's driver
+# checked registry positions 0-49 of 57; these sat at 50-56 or returned a
+# non-atomic column), plus queries whose implementation changed this round.
+_MUST_VERIFY: list[str] = [
+    "embedding_l2_normalize",   # r4 red: array cell crashed driver canonicalizer
+    "sessionize_events",        # never driver-green (r3 err, r4 skipped)
+    "sessionize_events_skew",
+    "tfidf_top_terms",          # reworked in r4 after last green row
+    "length_quantiles_by_source",
+    "redact_pii",
+    "pack_documents",
+    "corpus_pipeline",
+]
+
+# Long-stable queries (green since r1/r2, untouched) rotated past the
+# driver's 50-query window to make room.  Anything here must NOT be
+# modified without moving it back into the window.
+_STABLE_TAIL: list[str] = [
+    "resample_mean",
+    "resample_first",
+    "minmax_per_signal",
+    "floor_slot_15min",
+    "shift_restamp",
+    "positional_restamp",
+    "topk_orders",
+    "top_customers_by_spend",
+    "union_distinct_labels",
+    "membership_isin",
+]
+
+
+def _reorder() -> None:
+    order = (
+        [n for n in _MUST_VERIFY if n in QUERIES]
+        + [n for n in QUERIES if n not in _MUST_VERIFY and n not in _STABLE_TAIL]
+        + [n for n in _STABLE_TAIL if n in QUERIES]
+    )
+    assert len(order) == len(QUERIES), "reorder lost/duplicated queries"
+    for d in (QUERIES, ORACLE_SQL):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_reorder()

@@ -28,3 +28,44 @@ def test_oracle_coverage_is_total():
     qs = set(entrymod.queries())
     no_oracle = qs - set(entrymod.oracle_sql())
     assert no_oracle == set(), no_oracle
+
+
+DRIVER_WINDOW = 50  # the driver's correctness harness checks this many
+
+
+def test_must_verify_queries_inside_driver_window():
+    """Registry ORDER is part of the driver contract (r4 lesson: 7 tail
+    queries past position 50 got no correctness row).  Every query that
+    lacks a green row from the previous round must sit in the first 50."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        _MUST_VERIFY,
+        _STABLE_TAIL,
+    )
+
+    names = list(entrymod.queries())
+    window = set(names[:DRIVER_WINDOW])
+    missing = [n for n in _MUST_VERIFY if n not in window]
+    assert not missing, f"must-verify queries outside driver window: {missing}"
+    # the rotation lists must stay consistent with the registry
+    unknown = [n for n in _MUST_VERIFY + _STABLE_TAIL if n not in names]
+    assert not unknown, f"rotation lists reference unknown queries: {unknown}"
+    overlap = set(_MUST_VERIFY) & set(_STABLE_TAIL)
+    assert not overlap, f"query in both rotation lists: {overlap}"
+
+
+def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
+    """The driver canonicalizes results with pandas sort_values, which
+    raises on list/dict cells — any array/map/struct TOP-LEVEL column is
+    an automatic red row regardless of values (r4's
+    embedding_l2_normalize).  Schema-only: no job runs."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        fields = fn(spark, sf_dir).schema.fields
+        nonatomic = [
+            f.name
+            for f in fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonatomic:
+            bad[name] = nonatomic
+    assert not bad, f"queries with non-atomic output columns: {bad}"

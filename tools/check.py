@@ -52,6 +52,25 @@ def rows_to_multiset(cols, rows):
     )
 
 
+def atomic_schema_problems(spark_df):
+    """Driver contract: the driver canonicalizes results with pandas
+    ``sort_values`` over every column, which raises on list/dict cells.
+    Any top-level array/map/struct column therefore fails the driver even
+    when values are right (r4's embedding_l2_normalize).  Flag them here
+    so the divergence cannot pass locally again."""
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    return (
+        [f"non-atomic top-level column(s) {bad}: driver canonicalizer "
+         "cannot hash list/struct cells — posexplode to scalar rows"]
+        if bad
+        else []
+    )
+
+
 def compare(name, spark_df, con, sql):
     t0 = time.time()
     s_cols = spark_df.columns
@@ -62,7 +81,7 @@ def compare(name, spark_df, con, sql):
     d_rows = rel.fetchall()
     t2 = time.time()
 
-    problems = []
+    problems = atomic_schema_problems(spark_df)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
@@ -107,8 +126,14 @@ def analyze_all() -> None:
     t0 = time.time()
     for name, fn in qs.items():
         try:
-            _ = fn(spark, sf_dir).schema
-            print(f"[OK  ] {name}")
+            df = fn(spark, sf_dir)
+            _ = df.schema
+            shape = atomic_schema_problems(df)
+            if shape:
+                print(f"[ERR ] {name}: {shape[0]}")
+                bad += 1
+            else:
+                print(f"[OK  ] {name}")
         except Exception as e:  # noqa: BLE001
             print(f"[ERR ] {name}: {type(e).__name__}: {e}")
             bad += 1
