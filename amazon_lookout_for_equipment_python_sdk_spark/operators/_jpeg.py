@@ -426,6 +426,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # id — skip them so the id (and its length field) are read from
+        # the right offset.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -547,6 +547,11 @@ def dequantized_cosine_topk(
     corpus and the query frame costs zero extra scans; the DataFrame form
     would re-run the max-aggregation subtree once per quantize call."""
     s = quantization_scale(vectors, vec_col).first()[0]
+    if s is None or s == 0.0:
+        # empty corpus -> null max; all-zero corpus -> 0 scale.  Either
+        # way x/scale would poison every value (TypeError / Inf); scale 1
+        # quantizes zeros to zeros and an empty frame stays empty.
+        s = 1.0
     qv = quantize_embeddings(vectors, s, vec_col)
     qq = quantize_embeddings(queries, s, vec_col)
     q = F.broadcast(
@@ -567,7 +572,11 @@ def dequantized_cosine_topk(
         .select(
             query_id_col,
             id_col,
-            (idot.cast("double") / (inorm(iq) * inorm(iv))).alias("qcos"),
+            # try_divide: a zero vector has norm 0; NULL beats an ANSI
+            # DIVIDE_BY_ZERO crash and is identical elsewhere
+            F.try_divide(idot.cast("double"), inorm(iq) * inorm(iv)).alias(
+                "qcos"
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"), id_col)

@@ -420,3 +420,26 @@ def test_multimodal_y4m_video_roundtrip_and_frame_features(spark):
     assert abs(out[1]["feature"][0] - 160 / 255) < 0.01
     # std of a flat frame is ~0
     assert abs(out[0]["feature"][3]) < 1e-6
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    id; decoders must skip them rather than parse a bogus segment."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import _jpeg as J
+
+    img = np.full((8, 8, 3), 90, np.uint8)
+    data = J.encode_jpeg(img, quality=90)
+    # inject fill bytes before every marker after SOI (0xFFD8):
+    # a marker is 0xFF followed by a non-0x00/non-0xFF id byte
+    out = bytearray(data[:2])
+    i = 2
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] not in (0, 0xFF):
+            out += b"\xff\xff\xff"
+        out.append(data[i])
+        i += 1
+    padded = bytes(out)
+    assert len(padded) > len(data)
+    np.testing.assert_array_equal(J.decode_jpeg(padded), J.decode_jpeg(data))

@@ -331,3 +331,30 @@ def test_quantized_cosine_close_to_exact(spark, planted_vectors):
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
     for q in range(3):
         assert 100 + q in quant.get(q, set()), (q, sorted(quant.get(q, set())))
+
+
+def test_dequantized_cosine_degenerate_corpus(spark):
+    """Empty corpus -> empty result (scale is null); all-zero corpus ->
+    no NaN/Inf poisoning (scale is 0).  Both default the collected scale
+    to 1.0 instead of dividing by null/zero."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0])], schema
+    ).withColumnRenamed("vec_id", "query_id")
+    empty = spark.createDataFrame([], schema)
+    assert sim.dequantized_cosine_topk(empty, probes, k=3).count() == 0
+    zeros = spark.createDataFrame([(1, [0.0, 0.0]), (2, [0.0, 0.0])], schema)
+    rows = sim.dequantized_cosine_topk(zeros, probes, k=3).collect()
+    for r in rows:
+        assert r["qcos"] is None or not (
+            r["qcos"] != r["qcos"] or abs(r["qcos"]) == float("inf")
+        ), rows
