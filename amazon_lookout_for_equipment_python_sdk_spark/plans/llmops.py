@@ -668,6 +668,111 @@ def embedding_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN top-k (inverted-file coarse quantizer)
+# ---------------------------------------------------------------------------
+
+# A CASE-guarded cosine denominator, mirroring ivf_probe_cells' zero-norm
+# guard (a zero denominator becomes 1.0).
+def _sql_guarded_cos(a: str, b: str) -> str:
+    d = (
+        f"sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))"
+    )
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(CASE WHEN {d} = 0 THEN 1.0 ELSE {d} END)"
+    )
+
+
+#: The oracle mirrors the ENTIRE IVF pipeline: 16 seed centroids (the 16
+#: lowest vec_ids — a deterministic Voronoi coarse quantizer, the one part
+#: swapped out from the MLlib-KMeans build, which no SQL engine could
+#: replay), nearest-centroid assignment (rank over 16 cosines, tie-break
+#: cell), per-query top-4 probe cells, then the exact cosine re-rank over
+#: candidates in probed cells only.  Every fold is the same sequential
+#: multiply-add proven bit-identical by the cosine_topk oracle, so the
+#: oracle matches bit-for-bit.
+_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_sql_guarded_cos('v.vv', 'c.cv')} DESC, c.cell) AS rk
+    FROM v, cent c) t
+  WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 5
+), probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_sql_guarded_cos('q.qv', 'c.cv')} DESC, c.cell) AS rk
+    FROM q, cent c) t
+  WHERE rk <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(q.qv, v.vv) /
+           (sqrt(list_dot_product(q.qv, q.qv)) *
+            sqrt(list_dot_product(v.vv, v.vv))) AS raw
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, {sql_qfloor('raw', 6)} AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
+@register("ivf_cosine_topk", _IVF_SQL)
+def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for 5 probes: assignment join -> per-query probe
+    cells -> exact cosine over ~nprobe/n_cells of the corpus.
+
+    Runs the production :func:`operators.similarity.ivf_cosine_topk`
+    machinery (broadcast-centroid probe selection, cell-pruned candidate
+    join, windowed re-rank) with ONE substitution: centroids are the 16
+    lowest vec_ids instead of the MLlib-KMeans fit, because kmeans|| is
+    not replayable in any SQL oracle while a fixed Voronoi seed set is.
+    The 16-row centroid collect is documented eager metadata, like the
+    KMeans build's own clusterCenters() pull."""
+    import numpy as np
+
+    emb = load_par(spark, sf_dir, "embeddings")
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    )
+    assigned = sim.ivf_probe_cells(
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        centroids,
+        nprobe=1,
+    ).select(F.col("query_id").alias("vec_id"), "cell")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_cosine_topk(
+        emb, queries, centroids, assigned, k=10, nprobe=4
+    )
+    return out.select(
+        "query_id", "vec_id", qfloor(F.col("cos"), 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram vocabulary head
 # ---------------------------------------------------------------------------
 

@@ -29,6 +29,7 @@ _MUST_VERIFY: list[str] = [
     "redact_pii",
     "pack_documents",
     "corpus_pipeline",
+    "ivf_cosine_topk",           # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "wasserstein_raw_rank",
     "tfidf_top_terms",
     "quantized_cosine_topk",
+    "ivf_cosine_topk",
+    "pack_documents",
+    "corpus_pipeline",
 ]
 
 
