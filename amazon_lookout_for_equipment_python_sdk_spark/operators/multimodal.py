@@ -296,20 +296,214 @@ def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
-    """Decode PCM WAV to (samples int16 [n, channels], sample_rate) via the
-    stdlib ``wave`` module.  Compressed audio raises NotImplementedError —
-    swap in soundfile/torchaudio where available."""
+    """Decode WAV to (samples int16 [n, channels], sample_rate).
+
+    PCM WAV goes through the stdlib ``wave`` module; IMA-ADPCM WAV
+    (format tag 0x11 — the classic 4-bit compressed WAV) decodes via the
+    built-in block decoder below.  Other compressed audio (MP3/FLAC)
+    raises NotImplementedError — swap in soundfile/torchaudio where
+    available."""
     if payload is None or payload[:4] != b"RIFF":
         raise NotImplementedError(
-            "only PCM WAV decode is built in; install soundfile/torchaudio "
-            "and replace multimodal.decode_audio for compressed formats"
+            "only WAV (PCM / IMA-ADPCM) decode is built in; install "
+            "soundfile/torchaudio and replace multimodal.decode_audio "
+            "for other compressed formats"
         )
+    if _wav_format_tag(payload) == _WAVE_FORMAT_IMA_ADPCM:
+        return _decode_ima_adpcm(payload)
     with wave.open(io.BytesIO(payload)) as wf:
         n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
         if sw != 2:
             raise NotImplementedError(f"only 16-bit PCM supported (got {8*sw}-bit)")
         samples = np.frombuffer(wf.readframes(n), dtype="<i2").reshape(n, ch)
         return samples, wf.getframerate()
+
+
+# --- IMA / DVI ADPCM (WAV format tag 0x11) ---------------------------------
+# Public algorithm: IMA Digital Audio Focus/Technical Working Group,
+# "Recommended Practices for Enhancing Digital Audio Compatibility" (1992);
+# identical tables/flow in every open decoder (ffmpeg adpcm.c, sox).
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+
+
+def _wav_chunks(payload: bytes):
+    """Yield (chunk_id, body) from a RIFF/WAVE container."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF but not WAVE")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield cid, payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+
+
+def _wav_format_tag(payload: bytes) -> int:
+    for cid, body in _wav_chunks(payload):
+        if cid == b"fmt ":
+            return struct.unpack("<H", body[:2])[0]
+    raise ValueError("WAV without fmt chunk")
+
+
+def _ima_decode_nibbles(nibbles: "np.ndarray", pred: int, index: int) -> "np.ndarray":
+    """Sequential IMA predictor recurrence over one channel's nibbles."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, n in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred = min(32767, max(-32768, pred + diff))
+        index = min(88, max(0, index + int(_IMA_INDEX_ADJ[n])))
+        out[i] = pred
+    return out
+
+
+def _decode_ima_adpcm(payload: bytes) -> tuple["np.ndarray", int]:
+    """IMA-ADPCM WAV bytes -> (int16 [n, ch], rate).
+
+    Block layout (per channel): 4-byte header (int16 predictor, uint8
+    step index, reserved), then the channels' nibble data interleaved in
+    4-byte groups.  Each data byte holds two samples, LOW nibble first."""
+    fmt = data = None
+    total = None
+    for cid, body in _wav_chunks(payload):
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            (total,) = struct.unpack("<I", body[:4])
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _bps, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != _WAVE_FORMAT_IMA_ADPCM or bits != 4:
+        raise NotImplementedError(f"not 4-bit IMA ADPCM (tag={tag}, bits={bits})")
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p, ix = struct.unpack_from("<hB", block, 4 * c)
+            preds.append(p)
+            idxs.append(min(88, max(0, ix)))
+        body = np.frombuffer(block, dtype=np.uint8, offset=4 * ch)
+        # low nibble first, then interleave: groups of 4 bytes per channel
+        nib = np.stack([body & 0xF, body >> 4], axis=1).reshape(-1)
+        groups = nib.reshape(-1, ch, 8)  # [group, channel, 8 samples]
+        for c in range(ch):
+            seq = groups[:, c, :].reshape(-1)
+            decoded = _ima_decode_nibbles(seq, preds[c], idxs[c])
+            # the header predictor IS sample 0 of the block
+            chans[c].append(np.array([preds[c]], dtype=np.int16))
+            chans[c].append(decoded)
+    out = np.stack([np.concatenate(cs) for cs in chans], axis=1)
+    if total is not None:
+        out = out[:total]
+    return out, rate
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray", sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """(n, channels) int16 -> IMA-ADPCM WAV bytes (format tag 0x11).
+
+    4 bits/sample — a 4x size cut vs PCM16; lossy but close (the
+    round-trip test pins SNR).  Block layout mirrors
+    :func:`_decode_ima_adpcm`; the trailing partial block zero-pads and
+    the ``fact`` chunk records the true frame count."""
+    n, ch = samples.shape
+    spb = samples_per_block
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    blocks = bytearray()
+    index = [0] * ch
+    for start in range(0, n, spb):
+        chunk = samples[start : start + spb]
+        if chunk.shape[0] < spb:  # zero-pad the tail block
+            pad = np.zeros((spb - chunk.shape[0], ch), dtype=np.int16)
+            chunk = np.vstack([chunk, pad])
+        data_nibbles = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            blocks += struct.pack("<hBB", pred, index[c], 0)
+            nibs = np.empty(spb - 1, dtype=np.uint8)
+            for i in range(1, spb):
+                step = int(_IMA_STEPS[index[c]])
+                delta = int(chunk[i, c]) - pred
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly as the decoder will
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                pred = min(32767, max(-32768, pred + diff))
+                index[c] = min(88, max(0, index[c] + int(_IMA_INDEX_ADJ[nib])))
+                nibs[i - 1] = nib
+            data_nibbles.append(nibs)
+        # pack: per 8-sample group per channel, low nibble first
+        for g in range((spb - 1) // 8):
+            for c in range(ch):
+                grp = data_nibbles[c][g * 8 : g * 8 + 8]
+                blocks += bytes(
+                    (int(grp[j]) | (int(grp[j + 1]) << 4)) for j in range(0, 8, 2)
+                )
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _WAVE_FORMAT_IMA_ADPCM, ch, sample_rate, byte_rate, block_align, 4,
+        2, spb,
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:

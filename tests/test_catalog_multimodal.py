@@ -443,3 +443,37 @@ def test_jpeg_fill_bytes_before_markers():
     padded = bytes(out)
     assert len(padded) > len(data)
     np.testing.assert_array_equal(J.decode_jpeg(padded), J.decode_jpeg(data))
+
+
+def test_ima_adpcm_roundtrip_and_dispatch():
+    """IMA-ADPCM WAV (format tag 0x11): 4 bits/sample, ~4x smaller than
+    PCM16, decodes through the same decode_audio dispatch.  Lossy codec,
+    so the gate is SNR on a sine, not equality."""
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    mono = (12000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]
+    stereo = np.hstack(
+        [mono, (9000 * np.sin(2 * np.pi * 880 * t)).astype(np.int16)[:, None]]
+    )
+    for sig in (mono, stereo):
+        data = mm.encode_wav_ima_adpcm(sig, rate)
+        pcm = mm.encode_wav(sig, rate)
+        assert len(data) < len(pcm) / 3.5  # really 4-bit compressed
+        back, r = mm.decode_audio(data)
+        assert r == rate and back.shape == sig.shape
+        err = back.astype(np.float64) - sig.astype(np.float64)
+        snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err**2).mean())
+        # measured ~24 dB for 440/880 Hz at 8 kHz (fast deltas); the gate
+        # guards against a broken predictor (which lands near 0 dB)
+        assert snr > 22.0, snr
+    # audio_features runs on the compressed payload via the same dispatch
+    f = mm.audio_features(mm.encode_wav_ima_adpcm(mono, rate))
+    assert len(f) == 8 and all(np.isfinite(f))
+    # MP3 stays a declared seam
+    try:
+        mm.decode_audio(b"ID3\x04" + b"\x00" * 16)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
