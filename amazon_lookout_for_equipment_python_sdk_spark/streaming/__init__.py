@@ -5,6 +5,7 @@ from .stateful import (  # noqa: F401
     sessionize_stream,
     streaming_dedup_exact,
     streaming_minhash_candidates,
+    streaming_ngram_jaccard_lsh,
     streaming_resample_mean,
 )
 from .scheduler import (  # noqa: F401

@@ -349,11 +349,17 @@ def streaming_minhash_candidates(
     ownership rule recomputed from the two carried signatures — one state
     record per bucket, no global dedup state.
 
-    A bucket at ``max_bucket`` stops emitting new pairs (the batch
-    posting-list cap's semantics) but keeps recording members.  State is
-    O(corpus seen) across the stream's lifetime — the honest cost of
-    exact continuous dedup; bolt a ProcessingTimeTimeout eviction on when
-    staleness is acceptable."""
+    A bucket at ``max_bucket`` stops emitting NEW pairs but keeps
+    recording members.  This deliberately DIVERGES from the batch cap:
+    batch ``_expand_bucket_pairs`` drops every pair of an over-cap bucket,
+    while an append-mode stream cannot retract pairs it already emitted
+    before the bucket crossed the cap.  Consumers that need batch-equal
+    semantics under capping must discard all of a bucket's pairs when a
+    later micro-batch shows the bucket at ``max_bucket`` (the
+    batch-equivalence test therefore pins ``max_bucket=None``-style
+    corpora only).  State is O(corpus seen) across the stream's lifetime
+    — the honest cost of exact continuous dedup; bolt a
+    ProcessingTimeTimeout eviction on when staleness is acceptable."""
     from ..operators.dedup import _band_entries_from_sig, _doc_sig_frame
 
     sig = _doc_sig_frame(stream, num_perm, shingle_n, text_col, id_col)
@@ -373,6 +379,147 @@ def streaming_minhash_candidates(
         ),
         outputStructType=LSH_PAIR_SCHEMA,
         stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming MinHash-LSH VERIFIED near-dup pairs --------------------------
+
+#: verified pair stream — same columns as batch ngram_jaccard_lsh
+VERIFIED_PAIR_SCHEMA = (
+    "a string, b string, n_common int, n_union int, jaccard double"
+)
+#: bucket state: members + signatures (fixed stride) + each member's
+#: 48-bit shingle-hash array (variable length -> lengths + flat pool)
+VERIFY_STATE_SCHEMA = (
+    "ids array<string>, sigs array<long>, hlens array<int>, "
+    "hashes array<long>"
+)
+
+
+def _lsh_verify_batch(
+    key,
+    pdf_iter,
+    state: GroupState,
+    num_perm: int,
+    bands: int,
+    max_bucket: int,
+    thr_millionths: int,
+):
+    band_val = int(key[0])
+    rpb = num_perm // bands
+
+    def first_matching_band(sa, sb) -> int:
+        for b in range(bands):
+            if sa[b * rpb : (b + 1) * rpb] == sb[b * rpb : (b + 1) * rpb]:
+                return b
+        return bands
+
+    if state.exists:
+        ids, flat, hlens, hpool = state.get
+        ids = list(ids)
+        flat = [int(x) for x in flat]
+        hlens = [int(x) for x in hlens]
+        hpool = [int(x) for x in hpool]
+    else:
+        ids, flat, hlens, hpool = [], [], [], []
+    sigs = [flat[i * num_perm : (i + 1) * num_perm] for i in range(len(ids))]
+    harrs: list[list[int]] = []
+    off = 0
+    for ln in hlens:
+        harrs.append(hpool[off : off + ln])
+        off += ln
+    out: list[tuple] = []
+    for pdf in pdf_iter:
+        for doc_id, sig, ha in zip(pdf["doc_id"], pdf["_sig"], pdf["_h"]):
+            sig = [int(x) for x in sig]
+            ha = [int(x) for x in ha]
+            if len(ids) < max_bucket:
+                hset = set(ha)
+                for prev_id, prev_sig, prev_h in zip(ids, sigs, harrs):
+                    if first_matching_band(sig, prev_sig) != band_val:
+                        continue
+                    # exact verify, batch-identical arithmetic:
+                    # array_intersect dedups, sizes count raw arrays
+                    n_common = len(hset & set(prev_h))
+                    n_union = len(ha) + len(prev_h) - n_common
+                    if n_common * 1_000_000 >= thr_millionths * n_union:
+                        a, b = sorted((str(doc_id), str(prev_id)))
+                        out.append(
+                            (a, b, n_common, n_union, n_common / n_union)
+                        )
+            ids.append(str(doc_id))
+            sigs.append(sig)
+            flat.extend(sig)
+            harrs.append(ha)
+            hlens.append(len(ha))
+            hpool.extend(ha)
+    state.update((ids, flat, hlens, hpool))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["a", "b", "n_common", "n_union", "jaccard"]
+        )
+
+
+def streaming_ngram_jaccard_lsh(
+    stream: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Streaming twin of the batch ``dedup.ngram_jaccard_lsh``: VERIFIED
+    near-dup pairs (exact n-gram Jaccard >= threshold), not just LSH
+    candidates — emitted the moment the second member of a colliding
+    bucket arrives.
+
+    The exact-verify stage runs inside the bucket state update on each
+    member's CARRIED 48-bit shingle-hash array (exactly the batch
+    ``carry_hashes`` design: longs in state, never re-shingling strings),
+    with the batch's integer-millionths threshold compare and
+    dedup-on-intersect / raw-size-union counting — so verified pairs are
+    bit-identical to batch output, pytest-pinned across micro-batch
+    splits.  Plan shape: signatures + hashes row-local, ONE wide groupBy
+    on (band, bucket), verify row-local in state.  Same over-cap
+    divergence note as :func:`streaming_minhash_candidates`."""
+    from ..operators.dedup import (
+        _band_entries_from_sig,
+        _sig_col,
+        _shingle_array,
+        _with_digests,
+    )
+
+    thr_millionths = int(round(threshold * 1_000_000))
+    docs = _with_digests(
+        _shingle_array(stream, shingle_n, text_col, id_col), num_perm
+    )
+    sig = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        _sig_col(num_perm).alias("_sig"),
+        "_h",
+    )
+    banded = sig.select(
+        "doc_id",
+        "_sig",
+        "_h",
+        F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e"),
+    ).select(
+        "doc_id",
+        "_sig",
+        "_h",
+        F.col("_e.band").alias("band"),
+        F.col("_e.bucket").alias("bucket"),
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        lambda key, it, st: _lsh_verify_batch(
+            key, it, st, num_perm, bands, max_bucket, thr_millionths
+        ),
+        outputStructType=VERIFIED_PAIR_SCHEMA,
+        stateStructType=VERIFY_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

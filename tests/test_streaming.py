@@ -1316,3 +1316,87 @@ def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_verified_pairs_match_batch(spark, tmp_path):
+    """Equivalence: replaying a corpus through streaming_ngram_jaccard_lsh
+    in several micro-batches yields exactly the batch ngram_jaccard_lsh
+    VERIFIED pair set — same candidates, same carried-hash exact Jaccard,
+    bit-equal n_common/n_union/jaccard."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        ngram_jaccard_lsh,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_ngram_jaccard_lsh,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark plans "
+        "queries with catalyst and tungsten at scale"
+    )
+    words = base.split()
+    docs = []
+    for i in range(12):
+        fam, var = divmod(i, 3)
+        w = list(words)
+        w[2] = f"tint{fam}"
+        if var:
+            w[-1] = f"alt{var}"
+        docs.append((i, " ".join(w)))
+    docs += [(100 + i, f"totally unrelated text number {i} about nothing "
+              f"else whatsoever in particular today") for i in range(4)]
+
+    indir = tmp_path / "vp_in"
+    outdir = tmp_path / "vp_out"
+    indir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("doc_id|text\n")
+            for i, t in rows:
+                f.write(f"{i}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+        )
+        q = (
+            streaming_ngram_jaccard_lsh(
+                stream, num_perm=8, bands=2, threshold=0.5
+            )
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", str(tmp_path / "vp_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", docs[:6])
+    run_once()
+    write_batch("b2.csv", docs[6:11])
+    run_once()
+    write_batch("b3.csv", docs[11:])
+    run_once()
+
+    # the stream casts ids to string for state generality, so its pair
+    # order is string-sorted; normalize (min, max) numerically on both
+    streamed = {
+        (*sorted((int(r["a"]), int(r["b"]))), r["n_common"], r["n_union"],
+         r["jaccard"])
+        for r in spark.read.schema(
+            "a string, b string, n_common int, n_union int, jaccard double"
+        ).parquet(str(outdir / "data")).collect()
+    }
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {
+        (*sorted((int(r["a"]), int(r["b"]))), r["n_common"], r["n_union"],
+         r["jaccard"])
+        for r in ngram_jaccard_lsh(
+            batch_df, num_perm=8, bands=2, threshold=0.5, max_bucket=None
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
