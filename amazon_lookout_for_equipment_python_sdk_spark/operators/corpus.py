@@ -394,6 +394,7 @@ def pack_documents_greedy(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    scan_rows: int | None = None,
 ) -> DataFrame:
     """EXACT greedy packing — the reset-on-overflow rule
     :func:`pack_documents` documents as its trade: walk each group's docs
@@ -406,16 +407,32 @@ def pack_documents_greedy(
     key) — the same trade as the stateful streaming operators.  Use the
     windowed :func:`pack_documents` when approximate boundaries are
     acceptable; this when the hard cap matters (e.g. fixed-length
-    training buffers)."""
+    training buffers).
+
+    Memory bound: by default ONE GROUP's rows materialize in a single
+    pandas frame per task — fine when groups are bounded (the ``source``
+    cardinality contract), wrong for a 100-TB monolithic group.  Pass
+    ``scan_rows`` to cap the scan: a row_number window pre-splits each
+    group into chunks of ≤ ``scan_rows`` docs and the greedy scan runs
+    per (group, chunk), so peak task memory is O(scan_rows) regardless of
+    group size.  The hard cap is preserved (no pack crosses a chunk
+    seam); the trade is a possibly part-filled final pack per chunk, and
+    pack ids become ``chunk * scan_rows + local`` — unique and monotone
+    in document order, with gaps between chunks."""
     import pandas as pd  # noqa: F811 — worker-side import
 
+    # mirror the input's id/group types — a string doc_id or an int group
+    # key must survive the Arrow round trip unchanged
+    id_t = df.schema[id_col].dataType.simpleString()
+    group_t = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, {group_col} string, n_tokens int, "
+        f"{id_col} {id_t}, {group_col} {group_t}, n_tokens int, "
         "pack_id long, pack_offset long"
     )
 
     def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
+        base = int(pdf["_chunk"].iloc[0]) * scan_rows if scan_rows else 0
         toks = pdf[text_col].str.split(" ").str.len().astype(int)
         pack, fill, offs, packs = 0, 0, [], []
         for n in toks:
@@ -423,7 +440,7 @@ def pack_documents_greedy(
                 pack += 1
                 fill = 0
             offs.append(fill)
-            packs.append(pack)
+            packs.append(base + pack)
             fill += n
         return pd.DataFrame(
             {
@@ -435,6 +452,13 @@ def pack_documents_greedy(
             }
         )
 
-    return df.select(id_col, group_col, text_col).groupBy(group_col).applyInPandas(
+    narrow = df.select(id_col, group_col, text_col)
+    if scan_rows is None:
+        return narrow.groupBy(group_col).applyInPandas(walk, schema=out_schema)
+    rn = F.row_number().over(Window.partitionBy(group_col).orderBy(id_col))
+    chunked = narrow.withColumn(
+        "_chunk", ((rn - 1) / F.lit(scan_rows)).cast("long")
+    )
+    return chunked.groupBy(group_col, "_chunk").applyInPandas(
         walk, schema=out_schema
     )

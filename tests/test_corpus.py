@@ -287,3 +287,50 @@ def test_pack_documents_greedy_hard_cap(spark):
         counts[key] += 1
     for key, total in sizes.items():
         assert total <= 6 or counts[key] == 1, (key, total)
+
+
+def test_pack_documents_greedy_chunked_scan_and_typed_keys(spark):
+    """scan_rows caps the per-task pandas frame at O(scan_rows) for
+    monolithic groups: hard cap still holds, every doc packs exactly
+    once, pack ids stay unique and monotone in doc order (gaps between
+    chunks allowed).  Key types follow the input schema — string doc_id +
+    int group must survive the Arrow round trip."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(7)
+    # one deliberately oversized group: 500 docs, far beyond scan_rows
+    rows = [
+        (f"d{i:04d}", 1, " ".join("w" for _ in range(rng.randint(1, 9))))
+        for i in range(500)
+    ] + [("x0", 2, "a b c"), ("x1", 2, "d e")]
+    df = spark.createDataFrame(rows, "doc_id string, source int, text string")
+    out = cp.pack_documents_greedy(
+        df, budget_tokens=16, group_col="source", scan_rows=50
+    ).collect()
+    assert len(out) == len(rows)  # every doc exactly once
+    assert {type(r["doc_id"]) for r in out} == {str}
+    assert {type(r["source"]) for r in out} == {int}
+    sizes, counts = defaultdict(int), defaultdict(int)
+    for r in out:
+        key = (r["source"], r["pack_id"])
+        sizes[key] += r["n_tokens"]
+        counts[key] += 1
+    for key, total in sizes.items():
+        assert total <= 16 or counts[key] == 1, (key, total)
+    # pack ids monotone in doc order within a group (chunk gaps allowed)
+    g1 = sorted((r["doc_id"], r["pack_id"]) for r in out if r["source"] == 1)
+    packs = [p for _, p in g1]
+    assert packs == sorted(packs)
+    # chunked and unchunked agree on pack MEMBERSHIP sizes where chunks
+    # align (first chunk of 50 docs is bit-identical to the full scan's
+    # first 50 docs)
+    full = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in cp.pack_documents_greedy(
+            df, budget_tokens=16, group_col="source"
+        ).collect()
+    }
+    chunked = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out}
+    for i in range(50):
+        assert chunked[f"d{i:04d}"] == full[f"d{i:04d}"]
