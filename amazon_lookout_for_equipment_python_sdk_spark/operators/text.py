@@ -135,6 +135,32 @@ def quality_filter(
     return out.filter(cond)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1: "fraction
+    of duplicate n-grams"): per-document n-gram counts and the duplicated
+    fraction 1 - distinct/total — high values flag boilerplate/spam for
+    corpus filtering.
+
+    Row-local projection (no shuffle); all-int arithmetic until one final
+    division, like :func:`text_stats`.  Docs with fewer than ``n`` tokens
+    emit 0 n-grams (callers filter or treat as non-repetitive)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.element_at(toks, i + j + 1) for j in range(1, n)])
+        ),
+    )
+    return df.select(
+        *df.columns,
+        F.size(toks).alias("n_tokens"),
+        F.size(grams).alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the text (corpus is already normalized;
     callers can pre-apply lower/trim/space-collapse for raw corpora)."""

@@ -668,6 +668,219 @@ def embedding_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style duplicate-ngram quality signal)
+# ---------------------------------------------------------------------------
+
+_REP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+1], ' ')) AS grams
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       len(grams) AS n_ngrams,
+       len(list_distinct(grams)) AS n_distinct_ngrams,
+       {sql_qfloor('(len(grams) - len(list_distinct(grams))) '
+                   '/ CAST(len(grams) AS DOUBLE)', 6)} AS dup_ngram_frac
+FROM g
+WHERE len(grams) > 0
+"""
+
+
+@register("repetition_stats", _REP_SQL)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document (Gopher/Rae et al. 2021
+    repetition filter): 1 - distinct/total bigrams — the standard
+    boilerplate/spam signal for corpus cleanup.  Row-local projection,
+    all-int until the final division; docs under 2 tokens drop (0-gram
+    denominator)."""
+    docs = load(spark, sf_dir, "documents")
+    st = tx.repetition_stats(docs, n=2).filter(F.col("n_ngrams") > 0)
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_ngrams",
+        "n_distinct_ngrams",
+        qfloor(
+            (F.col("n_ngrams") - F.col("n_distinct_ngrams"))
+            / F.col("n_ngrams").cast("double"),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language embedding centroids (metadata join + deterministic mean)
+# ---------------------------------------------------------------------------
+
+#: 2^20 — float components quantize to exact longs, so the per-group sum
+#: is integer (order-independent, bit-identical across engines); only the
+#: final mean divides.
+_CENT_SCALE = 1_048_576.0
+
+_CENT_SQL = f"""
+WITH j AS (
+  SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), ex AS (
+  SELECT lang, unnest(range(len(v))) AS pos,
+         unnest(list_transform(
+           v, x -> CAST(floor(x * {_CENT_SCALE} + 0.5) AS BIGINT))) AS xq
+  FROM j
+)
+SELECT lang, pos, count(*) AS n_vecs,
+       {sql_qfloor(f'CAST(sum(xq) AS DOUBLE) / (count(*) * {_CENT_SCALE})', 9)}
+         AS centroid
+FROM ex GROUP BY lang, pos
+"""
+
+
+@register("lang_centroid_components", _CENT_SQL)
+def lang_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per document language, exploded to scalar (lang,
+    pos, centroid) rows — the class-centroid primitive behind per-domain
+    ANN routing and embedding-space drift monitoring.
+
+    Determinism: a float sum's value depends on partition order, so the
+    mean quantizes each component to an exact long (floor(x*2^20+0.5))
+    first — integer sums commute, division happens once.  Scale: the
+    docs<->embeddings equi-join shuffles both sides on the id (AQE picks
+    the strategy); the (lang, pos) agg is map-side combinable with
+    lang x dim cells of state."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_par(spark, sf_dir, "embeddings")
+    ex = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .select(
+            "lang",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .withColumn(
+            "xq",
+            F.floor(F.col("x") * F.lit(_CENT_SCALE) + F.lit(0.5)).cast("long"),
+        )
+    )
+    agg = ex.groupBy("lang", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("_s")
+    )
+    return agg.select(
+        "lang",
+        F.col("pos").cast("long").alias("pos"),
+        "n_vecs",
+        qfloor(
+            F.col("_s").cast("double")
+            / (F.col("n_vecs") * F.lit(_CENT_SCALE)),
+            9,
+        ).alias("centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction stats (events.props)
+# ---------------------------------------------------------------------------
+
+#: the oracle extracts with a regexp instead of DuckDB's JSON extension
+#: (identical values on this corpus; keeps the oracle extension-free) —
+#: the ENGINE side uses the real JSON path op.
+_JPROPS_SQL = f"""
+WITH k AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       {sql_qfloor('CAST(sum(k) AS DOUBLE) / count(*)', 6)} AS avg_k
+FROM k GROUP BY event_type
+"""
+
+
+@register("json_props_stats", _JPROPS_SQL)
+def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON string column (``get_json_object`` —
+    the N4 eval-hazard-free parse) + per-event-type stats.  Integer
+    sums; the one division is qfloor'd.  Map-side-combinable hash agg —
+    event_type cardinality is tiny, no skew surface."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    agg = (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return agg.withColumn(
+        "avg_k",
+        qfloor(
+            F.col("sum_k").cast("double") / F.col("n_events").cast("double"), 6
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf head: top tokens with rank + cumulative corpus share
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = f"""
+WITH c AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n_occur FROM c GROUP BY token
+), total AS (
+  SELECT CAST(sum(n_occur) AS BIGINT) AS tot FROM counts
+), top AS (
+  SELECT token, n_occur FROM counts ORDER BY n_occur DESC, token LIMIT 100
+)
+SELECT token, n_occur,
+       row_number() OVER (ORDER BY n_occur DESC, token) AS rank,
+       {sql_qfloor('CAST(sum(n_occur) OVER (ORDER BY n_occur DESC, token '
+                   'ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot', 6)}
+         AS cum_share
+FROM top, total
+"""
+
+
+@register("zipf_top_tokens", _ZIPF_SQL)
+def zipf_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency head with Zipf rank and cumulative corpus share —
+    the vocabulary-coverage curve (how much of the corpus the top-k
+    tokens explain).  The global count agg is map-side combinable; the
+    rank/cum-share window runs AFTER the top-100 limit (TakeOrdered), so
+    the single-partition window sees 100 rows, never the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occur"))
+    )
+    total = counts.agg(F.sum("n_occur").alias("_tot"))
+    top = counts.orderBy(F.desc("n_occur"), "token").limit(100)
+    w_rank = Window.orderBy(F.desc("n_occur"), "token")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cum_share",
+            qfloor(
+                F.sum("n_occur").over(w_cum).cast("double") / F.col("_tot"), 6
+            ),
+        )
+        .drop("_tot")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN top-k (inverted-file coarse quantizer)
 # ---------------------------------------------------------------------------
 

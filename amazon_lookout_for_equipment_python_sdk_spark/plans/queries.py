@@ -30,6 +30,10 @@ _MUST_VERIFY: list[str] = [
     "pack_documents",
     "corpus_pipeline",
     "ivf_cosine_topk",           # new in r5
+    "repetition_stats",          # new in r5
+    "lang_centroid_components",  # new in r5
+    "json_props_stats",          # new in r5
+    "zipf_top_tokens",           # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the
@@ -46,6 +50,10 @@ _STABLE_TAIL: list[str] = [
     "top_customers_by_spend",
     "union_distinct_labels",
     "membership_isin",
+    "histogram_20bin",
+    "range_expand_1min",
+    "pivot_wide",
+    "time_features",
 ]
 
 
