@@ -340,6 +340,46 @@ def ivf_probe_cells(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (id, cell) as ONE map-side-combinable
+    hash agg: ``max_by(cell, (cos, -cell))`` over the broadcast centroid
+    join.  Same result as ranking with a window (argmax cosine,
+    tie-break smallest cell — the (cos, -cell) struct makes the order
+    key unique, so ``max_by`` is deterministic), but the corpus-sized
+    side avoids the window's per-key sort shuffle: partial aggregation
+    collapses each vector's n_cells rows to one before the exchange.
+    Use :func:`ivf_probe_cells` for the QUERY side (it needs top-nprobe,
+    not argmax, and carries the vector through)."""
+    spark = vectors.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent = F.broadcast(
+        spark.createDataFrame(cent_rows, "cell int, _cvec array<double>")
+    )
+    denom = norm(F.col("_v")) * norm(F.col("_cvec"))
+    cos = dot(F.col("_v"), F.col("_cvec")) / F.when(
+        denom == 0.0, F.lit(1.0)
+    ).otherwise(denom)
+    return (
+        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(cent)
+        .select(id_col, "cell", cos.alias("_ccos"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell",
+                F.struct(
+                    F.col("_ccos").alias("_c"), (-F.col("cell")).alias("_nc")
+                ),
+            ).alias("cell")
+        )
+    )
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

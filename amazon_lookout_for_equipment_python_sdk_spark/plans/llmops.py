@@ -969,11 +969,7 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
-    assigned = sim.ivf_probe_cells(
-        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
-        centroids,
-        nprobe=1,
-    ).select(F.col("query_id").alias("vec_id"), "cell")
+    assigned = sim.ivf_assign_cells(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

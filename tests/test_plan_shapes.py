@@ -181,3 +181,12 @@ def test_sessionize_events_single_window(spark):
         if ln.strip().startswith(("+- Sort", ":- Sort"))
     ]
     assert sorts and all("user_id" in s for s in sorts), plan
+
+
+def test_ivf_assignment_is_hash_agg_not_window(spark):
+    """IVF corpus assignment must stay a map-side-combinable max_by agg:
+    a rank window over per-vector partitions re-sorts the whole corpus
+    (the exact shape r4's advice removed from probe selection)."""
+    plan = _plan(spark, "ivf_cosine_topk")
+    assert "max_by" in plan, plan
+    assert "CartesianProduct" not in plan
