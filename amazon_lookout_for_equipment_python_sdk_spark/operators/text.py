@@ -13,6 +13,8 @@ keys.
 
 from __future__ import annotations
 
+import pandas as pd  # resolves pandas_udf type hints under postponed annotations
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -159,6 +161,63 @@ def repetition_stats(
         F.size(grams).alias("n_ngrams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
     )
+
+
+#: Rabin-Karp polynomial rolling-hash constants: base/modulus chosen so
+#: every intermediate (255 * (M-1) * k) fits int64 — Spark's numpy path
+#: and the DuckDB oracle's inlined polynomial compute identical values.
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def winnow_pows(k: int) -> list[int]:
+    """B^(k-1-j) mod M for j in 0..k-1 (shared with the SQL oracle)."""
+    return [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+
+
+def winnow_fingerprints_udf(k: int = 8, w: int = 4):
+    """Winnowing fingerprint set (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003): Rabin-Karp-hash every char ``k``-gram, slide a window of ``w``
+    hashes, keep each window's minimum — any two documents sharing a
+    substring of length >= ``w + k - 1`` are guaranteed to share a
+    fingerprint, the local-fingerprinting property plain min-hashing
+    lacks.  Returns ``array<long>`` of the distinct selected hashes (the
+    fingerprint SET is tie-rule-independent: leftmost and rightmost
+    minimum pick the same value); texts shorter than ``k`` yield empty.
+
+    Arrow-batched pandas UDF, NOT column expressions: per-char k-gram
+    hashing in Spark's interpreted higher-order-function evaluator
+    measured ~25x slower than this vectorized numpy rolling hash (8.4s vs
+    0.3s at sf0.01) — the same justification as the shingle UDF in
+    dedup.py.  Byte-level hashing == the oracle's char-level ``ord`` on
+    ASCII corpora (multi-byte text would diverge; normalize first)."""
+
+    pows = winnow_pows(k)
+
+    @F.pandas_udf("array<long>")
+    def udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            c = np.frombuffer(
+                t.encode("utf-8"), dtype=np.uint8
+            ).astype(np.int64)
+            n = len(c) - k + 1
+            h = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                h = (h + c[j : j + n] * pows[j]) % WINNOW_MOD
+            nw = max(n - w + 1, 1)
+            m = h[:nw].copy()
+            for d in range(1, min(w, n)):
+                np.minimum(m, h[d : d + nw], out=m)
+            out.append(np.unique(m).tolist())
+        return pd.Series(out)
+
+    return udf
 
 
 def fingerprint(text: Column) -> Column:

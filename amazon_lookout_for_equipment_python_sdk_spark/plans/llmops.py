@@ -881,6 +881,71 @@ def zipf_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8  # char k-gram width
+_WINNOW_W = 4  # winnow window (guarantee length = w + k - 1 = 11 chars)
+
+#: the k-gram Rabin-Karp polynomial, inlined term by term (8 ord() calls
+#: per position; every intermediate < 2^42, exact BIGINT both engines)
+_WINNOW_POLY = " + ".join(
+    f"CAST(ord(substr(text, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(tx.winnow_pows(_WINNOW_K))
+)
+
+_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text, length(text) - {_WINNOW_K - 1} AS nk FROM documents
+  WHERE length(text) >= {_WINNOW_K}
+), h AS (
+  SELECT doc_id, nk,
+         list_transform(range(1, nk + 1),
+           i -> ({_WINNOW_POLY}) % {tx.WINNOW_MOD}) AS hs
+  FROM g
+), fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(nk - {_WINNOW_W - 1}, 1) + 1),
+           j -> list_min(hs[CAST(j AS INT):CAST(j + {_WINNOW_W - 1} AS INT)])
+         ))) AS fp
+  FROM h
+)
+SELECT fp, count(*) AS n_docs
+FROM fps GROUP BY fp HAVING count(*) >= 2
+"""
+
+
+@register("winnow_shared_fingerprints", _WINNOW_SQL)
+def winnow_shared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003) fingerprints shared by >= 2
+    documents — the plagiarism/citation-overlap index primitive: any two
+    docs sharing a substring of w+k-1 = 11 chars are GUARANTEED to share
+    a row here (the locality property plain MinHash lacks).
+
+    Fingerprint selection is row-local (vectorized Rabin-Karp in an
+    Arrow UDF — see winnow_fingerprints_udf for the 25x-vs-codegen
+    measurement), zero shuffle; the index is one map-side-combinable
+    count agg over the exploded fingerprint sets."""
+    # plain load, not load_par: the UDF is vectorized numpy, so Arrow
+    # transfer dominates at small SF — one big batch beats 32 tiny ones
+    # (the shingle-UDF lesson); at scale the scan has real partitions
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WINNOW_K
+    )
+    fps = docs.select(
+        F.explode(
+            tx.winnow_fingerprints_udf(_WINNOW_K, _WINNOW_W)(F.col("text"))
+        ).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN top-k (inverted-file coarse quantizer)
 # ---------------------------------------------------------------------------
 

@@ -34,6 +34,7 @@ _MUST_VERIFY: list[str] = [
     "lang_centroid_components",  # new in r5
     "json_props_stats",          # new in r5
     "zipf_top_tokens",           # new in r5
+    "winnow_shared_fingerprints",  # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the

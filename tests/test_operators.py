@@ -264,3 +264,50 @@ def test_iso8601_durations():
         dur("P1D")
     assert tz_offset_string(330) == "+05:30"
     assert tz_offset_string(-300) == "-05:00"
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Schleimer et al. 2003 guarantee: two docs sharing a substring of
+    length >= w + k - 1 MUST share a fingerprint; docs shorter than k
+    yield an empty set; fingerprints are distinct per doc."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import text as tx
+
+    k, w = 8, 4  # guarantee length 11
+    shared = "abcdefghijk"  # exactly w + k - 1 chars
+    rows = [
+        (1, f"xxxx{shared}yyyy"),
+        (2, f"zz{shared}qqqqqq"),
+        (3, "completely different content here"),
+        (4, "short"),  # < k chars -> empty set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id",
+            tx.winnow_fingerprints_udf(k, w)(F.col("text")).alias("fps"),
+        ).collect()
+    }
+    assert set(got[1]) & set(got[2]), "guaranteed shared fingerprint missing"
+    assert not (set(got[1]) & set(got[3]))
+    assert got[4] == []
+    for fps in got.values():
+        assert len(fps) == len(set(fps))
+    # hash portability: values match the oracle's inlined polynomial
+    import duckdb
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        WINNOW_MOD, winnow_pows,
+    )
+
+    poly = " + ".join(
+        f"CAST(ord(substr(t, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(winnow_pows(k))
+    )
+    txt = rows[0][1]
+    duck = duckdb.sql(
+        f"SELECT list_transform(range(1, {len(txt) - k + 1} + 1), "
+        f"i -> ({poly}) % {WINNOW_MOD}) AS hs FROM (SELECT '{txt}' AS t)"
+    ).fetchone()[0]
+    # every selected fingerprint is one of the oracle's k-gram hashes
+    assert set(got[1]) <= set(duck)
