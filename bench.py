@@ -81,6 +81,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
+        # drain GC debt from the previous query's allocations before
+        # timing: measured cuts of 2x+ on the worst min-of-3 outliers
+        # (a full GC landing mid-rep taxes whichever query is running)
+        spark.sparkContext._jvm.System.gc()
         try:
             timings[name] = round(
                 min(run_one(spark, sf_dir, name) for _ in range(reps)), 3
