@@ -346,37 +346,46 @@ def ivf_assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment (id, cell) as ONE map-side-combinable
-    hash agg: ``max_by(cell, (cos, -cell))`` over the broadcast centroid
-    join.  Same result as ranking with a window (argmax cosine,
-    tie-break smallest cell — the (cos, -cell) struct makes the order
-    key unique, so ``max_by`` is deterministic), but the corpus-sized
-    side avoids the window's per-key sort shuffle: partial aggregation
-    collapses each vector's n_cells rows to one before the exchange.
-    Use :func:`ivf_probe_cells` for the QUERY side (it needs top-nprobe,
-    not argmax, and carries the vector through)."""
-    spark = vectors.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cent = F.broadcast(
-        spark.createDataFrame(cent_rows, "cell int, _cvec array<double>")
-    )
-    denom = norm(F.col("_v")) * norm(F.col("_cvec"))
-    cos = dot(F.col("_v"), F.col("_cvec")) / F.when(
-        denom == 0.0, F.lit(1.0)
-    ).otherwise(denom)
-    return (
-        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-        .crossJoin(cent)
-        .select(id_col, "cell", cos.alias("_ccos"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "cell",
-                F.struct(
-                    F.col("_ccos").alias("_c"), (-F.col("cell")).alias("_nc")
-                ),
-            ).alias("cell")
-        )
+    """Nearest-centroid assignment (id, cell) as a ROW-LOCAL expression:
+    the centroid table embeds as an array literal (n_cells x dim doubles
+    — tiny by construction) and each row computes its argmax-cosine cell
+    with ``array_position(coss, array_max(coss))``, whose first-match
+    semantics IS the smallest-cell tie-break.  Assignment is a map over
+    the corpus — zero shuffle, zero exchange, pure codegen; at 100 TB
+    this is the shape that matters (the earlier max_by formulation still
+    exchanged one row per vector).  Use :func:`ivf_probe_cells` for the
+    QUERY side (it needs top-nprobe, not argmax)."""
+    import numpy as np
+
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        # Folds run SEQUENTIALLY over dimensions (vectorized over the
+        # batch and the cells) — bit-identical to the engine's
+        # F.aggregate fold and DuckDB's list_dot_product, so the argmax
+        # picks exactly the cell the oracle's rank does (first-match tie
+        # = smallest cell = the oracle's tie-break).  The same trick as
+        # the hyperplane-LSH projection UDF.
+        ncell, dim = C.shape
+        cn = np.zeros(ncell)
+        for d in range(dim):
+            cn += C[:, d] * C[:, d]
+        cn = np.sqrt(cn)
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in embs]
+        ) if len(embs) else np.zeros((0, dim))
+        dots = np.zeros((len(V), ncell))
+        vn = np.zeros(len(V))
+        for d in range(dim):
+            dots += V[:, d : d + 1] * C[:, d]
+            vn += V[:, d] * V[:, d]
+        denom = np.sqrt(vn)[:, None] * cn[None, :]
+        cos = dots / np.where(denom == 0.0, 1.0, denom)
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return vectors.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("cell")
     )
 
 

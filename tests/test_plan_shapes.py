@@ -183,10 +183,14 @@ def test_sessionize_events_single_window(spark):
     assert sorts and all("user_id" in s for s in sorts), plan
 
 
-def test_ivf_assignment_is_hash_agg_not_window(spark):
-    """IVF corpus assignment must stay a map-side-combinable max_by agg:
-    a rank window over per-vector partitions re-sorts the whole corpus
-    (the exact shape r4's advice removed from probe selection)."""
+def test_ivf_assignment_is_row_local(spark):
+    """IVF corpus assignment must stay a row-local Arrow-batched argmax
+    (dimension-sequential folds, oracle-bit-identical): neither a rank
+    window nor an exchange-paying agg may touch the corpus-sized side
+    (the windowed formulation was r4's advice item; max_by still
+    exchanged one row per vector; the interpreted HOF argmax measured 2x
+    slower than the Arrow batch)."""
     plan = _plan(spark, "ivf_cosine_topk")
-    assert "max_by" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "max_by" not in plan, plan
     assert "CartesianProduct" not in plan
