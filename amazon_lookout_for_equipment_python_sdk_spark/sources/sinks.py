@@ -288,3 +288,28 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as hive-partitioned parquet (``path/col=value/...``).
+
+    Partitioning is the data-SKIPPING layout: a filter on a partition
+    column prunes whole directories at planning time, so a query touching
+    one day/language/source of a 100 TB corpus reads only that fraction —
+    no Spark job even lists the rest.  Complements :func:`write_bucketed`
+    (which co-locates JOIN keys): partition on low-cardinality selective
+    columns (date, lang, source), bucket on high-cardinality join keys.
+    ``tests/test_datamodel_sources.py`` pins the pruned-scan plan
+    (PartitionFilters pushed, non-matching files unread).
+
+    Too many distinct values -> tiny files + listing pressure; keep
+    partition cardinality in the hundreds-to-thousands."""
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str) else partition_cols
+    )
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
