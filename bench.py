@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ivf_cosine_topk",
     "pack_documents",
     "corpus_pipeline",
+    "winnow_shared_fingerprints",
+    "lang_centroid_components",
 ]
 
 
