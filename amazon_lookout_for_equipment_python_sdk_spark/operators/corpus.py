@@ -388,6 +388,65 @@ def pack_documents(
     )
 
 
+def assemble_packs(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize the training EXAMPLES from the :func:`pack_documents`
+    assignment: one row per (group, pack) with the member documents
+    concatenated in id order — the final assembly step that turns a
+    packed corpus into fixed-budget sequences.
+
+    Deterministic concatenation without an ordered-agg builtin:
+    ``array_sort(collect_list(struct(id, text)))`` sorts the collected
+    structs by id (collect_list alone is partition-order-dependent), then
+    a transform+array_join emits the joined text — all engine-side.
+
+    Scale: the cumsum window shuffles once on the group key; the
+    (group, pack) agg re-exchanges only assembled-pack-sized rows.  A
+    pack's text is bounded by ``budget_tokens`` (+ one overrun doc), so
+    rows stay flat-file friendly."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        df.select(id_col, group_col, text_col)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+    )
+    agg = pre.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+            )
+        ).alias("_members"),
+    )
+    return agg.select(
+        group_col,
+        "pack_id",
+        "n_docs",
+        "pack_tokens",
+        F.array_join(
+            F.transform(F.col("_members"), lambda s: s["t"]), sep
+        ).alias("packed_text"),
+    )
+
+
 def pack_documents_greedy(
     df: DataFrame,
     budget_tokens: int = 2048,

@@ -412,6 +412,35 @@ def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composed corpus-prep pipeline (quality -> dedup -> split -> pack)
 # ---------------------------------------------------------------------------
 
+_PACK_TEXTS_SQL = """
+WITH t AS (
+  SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, source, text, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT)
+           AS pack_id
+  FROM t
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+FROM p GROUP BY source, pack_id
+"""
+
+
+@register("pack_texts", _PACK_TEXTS_SQL)
+def pack_texts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled training examples at the 512-token budget: one row per
+    (source, pack) with member docs concatenated in id order — the final
+    corpus-to-sequences step.  Spark has no ordered string_agg, so the
+    engine sorts collected (id, text) structs before joining; the oracle
+    uses DuckDB's ORDER BY string_agg directly."""
+    docs = load(spark, sf_dir, "documents")
+    return cp.assemble_packs(docs, budget_tokens=512)
+
+
 _PIPELINE_SQL = """
 WITH q AS (
   SELECT doc_id, source, text,

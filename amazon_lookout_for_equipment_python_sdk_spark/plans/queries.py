@@ -35,6 +35,7 @@ _MUST_VERIFY: list[str] = [
     "json_props_stats",          # new in r5
     "zipf_top_tokens",           # new in r5
     "winnow_shared_fingerprints",  # new in r5
+    "pack_texts",                # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the
@@ -55,6 +56,7 @@ _STABLE_TAIL: list[str] = [
     "range_expand_1min",
     "pivot_wide",
     "time_features",
+    "status_filter_counts",
 ]
 
 
