@@ -881,6 +881,101 @@ def zipf_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (asymmetric distance, Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_K = 16      # codes per subspace
+_PQ_DSUB = 8    # dims per subspace (dim 64)
+
+#: per-subspace helpers for the oracle (1-based inclusive slices)
+def _pq_slice(col: str, j: int) -> str:
+    return f"{col}[{j * _PQ_DSUB + 1}:{(j + 1) * _PQ_DSUB}]"
+
+
+_PQ_CODE_COLS = ", ".join(
+    f"max(CASE WHEN j = {j} THEN k END) AS c{j}" for j in range(_PQ_M)
+)
+_PQ_TAB_COLS = ", ".join(
+    f"list_dot_product({_pq_slice('q.v', j)}, {_pq_slice('s.v', j)}) AS d{j}"
+    for j in range(_PQ_M)
+)
+_PQ_TAB_JOINS = "\n  ".join(
+    f"JOIN tab t{j} ON t{j}.query_id = t0.query_id AND t{j}.k = c.c{j}"
+    for j in range(1, _PQ_M)
+)
+_PQ_SCORE = " + ".join(f"t{j}.d{j}" for j in range(_PQ_M))
+
+#: the oracle replays the WHOLE PQ pipeline: seed codebooks (16 lowest
+#: vec_ids sliced into 8 subspaces — the stand-in for per-subspace
+#: k-means, which no SQL engine can replay), argmin-L2 encoding with
+#: d2 = (aa - 2*ac) + cc and tie -> smallest code, then ADC scoring as
+#: the explicit left-to-right d0 + d1 + ... + d7 chain — every dot a
+#: sequential fold, so scores match the engine bit-for-bit.
+_PQ_SQL = f"""
+WITH s AS (
+  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_PQ_K}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v FROM v WHERE vec_id < 5
+), sl AS (
+  SELECT v.vec_id, j.j, s.k,
+         v.v[j.j * {_PQ_DSUB} + 1:(j.j + 1) * {_PQ_DSUB}] AS a,
+         s.v[j.j * {_PQ_DSUB} + 1:(j.j + 1) * {_PQ_DSUB}] AS c
+  FROM v, range({_PQ_M}) j(j), s
+), d2 AS (
+  SELECT vec_id, j, k,
+         (list_dot_product(a, a) - 2 * list_dot_product(a, c))
+           + list_dot_product(c, c) AS d2
+  FROM sl
+), codes AS (
+  SELECT vec_id, j, k FROM (
+    SELECT vec_id, j, k,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rk
+    FROM d2) t
+  WHERE rk = 1
+), cw AS (
+  SELECT vec_id, {_PQ_CODE_COLS} FROM codes GROUP BY vec_id
+), tab AS (
+  SELECT q.query_id, s.k, {_PQ_TAB_COLS} FROM q, s
+)
+SELECT query_id, vec_id, pq_score FROM (
+  SELECT t0.query_id, c.vec_id, {sql_qfloor('(' + _PQ_SCORE + ')', 6)} AS pq_score,
+         row_number() OVER (PARTITION BY t0.query_id
+                            ORDER BY ({_PQ_SCORE}) DESC, c.vec_id) AS rnk
+  FROM cw c
+  JOIN tab t0 ON t0.k = c.c0
+  {_PQ_TAB_JOINS}
+  WHERE c.vec_id <> t0.query_id) z
+WHERE rnk <= 10
+"""
+
+
+@register("pq_adc_topk", _PQ_SQL)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for 5 probes: the third ANN family
+    beside hyperplane-LSH and IVF — corpus compressed to m=8 one-byte
+    codes per vector (the billion-scale in-RAM serving layout), queries
+    exact, scores summed from per-subspace code-centroid dots.
+
+    Runs the production pq_encode/pq_adc_topk machinery with seed
+    codebooks (16 lowest vec_ids) in place of per-subspace k-means, for
+    the same reason as ivf_cosine_topk's Voronoi seeds: the train step
+    is the one non-SQL-replayable piece."""
+    emb = load_par(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks_from_seeds(emb, m=_PQ_M, n_codes=_PQ_K)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_adc_topk(emb, queries, cb, k=10)
+    return out.select(
+        "query_id", "vec_id", qfloor(F.col("pq_score"), 6).alias("pq_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (local document fingerprinting)
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,7 @@ _MUST_VERIFY: list[str] = [
     "zipf_top_tokens",           # new in r5
     "winnow_shared_fingerprints",  # new in r5
     "pack_texts",                # new in r5
+    "pq_adc_topk",               # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the
@@ -57,6 +58,7 @@ _STABLE_TAIL: list[str] = [
     "pivot_wide",
     "time_features",
     "status_filter_counts",
+    "off_condition_filter",
 ]
 
 

