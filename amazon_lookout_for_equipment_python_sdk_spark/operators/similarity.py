@@ -735,8 +735,30 @@ def pq_adc_topk(
             query_id_col, _as_double(F.col(vec_col)).alias("_qvec")
         )
     )
+    score = _pq_adc_score(C)
+    scored = (
+        codes.crossJoin(q)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, score.alias("pq_score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("pq_score"), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def _pq_adc_score(C) -> Column:
+    """ADC score expression over columns ``_qvec`` (exact query, double
+    array) and ``codes`` (PQ codes): Σ_j dot(q_j, codebook_j[code_j]),
+    subspaces added LEFT-TO-RIGHT (matches the oracle's explicit chain).
+    Codebooks embed as constant-folded array literals."""
+    m, K, dsub = C.shape
     cb_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in C[j, kk]]) for kk in range(K)])
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in C[j, kk]]) for kk in range(K)]
+        )
         for j in range(m)
     ]
     score = None
@@ -745,10 +767,43 @@ def pq_adc_topk(
         cj = F.element_at(cb_lits[j], F.element_at(F.col("codes"), j + 1) + 1)
         dj = dot(qj, cj)
         score = dj if score is None else score + dj
-    scored = (
-        codes.crossJoin(q)
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, score.alias("pq_score"))
+    return score
+
+
+def ivfpq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    assigned: DataFrame,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale serving stack (Jegou et al.
+    2011) — IVF cell pruning cuts the candidate set to ~nprobe/n_cells
+    of the corpus, PQ codes cut per-candidate memory to m bytes, ADC
+    scores exact queries against code centroids.
+
+    Plan: assignment and encoding are both row-local (zero corpus
+    shuffle); the probe table (queries x nprobe rows) broadcasts into
+    the cell equi-join; the only wide operation is the final top-k
+    window.  Exactly the composition of :func:`ivf_cosine_topk`'s
+    pruning with :func:`pq_adc_topk`'s scoring — and the oracle replays
+    both halves' already-verified CTEs."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    probes = ivf_probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    codes = pq_encode(vectors, codebooks, id_col, vec_col)
+    cands = codes.join(assigned, id_col).join(probes, "cell")
+    scored = cands.filter(F.col(query_id_col) != F.col(id_col)).select(
+        query_id_col, id_col, _pq_adc_score(C).alias("pq_score")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("pq_score"), id_col)
     return (

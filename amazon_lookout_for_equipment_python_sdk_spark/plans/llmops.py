@@ -884,6 +884,20 @@ def zipf_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-quantization ANN (asymmetric distance, Jegou et al. 2011)
 # ---------------------------------------------------------------------------
 
+# A CASE-guarded cosine denominator, mirroring ivf_probe_cells' zero-norm
+# guard (a zero denominator becomes 1.0).
+def _sql_guarded_cos(a: str, b: str) -> str:
+    d = (
+        f"sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))"
+    )
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(CASE WHEN {d} = 0 THEN 1.0 ELSE {d} END)"
+    )
+
+
+
 _PQ_M = 8       # subspaces
 _PQ_K = 16      # codes per subspace
 _PQ_DSUB = 8    # dims per subspace (dim 64)
@@ -976,6 +990,107 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ ANN (composed: cell pruning + ADC scoring)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_TAB_JOINS = "\n  ".join(
+    f"JOIN tab t{j} ON t{j}.query_id = p.query_id AND t{j}.k = c.c{j}"
+    for j in range(_PQ_M)
+)
+
+#: the oracle composes the two already-verified halves: ivf_cosine_topk's
+#: cent/assign/probe CTEs prune candidates to the probed cells, then
+#: pq_adc_topk's codes/tab CTEs score them with the explicit d0+...+d7
+#: chain — identical arithmetic, so the composition matches bit-for-bit.
+_IVFPQ_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_sql_guarded_cos('v.v', 'c.cv')} DESC, c.cell) AS rk
+    FROM v, cent c) t
+  WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, v FROM v WHERE vec_id < 5
+), probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_sql_guarded_cos('q.v', 'c.cv')} DESC, c.cell) AS rk
+    FROM q, cent c) t
+  WHERE rk <= 4
+), s AS (
+  SELECT vec_id AS k, v FROM v WHERE vec_id < {_PQ_K}
+), sl AS (
+  SELECT v.vec_id, j.j, s.k,
+         v.v[j.j * {_PQ_DSUB} + 1:(j.j + 1) * {_PQ_DSUB}] AS a,
+         s.v[j.j * {_PQ_DSUB} + 1:(j.j + 1) * {_PQ_DSUB}] AS c
+  FROM v, range({_PQ_M}) j(j), s
+), d2 AS (
+  SELECT vec_id, j, k,
+         (list_dot_product(a, a) - 2 * list_dot_product(a, c))
+           + list_dot_product(c, c) AS d2
+  FROM sl
+), codes AS (
+  SELECT vec_id, j, k FROM (
+    SELECT vec_id, j, k,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rk
+    FROM d2) t
+  WHERE rk = 1
+), cw AS (
+  SELECT vec_id, {_PQ_CODE_COLS} FROM codes GROUP BY vec_id
+), tab AS (
+  SELECT q.query_id, s.k, {_PQ_TAB_COLS} FROM q, s
+)
+SELECT query_id, vec_id, pq_score FROM (
+  SELECT p.query_id, c.vec_id, {sql_qfloor('(' + _PQ_SCORE + ')', 6)} AS pq_score,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY ({_PQ_SCORE}) DESC, c.vec_id) AS rnk
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN cw c ON c.vec_id = a.vec_id
+  {_IVFPQ_TAB_JOINS}
+  WHERE c.vec_id <> p.query_id) z
+WHERE rnk <= 10
+"""
+
+
+@register("ivfpq_adc_topk", _IVFPQ_SQL)
+def ivfpq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for 5 probes: the composed billion-scale serving
+    stack — IVF cell pruning (touch ~nprobe/n_cells of the corpus) over
+    PQ codes (m bytes per candidate) with asymmetric-distance scoring.
+    Same seed centroids/codebooks as the parent queries; assignment and
+    encoding both row-local, probe table broadcast, one top-k window."""
+    import numpy as np
+
+    emb = load_par(spark, sf_dir, "embeddings")
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    )
+    cb = centroids.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+    assigned = sim.ivf_assign_cells(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivfpq_adc_topk(
+        emb, queries, centroids, assigned, cb, k=10, nprobe=4
+    )
+    return out.select(
+        "query_id", "vec_id", qfloor(F.col("pq_score"), 6).alias("pq_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (local document fingerprinting)
 # ---------------------------------------------------------------------------
 
@@ -1043,19 +1158,6 @@ def winnow_shared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF ANN top-k (inverted-file coarse quantizer)
 # ---------------------------------------------------------------------------
-
-# A CASE-guarded cosine denominator, mirroring ivf_probe_cells' zero-norm
-# guard (a zero denominator becomes 1.0).
-def _sql_guarded_cos(a: str, b: str) -> str:
-    d = (
-        f"sqrt(list_dot_product({a}, {a})) * "
-        f"sqrt(list_dot_product({b}, {b}))"
-    )
-    return (
-        f"list_dot_product({a}, {b}) / "
-        f"(CASE WHEN {d} = 0 THEN 1.0 ELSE {d} END)"
-    )
-
 
 #: The oracle mirrors the ENTIRE IVF pipeline: 16 seed centroids (the 16
 #: lowest vec_ids — a deterministic Voronoi coarse quantizer, the one part

@@ -37,6 +37,7 @@ _MUST_VERIFY: list[str] = [
     "winnow_shared_fingerprints",  # new in r5
     "pack_texts",                # new in r5
     "pq_adc_topk",               # new in r5
+    "ivfpq_adc_topk",            # new in r5
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the
@@ -59,6 +60,7 @@ _STABLE_TAIL: list[str] = [
     "time_features",
     "status_filter_counts",
     "off_condition_filter",
+    "semi_join_active_customers",
 ]
 
 

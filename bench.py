@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "corpus_pipeline",
     "winnow_shared_fingerprints",
     "lang_centroid_components",
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
 ]
 
 
