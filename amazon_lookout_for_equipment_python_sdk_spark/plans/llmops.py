@@ -979,8 +979,9 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same reason as ivf_cosine_topk's Voronoi seeds: the train step
     is the one non-SQL-replayable piece."""
     emb = load_par(spark, sf_dir, "embeddings")
-    cb = sim.pq_codebooks_from_seeds(emb, m=_PQ_M, n_codes=_PQ_K)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    lite = load(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks_from_seeds(lite, m=_PQ_M, n_codes=_PQ_K)
+    queries = lite.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim.pq_adc_topk(emb, queries, cb, k=10)
@@ -1070,20 +1071,20 @@ def ivfpq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_par(spark, sf_dir, "embeddings")
+    lite = load(spark, sf_dir, "embeddings")
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        lite.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
     cb = centroids.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
-    assigned = sim.ivf_assign_cells(emb, centroids)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = lite.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim.ivfpq_adc_topk(
-        emb, queries, centroids, assigned, cb, k=10, nprobe=4
+        emb, queries, centroids, None, cb, k=10, nprobe=4
     )
     return out.select(
         "query_id", "vec_id", qfloor(F.col("pq_score"), 6).alias("pq_score")
@@ -1224,15 +1225,18 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_par(spark, sf_dir, "embeddings")
+    # seeds/queries from the UN-repartitioned scan: filtering the
+    # load_par frame would shuffle the whole corpus to keep 16 rows
+    lite = load(spark, sf_dir, "embeddings")
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        lite.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
     assigned = sim.ivf_assign_cells(emb, centroids)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = lite.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim.ivf_cosine_topk(
