@@ -784,27 +784,6 @@ def _pq_adc_score_arrow(C):
     return score
 
 
-def _pq_adc_score(C) -> Column:
-    """ADC score expression over columns ``_qvec`` (exact query, double
-    array) and ``codes`` (PQ codes): Σ_j dot(q_j, codebook_j[code_j]),
-    subspaces added LEFT-TO-RIGHT (matches the oracle's explicit chain).
-    Codebooks embed as constant-folded array literals."""
-    m, K, dsub = C.shape
-    cb_lits = [
-        F.array(
-            *[F.array(*[F.lit(float(x)) for x in C[j, kk]]) for kk in range(K)]
-        )
-        for j in range(m)
-    ]
-    score = None
-    for j in range(m):
-        qj = F.slice(F.col("_qvec"), j * dsub + 1, dsub)
-        cj = F.element_at(cb_lits[j], F.element_at(F.col("codes"), j + 1) + 1)
-        dj = dot(qj, cj)
-        score = dj if score is None else score + dj
-    return score
-
-
 def ivfpq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,

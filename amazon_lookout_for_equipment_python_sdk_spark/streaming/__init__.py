@@ -4,6 +4,7 @@ from .stateful import (  # noqa: F401
     compact_runs_stream,
     sessionize_stream,
     streaming_dedup_exact,
+    streaming_lang_centroids,
     streaming_minhash_candidates,
     streaming_ngram_jaccard_lsh,
     streaming_resample_mean,

@@ -523,3 +523,52 @@ def streaming_ngram_jaccard_lsh(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_lang_centroids(
+    stream: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+    scale: float = 1_048_576.0,
+) -> DataFrame:
+    """Streaming embedding-drift monitor: per event-time window, the mean
+    embedding component per (lang, pos) — the online twin of the batch
+    ``lang_centroid_components`` query.  A shifting centroid between
+    windows is the standard signal of corpus-mix or upstream-encoder
+    drift.
+
+    Same determinism contract as the batch query: components quantize to
+    exact longs (floor(x*2^20 + 0.5)) so the windowed sums are integer
+    and order-independent; only the final mean divides.  Stateless
+    windowed aggregation with a real watermark — append mode emits a
+    window once the watermark passes its end; no arbitrary state."""
+    ex = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            lang_col,
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .withColumn(
+            "xq", F.floor(F.col("x") * F.lit(scale) + F.lit(0.5)).cast("long")
+        )
+    )
+    agg = ex.groupBy(
+        F.window(F.col(ts_col), f"{window_seconds} seconds"),
+        F.col(lang_col),
+        F.col("pos"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("_s"))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        lang_col,
+        F.col("pos").cast("long").alias("pos"),
+        "n_vecs",
+        (F.col("_s").cast("double") / (F.col("n_vecs") * F.lit(scale))).alias(
+            "centroid"
+        ),
+    )

@@ -1400,3 +1400,85 @@ def test_streaming_verified_pairs_match_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_lang_centroids_match_batch(spark, tmp_path):
+    """Windowed centroid drift monitor: replaying vectors through
+    streaming_lang_centroids equals the same quantized-mean computed in
+    batch per window — integer sums make the equality exact."""
+    import math
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_lang_centroids,
+    )
+
+    from datetime import datetime
+
+    rows = []
+    for i in range(40):
+        lang = ["en", "de"][i % 2]
+        ts = datetime(2026, 1, 1, 0, i // 10, (i * 7) % 60)
+        vec = [round(math.sin(i * 0.37 + d), 4) for d in range(4)]
+        rows.append((i, ts, lang, vec))
+
+    indir = tmp_path / "cent_in"
+    outdir = tmp_path / "cent_out"
+    indir.mkdir()
+    schema = "vec_id long, ts timestamp, lang string, embedding array<float>"
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(indir / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(indir / "*"))
+        q = (
+            streaming_lang_centroids(stream, window_seconds=60)
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", str(tmp_path / "cent_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # advance the watermark past every data window, then drive one more
+    # batch so the closed windows emit (append-mode finalization)
+    sentinel = spark.createDataFrame(
+        [(999, datetime(2026, 1, 1, 6, 0, 0), "en", [0.0, 0.0, 0.0, 0.0])],
+        schema,
+    )
+    sentinel.coalesce(1).write.parquet(str(indir / "b2"))
+    run_once()
+    streamed = {
+        (str(r["window_start"]), r["lang"], r["pos"]): (
+            r["n_vecs"],
+            r["centroid"],
+        )
+        for r in spark.read.schema(
+            "window_start timestamp, lang string, pos long, "
+            "n_vecs long, centroid double"
+        ).parquet(str(outdir / "data")).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    ex = df.select(
+        F.window("ts", "60 seconds").alias("w"),
+        "lang",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).withColumn("xq", F.floor(F.col("x") * F.lit(1048576.0) + F.lit(0.5)).cast("long"))
+    batch = {
+        (str(r["ws"]), r["lang"], r["pos"]): (r["n"], r["c"])
+        for r in ex.groupBy("w", "lang", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("xq").alias("s"))
+        .select(
+            F.col("w.start").alias("ws"),
+            "lang",
+            "pos",
+            F.col("n"),
+            (F.col("s").cast("double") / (F.col("n") * F.lit(1048576.0))).alias("c"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
