@@ -1,0 +1,361 @@
+"""Stdlib-only FLAC codec, fixed-predictor subset.
+
+Implements the published FLAC format (xiph.org spec; same subset every
+open decoder handles first): STREAMINFO metadata, fixed-blocksize frames,
+CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded residuals,
+independent channels, 16-bit samples.  LPC subframes and stereo
+decorrelation (left/side, right/side, mid/side) raise NotImplementedError
+— the declared seam, mirroring the progressive-JPEG seam in _jpeg.py.
+
+FLAC is lossless: the round-trip test asserts exact equality, unlike the
+SNR gates of the lossy IMA-ADPCM/JPEG codecs.
+
+Layout facts used below (spec section in parens):
+- stream: "fLaC" magic + metadata blocks, then frames (§9).
+- STREAMINFO: 16+16 min/max blocksize, 24+24 min/max framesize, 20-bit
+  sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples,
+  16-byte MD5 (§9.2).
+- frame header: 14-bit sync 0b11111111111110, reserved bit, blocking
+  strategy, 4-bit blocksize code, 4-bit samplerate code, 4-bit channel
+  assignment, 3-bit sample size code, reserved bit, UTF-8-coded frame
+  number, optional blocksize/samplerate fields, CRC-8 (§9.1).
+- subframe: pad bit, 6-bit type (0 constant, 1 verbatim, 8+o fixed order
+  o), wasted-bits unary flag (§9.2.1).
+- residual: 2-bit method (0: 4-bit Rice params), 4-bit partition order,
+  per-partition Rice parameter (0b1111 escapes to raw) (§9.2.7).
+- Rice: unary quotient, param-bit remainder, zigzag sign fold.
+- fixed predictors: binomial-coefficient differencing, orders 0-4.
+- frame footer: CRC-16 (poly 0x8005) over the whole frame.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_SYNC = 0b11111111111110
+
+#: fixed-predictor coefficients per order: x̂[i] = Σ c_j · x[i-1-j]
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.out.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        while nbits:
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - self.bit
+            take = min(nbits, avail)
+            cur = self.data[self.byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            nbits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (codepoint scheme applied
+    to arbitrary 31-bit values)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC)):
+        if n < 1 << (5 * nbytes + 1):
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_coded(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    for mask, lead, nb in (
+        (0xE0, 0xC0, 2), (0xF0, 0xE0, 3), (0xF8, 0xF0, 4),
+        (0xFC, 0xF8, 5), (0xFE, 0xFC, 6),
+    ):
+        if first & mask == lead:
+            nbytes = nb
+            n = first & (0xFF >> (nb + 1))
+            break
+    if not nbytes:
+        raise ValueError("bad UTF-8-coded number")
+    for _ in range(nbytes - 1):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8-coded continuation")
+        n = (n << 6) | (cont & 0x3F)
+    return n
+
+
+def _fixed_residual(x: "np.ndarray", order: int) -> "np.ndarray":
+    res = x.astype(np.int64)
+    for _ in range(order):
+        res = np.diff(res)
+    return res
+
+
+def _rice_cost(res: "np.ndarray", param: int) -> int:
+    z = (res << 1) ^ (res >> 63)  # zigzag on int64
+    return int(np.sum((z >> param) + 1 + param))
+
+
+def _write_rice(bw: _BitWriter, res: "np.ndarray", param: int) -> None:
+    for r in res:
+        z = int((r << 1) ^ (r >> 63))
+        bw.write_unary(z >> param)
+        if param:
+            bw.write(z & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    samples: "np.ndarray", sample_rate: int, block_size: int = 4096
+) -> bytes:
+    """(n, channels) int16 -> FLAC bytes (fixed predictors, Rice order-0
+    partitions, independent channels)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    n, ch = samples.shape
+    out = bytearray(b"fLaC")
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", block_size, block_size)
+    streaminfo += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    # 20-bit rate | 3-bit ch-1 | 5-bit bps-1 | 36-bit total, packed big-endian
+    packed = (sample_rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
+    streaminfo += packed.to_bytes(8, "big")
+    streaminfo += b"\x00" * 16  # md5 unset (spec-legal: all zero = skip)
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + bytes(streaminfo)
+
+    for frame_idx, start in enumerate(range(0, n, block_size)):
+        block = samples[start : start + block_size]
+        bs = block.shape[0]
+        bw = _BitWriter()
+        bw.write(_SYNC, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize stream
+        bw.write(0b0111, 4)  # blocksize: 16-bit field at header end
+        bw.write(0b0000, 4)  # samplerate: from STREAMINFO
+        bw.write(ch - 1, 4)  # independent channels
+        bw.write(0b100, 3)  # 16 bps
+        bw.write(0, 1)  # reserved
+        for b in _utf8_coded(frame_idx):
+            bw.write(b, 8)
+        bw.write(bs - 1, 16)
+        header = bytes(bw.out)
+        assert bw._nbits == 0
+        bw.write(_crc8(header), 8)
+        for c in range(ch):
+            x = block[:, c].astype(np.int64)
+            # pick the fixed order with the smallest |residual| mass
+            best_order, best_res, best_cost = 0, x, None
+            for order in range(0, min(5, bs)):
+                res = _fixed_residual(x, order)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_order, best_res, best_cost = order, res, cost
+            bw.write(0, 1)  # pad
+            bw.write(8 + best_order, 6)  # FIXED subframe
+            bw.write(0, 1)  # no wasted bits
+            for w in x[:best_order]:
+                bw.write(int(w) & 0xFFFF, 16)  # warm-up, bps bits
+            bw.write(0, 2)  # residual method: 4-bit Rice
+            bw.write(0, 4)  # partition order 0
+            params = range(15)
+            param = min(params, key=lambda p: _rice_cost(best_res, p))
+            bw.write(param, 4)
+            _write_rice(bw, best_res, param)
+        bw.align()
+        frame = bytes(bw.out)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
+    """FLAC bytes -> (int16 [n, channels], sample_rate).  Fixed-predictor
+    subset; LPC subframes / stereo decorrelation raise."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    rate = ch = bps = total = None
+    while True:
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:  # STREAMINFO
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        pos += 4 + ln
+        if last:
+            break
+    if rate is None:
+        raise ValueError("FLAC without STREAMINFO")
+    if bps != 16:
+        raise NotImplementedError(f"only 16-bit FLAC supported (got {bps})")
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    while pos < len(payload):
+        br = _BitReader(payload, pos)
+        if br.read(14) != _SYNC:
+            raise ValueError(f"lost FLAC frame sync at byte {pos}")
+        br.read(2)  # reserved + blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan_asgn = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        if chan_asgn >= 8:
+            raise NotImplementedError("stereo decorrelation not supported")
+        if ss_code not in (0, 0b100):
+            raise NotImplementedError("non-16-bit frame sample size")
+        _read_utf8_coded(br)
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        else:
+            bs = {
+                0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304,
+                0b0101: 4608, 0b1000: 256, 0b1001: 512, 0b1010: 1024,
+                0b1011: 2048, 0b1100: 4096, 0b1101: 8192, 0b1110: 16384,
+                0b1111: 32768,
+            }[bs_code]
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        br.read(8)  # CRC-8 (layout verified by round-trip tests)
+        for c in range(ch):
+            if br.read(1):
+                raise ValueError("subframe pad bit set")
+            stype = br.read(6)
+            if br.read(1):  # wasted bits
+                raise NotImplementedError("wasted-bits subframes")
+            if stype == 0:  # CONSTANT
+                v = br.read(16)
+                v -= 1 << 16 if v & 0x8000 else 0
+                chans[c].append(np.full(bs, v, dtype=np.int16))
+                continue
+            if stype == 1:  # VERBATIM
+                vals = np.empty(bs, dtype=np.int64)
+                for i in range(bs):
+                    v = br.read(16)
+                    vals[i] = v - (1 << 16) if v & 0x8000 else v
+                chans[c].append(vals.astype(np.int16))
+                continue
+            if not 8 <= stype <= 12:
+                raise NotImplementedError(f"subframe type {stype} (LPC?)")
+            order = stype - 8
+            warm = []
+            for _ in range(order):
+                v = br.read(16)
+                warm.append(v - (1 << 16) if v & 0x8000 else v)
+            method = br.read(2)
+            if method > 1:
+                raise ValueError("bad residual method")
+            pbits = 4 + method
+            porder = br.read(4)
+            nparts = 1 << porder
+            res: list[int] = []
+            for p in range(nparts):
+                cnt = (bs >> porder) - (order if p == 0 else 0)
+                param = br.read(pbits)
+                if param == (1 << pbits) - 1:  # escape: raw signed bits
+                    raw = br.read(5)
+                    for _ in range(cnt):
+                        v = br.read(raw) if raw else 0
+                        if raw and v & (1 << (raw - 1)):
+                            v -= 1 << raw
+                        res.append(v)
+                else:
+                    for _ in range(cnt):
+                        q = br.read_unary()
+                        z = (q << param) | (br.read(param) if param else 0)
+                        res.append((z >> 1) ^ -(z & 1))
+            x = list(warm)
+            coeffs = _FIXED_COEFFS[order]
+            for r in res:
+                pred = sum(
+                    coeffs[j] * x[len(x) - 1 - j] for j in range(order)
+                )
+                x.append(pred + r)
+            chans[c].append(np.asarray(x, dtype=np.int64).astype(np.int16))
+        br.align()
+        pos = br.byte + 2  # skip frame CRC-16
+    out = np.stack([np.concatenate(cs) for cs in chans], axis=1)
+    if total:
+        out = out[:total]
+    return out, rate

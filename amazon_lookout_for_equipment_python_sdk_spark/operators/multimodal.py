@@ -300,14 +300,19 @@ def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
 
     PCM WAV goes through the stdlib ``wave`` module; IMA-ADPCM WAV
     (format tag 0x11 — the classic 4-bit compressed WAV) decodes via the
-    built-in block decoder below.  Other compressed audio (MP3/FLAC)
-    raises NotImplementedError — swap in soundfile/torchaudio where
+    built-in block decoder below; FLAC (fixed-predictor subset, see
+    operators/_flac.py) dispatches on its "fLaC" magic.  MP3 raises
+    NotImplementedError — swap in soundfile/torchaudio where
     available."""
+    if payload is not None and payload[:4] == b"fLaC":
+        from . import _flac
+
+        return _flac.decode_flac(payload)
     if payload is None or payload[:4] != b"RIFF":
         raise NotImplementedError(
-            "only WAV (PCM / IMA-ADPCM) decode is built in; install "
-            "soundfile/torchaudio and replace multimodal.decode_audio "
-            "for other compressed formats"
+            "only WAV (PCM / IMA-ADPCM) and FLAC decode are built in; "
+            "install soundfile/torchaudio and replace "
+            "multimodal.decode_audio for other compressed formats"
         )
     if _wav_format_tag(payload) == _WAVE_FORMAT_IMA_ADPCM:
         return _decode_ima_adpcm(payload)

@@ -477,3 +477,39 @@ def test_ima_adpcm_roundtrip_and_dispatch():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_flac_lossless_roundtrip_and_dispatch():
+    """FLAC (fixed-predictor subset): LOSSLESS — exact equality after the
+    round trip, real compression on correlated signals, decode_audio
+    dispatch on the fLaC magic; LPC/stereo-decorrelation stay declared
+    seams."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import _flac as FL
+
+    rng = np.random.default_rng(11)
+    t = np.arange(9000) / 8000
+    mono = (
+        9000 * np.sin(2 * np.pi * 220 * t) + rng.normal(0, 40, len(t))
+    ).astype(np.int16)[:, None]
+    stereo = np.hstack(
+        [mono, (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]]
+    )
+    for sig in (mono, stereo):
+        data = FL.encode_flac(sig, 8000)
+        back, rate = mm.decode_audio(data)  # dispatch via magic
+        assert rate == 8000 and np.array_equal(back, sig)
+        assert len(data) < sig.size * 2  # smaller than PCM16
+    # edge blocks: constant, single-sample, shorter than max fixed order
+    for sig in (
+        np.zeros((5, 1), np.int16),
+        np.full((1, 2), -3, np.int16),
+        np.arange(7, dtype=np.int16).reshape(7, 1),
+    ):
+        assert np.array_equal(
+            FL.decode_flac(FL.encode_flac(sig, 44100))[0], sig
+        )
+    # audio_features runs on FLAC payloads through the same dispatch
+    f = mm.audio_features(FL.encode_flac(mono, 8000))
+    assert len(f) == 8 and all(np.isfinite(f))
