@@ -107,8 +107,12 @@ def histogram(
         "max_value",
         F.explode(F.sequence(F.lit(0), F.lit(num_bins - 1))).alias("bin"),
     )
+    # grid inherits b's broadcast hint, but a LEFT outer join can only build
+    # (broadcast) its RIGHT side — without a hint on `binned` Spark warns and
+    # falls back to a shuffle join on post-agg rows.  `binned` is bounded at
+    # keys x num_bins rows (same order as the grid itself), so broadcast it.
     out = (
-        grid.join(binned, [key_col, "bin"], "left")
+        grid.join(F.broadcast(binned), [key_col, "bin"], "left")
         .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
     )
     w = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))

@@ -96,7 +96,10 @@ def density_histograms(
         else []
     )
     return (
-        grid.join(binned, [key_col, "subset", "bin"], "left")
+        # broadcast the RIGHT side: a left-outer join cannot build its left,
+        # so grid's inherited hint is unusable; binned is keys x subsets x
+        # bins rows — grid-sized, safely broadcastable
+        grid.join(F.broadcast(binned), [key_col, "subset", "bin"], "left")
         .select(
             key_col,
             "subset",
