@@ -3,9 +3,12 @@
 Implements the published FLAC format (xiph.org spec; same subset every
 open decoder handles first): STREAMINFO metadata, fixed-blocksize frames,
 CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded residuals,
-independent channels, 16-bit samples.  LPC subframes and stereo
-decorrelation (left/side, right/side, mid/side) raise NotImplementedError
-— the declared seam, mirroring the progressive-JPEG seam in _jpeg.py.
+independent channels AND the three stereo-decorrelation modes
+(left/side, right/side, mid/side — channel assignments 8-10, side channel
+carried at bps+1 bits), 16-bit samples.  The encoder picks the cheapest
+assignment per frame from estimated Rice cost, exactly as reference
+encoders do.  LPC subframes raise NotImplementedError — the declared
+seam, mirroring the progressive-JPEG seam in _jpeg.py.
 
 FLAC is lossless: the round-trip test asserts exact equality, unlike the
 SNR gates of the lossy IMA-ADPCM/JPEG codecs.
@@ -180,11 +183,65 @@ def _write_rice(bw: _BitWriter, res: "np.ndarray", param: int) -> None:
             bw.write(z & ((1 << param) - 1), param)
 
 
+def _best_fixed(x: "np.ndarray") -> tuple[int, "np.ndarray"]:
+    """Pick the fixed predictor order (0-4) with the smallest |residual|
+    mass — the standard cheap order-selection heuristic."""
+    best_order, best_res, best_cost = 0, x, None
+    for order in range(0, min(5, len(x))):
+        res = _fixed_residual(x, order)
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    return best_order, best_res
+
+
+def _best_rice_param(res: "np.ndarray") -> int:
+    return min(range(15), key=lambda p: _rice_cost(res, p))
+
+
+def _subframe_bits(x: "np.ndarray", sbits: int) -> int:
+    """Estimated encoded size of one subframe, for assignment selection."""
+    if len(x) and bool(np.all(x == x[0])):
+        return 8 + sbits  # CONSTANT
+    order, res = _best_fixed(x)
+    return 14 + order * sbits + _rice_cost(res, _best_rice_param(res))
+
+
+def _encode_subframe(bw: _BitWriter, x: "np.ndarray", sbits: int) -> None:
+    """One subframe: CONSTANT when flat, else best FIXED order with a
+    single order-0 Rice partition.  ``sbits`` is the subframe sample size
+    (bps, or bps+1 for a side channel)."""
+    mask = (1 << sbits) - 1
+    bw.write(0, 1)  # pad
+    if len(x) and bool(np.all(x == x[0])):
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & mask, sbits)
+        return
+    order, res = _best_fixed(x)
+    bw.write(8 + order, 6)  # FIXED subframe
+    bw.write(0, 1)  # no wasted bits
+    for w in x[:order]:
+        bw.write(int(w) & mask, sbits)  # warm-up
+    bw.write(0, 2)  # residual method: 4-bit Rice
+    bw.write(0, 4)  # partition order 0
+    param = _best_rice_param(res)
+    bw.write(param, 4)
+    _write_rice(bw, res, param)
+
+
 def encode_flac(
-    samples: "np.ndarray", sample_rate: int, block_size: int = 4096
+    samples: "np.ndarray",
+    sample_rate: int,
+    block_size: int = 4096,
+    stereo_mode: str = "auto",
 ) -> bytes:
     """(n, channels) int16 -> FLAC bytes (fixed predictors, Rice order-0
-    partitions, independent channels)."""
+    partitions; stereo frames pick the cheapest of independent /
+    left-side / right-side / mid-side per frame).  ``stereo_mode``:
+    'auto' (per-frame assignment selection) or 'independent'."""
+    if stereo_mode not in ("auto", "independent"):
+        raise ValueError(f"bad stereo_mode {stereo_mode!r}")
     samples = np.asarray(samples, dtype=np.int16)
     n, ch = samples.shape
     out = bytearray(b"fLaC")
@@ -200,13 +257,36 @@ def encode_flac(
     for frame_idx, start in enumerate(range(0, n, block_size)):
         block = samples[start : start + block_size]
         bs = block.shape[0]
+        # per-frame channel assignment: independent for mono/multichannel;
+        # stereo additionally tries L/S (8), R/S (9), M/S (10) and keeps
+        # the cheapest by estimated Rice cost (side channel costs bps+1)
+        if ch == 2 and stereo_mode == "auto":
+            left = block[:, 0].astype(np.int64)
+            right = block[:, 1].astype(np.int64)
+            side = left - right
+            mid = (left + right) >> 1
+            cands: list[tuple[int, list[tuple[np.ndarray, int]]]] = [
+                (0b0001, [(left, 16), (right, 16)]),
+                (0b1000, [(left, 16), (side, 17)]),
+                (0b1001, [(side, 17), (right, 16)]),
+                (0b1010, [(mid, 16), (side, 17)]),
+            ]
+            asgn, subframes = min(
+                cands,
+                key=lambda c: sum(_subframe_bits(x, sb) for x, sb in c[1]),
+            )
+        else:
+            asgn = ch - 1
+            subframes = [
+                (block[:, c].astype(np.int64), 16) for c in range(ch)
+            ]
         bw = _BitWriter()
         bw.write(_SYNC, 14)
         bw.write(0, 1)  # reserved
         bw.write(0, 1)  # fixed blocksize stream
         bw.write(0b0111, 4)  # blocksize: 16-bit field at header end
         bw.write(0b0000, 4)  # samplerate: from STREAMINFO
-        bw.write(ch - 1, 4)  # independent channels
+        bw.write(asgn, 4)  # channel assignment
         bw.write(0b100, 3)  # 16 bps
         bw.write(0, 1)  # reserved
         for b in _utf8_coded(frame_idx):
@@ -215,26 +295,8 @@ def encode_flac(
         header = bytes(bw.out)
         assert bw._nbits == 0
         bw.write(_crc8(header), 8)
-        for c in range(ch):
-            x = block[:, c].astype(np.int64)
-            # pick the fixed order with the smallest |residual| mass
-            best_order, best_res, best_cost = 0, x, None
-            for order in range(0, min(5, bs)):
-                res = _fixed_residual(x, order)
-                cost = int(np.abs(res).sum())
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            bw.write(0, 1)  # pad
-            bw.write(8 + best_order, 6)  # FIXED subframe
-            bw.write(0, 1)  # no wasted bits
-            for w in x[:best_order]:
-                bw.write(int(w) & 0xFFFF, 16)  # warm-up, bps bits
-            bw.write(0, 2)  # residual method: 4-bit Rice
-            bw.write(0, 4)  # partition order 0
-            params = range(15)
-            param = min(params, key=lambda p: _rice_cost(best_res, p))
-            bw.write(param, 4)
-            _write_rice(bw, best_res, param)
+        for x, sbits in subframes:
+            _encode_subframe(bw, x, sbits)
         bw.align()
         frame = bytes(bw.out)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -277,8 +339,8 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
         chan_asgn = br.read(4)
         ss_code = br.read(3)
         br.read(1)
-        if chan_asgn >= 8:
-            raise NotImplementedError("stereo decorrelation not supported")
+        if chan_asgn > 10:
+            raise ValueError(f"reserved channel assignment {chan_asgn}")
         if ss_code not in (0, 0b100):
             raise NotImplementedError("non-16-bit frame sample size")
         _read_utf8_coded(br)
@@ -298,31 +360,41 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
         elif sr_code in (0b1101, 0b1110):
             br.read(16)
         br.read(8)  # CRC-8 (layout verified by round-trip tests)
-        for c in range(ch):
+        nch_frame = 2 if chan_asgn >= 8 else chan_asgn + 1
+        frame_ch: list[np.ndarray] = []
+        for c in range(nch_frame):
+            # side channel (8: ch1, 9: ch0, 10: ch1) carries bps+1 bits
+            sbits = 16 + (
+                1
+                if (chan_asgn, c) in ((8, 1), (9, 0), (10, 1))
+                else 0
+            )
+            sign = 1 << (sbits - 1)
+            wrap = 1 << sbits
             if br.read(1):
                 raise ValueError("subframe pad bit set")
             stype = br.read(6)
             if br.read(1):  # wasted bits
                 raise NotImplementedError("wasted-bits subframes")
             if stype == 0:  # CONSTANT
-                v = br.read(16)
-                v -= 1 << 16 if v & 0x8000 else 0
-                chans[c].append(np.full(bs, v, dtype=np.int16))
+                v = br.read(sbits)
+                v -= wrap if v & sign else 0
+                frame_ch.append(np.full(bs, v, dtype=np.int64))
                 continue
             if stype == 1:  # VERBATIM
                 vals = np.empty(bs, dtype=np.int64)
                 for i in range(bs):
-                    v = br.read(16)
-                    vals[i] = v - (1 << 16) if v & 0x8000 else v
-                chans[c].append(vals.astype(np.int16))
+                    v = br.read(sbits)
+                    vals[i] = v - wrap if v & sign else v
+                frame_ch.append(vals)
                 continue
             if not 8 <= stype <= 12:
                 raise NotImplementedError(f"subframe type {stype} (LPC?)")
             order = stype - 8
             warm = []
             for _ in range(order):
-                v = br.read(16)
-                warm.append(v - (1 << 16) if v & 0x8000 else v)
+                v = br.read(sbits)
+                warm.append(v - wrap if v & sign else v)
             method = br.read(2)
             if method > 1:
                 raise ValueError("bad residual method")
@@ -352,7 +424,22 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
                     coeffs[j] * x[len(x) - 1 - j] for j in range(order)
                 )
                 x.append(pred + r)
-            chans[c].append(np.asarray(x, dtype=np.int64).astype(np.int16))
+            frame_ch.append(np.asarray(x, dtype=np.int64))
+        # undo stereo decorrelation (spec: side = left - right,
+        # mid = (left + right) >> 1 with the dropped low bit recoverable
+        # from side's parity)
+        if chan_asgn == 8:  # left/side
+            left, side = frame_ch
+            frame_ch = [left, left - side]
+        elif chan_asgn == 9:  # right/side
+            side, right = frame_ch
+            frame_ch = [side + right, right]
+        elif chan_asgn == 10:  # mid/side
+            mid, side = frame_ch
+            lr_sum = (mid << 1) | (side & 1)
+            frame_ch = [(lr_sum + side) >> 1, (lr_sum - side) >> 1]
+        for c, x in enumerate(frame_ch):
+            chans[c].append(x.astype(np.int16))
         br.align()
         pos = br.byte + 2  # skip frame CRC-16
     out = np.stack([np.concatenate(cs) for cs in chans], axis=1)

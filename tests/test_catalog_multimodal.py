@@ -482,8 +482,7 @@ def test_ima_adpcm_roundtrip_and_dispatch():
 def test_flac_lossless_roundtrip_and_dispatch():
     """FLAC (fixed-predictor subset): LOSSLESS — exact equality after the
     round trip, real compression on correlated signals, decode_audio
-    dispatch on the fLaC magic; LPC/stereo-decorrelation stay declared
-    seams."""
+    dispatch on the fLaC magic; LPC stays the declared seam."""
     import numpy as np
 
     from amazon_lookout_for_equipment_python_sdk_spark.operators import _flac as FL
@@ -513,3 +512,39 @@ def test_flac_lossless_roundtrip_and_dispatch():
     # audio_features runs on FLAC payloads through the same dispatch
     f = mm.audio_features(FL.encode_flac(mono, 8000))
     assert len(f) == 8 and all(np.isfinite(f))
+
+
+def test_flac_stereo_decorrelation():
+    """Channel assignments 8-10: correlated stereo round-trips exactly AND
+    compresses strictly better than independent channels (the side channel
+    is near-silent); extreme-amplitude stereo exercises the 17-bit side
+    channel (side = left - right spans [-65535, 65535])."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import _flac as FL
+
+    rng = np.random.default_rng(23)
+    t = np.arange(12000) / 8000
+    left = (
+        12000 * np.sin(2 * np.pi * 330 * t) + rng.normal(0, 60, len(t))
+    ).astype(np.int16)
+    right = (left + rng.integers(-2, 3, len(t))).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    auto = FL.encode_flac(stereo, 8000)
+    indep = FL.encode_flac(stereo, 8000, stereo_mode="independent")
+    back, rate = FL.decode_flac(auto)
+    assert rate == 8000 and np.array_equal(back, stereo)
+    assert np.array_equal(FL.decode_flac(indep)[0], stereo)
+    assert len(auto) < 0.7 * len(indep)  # decorrelation actually engaged
+    # 17-bit side-channel extremes: int16 min/max opposition
+    ext = np.array(
+        [[-32768, 32767]] * 40 + [[32767, -32768]] * 40, dtype=np.int16
+    )
+    assert np.array_equal(FL.decode_flac(FL.encode_flac(ext, 8000))[0], ext)
+    # anti-correlated channels must NOT be forced into decorrelation:
+    # auto still round-trips (selection may pick any assignment)
+    anti = np.stack([left, (-left.astype(np.int32) // 2).astype(np.int16)], axis=1)
+    assert np.array_equal(FL.decode_flac(FL.encode_flac(anti, 8000))[0], anti)
+    # odd/even (l+r) parity recovery through the mid channel
+    par = np.array([[5, 2], [5, 3], [-7, 4], [-7, 5]] * 30, dtype=np.int16)
+    assert np.array_equal(FL.decode_flac(FL.encode_flac(par, 8000))[0], par)
