@@ -227,6 +227,7 @@ def minhash_candidate_pairs(
     cap_observation=None,
     carry_shingles: bool = False,
     carry_hashes: bool = False,
+    pair_pred=None,
 ) -> DataFrame:
     """Fused LSH candidate pairs — one CORPUS-sized shuffle end-to-end.
 
@@ -259,6 +260,17 @@ def minhash_candidate_pairs(
     the hash sets equals Jaccard on the string sets except under a 48-bit
     md5 collision inside a compared pair; the oracle hashes with the same
     md5 expression, so results stay bit-identical either way.
+
+    ``pair_pred``: an optional (member_a, member_b) -> Column predicate
+    over the two carried member structs (fields ``i`` id, ``g``
+    signature, ``h`` shingles if carried, ``hh`` hashes if carried),
+    evaluated INSIDE the bucket pair-expansion lambda.  A verifying
+    caller (e.g. exact Jaccard thresholding) passes its accept-predicate
+    here so (a) rejected candidate pairs never materialize as rows at
+    all, and (b) the capped path's pair-level dedup shuffle carries only
+    verified pairs — row-local integer work on the quadratic candidate
+    set traded against materializing + shuffling it.  Must be
+    deterministic per (a, b) so cross-band duplicates agree on it.
     """
     if num_perm % bands:
         raise ValueError(
@@ -290,7 +302,7 @@ def minhash_candidate_pairs(
     if carry_hashes:
         cols += [F.col("_p.a.hh").alias("_ha"), F.col("_p.b.hh").alias("_hb")]
     pairs = _expand_bucket_pairs(
-        banded, "band", max_bucket, cap_observation
+        banded, "band", max_bucket, cap_observation, pair_pred
     ).select(*cols)
     # per-band collision flags, recomputed row-local from the carried
     # signatures (statically unrolled — bands is tiny); non-empty by
@@ -308,18 +320,26 @@ def minhash_candidate_pairs(
     return _dedup_cross_band(pairs, match_flags, "band", max_bucket, payload)
 
 
-def _pairs_in_list(ids: Column) -> Column:
+def _pairs_in_list(ids: Column, pair_pred=None) -> Column:
     """All (a < b) pairs from a sorted id array, row-local: for element i,
-    pair it with every later element (1-based slice)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    pair it with every later element (1-based slice).
+
+    ``pair_pred`` (member_a, member_b) -> Column prunes INSIDE the
+    expansion: rejected pairs are filtered per-element before ``flatten``,
+    so a big bucket's quadratic candidate set is scanned (cheap integer
+    lambda work) but never MATERIALIZED as an array of structs — the
+    difference between emitting O(bucket^2) rows into the downstream plan
+    and emitting only the accepted pairs."""
+    def expand(x, i):
+        cands = F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
         )
-    )
+        if pair_pred is not None:
+            cands = F.filter(cands, lambda p: pair_pred(p["a"], p["b"]))
+        return cands
+
+    return F.flatten(F.transform(ids, expand))
 
 
 def _expand_bucket_pairs(
@@ -327,6 +347,7 @@ def _expand_bucket_pairs(
     band_col: str = "band",
     max_bucket: int | None = None,
     cap_observation=None,
+    pair_pred=None,
 ) -> DataFrame:
     """Shared LSH bucket -> candidate-pair skeleton: group members by
     (band, bucket), apply the posting-list cap, expand each bucket's
@@ -342,7 +363,10 @@ def _expand_bucket_pairs(
     ``max_bucket`` drops over-cap buckets (quadratic-pair mass on
     degenerate corpora); ``cap_observation`` (a
     ``pyspark.sql.Observation``) records ``dropped_buckets`` /
-    ``max_bucket_seen`` during the caller's action, zero extra jobs."""
+    ``max_bucket_seen`` during the caller's action, zero extra jobs.
+    ``pair_pred`` (member_a, member_b) -> Column verifies pairs inside
+    the expansion lambda (see :func:`_pairs_in_list`) so rejected pairs
+    never materialize as rows."""
     grouped = (
         banded.groupBy(band_col, "bucket")
         .agg(F.array_sort(F.collect_list("_m")).alias("_ids"))
@@ -359,7 +383,8 @@ def _expand_bucket_pairs(
             )
         grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return grouped.select(
-        band_col, F.explode(_pairs_in_list(F.col("_ids"))).alias("_p")
+        band_col,
+        F.explode(_pairs_in_list(F.col("_ids"), pair_pred)).alias("_p"),
     )
 
 
@@ -560,26 +585,35 @@ def ngram_jaccard_lsh(
     expression so values match bit-for-bit regardless.  The whole query is
     signatures -> one shuffle -> codegen."""
     thr_millionths = int(round(threshold * 1_000_000))
+
+    # the threshold check runs as `pair_pred` INSIDE the bucket pair
+    # expansion: rejected candidates never materialize as rows, and the
+    # capped path's pair-level dedup shuffle carries only accepted
+    # near-dup pairs (with their hash arrays) instead of every candidate
+    # — the intersect is recomputed per extra band collision and once
+    # more on the (few) survivors below, row-local work traded against
+    # materializing + shuffling the O(candidates) set
+    def accept(a, b):
+        nc = F.size(F.array_intersect(a["hh"], b["hh"]))
+        return nc * 1_000_000 >= F.lit(thr_millionths) * (
+            F.size(a["hh"]) + F.size(b["hh"]) - nc
+        )
+
     pairs = minhash_candidate_pairs(
         df, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, max_bucket=max_bucket,
         cap_observation=cap_observation, carry_hashes=True,
-    )
-    common = pairs.select(
-        "a",
-        "b",
-        F.size(F.array_intersect("_ha", "_hb")).alias("n_common"),
-        F.size("_ha").alias("na"),
-        F.size("_hb").alias("nb"),
+        pair_pred=accept,
     )
     return (
-        common.withColumn(
-            "n_union", F.col("na") + F.col("nb") - F.col("n_common")
+        pairs.select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_ha", "_hb")).alias("n_common"),
+            F.size("_ha").alias("na"),
+            F.size("_hb").alias("nb"),
         )
-        .filter(
-            F.col("n_common") * 1_000_000
-            >= F.lit(thr_millionths) * F.col("n_union")
-        )
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .select(
             "a",
             "b",
@@ -742,7 +776,17 @@ def simhash_near_pairs(
     banded = sigs.select(
         member.alias("_m"), F.explode(chunk_entries).alias("_e")
     ).select("_m", F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"))
-    pairs = _expand_bucket_pairs(banded, "band", max_bucket).select(
+    # hamming verify INSIDE the pair expansion (see _pairs_in_list): one
+    # xor + bit_count per scanned candidate, so a big bucket's quadratic
+    # candidate set is scanned but only near-pairs ever become rows
+    pairs = _expand_bucket_pairs(
+        banded,
+        "band",
+        max_bucket,
+        pair_pred=lambda a, b: F.bit_count(
+            a["s"].bitwiseXOR(b["s"])
+        ) <= max_hamming,
+    ).select(
         "band",
         F.col("_p.a.i").alias("a"),
         F.col("_p.b.i").alias("b"),
@@ -763,16 +807,17 @@ def simhash_near_pairs(
             for k in range(bands)
         ]
     )
-    deduped = _dedup_cross_band(
-        pairs, match_flags, "band", max_bucket, ["_sa", "_sb"]
-    )
-    return (
-        deduped.withColumn(
-            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    # verify BEFORE cross-band dedup: bit_count(xor) is row-local and
+    # cheap, and it shrinks the capped path's pair-level groupBy shuffle
+    # from ALL candidates (O(sum bucket^2)) to just the near-pairs — the
+    # duplicate work it re-does is one xor per extra band collision,
+    # nothing vs a shuffle of the full candidate set
+    verified = pairs.withColumn(
+        "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    ).filter(F.col("hamming") <= max_hamming)
+    return _dedup_cross_band(
+        verified, match_flags, "band", max_bucket, ["hamming"]
+    ).select("a", "b", "hamming")
 
 
 def _simhash48_udf():

@@ -236,7 +236,15 @@ def embedding_near_dup(
     banded = withb.select(
         "_m", F.posexplode(F.col("_m.bk")).alias("table", "bucket")
     )
-    pairs = _expand_bucket_pairs(banded, "table").select(
+    # cosine verify INSIDE the pair expansion (dedup._pairs_in_list):
+    # candidates below threshold are rejected in the lambda and never
+    # materialize as rows — each would otherwise carry BOTH full vectors
+    # through the rest of the plan
+    pairs = _expand_bucket_pairs(
+        banded,
+        "table",
+        pair_pred=lambda a, b: cosine(a["v"], b["v"]) >= F.lit(threshold),
+    ).select(
         "table",
         F.col("_p.a.i").alias("a"),
         F.col("_p.b.i").alias("b"),
