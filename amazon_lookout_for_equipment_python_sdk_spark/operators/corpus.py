@@ -521,3 +521,83 @@ def pack_documents_greedy(
     return chunked.groupBy(group_col, "_chunk").applyInPandas(
         walk, schema=out_schema
     )
+
+
+# --- temperature-based mixture sampling -------------------------------------
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.3,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture resampling: draw a ``target_fraction`` of
+    the corpus with per-group budgets proportional to ``p_g ** alpha``
+    (renormalized) instead of the raw group shares ``p_g`` — the
+    multilingual-LLM upsampling rule (alpha < 1 flattens the mixture so
+    low-resource groups keep representation; alpha = 1 is proportional,
+    alpha = 0 uniform-by-group).
+
+    Membership is DETERMINISTIC: a doc is kept iff its content-hash
+    millionth (md5 of ``text_col``) falls below its group's quantized keep
+    rate — reproducible across runs, re-sharding, and engines, and exact
+    duplicates stay together.  A group whose budget exceeds its size caps
+    at keeping everything (no replacement; true upsampling with
+    repetition is a downstream concern).
+
+    Scale: two scans — (1) per-group counts (map-combinable hash agg,
+    output = |groups| rows), (2) row-local hash filter against the
+    broadcast rate table.  No shuffle of the corpus itself, any group
+    cardinality.
+
+    Float discipline (oracle-parity): weights quantize to integer
+    millionths immediately after the one ``sqrt``/``pow`` (for
+    ``alpha=0.5`` the expression is ``sqrt`` — correctly-rounded IEEE in
+    every engine; other alphas use ``pow``, whose last bit is libm's),
+    and every downstream op is integer or a single fixed-shape double
+    expression, so keep decisions are bit-stable."""
+    from ..operators.text import fingerprint_bucket
+
+    if not 0 < target_fraction <= 1:
+        raise ValueError("target_fraction must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # totals via a single-partition window over the GROUP-COUNT frame
+    # (|groups| rows — the corpus itself never sees a global window);
+    # avoids the self-join lineage a counts x agg(counts) crossJoin makes
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # NB name discipline: Spark resolves columns case-insensitively by
+    # default, so "_N" would silently REPLACE "_n" in withColumn — totals
+    # use distinct lowercase names
+    counts = counts.withColumn("_n_tot", F.sum("_n").over(wall))
+    share = F.col("_n").cast("double") / F.col("_n_tot").cast("double")
+    wexpr = (
+        F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
+    )
+    weights = counts.select(
+        group_col, "_n", "_n_tot", F.floor(wexpr * 1_000_000).alias("_wm")
+    ).withColumn("_w_tot", F.sum("_wm").over(wall))
+    tf_milli = int(round(target_fraction * 1_000_000))
+    # fixed-shape double expression, identical tree in the SQL oracle:
+    # rate = min(1, tf * n_tot * w / (w_tot * n)) in millionths
+    rate = F.floor(
+        F.least(
+            F.lit(1_000_000.0),
+            (
+                F.lit(float(tf_milli))
+                * F.col("_n_tot").cast("double")
+                * F.col("_wm")
+            )
+            / (F.col("_w_tot").cast("double") * F.col("_n")),
+        )
+    )
+    rates = weights.select(group_col, rate.alias("_rate_milli"))
+    h = fingerprint_bucket(F.col(text_col), 12) % 1_000_000
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.col("_rate_milli"))
+        .drop("_rate_milli")
+    )

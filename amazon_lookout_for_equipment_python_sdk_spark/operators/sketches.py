@@ -1,0 +1,192 @@
+"""Deterministic mergeable sketches: HyperLogLog distinct counting and
+count-min frequency estimation.
+
+Production profilers run these over corpora where exact answers need a
+full shuffle of the key space: a 100 TB corpus has billions of distinct
+shingles, and ``count(DISTINCT x)`` materializes all of them, while an
+HLL register table is a CONSTANT 2^p rows per group and a count-min table
+``depth x width`` counters — both built by one map-combinable aggregation
+and mergeable across partitions/days by construction (max for HLL, sum
+for CMS).
+
+Unlike the engines' built-ins (``approx_count_distinct`` etc.), whose
+hash functions differ per engine, these sketches hash with the repo's
+portable md5 idiom (``conv(substr(md5(x),1,12),16,10)``) and do all
+estimate arithmetic in exact integers plus fixed-shape IEEE double
+expressions — so a DuckDB oracle reproduces every register, counter, and
+estimate bit-for-bit (the repo's float-discipline, plans/registry.py).
+
+HLL per Flajolet et al. 2007: p index bits, rank = leading zeros of the
+40-bit hash suffix + 1, registers = per-bucket max rank, estimate =
+alpha_m * m^2 / sum(2^-M) with linear counting below 2.5m.  The
+indicator sum is computed as an EXACT integer (sum of 2^(41-M), missing
+buckets contributing 2^41 algebraically — no register-grid join).
+
+Count-min per Cormode & Muthukrishnan 2005: depth independent hash rows,
+estimate = min over rows of the (row, hash(item)) counter; strictly an
+overestimate with the classic (eps, delta) guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash48(col: Column, salt: str | None = None) -> Column:
+    """Portable 48-bit md5 hash (same construction as text.fingerprint_
+    bucket); ``salt`` derives independent hash functions for CMS rows."""
+    s = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers; suffix = 40 bits; max rank = 41
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+) -> DataFrame:
+    """HLL register table: one row per (group, bucket) with the max rank
+    seen — the sketch's mergeable state (merge = max by bucket).  Only
+    OCCUPIED buckets appear; absent buckets are rank 0 by convention and
+    :func:`hll_estimate` accounts for them algebraically.
+
+    Scale: one map-combinable aggregation; output is <= groups x 256 rows
+    no matter the corpus size."""
+    m = 1 << _HLL_P
+    h = _hash48(F.col(item_col))
+    v = F.shiftright(h, _HLL_P)  # 40-bit suffix (exact bit shift)
+    # rank = leading zeros of the 40-bit suffix + 1 = 41 - bit_length(v);
+    # bin() prints without leading zeros in both engines, so bit_length
+    # is just length(bin(v)); v = 0 means 40 zeros -> rank 41
+    rank = F.when(v == 0, F.lit(41)).otherwise(
+        F.lit(41) - F.length(F.bin(v))
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            (h % F.lit(m)).alias("bucket"),
+            rank.alias("_rank"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("_rank").alias("register"))
+    )
+
+
+#: alpha_256 * m^2 * 2^41 — precomputed to one double literal so both
+#: engines parse the identical constant (0.7213 / (1 + 1.079/256) scaled)
+_HLL_NUMERATOR = 1.0351398986589102e17
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    The harmonic indicator sum(2^-M) over ALL m buckets is the exact
+    integer sum(2^(41 - M)) / 2^41 — present buckets contribute their
+    register term, the (m - n_present) absent buckets contribute 2^41
+    each (rank 0), so no grid join is needed and the only float ops are
+    one division and (in the small range) one ln, each a fixed-shape
+    expression mirrored by the oracle.  Linear counting (m * ln(m / V))
+    applies below 2.5m when zero registers remain, per the paper."""
+    m = 1 << _HLL_P
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(
+            # pyspark's shiftleft() only takes a literal bit count; the
+            # SQL form shifts by a column expression
+            F.expr("shiftleft(cast(1 as bigint), 41 - register)")
+        ).alias("_s2p"),
+    )
+    s2 = (
+        F.col("_s2p")
+        + (F.lit(m) - F.col("_n_present")) * F.lit(1 << 41).cast("long")
+    )
+    zeros = F.lit(m) - F.col("_n_present")  # occupied buckets have rank >= 1
+    raw = F.lit(_HLL_NUMERATOR) / s2.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        group_col,
+        F.floor(est * 10_000).alias("estimate_e4"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, item_col: str, group_col: str
+) -> DataFrame:
+    """One-shot per-group distinct estimate (registers + estimate);
+    ``estimate_e4`` is the estimate in exact 1e-4 quanta (long)."""
+    return hll_estimate(hll_registers(df, item_col, group_col), group_col)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min counter table: ``depth`` independent salted hash rows x
+    ``width`` columns; counter (d, w) accumulates the total weight of
+    items hashing to w under hash d.  Output <= depth x width rows —
+    CONSTANT in corpus size; merge across shards/days = sum by (d, w).
+
+    Scale: the item column fans out x depth row-locally (a tiny literal
+    explode), then ONE map-combinable (d, hash) aggregation."""
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    wgt = (
+        F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
+    )
+    fanned = df.select(F.col(item_col).alias("_item"), wgt.alias("_w"), rows)
+    cell = _salted_cell(F.col("_item"), F.col("d"), depth, width)
+    return (
+        fanned.select("d", cell.alias("w"), "_w")
+        .groupBy("d", "w")
+        .agg(F.sum("_w").alias("counter"))
+    )
+
+
+def _salted_cell(item: Column, d: Column, depth: int, width: int) -> Column:
+    """Row-d hash cell for an item: md5 salted with the row index."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"), item)), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query estimates for ``probes[item_col]``: min over the depth
+    counters each probe hashes to.  The counter table is depth x width
+    rows — broadcast — so probing any number of items is one row-local
+    fan-out plus a broadcast join and a (item) min-aggregation."""
+    fanned = probes.select(
+        item_col, F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    )
+    cell = _salted_cell(F.col(item_col), F.col("d"), depth, width)
+    probed = fanned.select(item_col, "d", cell.alias("w")).join(
+        F.broadcast(counters), ["d", "w"], "left"
+    )
+    return probed.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_count")
+    )

@@ -366,3 +366,101 @@ def sessionize(
     return out.withColumn(
         "session_seq", F.col("_off") + F.col("_wseq") - F.col("_adj")
     ).drop("_bkt", "_us", "_new", "_wseq", "_adj", "_off")
+
+
+# --- as-of join (pandas merge_asof / trades-and-quotes) ---------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Two-table as-of join: for every left row, attach the payload of the
+    LATEST right row with ``right.ts <= left.ts`` in the same key
+    (``direction='backward'``, inclusive — pandas ``merge_asof``
+    semantics), or the EARLIEST right row with ``right.ts >= left.ts``
+    (``'forward'``).  Unmatched left rows keep null payloads (left join).
+
+    ``tolerance_seconds`` nulls the payload when the matched right row is
+    further than that from the left timestamp (pandas ``tolerance``).
+
+    Spark has no ASOF JOIN operator (DuckDB/Pandas do); the classic
+    distributed formulation is UNION + one per-key window, not a range
+    join: tag right rows side=0 and left rows side=1, sort each key by
+    (ts, side) and forward-fill the payload with ``last(ignorenulls)`` —
+    every left row then carries the nearest preceding right payload, ties
+    at equal ``ts`` resolved right-row-first so the match is inclusive.
+
+    Scale: ONE shuffle (the union windows over ``key_col``) regardless of
+    table sizes — no join, no per-row range probing; a range join here
+    would be O(left x right) per key without interval bucketing.  Right
+    rows must be unique per (key, ts) for deterministic payloads
+    (pre-aggregate duplicates upstream — same contract as merge_asof's
+    stable sort).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction {direction!r}")
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in right.columns if c not in (ts_col, key_col)]
+    )
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"payload columns already in left: {clash}")
+    left_cols = list(left.columns)
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rts"].dataType).alias("_rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in payload_cols
+        ],
+        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            if c in payload_cols or c == "_rts"
+            else F.col(c)
+            for c in r.columns
+        ]
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts"))
+        )
+        within = F.col("_rts").isNotNull() & (
+            gap <= int(tolerance_seconds * 1_000_000)
+        )
+        out = out.select(
+            *[
+                F.when(within, F.col(c)).alias(c)
+                if c in payload_cols
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out.select(*left_cols, *payload_cols)

@@ -516,3 +516,41 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_offset").cast("long").alias("pack_offset"),
         "pack_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture sampling (r5)
+# ---------------------------------------------------------------------------
+
+_TEMP_SAMPLE_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM counts),
+w AS (SELECT lang, n, n_tot,
+        CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1000000)
+             AS BIGINT) AS wm
+      FROM counts, tot),
+wsum AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot FROM w),
+rates AS (SELECT lang,
+        CAST(floor(least(1000000.0,
+             (300000.0 * CAST(n_tot AS DOUBLE) * wm)
+             / (CAST(w_tot AS DOUBLE) * n))) AS BIGINT) AS rate
+      FROM w, wsum)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(concat('0x', substr(md5(d.text), 1, 12)) AS BIGINT) % 1000000
+      < r.rate
+"""
+
+
+@register("temperature_sample_lang", _TEMP_SAMPLE_SQL)
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature-resampled 30% corpus draw by language — the
+    multilingual upsampling rule (keep rates follow sqrt of the language
+    share, renormalized).  Membership is the deterministic content-hash
+    millionth against quantized per-language rates; both engines evaluate
+    the identical expression tree (sqrt + integer millionths + one
+    fixed-shape double ratio), so the kept set matches bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    return cp.temperature_sample(
+        docs, alpha=0.5, target_fraction=0.3, group_col="lang"
+    ).select("doc_id", "lang")

@@ -1284,3 +1284,115 @@ def bigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occur"), "bigram")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sketches: HyperLogLog + count-min (r5)
+# ---------------------------------------------------------------------------
+
+_HLL_SQL = """
+WITH sh AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+  FROM documents
+), hashed AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT) AS h
+  FROM sh
+), ranked AS (
+  SELECT source, h % 256 AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 41
+              ELSE 41 - length(bin(h >> 8)) END AS r
+  FROM hashed
+), regs AS (
+  SELECT source, bucket, max(r) AS register FROM ranked GROUP BY 1, 2
+), agg AS (
+  SELECT source, count(*) AS n_present,
+         CAST(sum((CAST(1 AS BIGINT) << (41 - register))) AS BIGINT) AS s2p
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT source,
+         s2p + (256 - n_present) * (CAST(1 AS BIGINT) << 41) AS s2,
+         256 - n_present AS zeros
+  FROM agg
+), exact AS (
+  SELECT source, count(DISTINCT sh) AS n_exact FROM sh GROUP BY 1
+)
+SELECT x.source, x.n_exact,
+       CAST(floor((CASE WHEN (1.0351398986589102e17 / CAST(s2 AS DOUBLE))
+                             <= 640.0 AND zeros > 0
+                        THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                        ELSE 1.0351398986589102e17 / CAST(s2 AS DOUBLE)
+                   END) * 10000) AS BIGINT) AS estimate_e4
+FROM est e JOIN exact x USING (source)
+"""
+
+
+@register("hll_distinct_shingles", _HLL_SQL)
+def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-gram shingle count: exact vs the
+    deterministic 256-register HyperLogLog (operators.sketches) — the
+    sketch a 100 TB profiler runs instead of count(DISTINCT), 256 rows of
+    mergeable state per source.  Every register and the estimate itself
+    reproduce bit-for-bit in the oracle (portable md5 hash, integer
+    indicator sum, fixed-shape double ops)."""
+    from ..operators import sketches as sk
+
+    docs = load(spark, sf_dir, "documents")
+    sh = tx.exploded_shingles(docs, 3, "text", "source")
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("sh").alias("n_exact")
+    )
+    return exact.join(sk.hll_distinct(sh, "sh", "source"), "source").select(
+        "source", "n_exact", "estimate_e4"
+    )
+
+
+_CMS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text,' ')) AS tok FROM documents
+), ds AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), counters AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', tok)),
+                                  1, 12)) AS BIGINT) % 512 AS w,
+         count(*) AS counter
+  FROM toks, ds GROUP BY 1, 2
+), truec AS (
+  SELECT tok, count(*) AS n_true FROM toks GROUP BY 1
+), probe AS (
+  SELECT t.tok, ds.d,
+         CAST(concat('0x', substr(md5(concat(CAST(ds.d AS VARCHAR), ':',
+                                             t.tok)), 1, 12)) AS BIGINT)
+           % 512 AS w
+  FROM (SELECT DISTINCT tok FROM toks) t, ds
+), est AS (
+  SELECT p.tok, min(coalesce(c.counter, 0)) AS cms_count
+  FROM probe p LEFT JOIN counters c ON p.d = c.d AND p.w = c.w
+  GROUP BY 1
+)
+SELECT t.tok, t.n_true, e.cms_count
+FROM truec t JOIN est e USING (tok)
+"""
+
+
+@register("cms_token_counts", _CMS_SQL)
+def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies: true counts vs the 4x512 count-min sketch
+    (operators.sketches) probed for every distinct token — the
+    heavy-hitter profiler whose state is 2048 counters regardless of
+    corpus size.  cms_count >= n_true always (CMS overestimates);
+    equality wherever no hash collisions landed.  Bit-exact integer
+    pipeline, fully oracle-mirrored."""
+    from ..operators import sketches as sk
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    counters = sk.cms_counters(toks, "tok")
+    probes = toks.select("tok").distinct()
+    est = sk.cms_estimate(counters, probes, "tok")
+    true_counts = toks.groupBy("tok").agg(F.count("*").alias("n_true"))
+    return true_counts.join(est, "tok").select("tok", "n_true", "cms_count")

@@ -38,6 +38,20 @@ _MUST_VERIFY: list[str] = [
     "pack_texts",                # new in r5
     "pq_adc_topk",               # new in r5
     "ivfpq_adc_topk",            # new in r5
+    "asof_join_purchases",       # new in r5
+    "temperature_sample_lang",   # new in r5
+    "hll_distinct_shingles",     # new in r5
+    "cms_token_counts",          # new in r5
+    # implementation touched in r5 (in-expansion pair verify; grid-join
+    # broadcast side) — must re-verify even though green in r4
+    "simhash_near_pairs",
+    "ngram_jaccard_lsh",
+    "minhash_lsh_candidates",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    "histogram_20bin",
+    "wasserstein_rank",
+    "wasserstein_raw_rank",
 ]
 
 # Long-stable queries (green since r1/r2, untouched) rotated past the
@@ -54,13 +68,16 @@ _STABLE_TAIL: list[str] = [
     "top_customers_by_spend",
     "union_distinct_labels",
     "membership_isin",
-    "histogram_20bin",
     "range_expand_1min",
     "pivot_wide",
     "time_features",
     "status_filter_counts",
     "off_condition_filter",
     "semi_join_active_customers",
+    "train_eval_split",
+    "lead_pairs_chunks",
+    "q1_pricing_summary",
+    "anti_join_inactive_customers",
 ]
 
 

@@ -672,3 +672,43 @@ def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(
         ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
     ).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# as-of join: attach the latest preceding purchase to every click (r5)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("asof_join_purchases", _ASOF_SQL)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream as-of join (trades-and-quotes shape): every click event
+    carries the value of the user's latest purchase at or before it.
+    DuckDB's native ASOF LEFT JOIN is the oracle; Spark side is the
+    union + per-key window formulation (operators.timeseries.asof_join) —
+    one shuffle, no range join.  Purchases pre-aggregate per (user, ts)
+    with a deterministic max so the right side is unique per instant (the
+    asof contract)."""
+    events = load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return ts_ops.asof_join(
+        left, right, ts_col="ts", key_col="user_id",
+        payload_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "purchase_value")

@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "lang_centroid_components",
     "pq_adc_topk",
     "ivfpq_adc_topk",
+    "asof_join_purchases",
+    "temperature_sample_lang",
+    "hll_distinct_shingles",
+    "cms_token_counts",
 ]
 
 

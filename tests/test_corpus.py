@@ -334,3 +334,101 @@ def test_pack_documents_greedy_chunked_scan_and_typed_keys(spark):
     chunked = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out}
     for i in range(50):
         assert chunked[f"d{i:04d}"] == full[f"d{i:04d}"]
+
+
+def test_temperature_sample_budgets_and_determinism(spark, sf_dir):
+    """alpha<1 flattens the mixture (minority languages keep a higher
+    share than proportional sampling would give); membership is
+    deterministic and alpha=1 approximates plain proportional draw."""
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.corpus import (
+        temperature_sample,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_by_lang = dict(
+        docs.groupBy("lang").count().rdd.map(tuple).collect()
+    )
+    total = sum(n_by_lang.values())
+    kept = temperature_sample(docs, alpha=0.5, target_fraction=0.5)
+    k_by_lang = dict(kept.groupBy("lang").count().rdd.map(tuple).collect())
+    # overall draw lands near the target (hash uniformity, +-40% slack on
+    # a small fixture)
+    assert 0.3 * total < sum(k_by_lang.values()) < 0.7 * total
+    # flattening: the keep RATE of the smallest language exceeds the
+    # biggest language's (sqrt weighting upsamples minorities)
+    lo = min(n_by_lang, key=n_by_lang.get)
+    hi = max(n_by_lang, key=n_by_lang.get)
+    if n_by_lang[lo] < n_by_lang[hi]:  # fixture has a real imbalance
+        assert (
+            k_by_lang.get(lo, 0) / n_by_lang[lo]
+            > k_by_lang.get(hi, 0) / n_by_lang[hi]
+        )
+    # deterministic: the same call yields the same membership
+    again = temperature_sample(docs, alpha=0.5, target_fraction=0.5)
+    assert sorted(r[0] for r in kept.select("doc_id").collect()) == sorted(
+        r[0] for r in again.select("doc_id").collect()
+    )
+    # alpha=1 keeps per-group rates roughly equal (proportional draw)
+    prop = temperature_sample(docs, alpha=1.0, target_fraction=0.5)
+    p_by_lang = dict(prop.groupBy("lang").count().rdd.map(tuple).collect())
+    rates = [p_by_lang.get(g, 0) / n for g, n in n_by_lang.items() if n > 20]
+    assert max(rates) - min(rates) < 0.35
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """HLL estimate within the theoretical error band, and register
+    tables MERGE by per-bucket max: merged halves == whole corpus."""
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import sketches as sk
+
+    n = 4000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit("item_"), F.col("id")).alias("x")
+    )
+    est = sk.hll_distinct(df, "x", "g").collect()[0]["estimate_e4"] / 1e4
+    assert abs(est - n) / n < 0.25  # ~3.8 sigma at m=256
+    # mergeability: max-combine the two halves' registers
+    h1 = sk.hll_registers(df.filter(F.col("id") < n // 2), "x", "g")
+    h2 = sk.hll_registers(df.filter(F.col("id") >= n // 2), "x", "g")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("g", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    whole = sk.hll_registers(df, "x", "g")
+    assert (
+        sk.hll_estimate(merged, "g").collect()
+        == sk.hll_estimate(whole, "g").collect()
+    )
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS point queries are >= the true count for EVERY item (the
+    defining one-sided guarantee) and exact for items with no
+    collisions; weighted counting honors weight_col."""
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import sketches as sk
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("k"), (F.col("id") % 97)).alias("x")
+    )
+    counters = sk.cms_counters(df, "x", depth=4, width=256)
+    probes = df.select("x").distinct()
+    est = {
+        r["x"]: r["cms_count"]
+        for r in sk.cms_estimate(counters, probes, "x", 4, 256).collect()
+    }
+    true = {r["x"]: r["n"] for r in df.groupBy("x").agg(
+        F.count("*").alias("n")).collect()}
+    assert all(est[k] >= v for k, v in true.items())
+    assert sum(est[k] == v for k, v in true.items()) > len(true) * 0.5
+    # weighted: doubling via weight_col doubles every counter
+    wdf = df.withColumn("wt", F.lit(2).cast("long"))
+    wc = sk.cms_counters(wdf, "x", depth=4, width=256, weight_col="wt")
+    west = sk.cms_estimate(wc, probes, "x", 4, 256).collect()
+    assert all(r["cms_count"] == 2 * est[r["x"]] for r in west)

@@ -311,3 +311,79 @@ def test_winnowing_guarantee_and_edges(spark):
     ).fetchone()[0]
     # every selected fingerprint is one of the oracle's k-gram hashes
     assert set(got[1]) <= set(duck)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join (backward/forward, tolerance, unmatched) vs
+    pandas.merge_asof on a random fixture — the operator's defining
+    semantics, including inclusive matches at equal timestamps."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+    )
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 200), "s"),
+            "lid": np.arange(200),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, 80),  # key 5 never matches
+                "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 80), "s"),
+                "pay": rng.normal(size=80).round(3),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # asof contract: unique (key, ts)
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward"):
+        for tol in (None, 600):
+            got = (
+                asof_join(
+                    left,
+                    right,
+                    ts_col="ts",
+                    key_col="k",
+                    direction=direction,
+                    tolerance_seconds=tol,
+                )
+                .orderBy("lid")
+                .toPandas()
+            )
+            want = pd.merge_asof(
+                left_pd.sort_values("ts", kind="stable"),
+                right_pd.sort_values("ts", kind="stable"),
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            ).sort_values("lid")
+            assert list(got["lid"]) == list(want["lid"])
+            pd.testing.assert_series_equal(
+                got["pay"].reset_index(drop=True),
+                want["pay"].reset_index(drop=True),
+                check_exact=True,
+            )
+
+
+def test_asof_join_rejects_payload_clash(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+    )
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1.0).alias("pay"),
+    )
+    with pytest.raises(ValueError, match="payload columns already in left"):
+        asof_join(df, df, ts_col="ts", key_col="k", payload_cols=["pay"])
