@@ -1,14 +1,16 @@
-"""Stdlib-only FLAC codec, fixed-predictor subset.
+"""Stdlib-only FLAC codec (fixed + LPC predictors, stereo decorrelation).
 
 Implements the published FLAC format (xiph.org spec; same subset every
 open decoder handles first): STREAMINFO metadata, fixed-blocksize frames,
-CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded residuals,
-independent channels AND the three stereo-decorrelation modes
-(left/side, right/side, mid/side — channel assignments 8-10, side channel
-carried at bps+1 bits), 16-bit samples.  The encoder picks the cheapest
-assignment per frame from estimated Rice cost, exactly as reference
-encoders do.  LPC subframes raise NotImplementedError — the declared
-seam, mirroring the progressive-JPEG seam in _jpeg.py.
+CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32 decode, Levinson-Durbin
+order 2-8 encode) subframes with Rice-coded residuals, independent
+channels AND the three stereo-decorrelation modes (left/side,
+right/side, mid/side — channel assignments 8-10, side channel carried at
+bps+1 bits), 16-bit samples.  The encoder picks the cheapest channel
+assignment per frame and the cheapest predictor per subframe from
+estimated Rice cost, exactly as reference encoders do; LPC residuals are
+computed with exact integer arithmetic so the float fit never threatens
+losslessness.  Wasted-bits subframes remain the one declared seam.
 
 FLAC is lossless: the round-trip test asserts exact equality, unlike the
 SNR gates of the lossy IMA-ADPCM/JPEG codecs.
@@ -23,7 +25,10 @@ Layout facts used below (spec section in parens):
   assignment, 3-bit sample size code, reserved bit, UTF-8-coded frame
   number, optional blocksize/samplerate fields, CRC-8 (§9.1).
 - subframe: pad bit, 6-bit type (0 constant, 1 verbatim, 8+o fixed order
-  o), wasted-bits unary flag (§9.2.1).
+  o, 32+(o-1) LPC order o), wasted-bits unary flag (§9.2.1).
+- LPC subframe: order warm-ups, 4-bit qlp precision - 1, 5-bit signed
+  shift, order x precision signed coefficients; x[i] = r[i] +
+  ((sum c_j x[i-1-j]) >> shift), arithmetic shift (§9.2.6).
 - residual: 2-bit method (0: 4-bit Rice params), 4-bit partition order,
   per-partition Rice parameter (0b1111 escapes to raw) (§9.2.7).
 - Rice: unary quotient, param-bit remainder, zigzag sign fold.
@@ -199,18 +204,96 @@ def _best_rice_param(res: "np.ndarray") -> int:
     return min(range(15), key=lambda p: _rice_cost(res, p))
 
 
+_MAX_LPC_ORDER = 8
+_LPC_PRECISION = 15  # qlp coefficient bits (signed)
+
+
+def _lpc_quantized(x: "np.ndarray", order: int):
+    """Levinson-Durbin LPC fit + coefficient quantization, the standard
+    FLAC encoder flow: autocorrelation -> reflection recursion (float)
+    -> quantize to ``_LPC_PRECISION``-bit integers with a shift chosen so
+    the largest coefficient uses the full precision.  Returns
+    (qcoeffs int array, shift, residual int64 array) or None when the
+    signal is degenerate (zero energy / unstable recursion) — the
+    residual is computed with EXACT integer arithmetic, so whatever the
+    float fit's quality, the codec stays lossless."""
+    n = len(x)
+    if n <= order:
+        return None
+    fx = x.astype(np.float64)
+    ac = np.array(
+        [np.dot(fx[: n - i], fx[i:]) for i in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][: i])
+        if err == 0.0:
+            return None
+        k = acc / err
+        a_new = a.copy()
+        a_new[i] = k
+        a_new[:i] = a[:i] - k * a[i - 1 :: -1][: i]
+        a = a_new
+        err *= 1.0 - k * k
+    cmax = np.max(np.abs(a))
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return None
+    # shift: largest coefficient lands in [-2^(P-1), 2^(P-1)) after scaling
+    shift = int(_LPC_PRECISION - 1 - np.floor(np.log2(cmax)) - 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (_LPC_PRECISION - 1)
+    qc = np.clip(
+        np.round(a * (1 << shift)).astype(np.int64), -lim, lim - 1
+    )
+    if not qc.any():
+        return None
+    pred = np.zeros(n - order, dtype=np.int64)
+    for j in range(order):
+        pred += qc[j] * x[order - 1 - j : n - 1 - j]
+    res = x[order:] - (pred >> shift)
+    return qc, shift, res
+
+
+def _best_lpc(x: "np.ndarray"):
+    """Cheapest quantized-LPC candidate (order 2/4/8), or None."""
+    best = None
+    for order in (2, 4, _MAX_LPC_ORDER):
+        fit = _lpc_quantized(x, order)
+        if fit is None:
+            continue
+        qc, shift, res = fit
+        cost = _rice_cost(res, _best_rice_param(res))
+        if best is None or cost < best[0]:
+            best = (cost, qc, shift, res)
+    return best
+
+
 def _subframe_bits(x: "np.ndarray", sbits: int) -> int:
     """Estimated encoded size of one subframe, for assignment selection."""
     if len(x) and bool(np.all(x == x[0])):
         return 8 + sbits  # CONSTANT
     order, res = _best_fixed(x)
-    return 14 + order * sbits + _rice_cost(res, _best_rice_param(res))
+    bits = 14 + order * sbits + _rice_cost(res, _best_rice_param(res))
+    lpc = _best_lpc(x)
+    if lpc is not None:
+        cost, qc, _, _ = lpc
+        bits = min(
+            bits,
+            14 + 9 + len(qc) * (sbits + _LPC_PRECISION) + cost,
+        )
+    return bits
 
 
-def _encode_subframe(bw: _BitWriter, x: "np.ndarray", sbits: int) -> None:
-    """One subframe: CONSTANT when flat, else best FIXED order with a
-    single order-0 Rice partition.  ``sbits`` is the subframe sample size
-    (bps, or bps+1 for a side channel)."""
+def _encode_subframe(
+    bw: _BitWriter, x: "np.ndarray", sbits: int, use_lpc: bool = True
+) -> None:
+    """One subframe: CONSTANT when flat, else the cheaper of the best
+    FIXED order and the best quantized-LPC fit, each with a single
+    order-0 Rice partition.  ``sbits`` is the subframe sample size (bps,
+    or bps+1 for a side channel)."""
     mask = (1 << sbits) - 1
     bw.write(0, 1)  # pad
     if len(x) and bool(np.all(x == x[0])):
@@ -219,6 +302,27 @@ def _encode_subframe(bw: _BitWriter, x: "np.ndarray", sbits: int) -> None:
         bw.write(int(x[0]) & mask, sbits)
         return
     order, res = _best_fixed(x)
+    fixed_cost = order * sbits + _rice_cost(res, _best_rice_param(res))
+    lpc = _best_lpc(x) if use_lpc else None
+    if lpc is not None:
+        lcost, qc, shift, lres = lpc
+        lpc_cost = 9 + len(qc) * (sbits + _LPC_PRECISION) + lcost
+        if lpc_cost < fixed_cost:
+            lorder = len(qc)
+            bw.write(0b100000 | (lorder - 1), 6)  # LPC subframe
+            bw.write(0, 1)  # no wasted bits
+            for w in x[:lorder]:
+                bw.write(int(w) & mask, sbits)  # warm-up
+            bw.write(_LPC_PRECISION - 1, 4)
+            bw.write(shift, 5)  # non-negative, two's complement field
+            for c in qc:
+                bw.write(int(c) & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
+            bw.write(0, 2)  # residual method: 4-bit Rice
+            bw.write(0, 4)  # partition order 0
+            param = _best_rice_param(lres)
+            bw.write(param, 4)
+            _write_rice(bw, lres, param)
+            return
     bw.write(8 + order, 6)  # FIXED subframe
     bw.write(0, 1)  # no wasted bits
     for w in x[:order]:
@@ -235,11 +339,13 @@ def encode_flac(
     sample_rate: int,
     block_size: int = 4096,
     stereo_mode: str = "auto",
+    use_lpc: bool = True,
 ) -> bytes:
-    """(n, channels) int16 -> FLAC bytes (fixed predictors, Rice order-0
-    partitions; stereo frames pick the cheapest of independent /
-    left-side / right-side / mid-side per frame).  ``stereo_mode``:
-    'auto' (per-frame assignment selection) or 'independent'."""
+    """(n, channels) int16 -> FLAC bytes (fixed or Levinson-Durbin LPC
+    predictors per subframe, Rice order-0 partitions; stereo frames pick
+    the cheapest of independent / left-side / right-side / mid-side per
+    frame).  ``stereo_mode``: 'auto' (per-frame assignment selection) or
+    'independent'; ``use_lpc=False`` restricts to fixed predictors."""
     if stereo_mode not in ("auto", "independent"):
         raise ValueError(f"bad stereo_mode {stereo_mode!r}")
     samples = np.asarray(samples, dtype=np.int16)
@@ -296,7 +402,7 @@ def encode_flac(
         assert bw._nbits == 0
         bw.write(_crc8(header), 8)
         for x, sbits in subframes:
-            _encode_subframe(bw, x, sbits)
+            _encode_subframe(bw, x, sbits, use_lpc)
         bw.align()
         frame = bytes(bw.out)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -388,13 +494,30 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
                     vals[i] = v - wrap if v & sign else v
                 frame_ch.append(vals)
                 continue
-            if not 8 <= stype <= 12:
-                raise NotImplementedError(f"subframe type {stype} (LPC?)")
-            order = stype - 8
+            if 8 <= stype <= 12:
+                order = stype - 8
+                is_lpc = False
+            elif stype >= 32:
+                order = (stype & 0x1F) + 1
+                is_lpc = True
+            else:
+                raise ValueError(f"reserved subframe type {stype}")
             warm = []
             for _ in range(order):
                 v = br.read(sbits)
                 warm.append(v - wrap if v & sign else v)
+            if is_lpc:
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid qlp precision escape")
+                shift = br.read(5)
+                if shift & 0x10:
+                    raise ValueError("negative qlp shift")
+                csign = 1 << (prec - 1)
+                qc = []
+                for _ in range(order):
+                    c = br.read(prec)
+                    qc.append(c - (1 << prec) if c & csign else c)
             method = br.read(2)
             if method > 1:
                 raise ValueError("bad residual method")
@@ -418,12 +541,19 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
                         z = (q << param) | (br.read(param) if param else 0)
                         res.append((z >> 1) ^ -(z & 1))
             x = list(warm)
-            coeffs = _FIXED_COEFFS[order]
-            for r in res:
-                pred = sum(
-                    coeffs[j] * x[len(x) - 1 - j] for j in range(order)
-                )
-                x.append(pred + r)
+            if is_lpc:
+                for r in res:
+                    pred = sum(
+                        qc[j] * x[len(x) - 1 - j] for j in range(order)
+                    )
+                    x.append((pred >> shift) + r)
+            else:
+                coeffs = _FIXED_COEFFS[order]
+                for r in res:
+                    pred = sum(
+                        coeffs[j] * x[len(x) - 1 - j] for j in range(order)
+                    )
+                    x.append(pred + r)
             frame_ch.append(np.asarray(x, dtype=np.int64))
         # undo stereo decorrelation (spec: side = left - right,
         # mid = (left + right) >> 1 with the dropped low bit recoverable

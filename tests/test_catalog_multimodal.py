@@ -548,3 +548,39 @@ def test_flac_stereo_decorrelation():
     # odd/even (l+r) parity recovery through the mid channel
     par = np.array([[5, 2], [5, 3], [-7, 4], [-7, 5]] * 30, dtype=np.int16)
     assert np.array_equal(FL.decode_flac(FL.encode_flac(par, 8000))[0], par)
+
+
+def test_flac_lpc_predictors():
+    """LPC subframes: a tonal signal compresses strictly better with LPC
+    than with fixed predictors only, stays bit-exact through the round
+    trip, and the decoder handles encoder-emitted LPC subframes (orders
+    2-8, 15-bit coefficients, arithmetic-shift reconstruction)."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import _flac as FL
+
+    rng = np.random.default_rng(31)
+    t = np.arange(16000) / 8000
+    sine = (15000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)[:, None]
+    lpc = FL.encode_flac(sine, 8000)
+    fixed_only = FL.encode_flac(sine, 8000, use_lpc=False)
+    assert np.array_equal(FL.decode_flac(lpc)[0], sine)
+    assert len(lpc) < 0.9 * len(fixed_only)  # LPC actually engaged + won
+    # LPC + stereo decorrelation compose; noisy content stays lossless
+    noisy = (sine[:, 0] + rng.normal(0, 300, len(t))).astype(np.int16)
+    stereo = np.stack(
+        [noisy, (noisy + rng.integers(-3, 4, len(t))).astype(np.int16)],
+        axis=1,
+    )
+    assert np.array_equal(
+        FL.decode_flac(FL.encode_flac(stereo, 8000))[0], stereo
+    )
+    # degenerate inputs never pick an unstable fit (constant, ramp, tiny)
+    for sig in (
+        np.zeros((300, 1), np.int16),
+        np.arange(300, dtype=np.int16).reshape(-1, 1),
+        np.array([[5], [9]], np.int16),
+    ):
+        assert np.array_equal(
+            FL.decode_flac(FL.encode_flac(sig, 8000))[0], sig
+        )
