@@ -601,3 +601,39 @@ def temperature_sample(
         .filter(h < F.col("_rate_milli"))
         .drop("_rate_milli")
     )
+
+
+# --- corpus-wide line dedup (C4-style) --------------------------------------
+
+
+def line_dedup_first(
+    lines: DataFrame,
+    line_col: str = "line",
+    id_col: str = "doc_id",
+    pos_col: str = "line_pos",
+) -> DataFrame:
+    """Corpus-WIDE exact line dedup, first occurrence wins (the C4 /
+    RefinedWeb "remove repeated lines across documents" step): of every
+    set of identical lines anywhere in the corpus, only the one with the
+    lexicographically smallest ``(id, pos)`` survives.
+
+    One hash aggregation keyed on the line content: ``min(struct(id,
+    pos))`` per line.  Map-side partial aggregation collapses duplicate
+    lines per input partition before the shuffle, so the exchange carries
+    ~distinct-lines-per-partition rows, not the corpus; there is no
+    window function and no join.  Deduping on the raw line (not a hash of
+    it) keeps the operator exact — a 64-bit fingerprint key would merge
+    colliding distinct lines.
+
+    Output: ``(id_col, pos_col, line_col)`` — the surviving lines; callers
+    reassemble documents with ``groupBy(id).agg(concat_ws/sort_array)``.
+    """
+    return (
+        lines.groupBy(line_col)
+        .agg(F.min(F.struct(id_col, pos_col)).alias("_w"))
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col(f"_w.{pos_col}").alias(pos_col),
+            line_col,
+        )
+    )

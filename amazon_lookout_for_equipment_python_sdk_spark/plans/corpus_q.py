@@ -554,3 +554,46 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.temperature_sample(
         docs, alpha=0.5, target_fraction=0.3, group_col="lang"
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (r5)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS st
+  FROM t
+), lines AS (
+  SELECT doc_id, CAST((st - 1) // 8 AS INT) AS line_pos,
+         array_to_string(toks[st:st+7], ' ') AS line
+  FROM s
+), ranked AS (
+  SELECT doc_id, line_pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_pos)
+           AS rn
+  FROM lines
+)
+SELECT doc_id, line_pos, line FROM ranked WHERE rn = 1
+"""
+
+
+@register("line_dedup_survivors", _LINE_DEDUP_SQL)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup, first occurrence wins.  The
+    synthetic corpus has no newlines, so "lines" are the deterministic
+    non-overlapping 8-token chunks (same chunker as chunk_documents with
+    stride = size); the dedup itself is ONE content-keyed hash agg —
+    min(struct(doc_id, line_pos)) per line, map-side combinable — with no
+    window and no join (the oracle's row_number window is the SQL
+    statement of the same first-occurrence rule)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = cp.chunk_documents(docs, chunk_tokens=8, stride=8).select(
+        "doc_id",
+        F.col("chunk_idx").alias("line_pos"),
+        F.col("chunk_text").alias("line"),
+    )
+    return cp.line_dedup_first(lines, "line", "doc_id", "line_pos")

@@ -330,3 +330,44 @@ def time_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
         F.substring_index("props", ":", 1).alias("props_head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join (beyond-reference scale operator)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {sql_det_sum('l_extendedprice')} AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
+@register("bloom_prune_semi_join", _BLOOM_SQL)
+def bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table semi-join with a bloom pre-prune (operators/bloom.py):
+    the bitmap of urgent order keys (one broadcast array<long> row) filters
+    lineitem BEFORE the semi-join shuffle, so the shuffle carries only
+    probable matches; the exact semi-join then drops the bloom's false
+    positives, making the result provably identical to a plain semi-join
+    — which is what the oracle runs.  The cluster-scale analogue of the
+    reference's driver-side membership set (plot.py:136-143)."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            det_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )

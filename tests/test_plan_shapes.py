@@ -194,3 +194,15 @@ def test_ivf_assignment_is_row_local(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "max_by" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_prunes_before_shuffle(spark):
+    """bloom_prune_semi_join: the one-row bitmap reaches the fact scan as
+    a broadcast (no shuffle of lineitem to meet it), the membership test
+    stays in codegen (bitwise filter), and the exact semi-join still
+    runs after the prune."""
+    plan = _plan(spark, "bloom_prune_semi_join")
+    assert "BroadcastExchange" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "bit_or" in plan, plan  # bitmap word fold is a real aggregate
+    assert "CartesianProduct" not in plan
