@@ -162,3 +162,21 @@ def pivot_diagnostics(results: DataFrame) -> DataFrame:
         .agg(F.first("d.value", ignorenulls=True))
         .drop("null")
     )
+
+
+def read_columnar(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Columnar scan (``parquet``/``orc``) with an optionally IMPOSED
+    schema — pass one to skip footer-sampling on wide 100 TB layouts and
+    to pin types across heterogeneous file generations.  Counterpart of
+    :func:`..sources.sinks.write_columnar`."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"columnar format must be parquet|orc, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

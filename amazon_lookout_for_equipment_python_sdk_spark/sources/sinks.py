@@ -313,3 +313,34 @@ def write_partitioned(
         [partition_cols] if isinstance(partition_cols, str) else partition_cols
     )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | str | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` in a columnar file format — ``parquet`` or ``orc``.
+
+    Both formats share Spark's vectorized reader, filter pushdown into
+    row-group/stripe statistics, and column pruning, so the choice is an
+    interop decision (ORC for Hive/Trino estates, parquet elsewhere), not
+    a performance fork; ``tests/test_datamodel_sources.py`` pins that an
+    ORC scan carries PushedFilters + a pruned ReadSchema exactly like the
+    parquet scans do.  ``compression`` defaults to the session codec
+    (zstd/snappy); hive-style ``partition_cols`` compose the same way as
+    :func:`write_partitioned`."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"columnar format must be parquet|orc, got {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_cols:
+        partition_cols = (
+            [partition_cols] if isinstance(partition_cols, str) else partition_cols
+        )
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)

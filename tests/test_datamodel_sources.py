@@ -273,3 +273,37 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
         raise
     except Exception:
         pass  # expected: the en partition's junk file IS opened
+
+
+def test_orc_columnar_roundtrip_with_pushdown(spark, tmp_path):
+    """write_columnar(orc) + read_columnar: exact round-trip, and the ORC
+    scan pushes the row filter (PushedFilters) and prunes columns
+    (ReadSchema lists only the projected subset) just like parquet."""
+    from amazon_lookout_for_equipment_python_sdk_spark.sources.readers import (
+        read_columnar,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.sources.sinks import (
+        write_columnar,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 7, ["en", "de"][i % 2]) for i in range(200)],
+        "doc_id long, text string, score double, lang string",
+    )
+    path = str(tmp_path / "docs_orc")
+    write_columnar(df, path, fmt="orc", partition_cols="lang")
+    back = read_columnar(spark, path, fmt="orc")
+    assert back.count() == 200
+    assert {r.doc_id for r in back.collect()} == set(range(200))
+    q = back.filter("doc_id >= 150").select("doc_id", "score")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in rs, rs  # column pruning reached the ORC scan
+    assert q.count() == 50
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_columnar(df, path, fmt="avro")
