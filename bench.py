@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "temperature_sample_lang",
     "hll_distinct_shingles",
     "cms_token_counts",
+    "bloom_prune_semi_join",
+    "line_dedup_survivors",
 ]
 
 
