@@ -1,0 +1,137 @@
+"""n-gram language-model scoring — the CCNet-style perplexity quality
+filter (Wenzek et al. 2020 train a KenLM n-gram LM and keep the
+low-perplexity head of the crawl).
+
+Spark-first shape: the LM **is a DataFrame** — the bigram count table —
+and scoring is one join keyed on the bigram.  Everything is built from
+two hash aggregations over the corpus (bigram counts; prefix counts
+derived FROM the bigram table, no second corpus scan) plus one distinct
+count for the vocabulary size; per-document cross-entropy is then a
+bigram-keyed join of the document's bigrams against the probability
+table followed by a per-doc hash agg.  No window functions, no UDFs,
+no driver-side model state — at 100 TB both the corpus and the LM table
+shard by the bigram key, and the join is shuffle-on-bigram (or
+broadcast, when the LM was trained on a small held-out reference corpus,
+which is the CCNet setup).
+
+Determinism across engines (the DuckDB oracle hash-compares values):
+``ln`` is the one non-correctly-rounded primitive here, so each
+bigram's log-probability is floored onto a 1e-4 grid IMMEDIATELY
+(``floor(ln(p)*1e4)`` as BIGINT); a 1-ulp libm disagreement only
+matters if the true value sits within ~1e-16 of a grid line.  Per-doc
+totals are integer sums of those quantized values — order-independent —
+and the final division is IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: log-prob quantization grid (decimal places)
+LP_SCALE = 4
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each document into its consecutive token bigrams:
+    ``(id, w1, w2)``, one row per bigram OCCURRENCE (not distinct).
+    Row-local; docs with fewer than two tokens emit nothing."""
+    w = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(id_col, F.explode(pairs).alias("_b")).select(
+        id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+
+
+def bigram_lm(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the add-one-smoothed bigram LM: returns ``(lp_table,
+    vocab_size_df)`` where ``lp_table`` is ``(w1, w2, lp4)`` —
+    ``lp4 = floor(ln((c12+1)/(c1+V)) * 1e4)`` — and ``vocab_size_df`` is
+    the one-row ``(v: long)`` vocabulary size.
+
+    The prefix counts ``c1`` come from re-aggregating the bigram table
+    (sum of c12 per w1), not from a second corpus scan, so training is
+    exactly one corpus-wide shuffle (on the bigram) plus one |bigrams|-
+    sized reshuffle on w1."""
+    bg = doc_bigrams(corpus, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = corpus.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(float(10 ** LP_SCALE))
+            )
+            .cast("long")
+            .alias("lp4"),
+        )
+    )
+    return lp, vocab
+
+
+def doc_cross_entropy(
+    df: DataFrame,
+    lp_table: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Score each document against a trained bigram LM: ``(id,
+    n_bigrams, xent)`` with ``xent = -(mean quantized log-prob)`` in
+    nats — low = fluent under the LM (CCNet keeps the low-xent head).
+
+    Bigrams unseen in training score at the vocabulary floor
+    ``floor(ln(1/V))`` (the unknown-context fallback).  Set ``broadcast_lm=True`` when the LM was trained on a (small)
+    reference corpus — the join then ships no corpus bytes at all."""
+    bg = doc_bigrams(df, text_col, id_col)
+    scale = float(10 ** LP_SCALE)
+    lm = F.broadcast(lp_table) if broadcast_lm else lp_table
+    # unseen-(w1,w2) back-off would need c1+V per prefix; rather than
+    # carry a second table, score unseen pairs at the vocabulary floor
+    # ln(1/V) — the standard "unknown context" fallback
+    floor_lp = vocab.select(
+        F.floor(F.log(F.lit(1.0) / F.col("v").cast("double")) * scale)
+        .cast("long")
+        .alias("_floor_lp")
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .select(
+            id_col,
+            F.coalesce(F.col("lp4"), F.col("_floor_lp")).alias("_lp4"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -F.sum("_lp4").cast("double")
+            / (F.count(F.lit(1)) * F.lit(scale))
+        ).alias("xent"),
+    )

@@ -1396,3 +1396,54 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.cms_estimate(counters, probes, "tok")
     true_counts = toks.groupBy("tok").agg(F.count("*").alias("n_true"))
     return true_counts.join(est, "tok").select("tok", "n_true", "cms_count")
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity scoring (r5) — the CCNet quality filter
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+), lp AS (
+  SELECT w1, w2,
+         CAST(floor(ln((c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e4)
+              AS BIGINT) AS lp4
+  FROM c12 JOIN c1 USING (w1), v
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       floor((-CAST(sum(lp.lp4) AS DOUBLE) / (count(*) * 1e4)) * 1e4) / 1e4
+         AS xent
+FROM bg JOIN lp USING (w1, w2)
+GROUP BY bg.doc_id
+"""
+
+
+@register("bigram_lm_perplexity", _LM_SQL)
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train
+    the add-one bigram LM on the corpus (two hash aggs — bigram counts,
+    prefix counts derived from them — plus one vocab distinct-count) and
+    score every document's cross-entropy with a bigram-keyed join.  Each
+    bigram's log-prob is floored onto a 1e-4 grid at the source so the
+    per-doc integer sums are order-independent and engine-portable
+    (operators/lm.py)."""
+    from ..operators.lm import bigram_lm, doc_cross_entropy
+
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
+    lp, vocab = bigram_lm(docs)
+    out = doc_cross_entropy(docs, lp, vocab)
+    return out.select(
+        "doc_id", "n_bigrams", qfloor(F.col("xent"), 4).alias("xent")
+    )

@@ -44,6 +44,7 @@ _MUST_VERIFY: list[str] = [
     "cms_token_counts",          # new in r5
     "bloom_prune_semi_join",     # new in r5
     "line_dedup_survivors",      # new in r5
+    "bigram_lm_perplexity",      # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

@@ -432,3 +432,41 @@ def test_cms_overestimates_never_under(spark):
     wc = sk.cms_counters(wdf, "x", depth=4, width=256, weight_col="wt")
     west = sk.cms_estimate(wc, probes, "x", 4, 256).collect()
     assert all(r["cms_count"] == 2 * est[r["x"]] for r in west)
+
+
+def test_bigram_lm_cross_corpus_scoring(spark):
+    """LM trained on a reference corpus scores a different corpus:
+    in-domain docs get lower cross-entropy than out-of-domain ones, and
+    unseen bigrams fall back to the ln(1/V) floor (score still finite)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.lm import (
+        bigram_lm,
+        doc_cross_entropy,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lp, vocab = bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),        # all bigrams in-domain
+            (2, "zeta xylo qqq wub"),          # every bigram unseen
+            (3, "a"),                          # <2 tokens: no bigrams, no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in doc_cross_entropy(
+            probe, lp, vocab, broadcast_lm=True
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 3
+    assert rows[1].xent < rows[2].xent  # fluent beats gibberish
+    import math
+
+    v = vocab.first().v
+    floor_xent = -math.floor(math.log(1.0 / v) * 1e4) / 1e4
+    assert abs(rows[2].xent - floor_xent) < 1e-9  # exact floor fallback
