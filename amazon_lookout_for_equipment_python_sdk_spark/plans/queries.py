@@ -45,6 +45,7 @@ _MUST_VERIFY: list[str] = [
     "bloom_prune_semi_join",     # new in r5
     "line_dedup_survivors",      # new in r5
     "bigram_lm_perplexity",      # new in r5
+    "zorder_key_events",         # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

@@ -371,3 +371,57 @@ def bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_sum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (beyond-reference storage-layout operator)
+# ---------------------------------------------------------------------------
+
+_ZBITS = 16
+_Z_TOP = (1 << _ZBITS) - 1
+
+
+def _z_interleave_sql(qu: str, qv: str) -> str:
+    terms = [f"((({qu} >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)]
+    terms += [f"((({qv} >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)]
+    return " | ".join(terms)
+
+
+def _z_quant_sql(x: str, lo: str, hi: str) -> str:
+    return (
+        f"CASE WHEN CAST({hi} AS DOUBLE) = CAST({lo} AS DOUBLE) THEN 0 "
+        f"ELSE least(greatest(CAST(floor((CAST({x} AS DOUBLE) - CAST({lo} AS "
+        f"DOUBLE)) / (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) * "
+        f"{float(_Z_TOP)}) AS BIGINT), 0), {_Z_TOP}) END"
+    )
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+         min(value) AS lo_v, max(value) AS hi_v
+  FROM events
+), q AS (
+  SELECT event_id,
+         {_z_quant_sql('user_id', 'b.lo_u', 'b.hi_u')} AS qu,
+         {_z_quant_sql('value', 'b.lo_v', 'b.hi_v')} AS qv
+  FROM events, b
+)
+SELECT event_id, {_z_interleave_sql('qu', 'qv')} AS zkey FROM q
+"""
+
+
+@register("zorder_key_events", _ZORDER_SQL)
+def zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key of (user_id, value) against global min/max — the
+    clustering key behind operators/zorder.py's OPTIMIZE-ZORDER-style
+    rewrite (file skipping on several columns at once).  One tiny
+    min/max agg broadcast into a codegen shift/mask interleave; the
+    oracle unrolls the identical bit arithmetic, so the key is proven
+    engine-portable bit-for-bit."""
+    from ..operators.zorder import zorder_key
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zorder_key(events, ["user_id", "value"], bits=_ZBITS).select(
+        "event_id", "zkey"
+    )
