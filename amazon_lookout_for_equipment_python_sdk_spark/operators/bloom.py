@@ -74,18 +74,26 @@ def bloom_bitmap(
             F.array(*_bit_positions(F.col(key_col), num_bits, num_hashes))
         ).alias("_pos")
     )
-    words = pos.select(
-        F.shiftright("_pos", 6).alias("_w"),
-        _shl1(F.col("_pos")).alias("_m"),
-    ).groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+    # union an explicit zero row per word so the final collect is DENSE:
+    # sorting (word, bits) structs then projecting bits gives the array
+    # directly.  (The tempting map_from_entries + element_at-per-index
+    # fill is O(words^2) — Spark maps scan linearly per lookup.)
+    zeros = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("_w"), F.lit(0).cast("long").alias("_m")
+    )
+    words = (
+        pos.select(
+            F.shiftright("_pos", 6).alias("_w"),
+            _shl1(F.col("_pos")).alias("_m"),
+        )
+        .unionByName(zeros)
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("_map")
-    ).select(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda w: F.coalesce(
-                F.element_at(F.col("_map"), w.cast("long")), F.lit(0).cast("long")
-            ),
+            F.array_sort(F.collect_list(F.struct("_w", "_bits"))),
+            lambda e: e["_bits"],
         ).alias("bf")
     )
 

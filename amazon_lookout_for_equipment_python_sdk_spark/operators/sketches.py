@@ -190,3 +190,92 @@ def cms_estimate(
     return probed.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_count")
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# Bar-Yossef et al. 2002 / the DataSketches theta family: keep the k
+# smallest distinct hash values per group.  Beyond cardinality (which HLL
+# also gives), KMV supports SET OPERATIONS: the k smallest of a union of
+# two sketches is the union's sketch, and counting how many of those fall
+# in both inputs estimates Jaccard overlap — corpus-vs-corpus overlap
+# estimation from two constant-size summaries, no join of the full key
+# spaces.
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group k smallest distinct 48-bit hashes: ``(group, rn, h)``
+    with ``rn`` in [1, k].  The row_number-over-hash plan compiles to
+    Spark's WindowGroupLimit: each map task pre-prunes to its local
+    top-k BEFORE the shuffle, so the exchange carries k rows per
+    (group, partition), never the distinct key space."""
+    h = _hash48(F.col(item_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        df.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+#: hash domain of _hash48
+_KMV_DOMAIN = float(1 << 48)
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group: ``(k-1) / (h_k / 2^48)`` with
+    the k-th smallest hash as the threshold (groups with fewer than k
+    distinct values report their EXACT count)."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    exact = F.col("n_kept").cast("double")
+    est = (
+        (F.col("n_kept") - 1).cast("double")
+        * F.lit(_KMV_DOMAIN)
+        / F.col("h_k").cast("double")
+    )
+    return agg.select(
+        group_col,
+        "n_kept",
+        "h_k",
+        F.when(F.col("n_kept") < k, exact).otherwise(est).alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """ONE-row Jaccard estimate between two single-group sketches: take
+    the k smallest of the union of both hash sets, count how many appear
+    in both inputs; ``jaccard_est = |both| / k`` (Beyer et al. 2007).
+    All integer until the final division."""
+    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
+    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    union = (
+        a.join(b, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce(F.col("_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("_b"), F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    return union.agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("jaccard_est"),
+    )

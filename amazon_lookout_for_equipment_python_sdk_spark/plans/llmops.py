@@ -1447,3 +1447,91 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", qfloor(F.col("xent"), 4).alias("xent")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch: corpus-vs-corpus overlap estimation (r5)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_H = "CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT)"
+_KMV_SH = (
+    "unnest(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 4, 0) + 1), "
+    "i -> array_to_string((string_split(text,' '))[i:i+4], ' '))))"
+)
+
+_KMV_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, {_KMV_H} AS h
+  FROM (SELECT source, {_KMV_SH} AS sh FROM documents
+        WHERE source IN ('src0', 'src1'))
+), ka AS (
+  SELECT h FROM sh WHERE source = 'src0' ORDER BY h LIMIT {_KMV_K}
+), kb AS (
+  SELECT h FROM sh WHERE source = 'src1' ORDER BY h LIMIT {_KMV_K}
+), ea AS (
+  SELECT count(*) AS n, max(h) AS hk FROM ka
+), eb AS (
+  SELECT count(*) AS n, max(h) AS hk FROM kb
+), u AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM ka
+        UNION ALL
+        SELECT h, 0 AS in_a, 1 AS in_b FROM kb)
+  GROUP BY h ORDER BY h LIMIT {_KMV_K}
+), j AS (
+  SELECT count(*) AS k_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(sum(in_a * in_b) AS DOUBLE) / count(*) AS jaccard_est
+  FROM u
+)
+SELECT
+  CASE WHEN ea.n < {_KMV_K} THEN CAST(ea.n AS DOUBLE)
+       ELSE CAST(ea.n - 1 AS DOUBLE) * {float(1 << 48)} / CAST(ea.hk AS DOUBLE)
+  END AS est_src0,
+  CASE WHEN eb.n < {_KMV_K} THEN CAST(eb.n AS DOUBLE)
+       ELSE CAST(eb.n - 1 AS DOUBLE) * {float(1 << 48)} / CAST(eb.hk AS DOUBLE)
+  END AS est_src1,
+  j.k_union, j.n_both, j.jaccard_est
+FROM ea, eb, j
+"""
+
+
+@register("kmv_corpus_overlap", _KMV_SQL)
+def kmv_corpus_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus overlap from two constant-size summaries: KMV
+    (k-minimum-values / theta) sketches of the 5-gram shingle sets of
+    src0 and src1, combined into distinct-count estimates per corpus and
+    a Jaccard-overlap estimate — no join of the full shingle spaces
+    (operators/sketches.py kmv_*).  The window compiles to Spark's
+    WindowGroupLimit, so each map task pre-prunes to its local k before
+    the shuffle; everything stays exact integers until three final
+    divisions, and the oracle replays the identical md5 pipeline."""
+    from ..operators.sketches import kmv_estimate, kmv_jaccard, kmv_sketch
+    from ..operators.text import exploded_shingles
+
+    docs = load_par(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    sh = exploded_shingles(docs, n=5, text_col="text", id_col="source").select(
+        "source", F.col("sh")
+    )
+    sk = kmv_sketch(sh, "sh", "source", k=_KMV_K)
+    est = kmv_estimate(sk, "source", k=_KMV_K)
+    ea = est.filter(F.col("source") == "src0").select(
+        F.col("est_distinct").alias("est_src0")
+    )
+    eb = est.filter(F.col("source") == "src1").select(
+        F.col("est_distinct").alias("est_src1")
+    )
+    j = kmv_jaccard(
+        sk.filter(F.col("source") == "src0"),
+        sk.filter(F.col("source") == "src1"),
+        k=_KMV_K,
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(j))
+        .select("est_src0", "est_src1", "k_union", "n_both", "jaccard_est")
+    )

@@ -46,6 +46,7 @@ _MUST_VERIFY: list[str] = [
     "line_dedup_survivors",      # new in r5
     "bigram_lm_perplexity",      # new in r5
     "zorder_key_events",         # new in r5
+    "kmv_corpus_overlap",        # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

@@ -470,3 +470,48 @@ def test_bigram_lm_cross_corpus_scoring(spark):
     v = vocab.first().v
     floor_xent = -math.floor(math.log(1.0 / v) * 1e4) / 1e4
     assert abs(rows[2].xent - floor_xent) < 1e-9  # exact floor fallback
+
+
+def test_kmv_sketch_estimate_and_jaccard(spark):
+    """KMV: estimate within ~3/sqrt(k) of truth; groups under k exact;
+    Jaccard estimate of two overlapping sets lands near the true value;
+    the union-of-sketches IS the union's sketch (mergeability)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    k = 128
+    # group g1: items 0..4999; g2: 2500..7499 (50% overlap, J = 1/3)
+    rows = [(f"g1", f"item-{i}") for i in range(5000)] + [
+        (f"g2", f"item-{i}") for i in range(2500, 7500)
+    ] + [("tiny", f"t-{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketch(df, "item", "g", k=k)
+    est = {r.g: r.est_distinct for r in kmv_estimate(sk, "g", k=k).collect()}
+    assert est["tiny"] == 40.0  # below k: exact
+    for g in ("g1", "g2"):
+        assert abs(est[g] - 5000) / 5000 < 3 / (k ** 0.5)
+    j = kmv_jaccard(
+        sk.filter(F.col("g") == "g1"), sk.filter(F.col("g") == "g2"), k=k
+    ).first()
+    assert j.k_union == k
+    assert abs(j.jaccard_est - 1 / 3) < 4 / (k ** 0.5)
+    # mergeability: sketch(g1 ∪ g2) == k smallest of (sketch_a ∪ sketch_b)
+    merged = (
+        sk.filter(F.col("g").isin("g1", "g2"))
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    whole = kmv_sketch(
+        df.filter(F.col("g").isin("g1", "g2")).select(
+            F.lit("u").alias("g"), "item"
+        ),
+        "item",
+        "g",
+        k=k,
+    )
+    assert {r.h for r in merged.collect()} == {r.h for r in whole.collect()}
