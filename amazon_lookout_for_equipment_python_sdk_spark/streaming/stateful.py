@@ -572,3 +572,82 @@ def streaming_lang_centroids(
             "centroid"
         ),
     )
+
+
+# --- streaming heavy hitters (Space-Saving) ---------------------------------
+
+#: heavy-hitter snapshot stream: per batch, the current top-k per group
+TOPK_OUT_SCHEMA = "grp string, token string, est long, err long"
+#: Space-Saving counter table, parallel arrays (capacity m entries)
+TOPK_STATE_SCHEMA = "tokens array<string>, counts array<long>, errs array<long>"
+
+
+def _spacesaving_batch(key, pdf_iter, state: GroupState, capacity: int, k: int):
+    """Metwally et al. 2005 Space-Saving: m counters total; a new token
+    with the table full EVICTS the minimum counter and inherits its count
+    as error.  Guarantees (with n observations): every token with true
+    count > n/m is in the table, and ``est - err <= true <= est``.  When
+    the group has at most m distinct tokens, counts are EXACT."""
+    (grp,) = key
+    if state.exists:
+        tokens, counts, errs = state.get
+        table = {t: [c, e] for t, c, e in zip(tokens, counts, errs)}
+    else:
+        table = {}
+    for pdf in pdf_iter:
+        for tok in pdf["token"]:
+            ent = table.get(tok)
+            if ent is not None:
+                ent[0] += 1
+            elif len(table) < capacity:
+                table[tok] = [1, 0]
+            else:
+                # evict the minimum-count entry (ties: lexicographic
+                # smallest token — deterministic across runs)
+                victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                vcount = victim[1][0]
+                del table[victim[0]]
+                table[tok] = [vcount + 1, vcount]
+    items = sorted(table.items(), key=lambda kv: (kv[0],))
+    state.update(
+        (
+            [t for t, _ in items],
+            [c for _, (c, _e) in items],
+            [e for _, (_c, e) in items],
+        )
+    )
+    top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    yield pd.DataFrame(
+        {
+            "grp": [grp] * len(top),
+            "token": [t for t, _ in top],
+            "est": [c for _, (c, _e) in top],
+            "err": [e for _, (_c, e) in top],
+        }
+    )
+
+
+def streaming_topk_tokens(
+    stream: DataFrame,
+    capacity: int = 256,
+    k: int = 10,
+    group_col: str = "grp",
+    token_col: str = "token",
+) -> DataFrame:
+    """Online heavy hitters per group — the streaming twin of the batch
+    count-min + top-k (operators/sketches.py cms_*): constant O(capacity)
+    state per group regardless of stream length, append-mode snapshot of
+    the current top-k each batch.  Space-Saving rather than CMS online
+    because it maintains the candidate set IN the sketch (CMS needs a
+    second structure to know which keys to query)."""
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(token_col).cast("string").alias("token"),
+    )
+    return prepared.groupBy("grp").applyInPandasWithState(
+        lambda key, it, st: _spacesaving_batch(key, it, st, capacity, k),
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1482,3 +1482,91 @@ def test_streaming_lang_centroids_match_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_topk_spacesaving(spark, tmp_path):
+    """Space-Saving heavy hitters: with distinct tokens <= capacity the
+    final snapshot is EXACT per group and survives restarts via state;
+    with an overflowing table the one-sided guarantee holds
+    (est - err <= true <= est) and every true heavy hitter is present."""
+    from collections import Counter
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_topk_tokens,
+    )
+
+    indir = tmp_path / "hh_in"
+    outdir = tmp_path / "hh_out"
+    indir.mkdir()
+
+    b1 = [("g1", t) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    b2 = [("g1", t) for t in ["a"] * 2 + ["b"] * 4 + ["d"] * 1] + [
+        ("g2", t) for t in ["x"] * 3 + ["y"] * 1
+    ]
+    truth = Counter(b1) + Counter(b2)
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("grp|token\n")
+            for g, t in rows:
+                f.write(f"{g}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("grp string, token string")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+        )
+        q = (
+            streaming_topk_tokens(stream, capacity=16, k=5)
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", b1)
+    run_once()
+    write_batch("b2.csv", b2)
+    run_once()  # restart: counters recover from checkpointed state
+
+    out = spark.read.parquet(str(outdir / "data"))
+    # take each group's LAST snapshot = rows whose est totals cover both
+    # batches (capacity 16 > distincts, so counts are exact)
+    final = {
+        (r.grp, r.token): (r.est, r.err)
+        for r in out.collect()
+        if (r.grp, r.token, r.est)
+        in {(g, t, c) for (g, t), c in truth.items()}
+    }
+    for (g, t), c in truth.items():
+        assert final[(g, t)] == (c, 0), (g, t, c, final.get((g, t)))
+
+    # overflow behavior: tiny capacity still upper-bounds truth
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.stateful import (
+        _spacesaving_batch,
+    )
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    toks = ["h"] * 30 + ["i"] * 20 + [f"noise{j}" for j in range(40)] * 1 + ["h"] * 10
+    st = FakeState()
+    (snap,) = list(
+        _spacesaving_batch(
+            ("g",), iter([pd.DataFrame({"token": toks})]), st, 8, 4
+        )
+    )
+    true = Counter(toks)
+    got = {r.token: (r.est, r.err) for _, r in snap.iterrows()}
+    assert "h" in got and "i" in got  # true heavy hitters survive
+    for tok, (est, err) in got.items():
+        assert est >= true[tok] >= est - err
