@@ -1535,3 +1535,80 @@ def kmv_corpus_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(j))
         .select("est_src0", "est_src1", "k_union", "n_both", "jaccard_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: batch vs seen-corpus index (r5)
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+  FROM documents
+), {_MINHASH_CTES_SQL}, hd AS (
+  SELECT DISTINCT doc_id, h48 FROM h
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM hd GROUP BY 1
+), seen AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src2'
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src2'
+), seen_h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS h
+  FROM seen
+), bflag AS (
+  SELECT b.doc_id,
+         (sh.h IS NOT NULL) AS is_exact_dup
+  FROM batch b
+  LEFT JOIN seen_h sh
+    ON CAST(concat('0x', substr(md5(b.text), 1, 12)) AS BIGINT) = sh.h
+), cand AS (
+  SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+  FROM banded n
+  JOIN banded s ON n.band = s.band AND n.bucket = s.bucket
+  WHERE n.doc_id IN (SELECT doc_id FROM bflag WHERE NOT is_exact_dup)
+    AND s.doc_id IN (SELECT doc_id FROM seen)
+), common AS (
+  SELECT c.nid, c.sid, count(*) AS n_common
+  FROM cand c
+  JOIN hd x ON x.doc_id = c.nid
+  JOIN hd y ON y.doc_id = c.sid AND y.h48 = x.h48
+  GROUP BY 1, 2
+), near AS (
+  SELECT c.nid, min(c.sid) AS near_dup_of
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.nid
+  JOIN sizes sb ON sb.doc_id = c.sid
+  WHERE n_common * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - n_common)
+  GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(f.is_exact_dup AS INTEGER) AS is_exact_dup,
+       n.near_dup_of
+FROM bflag f LEFT JOIN near n ON n.nid = f.doc_id
+"""
+
+
+@register("incremental_dedup_batch", _INCR_SQL)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl increment: documents from src2 probe the index built
+    from every other source (operators/incremental.py) — exact dups via
+    one hash anti-probe, near dups via band-bucket equi-join with
+    row-local array_intersect verification.  Only batch-sized data
+    shuffles; the index side persists bucketed on its join keys in
+    production (write_bucketed)."""
+    from ..operators.incremental import dedup_index_frames, incremental_dedup
+
+    docs = load_par(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("source") != "src2").select("doc_id", "text")
+    batch = docs.filter(F.col("source") == "src2").select("doc_id", "text")
+    exact, bands_tbl, hashes = dedup_index_frames(seen)
+    out = incremental_dedup(batch, exact, bands_tbl, hashes, threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.col("is_exact_dup").cast("int").alias("is_exact_dup"),
+        "near_dup_of",
+    )

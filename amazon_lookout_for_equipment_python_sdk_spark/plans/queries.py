@@ -47,6 +47,7 @@ _MUST_VERIFY: list[str] = [
     "bigram_lm_perplexity",      # new in r5
     "zorder_key_events",         # new in r5
     "kmv_corpus_overlap",        # new in r5
+    "incremental_dedup_batch",   # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",
