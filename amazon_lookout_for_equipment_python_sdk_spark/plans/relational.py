@@ -425,3 +425,152 @@ def zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(events, ["user_id", "value"], bits=_ZBITS).select(
         "event_id", "zkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H Q3/Q5/Q6 analogues)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * CAST(round(100 - l.l_discount*100) AS BIGINT)) / 1e6 AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY 1, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into the fact
+    join chain, two-phase revenue agg, TakeOrdered top-10 (no full
+    sort).  Exact scaled-integer money arithmetic throughout."""
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    rev = (
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(100 - F.col("l_discount") * 100).cast("long")
+        )
+        / 1e6
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * CAST(round(100 - l.l_discount*100) AS BIGINT)) / 1e6 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, nation
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_SQL)
+def q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the fact table joins two shuffle-keyed big sides
+    (orders, then the customer-nation == supplier-nation equality) with
+    the tiny nation/region dims broadcast; revenue in exact cents."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    rev = (
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(100 - F.col("l_discount") * 100).cast("long")
+        )
+        / 1e6
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+_Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(l_discount*100) AS BIGINT)) / 1e4 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes to the parquet scan, the agg is one partial+final pair, and
+    the answer is a single row.  The canonical 'is pushdown working'
+    probe."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        )
+        / 1e4
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
