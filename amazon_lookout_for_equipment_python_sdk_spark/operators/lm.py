@@ -109,7 +109,15 @@ def doc_cross_entropy(
     Bigrams unseen in training score at the vocabulary floor
     ``floor(ln(1/V))`` (the unknown-context fallback).  Set ``broadcast_lm=True`` when the LM was trained on a (small)
     reference corpus — the join then ships no corpus bytes at all."""
-    bg = doc_bigrams(df, text_col, id_col)
+    # collapse to per-doc DISTINCT bigram counts before the LM join: the
+    # join then moves |distinct bigrams per doc| rows instead of every
+    # occurrence (natural text repeats bigrams heavily), and the partial
+    # agg happens map-side before the shuffle
+    bg = (
+        doc_bigrams(df, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     scale = float(10 ** LP_SCALE)
     lm = F.broadcast(lp_table) if broadcast_lm else lp_table
     # unseen-(w1,w2) back-off would need c1+V per prefix; rather than
@@ -125,13 +133,16 @@ def doc_cross_entropy(
         .crossJoin(F.broadcast(floor_lp))
         .select(
             id_col,
-            F.coalesce(F.col("lp4"), F.col("_floor_lp")).alias("_lp4"),
+            F.col("_n"),
+            (
+                F.coalesce(F.col("lp4"), F.col("_floor_lp")) * F.col("_n")
+            ).alias("_lp4n"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_n").alias("n_bigrams"),
         (
-            -F.sum("_lp4").cast("double")
-            / (F.count(F.lit(1)) * F.lit(scale))
+            -F.sum("_lp4n").cast("double")
+            / (F.sum("_n") * F.lit(scale))
         ).alias("xent"),
     )

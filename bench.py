@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "cms_token_counts",
     "bloom_prune_semi_join",
     "line_dedup_survivors",
+    "bigram_lm_perplexity",
+    "zorder_key_events",
+    "kmv_corpus_overlap",
+    "incremental_dedup_batch",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
 ]
 
 
