@@ -917,3 +917,132 @@ def _doc_sig_frame(
         _shingle_array(df, shingle_n, text_col, id_col), num_perm
     )
     return docs.select(F.col(id_col), _sig_col(num_perm).alias("_sig"))
+
+
+# --- exact duplicate-substring spans (Lee et al. 2022) ----------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 1,
+) -> DataFrame:
+    """Character spans that occur (exactly) elsewhere in the corpus — the
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), whose reference implementation is a
+    single-node suffix array.  The Spark shape: every k-char gram becomes
+    a (gram, doc, pos) row; grams whose corpus frequency is >1 mark their
+    [pos, pos+k) window; per-doc overlapping windows merge into maximal
+    spans with one gaps-and-islands window pass.
+
+    Scale: the gram explode is ~|chars|/stride rows — the heavy but
+    linear part, and the groupBy collapses map-side (most grams are
+    unique).  Exactness: grouping is on the GRAM ITSELF, not a hash, so
+    there are no false positives; raise ``stride`` (recall trades for
+    cost) or pre-winnow (text.winnow_fingerprints) when chars >> budget.
+    Output: (id, span_start, span_end) with 0-based [start, end) char
+    offsets, one row per maximal duplicated span.
+    """
+    t = F.col(text_col)
+    starts = F.when(
+        F.length(t) >= k,
+        F.sequence(F.lit(1), F.length(t) - (k - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("_p"),
+        t.alias("_t"),
+    ).select(
+        id_col, "_p", F.substring(F.col("_t"), F.col("_p"), k).alias("_g")
+    )
+    # corpus-frequency filter: keep positions of grams seen 2+ times.
+    # Semi-join against the duplicated-gram set rather than collecting a
+    # posting list per gram — a degenerate gram (boilerplate repeated
+    # millions of times) must not materialize as one giant array.
+    dup_g = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_g")
+    )
+    dup_pos = grams.join(dup_g, "_g", "left_semi").select(id_col, "_p")
+    # gaps-and-islands per doc: a window starting at p covers [p, p+k);
+    # a new island begins when p exceeds the running max end so far
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_p")
+    wrun = w.rowsBetween(Window.unboundedPreceding, -1)
+    isl = (
+        dup_pos.withColumn("_prev_max_end", F.max(F.col("_p") + k).over(wrun))
+        .withColumn(
+            "_new",
+            (F.col("_prev_max_end").isNull())
+            | (F.col("_p") > F.col("_prev_max_end")),
+        )
+        .withColumn(
+            "_isl", F.sum(F.col("_new").cast("int")).over(w)
+        )
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            (F.min("_p") - 1).alias("span_start"),
+            (F.max("_p") + k - 1).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every duplicated span out of each document (the Lee et al.
+    deploy step), keeping the surviving fragments joined by a single
+    space.  Span surgery is row-local: the doc's spans aggregate into a
+    sorted array, and one fold walks the text slicing the gaps."""
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = df.join(agg, id_col, "left")
+    t = F.col(text_col)
+
+    def cut(acc, s):
+        # acc: struct(pos: cursor, out: fragments)
+        frag = F.substring(
+            t, acc["pos"] + 1, (s["span_start"] - acc["pos"]).cast("int")
+        )
+        return F.struct(
+            s["span_end"].alias("pos"),
+            F.concat(acc["out"], F.array(frag)).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast("array<string>").alias("out"),
+    )
+    folded = F.aggregate(
+        F.coalesce("_spans", F.array()),
+        init,
+        cut,
+        lambda acc: F.concat(
+            acc["out"], F.array(F.substring(t, acc["pos"].cast("int") + 1, 1 << 30))
+        ),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(F.concat_ws(" ", folded), " +", " ")
+    )
+    return joined.select(
+        *[c for c in df.columns if c != text_col],
+        cleaned.alias(text_col),
+    )

@@ -1612,3 +1612,51 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_exact_dup").cast("int").alias("is_exact_dup"),
         "near_dup_of",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring spans (r5, Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_K = 20
+_DUPSPAN_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i AS p, substr(text, CAST(i AS INTEGER), {_DUPSPAN_K}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {_DUPSPAN_K - 1}, 0) + 1)) AS i
+        FROM documents)
+), dup AS (
+  SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, p FROM g WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN prev_max_end IS NULL OR p > prev_max_end THEN 1 ELSE 0 END
+           AS new_isl
+  FROM (SELECT doc_id, p,
+               max(p + {_DUPSPAN_K}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM dp)
+), isl2 AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(p) - 1 AS BIGINT) AS span_start,
+       CAST(max(p) + {_DUPSPAN_K - 1} AS BIGINT) AS span_end
+FROM isl2 GROUP BY doc_id, isl
+"""
+
+
+@register("duplicate_spans_k20", _DUPSPAN_SQL)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): maximal character spans whose
+    every 20-char gram occurs 2+ times in the corpus — gram explode,
+    map-side-combined frequency filter, semi-join back, per-doc
+    gaps-and-islands merge (operators/dedup.py duplicate_spans).  Exact:
+    grouped on the gram itself, not a hash."""
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicate_spans(docs, k=_DUPSPAN_K)

@@ -48,6 +48,7 @@ _MUST_VERIFY: list[str] = [
     "zorder_key_events",         # new in r5
     "kmv_corpus_overlap",        # new in r5
     "incremental_dedup_batch",   # new in r5
+    "duplicate_spans_k20",       # new in r5
     "q3_shipping_priority",      # new in r5
     "q5_local_supplier_volume",  # new in r5
     "q6_forecast_revenue",       # new in r5

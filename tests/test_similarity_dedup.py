@@ -383,3 +383,43 @@ def test_pq_encoding_invariants(spark, planted_vectors):
     )
     rows = sim.pq_adc_topk(planted_vectors, queries, cb, k=5).collect()
     assert len(rows) == 5 and all(r["query_id"] == 0 for r in rows)
+
+
+def test_duplicate_spans_and_removal(spark):
+    """ExactSubstr (Lee et al. 2022): shared boilerplate is found as one
+    merged maximal span per doc, unique text is untouched, and
+    remove_duplicate_spans cuts exactly the flagged characters."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa SHARED BOILERPLATE TEXT HERE bbbb unique tail one"),
+            (2, "cccc SHARED BOILERPLATE TEXT HERE dddd another ending"),
+            (3, "totally unique document with no repeats at all xyz"),
+            (4, "short"),  # below k: no grams, no crash
+        ],
+        "doc_id long, text string",
+    )
+    sp = duplicate_spans(docs, k=20)
+    rows = {r.doc_id: (r.span_start, r.span_end) for r in sp.collect()}
+    assert set(rows) == {1, 2}  # only the two sharing docs
+    t1 = docs.filter("doc_id = 1").first().text
+    s, e = rows[1]
+    assert "SHARED BOILERPLATE TEXT HERE" in t1[s:e]
+    # maximality: extending either side leaves the duplicated region
+    assert sp.filter("doc_id = 1").count() == 1  # merged into ONE span
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(docs, sp).collect()}
+    assert out[1] == "aaaa bbbb unique tail one"
+    assert out[2] == "cccc dddd another ending"
+    assert out[3] == docs.filter("doc_id = 3").first().text  # untouched
+    assert out[4] == "short"
+    # intra-document repetition also counts (the gram occurs twice)
+    rep = spark.createDataFrame(
+        [(9, "INTERNAL REPEATED PHRASE xx INTERNAL REPEATED PHRASE yy")],
+        "doc_id long, text string",
+    )
+    sp9 = duplicate_spans(rep, k=20).collect()
+    assert len(sp9) >= 1 and all(r.doc_id == 9 for r in sp9)
