@@ -8,6 +8,7 @@ from .stateful import (  # noqa: F401
     streaming_minhash_candidates,
     streaming_ngram_jaccard_lsh,
     streaming_resample_mean,
+    streaming_quantile_p2,
     streaming_topk_tokens,
 )
 from .scheduler import (  # noqa: F401

@@ -651,3 +651,120 @@ def streaming_topk_tokens(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming quantile (P²) ------------------------------------------------
+
+#: quantile snapshot stream: current estimate + exact-sample flag
+P2_OUT_SCHEMA = "key string, n long, q_est double, exact boolean"
+#: P² state: 5 marker heights + positions + desired positions (doubles),
+#: observation count
+P2_STATE_SCHEMA = (
+    "heights array<double>, npos array<double>, count long"
+)
+
+
+def _p2_batch(key, pdf_iter, state: GroupState, q: float):
+    """Jain & Chlamtac 1985 P² online quantile: five markers track
+    (min, q/2, q, (1+q)/2, max) heights; each observation shifts marker
+    positions and parabolic-adjusts heights — O(1) state and time per
+    observation, no sample buffer.  Until five observations arrive the
+    exact sorted sample is carried (and the estimate is exact)."""
+    (key_val,) = key
+    if state.exists:
+        heights, npos, count = state.get
+        heights = list(heights)
+        npos = list(npos)
+    else:
+        heights, npos, count = [], [], 0
+
+    def ingest(x: float):
+        nonlocal heights, npos, count
+        count += 1
+        if count <= 5:
+            heights.append(x)
+            heights.sort()
+            if count == 5:
+                npos = [1.0, 2.0, 3.0, 4.0, 5.0]
+            return
+        # locate cell
+        if x < heights[0]:
+            heights[0] = x
+            k = 0
+        elif x >= heights[4]:
+            heights[4] = x
+            k = 3
+        else:
+            k = next(i for i in range(4) if heights[i] <= x < heights[i + 1])
+        for i in range(k + 1, 5):
+            npos[i] += 1.0
+        # desired positions for markers of p in {0, q/2, q, (1+q)/2, 1}
+        desired = [
+            1.0,
+            1.0 + (count - 1) * (q / 2.0),
+            1.0 + (count - 1) * q,
+            1.0 + (count - 1) * ((1.0 + q) / 2.0),
+            float(count),
+        ]
+        for i in (1, 2, 3):
+            d = desired[i] - npos[i]
+            if (d >= 1.0 and npos[i + 1] - npos[i] > 1.0) or (
+                d <= -1.0 and npos[i - 1] - npos[i] < -1.0
+            ):
+                d = 1.0 if d >= 0 else -1.0
+                # parabolic (P²) height adjustment
+                hp = heights[i] + d / (npos[i + 1] - npos[i - 1]) * (
+                    (npos[i] - npos[i - 1] + d)
+                    * (heights[i + 1] - heights[i])
+                    / (npos[i + 1] - npos[i])
+                    + (npos[i + 1] - npos[i] - d)
+                    * (heights[i] - heights[i - 1])
+                    / (npos[i] - npos[i - 1])
+                )
+                if not (heights[i - 1] < hp < heights[i + 1]):
+                    # fall back to linear adjustment
+                    j = i + (1 if d > 0 else -1)
+                    hp = heights[i] + d * (heights[j] - heights[i]) / (
+                        npos[j] - npos[i]
+                    )
+                heights[i] = hp
+                npos[i] += d
+
+    for pdf in pdf_iter:
+        for x in pdf["value"]:
+            ingest(float(x))
+    state.update((heights, npos, count))
+    if count == 0:
+        return
+    if count < 5:
+        srt = sorted(heights)
+        idx = max(0, min(len(srt) - 1, round(q * (len(srt) - 1))))
+        est, exact = srt[idx], True
+    else:
+        est, exact = heights[2], count <= 5
+    yield pd.DataFrame(
+        {"key": [key_val], "n": [count], "q_est": [est], "exact": [exact]}
+    )
+
+
+def streaming_quantile_p2(
+    stream: DataFrame,
+    q: float = 0.5,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online per-key quantile with O(1) state (5 markers), the classic
+    P² sketch — where the batch engine uses exact grouped quantiles
+    (operators/corpus.py group_quantiles), an unbounded stream can't
+    hold samples; P² trades exactness for constant memory."""
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _p2_batch(key, it, st, q),
+        outputStructType=P2_OUT_SCHEMA,
+        stateStructType=P2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

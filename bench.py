@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "incremental_dedup_batch",
     "q3_shipping_priority",
     "q6_forecast_revenue",
+    "duplicate_spans_k20",
 ]
 
 

@@ -1570,3 +1570,85 @@ def test_streaming_topk_spacesaving(spark, tmp_path):
     assert "h" in got and "i" in got  # true heavy hitters survive
     for tok, (est, err) in got.items():
         assert est >= true[tok] >= est - err
+
+
+def test_streaming_quantile_p2(spark, tmp_path):
+    """P² online quantile: exact below five observations, within a few
+    percent of the true quantile on a replayed distribution, state
+    recovers across restarts, and the unit-level sketch matches numpy
+    within tolerance on two distributions."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_quantile_p2,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.stateful import (
+        _p2_batch,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    rng = np.random.default_rng(7)
+    for dist in (rng.normal(50, 10, 4000), rng.exponential(5.0, 4000)):
+        st = FakeState()
+        last = None
+        for chunk in np.array_split(dist, 5):  # multi-batch ingestion
+            (snap,) = list(
+                _p2_batch(("k",), iter([pd.DataFrame({"value": chunk})]), st, 0.5)
+            )
+            last = snap
+        true = float(np.quantile(dist, 0.5))
+        spread = float(np.quantile(dist, 0.9) - np.quantile(dist, 0.1))
+        assert abs(last["q_est"][0] - true) < 0.05 * spread, (
+            last["q_est"][0],
+            true,
+        )
+    # tiny stream: exact
+    st = FakeState()
+    (snap,) = list(
+        _p2_batch(("k",), iter([pd.DataFrame({"value": [3.0, 1.0, 2.0]})]), st, 0.5)
+    )
+    assert snap["q_est"][0] == 2.0 and bool(snap["exact"][0])
+
+    # end-to-end through Structured Streaming with a restart
+    indir = tmp_path / "p2_in"
+    outdir = tmp_path / "p2_out"
+    indir.mkdir()
+    vals = rng.normal(100, 20, 600)
+
+    def write_batch(name, arr):
+        with open(indir / name, "w") as f:
+            f.write("key|value\n")
+            for v in arr:
+                f.write(f"g|{v}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("key string, value double")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+        )
+        qr = (
+            streaming_quantile_p2(stream, q=0.5)
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", str(tmp_path / "p2_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qr.awaitTermination()
+
+    write_batch("b1.csv", vals[:300])
+    run_once()
+    write_batch("b2.csv", vals[300:])
+    run_once()
+    out = spark.read.parquet(str(outdir / "data")).orderBy("n").collect()
+    assert out[-1].n == 600  # counts survived the restart
+    assert abs(out[-1].q_est - float(np.quantile(vals, 0.5))) < 3.0
