@@ -537,6 +537,137 @@ def image_features(payload: bytes, dim: int = 8) -> list[float]:
     return feats[:dim]
 
 
+# --- perceptual image hashing (near-dup for the image leg) ------------------
+
+
+def _gray_block_mean(payload: bytes, oh: int, ow: int) -> "np.ndarray":
+    """Decode -> grayscale -> area-average downsample to (oh, ow).
+
+    Area (bucket) averaging, not interpolation: every source pixel lands in
+    exactly one output cell (integer bucket index), so the result — and
+    therefore the hash — is deterministic and stable under modest resizes
+    of the source (the buckets see the same image regions)."""
+    img = decode_image(payload)
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.arange(h) * oh // h
+    xs = np.arange(w) * ow // w
+    idx = (ys[:, None] * ow + xs[None, :]).ravel()
+    sums = np.bincount(idx, weights=gray.ravel(), minlength=oh * ow)
+    cnts = np.bincount(idx, minlength=oh * ow)
+    return (sums / np.maximum(cnts, 1)).reshape(oh, ow)
+
+
+def _pack_bits64(bits: "np.ndarray") -> int:
+    """64 bools -> signed int64 (bit 0 = MSB), via big-endian packbits."""
+    raw = np.packbits(bits.ravel().astype(np.uint8)).tobytes()
+    return int.from_bytes(raw[:8], "big", signed=True)
+
+
+def dhash64(payload: bytes) -> int:
+    """Difference hash: 8x9 block means, bit = right cell brighter than
+    left.  The standard near-dup hash for images — robust to rescaling,
+    re-encoding, and brightness shifts (it compares gradients, not
+    levels)."""
+    g = _gray_block_mean(payload, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def ahash64(payload: bytes) -> int:
+    """Average hash: 8x8 block means thresholded at their own mean."""
+    g = _gray_block_mean(payload, 8, 8)
+    return _pack_bits64(g > g.mean())
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> "np.ndarray":
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    return _DCT32
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual (DCT) hash: 32x32 block means -> 2-D DCT-II -> keep the
+    8x8 low-frequency corner, threshold the 63 AC coefficients at their
+    median (DC bit fixed 0).  Strongest of the three against blur and
+    gamma changes; all float ops are correctly-rounded numpy doubles on a
+    deterministic pipeline."""
+    g = _gray_block_mean(payload, 32, 32)
+    m = _dct_matrix(32)
+    d = m @ g @ m.T
+    low = d[:8, :8].copy().ravel()
+    med = np.median(low[1:])
+    bits = low > med
+    bits[0] = False
+    return _pack_bits64(bits)
+
+
+_HASHERS = {"dhash": dhash64, "ahash": ahash64, "phash": phash64}
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """(media_id, phash) for every decodable image payload; undecodable or
+    null payloads hash to NULL (never kill the corpus job).  Row-local
+    inside Arrow batches — zero shuffle."""
+    fn = _HASHERS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b):
+            if b is None:
+                return None
+            try:
+                return fn(bytes(b))
+            except Exception:  # noqa: BLE001 — undecodable payload
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(safe),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_near_pairs(
+    media: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash + the generic banded-
+    Hamming join (operators/dedup.py hamming_banded_pairs) — EXACT for
+    ``max_hamming <= bands - 1``, one (band, chunk) shuffle of 16-byte
+    rows no matter how large the payloads are (hashing is row-local, the
+    binary column never shuffles)."""
+    from .dedup import hamming_banded_pairs
+
+    sigs = image_hashes(media, method).filter(F.col("phash").isNotNull())
+    return hamming_banded_pairs(
+        sigs,
+        total_bits=64,
+        max_hamming=max_hamming,
+        bands=bands,
+        sig_col="phash",
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )
+
+
 def audio_features(payload: bytes, dim: int = 8) -> list[float]:
     """Real audio features: per-stripe RMS over ``dim-1`` stripes (scaled
     to [0, 1]) + zero-crossing rate of the first channel."""

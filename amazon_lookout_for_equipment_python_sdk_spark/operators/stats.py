@@ -1,0 +1,250 @@
+"""Statistical monitoring operators: rolling z-score anomaly flags, CUSUM
+drift detection, Spearman rank correlation, lag autocorrelation.
+
+The condition-monitoring layer the reference delegates to its managed model
+(reference: src/lookoutequipment/evaluation.py diagnostics + plot.py rolling
+views) — here as first-class, oracle-checkable DataFrame operators.
+
+Determinism contract (see plans/registry.py module doc): every float a query
+emits is produced from EXACT integer aggregates (values scaled to cents) by
+a fixed IEEE op sequence (+ - * / sqrt are all correctly rounded, hence
+bit-identical across engines), then quantized with ``qfloor`` where a window
+sum is order-dependent.
+
+Scale notes (100 TB): each operator is ONE key-partitioned shuffle (window
+or hash agg); no self-join carries raw rows (the Spearman pair join runs on
+the resampled bucket table, which is bounded by time-range/rate × #signals,
+not by event count); all integer sums are bounded by cents × rows-per-key —
+documented per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(c: Column, scale: int) -> Column:
+    # exact scaled-integer of fixed-decimal source data (registry.cents)
+    return F.round(c * scale).cast("long")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    window: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key rolling z-score of each observation against the trailing
+    ``window`` rows (inclusive), with sample (n-1) std.
+
+    z = (x·n − S) / sqrt((n·Q − S²) · n / (n−1)) / 1   — computed on exact
+    integer cents (x = cents, S = Σcents, Q = Σcents²), so the only floats
+    are the final correctly-rounded divisions/sqrt.  Rows whose trailing
+    window is short (< ``window``) or constant (zero variance) get NULL.
+
+    One per-key window = one shuffle.  Integer bound: Q ≤ rows_per_window ×
+    cents² ≤ W·(scale·|x|max)² — for W=1e3, |x|≤1e4, scale=100 that is
+    1e3·1e12 = 1e15 ≪ 2⁶³.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    x = _cents(F.col(value_col), scale)
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    q = F.sum(x * x).over(w)
+    var_num = n * q - s * s  # n(n-1) · sample variance, exact integer
+    z = (x * n - s).cast("double") / F.sqrt(
+        var_num.cast("double") * n.cast("double") / (n - F.lit(1)).cast("double")
+    )
+    return df.withColumn(
+        "zscore",
+        F.when((n >= F.lit(window)) & (var_num > F.lit(0)), z),
+    )
+
+
+def sql_rolling_zscore(
+    window: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> str:
+    """DuckDB expression list mirroring :func:`rolling_zscore` bit-for-bit.
+
+    Returns the SELECT fragment computing ``zscore`` given window alias
+    ``w`` — callers must attach ``WINDOW w AS (PARTITION BY ... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+    """
+    x = f"CAST(round(({value_col})*{scale}) AS BIGINT)"
+    n, s, q = f"count({x}) OVER w", f"sum({x}) OVER w", f"sum({x}*{x}) OVER w"
+    var_num = f"({n}*{q} - {s}*{s})"
+    z = (
+        f"CAST(({x}*{n} - {s}) AS DOUBLE) / "
+        f"sqrt(CAST({var_num} AS DOUBLE) * CAST({n} AS DOUBLE) / "
+        f"CAST(({n} - 1) AS DOUBLE))"
+    )
+    return f"CASE WHEN {n} >= {window} AND {var_num} > 0 THEN {z} END"
+
+
+def cusum_reflected(
+    df: DataFrame,
+    slack_cents: int = 0,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided upper CUSUM per key against the key's own lower-median
+    target, via the reflected-random-walk identity.
+
+    The textbook recursion S_i = max(0, S_{i−1} + (x_i − target − k)) is a
+    clamped fold no SQL window expresses directly, but it has a closed
+    form: with C_i = Σ_{j≤i} d_j (plain cumsum, C_0 = 0),
+
+        S_i = C_i − min(0, min_{j≤i} C_j)
+
+    so TWO stacked windows over the SAME key partitioning (one shuffle
+    total) compute it exactly.  The target is the key's lower median in
+    cents — an integer, so every d_i, C_i, S_i is exact (bound: rows ×
+    cents ≤ 1e8·1e6 = 1e14 ≪ 2⁶³ per key at 100 TB).
+
+    Returns the input plus ``cusum`` (in original value units).
+    """
+    x = _cents(F.col(value_col), scale)
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # lower median of cents per key: rank floor((n+1)/2) by (cents, tiebreak)
+    w_rank = Window.partitionBy(key_col).orderBy(x.asc(), F.col(tiebreak_col))
+    w_all = Window.partitionBy(key_col)
+    with_med = (
+        df.withColumn("_xc", x)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn(
+            "_med",
+            F.max(
+                F.when(
+                    F.col("_rn") == F.floor((F.col("_n") + 1) / 2),
+                    F.col("_xc"),
+                )
+            ).over(w_all),
+        )
+    )
+    d = F.col("_xc") - F.col("_med") - F.lit(int(slack_cents))
+    cum = F.sum(d).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    with_cum = with_med.withColumn("_cum", cum)
+    run_min = F.min(F.col("_cum")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_cum.withColumn(
+        "cusum",
+        (F.col("_cum") - F.least(F.lit(0).cast("long"), run_min)).cast("double")
+        / F.lit(float(scale)),
+    )
+    return out.drop("_xc", "_rn", "_n", "_med", "_cum")
+
+
+def spearman_pairs(
+    resampled: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket_ts",
+    value_col: str = "avg_value",
+) -> DataFrame:
+    """Spearman rank correlation for every pair of signals over their
+    common resample buckets.
+
+    Input is a resampled (key, bucket, value) table — bounded by
+    time-range/rate × #signals, NOT by raw event count, so the pair
+    self-join is over a small table no matter the corpus size.  Ranks are
+    row_number within each joined pair (ties broken by bucket), making
+    every aggregate an exact integer; ρ follows from the Pearson identity
+    on ranks:
+
+        ρ = (nΣab − ΣaΣb) / (sqrt(nΣa² − (Σa)²) · sqrt(nΣb² − (Σb)²))
+
+    Integer bound: Σab ≤ n·n² with n = #common buckets (~1e5 for a year
+    at 5 min) → 1e15; times n → 1e20 exceeds int64, so the final identity
+    is evaluated in double AFTER the exact integer aggregation (correctly
+    rounded IEEE ops — deterministic, and relative error ≤ 2⁻⁵² of values
+    ~1e20 is far below the 1e-4 emission grid).
+    """
+    a = resampled.select(
+        F.col(key_col).alias("sig_a"),
+        F.col(bucket_col).alias("_b"),
+        F.col(value_col).alias("_va"),
+    )
+    b = resampled.select(
+        F.col(key_col).alias("sig_b"),
+        F.col(bucket_col).alias("_b"),
+        F.col(value_col).alias("_vb"),
+    )
+    pairs = a.join(b, "_b").filter(F.col("sig_a") < F.col("sig_b"))
+    wp = Window.partitionBy("sig_a", "sig_b")
+    ra = F.row_number().over(wp.orderBy(F.col("_va"), F.col("_b"))).alias("_ra")
+    rb = F.row_number().over(wp.orderBy(F.col("_vb"), F.col("_b"))).alias("_rb")
+    ranked = pairs.select("sig_a", "sig_b", ra, rb)
+    agg = ranked.groupBy("sig_a", "sig_b").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_ra") * F.col("_rb")).alias("_sab"),
+        F.sum("_ra").alias("_sa"),
+        F.sum("_rb").alias("_sb"),
+        F.sum(F.col("_ra") * F.col("_ra")).alias("_saa"),
+        F.sum(F.col("_rb") * F.col("_rb")).alias("_sbb"),
+    )
+    n, sab = F.col("_n").cast("double"), F.col("_sab").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    saa, sbb = F.col("_saa").cast("double"), F.col("_sbb").cast("double")
+    rho = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+    return agg.select(
+        "sig_a", "sig_b", F.col("_n").alias("n_buckets"), rho.alias("rho")
+    )
+
+
+def autocorr_lag(
+    sums: DataFrame,
+    lag: int = 1,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket_ts",
+    sum_cents_col: str = "sum_cents",
+) -> DataFrame:
+    """Lag-``lag`` autocorrelation of each signal's per-bucket cents SUM
+    (sums, unlike means, are exact integers — the whole Pearson numerator
+    and both variance terms aggregate exactly, floats enter only in the
+    final correctly-rounded identity).
+
+    One lag window + one hash agg over the already-resampled table (its
+    row count is time-range/rate-bounded).  n·Σxy can exceed 2⁵³ at
+    century-scale ranges, so the identity is evaluated in double after the
+    exact aggregation — deterministic (IEEE), error ≪ the 1e-4 grid.
+    """
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    x = F.col(sum_cents_col)
+    y = F.lead(x, lag).over(w)
+    paired = sums.select(
+        key_col, x.alias("_x"), y.alias("_y")
+    ).filter(F.col("_y").isNotNull())
+    agg = paired.groupBy(key_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sxy, sx, sy = (F.col(c).cast("double") for c in ("_sxy", "_sx", "_sy"))
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(key_col, F.col("_n").alias("n_pairs"), r.alias("acf"))

@@ -1,0 +1,219 @@
+"""Condition-monitoring / statistical-anomaly query layer.
+
+The reference's managed service trains a model to flag abnormal equipment
+behavior (reference: src/lookoutequipment/model.py + evaluation.py); these
+queries provide the classical statistical counterparts as oracle-checked
+engine operators: rolling z-score outliers, CUSUM mean-drift, cross-signal
+Spearman correlation, and per-signal autocorrelation.
+
+All four follow the exact-integer determinism contract (registry module
+doc): aggregates run on cents, floats appear only in final correctly-
+rounded IEEE expressions mirrored verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import stats as st
+from .registry import (
+    RATE,
+    SQL_BUCKET,
+    det_avg,
+    load,
+    qfloor,
+    register,
+    sql_det_avg,
+    sql_qfloor,
+)
+
+_ZW = 100  # trailing rows in the z-score window
+_ZTHR = 3.0  # |z| anomaly threshold (on the quantized value — portable)
+_CUSUM_H = 50.0  # drift alarm level, value units
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+_Z_SQL = f"""
+WITH scored AS (
+  SELECT event_id, event_type, {_TS} AS ts, value,
+         {st.sql_rolling_zscore(_ZW)} AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY {_TS}, event_id
+               ROWS BETWEEN {_ZW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts, value, {sql_qfloor('z')} AS zscore
+FROM scored WHERE abs({sql_qfloor('z')}) > {_ZTHR}
+"""
+
+
+@register("rolling_zscore_anomalies", _Z_SQL)
+def rolling_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point outliers: |rolling z| > 3 against the trailing 100 readings of
+    the same signal.  One per-key window shuffle; the anomaly filter keeps
+    the result tiny regardless of corpus size."""
+    events = load(spark, sf_dir, "events")
+    scored = st.rolling_zscore(events, _ZW)
+    zq = qfloor(F.col("zscore"))
+    return (
+        scored.withColumn("zscore", zq)
+        .filter(F.abs(F.col("zscore")) > F.lit(_ZTHR))
+        .select("event_id", "event_type", "ts", "value", "zscore")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_type, {_TS} AS ts, event_id,
+         CAST(round(value*100) AS BIGINT) AS xc
+  FROM events
+), med AS (
+  SELECT event_type, xc AS med FROM (
+    SELECT event_type, xc,
+           row_number() OVER (PARTITION BY event_type ORDER BY xc, event_id)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base) t
+  WHERE rn = floor((n + 1) / 2)
+), cum AS (
+  SELECT b.event_type, b.ts, b.event_id,
+         sum(b.xc - m.med) OVER (
+           PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base b JOIN med m USING (event_type)
+), s AS (
+  SELECT event_type,
+         CAST(c - least(CAST(0 AS BIGINT), min(c) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
+           / 100.0 AS cusum
+  FROM cum
+)
+SELECT event_type,
+       count(CASE WHEN cusum > {_CUSUM_H} THEN 1 END) AS n_over,
+       {sql_qfloor('max(cusum)')} AS max_cusum
+FROM s GROUP BY 1
+"""
+
+
+@register("cusum_drift_flags", _CUSUM_SQL)
+def cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-drift detection: one-sided CUSUM against each signal's own
+    median via the reflected-walk identity (operators/stats.py
+    cusum_reflected — two stacked windows, ONE shuffle), rolled up to
+    per-signal alarm counts + peak statistic."""
+    events = load(spark, sf_dir, "events")
+    cus = st.cusum_reflected(events)
+    return cus.groupBy("event_type").agg(
+        F.count(F.when(F.col("cusum") > F.lit(_CUSUM_H), 1)).alias("n_over"),
+        qfloor(F.max("cusum")).alias("max_cusum"),
+    )
+
+
+_RHO_EXPR = (
+    "(CAST(_n AS DOUBLE)*CAST(_sab AS DOUBLE)"
+    " - CAST(_sa AS DOUBLE)*CAST(_sb AS DOUBLE)) / "
+    "(sqrt(CAST(_n AS DOUBLE)*CAST(_saa AS DOUBLE)"
+    " - CAST(_sa AS DOUBLE)*CAST(_sa AS DOUBLE)) * "
+    "sqrt(CAST(_n AS DOUBLE)*CAST(_sbb AS DOUBLE)"
+    " - CAST(_sb AS DOUBLE)*CAST(_sb AS DOUBLE)))"
+)
+
+_SPEARMAN_SQL = f"""
+WITH agg AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         {sql_det_avg('value')} AS avg_value
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type AS sig_a, b.event_type AS sig_b,
+         a.bucket_ts AS _b, a.avg_value AS _va, b.avg_value AS _vb
+  FROM agg a JOIN agg b
+    ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+), r AS (
+  SELECT sig_a, sig_b,
+         row_number() OVER (PARTITION BY sig_a, sig_b ORDER BY _va, _b)
+           AS _ra,
+         row_number() OVER (PARTITION BY sig_a, sig_b ORDER BY _vb, _b)
+           AS _rb
+  FROM p
+), g AS (
+  SELECT sig_a, sig_b, count(*) AS _n,
+         CAST(sum(_ra*_rb) AS BIGINT) AS _sab,
+         CAST(sum(_ra) AS BIGINT) AS _sa, CAST(sum(_rb) AS BIGINT) AS _sb,
+         CAST(sum(_ra*_ra) AS BIGINT) AS _saa,
+         CAST(sum(_rb*_rb) AS BIGINT) AS _sbb
+  FROM r GROUP BY 1, 2
+)
+SELECT sig_a, sig_b, _n AS n_buckets, {sql_qfloor(_RHO_EXPR)} AS rho
+FROM g
+"""
+
+
+@register("signal_spearman_corr", _SPEARMAN_SQL)
+def spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dependence: Spearman ρ for every signal pair on common
+    5-min buckets.  The pair join runs on the resampled table (time-bounded,
+    never event-count-bounded); ranks make the Pearson identity exact-
+    integer."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type",
+        (F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        )).alias("bucket_ts"),
+    ).agg(det_avg(F.col("value")).alias("avg_value"))
+    rho = st.spearman_pairs(agg)
+    return rho.select(
+        "sig_a", "sig_b", "n_buckets", qfloor(F.col("rho")).alias("rho")
+    )
+
+
+_ACF_EXPR = (
+    "(CAST(_n AS DOUBLE)*CAST(_sxy AS DOUBLE)"
+    " - CAST(_sx AS DOUBLE)*CAST(_sy AS DOUBLE)) / "
+    "(sqrt(CAST(_n AS DOUBLE)*CAST(_sxx AS DOUBLE)"
+    " - CAST(_sx AS DOUBLE)*CAST(_sx AS DOUBLE)) * "
+    "sqrt(CAST(_n AS DOUBLE)*CAST(_syy AS DOUBLE)"
+    " - CAST(_sy AS DOUBLE)*CAST(_sy AS DOUBLE)))"
+)
+
+_ACF_SQL = f"""
+WITH sums AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, sum_cents AS _x,
+         lead(sum_cents, 1) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts) AS _y
+  FROM sums
+), g AS (
+  SELECT event_type, count(*) AS _n,
+         CAST(sum(_x*_y) AS BIGINT) AS _sxy,
+         CAST(sum(_x) AS BIGINT) AS _sx, CAST(sum(_y) AS BIGINT) AS _sy,
+         CAST(sum(_x*_x) AS BIGINT) AS _sxx,
+         CAST(sum(_y*_y) AS BIGINT) AS _syy
+  FROM lagged WHERE _y IS NOT NULL GROUP BY 1
+)
+SELECT event_type, _n AS n_pairs, {sql_qfloor(_ACF_EXPR)} AS acf FROM g
+"""
+
+
+@register("signal_autocorr_lag1", _ACF_SQL)
+def autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal lag-1 autocorrelation of 5-min bucket SUMS (sums stay
+    exact integers, unlike means).  One resample agg + one lag window +
+    one tiny hash agg."""
+    events = load(spark, sf_dir, "events")
+    sums = events.groupBy(
+        "event_type",
+        (F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        )).alias("bucket_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents")
+    )
+    acf = st.autocorr_lag(sums, 1)
+    return acf.select(
+        "event_type", "n_pairs", qfloor(F.col("acf")).alias("acf")
+    )

@@ -16,6 +16,7 @@ from . import timeseries_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import corpus_q  # noqa: F401,E402
+from . import anomaly_q  # noqa: F401,E402
 
 # Queries lacking a green driver CORRECTNESS row as of r4 (r4's driver
 # checked registry positions 0-49 of 57; these sat at 50-56 or returned a
@@ -52,6 +53,10 @@ _MUST_VERIFY: list[str] = [
     "q3_shipping_priority",      # new in r5
     "q5_local_supplier_volume",  # new in r5
     "q6_forecast_revenue",       # new in r5
+    "rolling_zscore_anomalies",  # new in r5
+    "cusum_drift_flags",         # new in r5
+    "signal_spearman_corr",      # new in r5
+    "signal_autocorr_lag1",      # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

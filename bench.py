@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "duplicate_spans_k20",
+    "rolling_zscore_anomalies",
+    "cusum_drift_flags",
+    "signal_spearman_corr",
 ]
 
 

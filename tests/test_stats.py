@@ -1,0 +1,162 @@
+"""Statistical-monitoring operators (operators/stats.py) vs independent
+pure-python/numpy references on synthetic series with known structure."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import stats as st
+
+
+def _series_df(spark, values, key="a"):
+    rows = [
+        (key, i, float(v), f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}")
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, event_id long, value double, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.normal(50, 5, 300), 2)
+    vals[250] = 200.0  # an unmistakable outlier
+    df = _series_df(spark, vals)
+    out = (
+        st.rolling_zscore(df, 30)
+        .orderBy("event_id")
+        .select("event_id", "zscore")
+        .collect()
+    )
+    # reference: trailing-30 inclusive window, sample std
+    import pandas as pd
+
+    s = pd.Series(vals)
+    roll = s.rolling(30)
+    ref = (s - roll.mean()) / roll.std(ddof=1)
+    for r in out:
+        i = r["event_id"]
+        if i < 29:
+            assert r["zscore"] is None
+        else:
+            assert r["zscore"] == pytest.approx(ref[i], rel=1e-9, abs=1e-9)
+    z250 = [r["zscore"] for r in out if r["event_id"] == 250][0]
+    assert z250 > 5
+
+
+def test_rolling_zscore_constant_window_is_null(spark):
+    df = _series_df(spark, [5.0] * 40)
+    out = st.rolling_zscore(df, 10).select("zscore").collect()
+    assert all(r["zscore"] is None for r in out)
+
+
+def test_cusum_reflected_equals_direct_recursion(spark):
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.normal(20, 2, 200), 2)
+    vals[120:] += 6  # injected mean shift -> CUSUM must climb after 120
+    df = _series_df(spark, vals)
+    out = (
+        st.cusum_reflected(df)
+        .orderBy("event_id")
+        .select("event_id", "cusum")
+        .collect()
+    )
+    # direct recursion reference against the lower median target
+    cents = np.round(vals * 100).astype(np.int64)
+    med = int(np.sort(cents)[(len(cents) + 1) // 2 - 1])
+    s, ref = 0, []
+    for xc in cents:
+        s = max(0, s + int(xc) - med)
+        ref.append(s / 100.0)
+    got = [r["cusum"] for r in out]
+    assert got == pytest.approx(ref, abs=1e-9)
+    assert ref[-1] > ref[119]  # drift detected
+
+
+def test_cusum_median_tiebreak_deterministic(spark):
+    # even-length constant-ish series: lower median must be used
+    df = _series_df(spark, [1.0, 2.0, 3.0, 4.0])
+    out = st.cusum_reflected(df).orderBy("event_id").collect()
+    # med = lower median = 2.0 -> d = [-1,0,1,2] cumsum [-1,-1,0,2]
+    # reflected: [0,0,1,3]
+    assert [r["cusum"] for r in out] == pytest.approx([0.0, 0.0, 1.0, 3.0])
+
+
+def _resampled_two_signals(spark, xs, ys):
+    rows = []
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        rows.append(("sa", i, float(x)))
+        rows.append(("sb", i, float(y)))
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, avg_value double"
+    )
+    return df.withColumn(
+        "bucket_ts", F.timestamp_seconds(F.col("bucket") * 300)
+    ).drop("bucket")
+
+
+def _spearman_ref(xs, ys):
+    # tie-free rank correlation == Pearson on ranks
+    rx = np.argsort(np.argsort(xs)) + 1.0
+    ry = np.argsort(np.argsort(ys)) + 1.0
+    return float(np.corrcoef(rx, ry)[0, 1])
+
+
+def test_spearman_pairs_matches_rank_pearson(spark):
+    rng = np.random.RandomState(11)
+    xs = rng.permutation(100).astype(float)  # tie-free
+    ys = xs * 0.7 + rng.normal(0, 20, 100)
+    df = _resampled_two_signals(spark, xs, ys)
+    out = st.spearman_pairs(df, key_col="event_type").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sig_a"], r["sig_b"], r["n_buckets"]) == ("sa", "sb", 100)
+    assert r["rho"] == pytest.approx(_spearman_ref(xs, ys), abs=1e-9)
+
+
+def test_spearman_perfect_monotone(spark):
+    xs = np.arange(50, dtype=float)
+    df = _resampled_two_signals(spark, xs, np.exp(xs / 10))
+    r = st.spearman_pairs(df, key_col="event_type").collect()[0]
+    assert r["rho"] == pytest.approx(1.0)
+    r2 = st.spearman_pairs(
+        _resampled_two_signals(spark, xs, -xs), key_col="event_type"
+    ).collect()[0]
+    assert r2["rho"] == pytest.approx(-1.0)
+
+
+def test_autocorr_lag_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    # AR(1)-ish integer series
+    x = [1000]
+    for _ in range(299):
+        x.append(int(0.8 * x[-1] + rng.randint(-50, 50)))
+    rows = [("a", i, int(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, sum_cents long"
+    ).withColumn(
+        "bucket_ts", F.timestamp_seconds(F.col("bucket") * 300)
+    ).drop("bucket")
+    for lag in (1, 3):
+        out = st.autocorr_lag(df, lag).collect()[0]
+        a, b = np.array(x[:-lag], float), np.array(x[lag:], float)
+        assert out["n_pairs"] == len(a)
+        assert out["acf"] == pytest.approx(
+            float(np.corrcoef(a, b)[0, 1]), abs=1e-9
+        )
+
+
+def test_stats_single_shuffle_plans(spark):
+    """Scale shapes: z-score and CUSUM must keep ONE Exchange (the per-key
+    window partitioning reused by every stacked window)."""
+    df = _series_df(spark, [float(i % 7) for i in range(50)])
+    for out in (st.rolling_zscore(df, 10), st.cusum_reflected(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, plan
