@@ -57,6 +57,8 @@ _MUST_VERIFY: list[str] = [
     "cusum_drift_flags",         # new in r5
     "signal_spearman_corr",      # new in r5
     "signal_autocorr_lag1",      # new in r5
+    "orders_upsert_merge",       # new in r5
+    "cdc_latest_state",          # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

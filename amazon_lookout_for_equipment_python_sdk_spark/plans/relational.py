@@ -574,3 +574,83 @@ def q6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / CDC: SCD-1 upsert + changelog compaction (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+_UPSERT_SQL = """
+WITH u AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         CAST(floor(CAST(round(o_totalprice*100) AS BIGINT) * 11 / 10)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 97 = 0
+), keep AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
+  FROM orders o ANTI JOIN u ON o.o_orderkey = u.o_orderkey
+), m AS (
+  SELECT * FROM u UNION ALL SELECT * FROM keep
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+FROM m GROUP BY 1
+"""
+
+
+@register("orders_upsert_merge", _UPSERT_SQL)
+def upsert_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE (operators/merge.py merge_upsert): a deterministic 1%
+    update batch (keys % 97 == 0, status 'X', +10% price on exact cents)
+    merges into orders; post-merge per-status rollup verifies both the
+    anti-join (replaced rows gone) and the union (updates present).
+
+    One anti-join shuffle on the key — zero-exchange when both sides are
+    bucketed (sinks.write_bucketed)."""
+    from ..operators.merge import merge_upsert
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.floor(F.col("cents") * 11 / 10).cast("long").alias("cents"),
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("total"),
+    )
+
+
+_CDC_SQL = """
+SELECT user_id, event_type, ts, value, event_id FROM (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND user_id % 50 = 0
+"""
+
+
+@register("cdc_latest_state", _CDC_SQL)
+def cdc_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (operators/merge.py cdc_latest): events as a
+    change log keyed (user_id, event_type); keep each key's latest row.
+    The rank-1 window compiles to WindowGroupLimit — map-side local top-1
+    before the shuffle.  Output filtered to a deterministic 2% of users to
+    keep the driver compare small."""
+    from ..operators.merge import cdc_latest
+
+    events = load(spark, sf_dir, "events")
+    latest = cdc_latest(
+        events, ["user_id", "event_type"], ts_col="ts", tiebreak_col="event_id"
+    )
+    return latest.filter(F.col("user_id") % 50 == 0).select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )

@@ -1,0 +1,69 @@
+"""MERGE / CDC operators (operators/merge.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+    cdc_latest,
+    merge_upsert,
+)
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = sorted(
+        (r["k"], r["s"], r["v"])
+        for r in merge_upsert(target, updates, ["k"]).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_merge_upsert_composite_key(spark):
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame([(1, "y", 9.0)], "k long, s string, v double")
+    got = sorted(
+        (r["k"], r["s"], r["v"])
+        for r in merge_upsert(target, updates, ["k", "s"]).collect()
+    )
+    assert got == [(1, "x", 1.0), (1, "y", 9.0)]
+
+
+def test_cdc_latest_picks_newest_with_tiebreak(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 5, 1.0),
+        (1, "2024-01-02 00:00:00", 6, 2.0),  # newest ts
+        (1, "2024-01-02 00:00:00", 7, 3.0),  # same ts, higher tiebreak wins
+        (2, "2024-01-01 00:00:00", 8, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts_s string, event_id long, v double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    got = {
+        r["k"]: (r["event_id"], r["v"])
+        for r in cdc_latest(df, ["k"], tiebreak_col="event_id").collect()
+    }
+    assert got == {1: (7, 3.0), 2: (8, 4.0)}
+
+
+def test_cdc_latest_plans_window_group_limit(spark):
+    """Scale shape: rank-1 must compile to WindowGroupLimit so map tasks
+    pre-prune history before the shuffle."""
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(100)], "k long, event_id long, v double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    plan = (
+        cdc_latest(df, ["k"], tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
