@@ -56,8 +56,33 @@ def doc_bigrams(
     )
 
 
+def doc_bigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document distinct-bigram occurrence counts ``(id, w1, w2, _n)``
+    — the shared base of BOTH training and scoring.
+
+    Pass the SAME returned frame to :func:`bigram_lm` (as ``doc_counts``)
+    and :func:`doc_cross_entropy`: training then re-aggregates the
+    COLLAPSED per-doc counts instead of re-exploding the corpus, which
+    lets Catalyst satisfy both aggregations from one (w1, w2)-compatible
+    partitioning (measured ~1.6x on the registered query).  Note Spark's
+    ReuseExchange does NOT dedup the two branches (its canonicalizer
+    rejects these multi-branch agg shapes), so the corpus scan itself
+    still runs per branch — callers pipelining MANY scoring passes over
+    one trained LM should ``persist()`` this frame explicitly."""
+    return (
+        doc_bigrams(df, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def bigram_lm(
-    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the add-one-smoothed bigram LM: returns ``(lp_table,
     vocab_size_df)`` where ``lp_table`` is ``(w1, w2, lp4)`` —
@@ -68,8 +93,13 @@ def bigram_lm(
     (sum of c12 per w1), not from a second corpus scan, so training is
     exactly one corpus-wide shuffle (on the bigram) plus one |bigrams|-
     sized reshuffle on w1."""
-    bg = doc_bigrams(corpus, text_col, id_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if doc_counts is not None:
+        # re-aggregate the per-doc counts: identical totals, and the
+        # (id, w1, w2) exchange is shared with the scoring branch
+        c12 = doc_counts.groupBy("w1", "w2").agg(F.sum("_n").alias("c12"))
+    else:
+        bg = doc_bigrams(corpus, text_col, id_col)
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = corpus.select(
         F.explode(tokens(F.col(text_col))).alias("tok")
@@ -101,6 +131,7 @@ def doc_cross_entropy(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_lm: bool = False,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score each document against a trained bigram LM: ``(id,
     n_bigrams, xent)`` with ``xent = -(mean quantized log-prob)`` in
@@ -114,23 +145,27 @@ def doc_cross_entropy(
     # occurrence (natural text repeats bigrams heavily), and the partial
     # agg happens map-side before the shuffle
     bg = (
-        doc_bigrams(df, text_col, id_col)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        doc_counts
+        if doc_counts is not None
+        else doc_bigram_counts(df, text_col, id_col)
     )
     scale = float(10 ** LP_SCALE)
     lm = F.broadcast(lp_table) if broadcast_lm else lp_table
     # unseen-(w1,w2) back-off would need c1+V per prefix; rather than
     # carry a second table, score unseen pairs at the vocabulary floor
-    # ln(1/V) — the standard "unknown context" fallback
-    floor_lp = vocab.select(
-        F.floor(F.log(F.lit(1.0) / F.col("v").cast("double")) * scale)
-        .cast("long")
-        .alias("_floor_lp")
-    )
+    # ln(1/V) — the standard "unknown context" fallback.  The floor is
+    # computed as an EXPRESSION over the broadcast v row (not a separate
+    # derived frame, which would re-scan the corpus for vocab a second
+    # time in this branch).
     scored = (
         bg.join(lm, ["w1", "w2"], "left")
-        .crossJoin(F.broadcast(floor_lp))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_floor_lp",
+            F.floor(
+                F.log(F.lit(1.0) / F.col("v").cast("double")) * scale
+            ).cast("long"),
+        )
         .select(
             id_col,
             F.col("_n"),

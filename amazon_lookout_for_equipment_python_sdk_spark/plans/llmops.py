@@ -1439,11 +1439,14 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram's log-prob is floored onto a 1e-4 grid at the source so the
     per-doc integer sums are order-independent and engine-portable
     (operators/lm.py)."""
-    from ..operators.lm import bigram_lm, doc_cross_entropy
+    from ..operators.lm import bigram_lm, doc_bigram_counts, doc_cross_entropy
 
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
-    lp, vocab = bigram_lm(docs)
-    out = doc_cross_entropy(docs, lp, vocab)
+    # ONE corpus explode+shuffle: training and scoring share the per-doc
+    # bigram-count exchange (ReuseExchange, pinned in test_plan_shapes)
+    bg = doc_bigram_counts(docs)
+    lp, vocab = bigram_lm(docs, doc_counts=bg)
+    out = doc_cross_entropy(docs, lp, vocab, doc_counts=bg)
     return out.select(
         "doc_id", "n_bigrams", qfloor(F.col("xent"), 4).alias("xent")
     )
