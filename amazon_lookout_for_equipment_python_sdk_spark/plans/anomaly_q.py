@@ -62,6 +62,25 @@ def rolling_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rolling_zscore_anomalies_chunked", _Z_SQL)
+def rolling_zscore_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``rolling_zscore_anomalies`` (identical
+    rows, same oracle): time-bucket sharding + offset-derived context
+    replication parallelizes the trailing-row window across (key, bucket)
+    tasks — the shape that survives 5 signals x 20 years, where the plain
+    per-key window serializes onto 5 tasks.  Slower at small SF (extra
+    tiny agg + broadcast join), faster when per-key history >> one
+    executor's sort budget."""
+    events = load(spark, sf_dir, "events")
+    scored = st.rolling_zscore_chunked(events, _ZW, bucket_span_s=6 * 3600)
+    zq = qfloor(F.col("zscore"))
+    return (
+        scored.withColumn("zscore", zq)
+        .filter(F.abs(F.col("zscore")) > F.lit(_ZTHR))
+        .select("event_id", "event_type", "ts", "value", "zscore")
+    )
+
+
 _CUSUM_SQL = f"""
 WITH base AS (
   SELECT event_type, {_TS} AS ts, event_id,

@@ -54,6 +54,7 @@ _MUST_VERIFY: list[str] = [
     "q5_local_supplier_volume",  # new in r5
     "q6_forecast_revenue",       # new in r5
     "rolling_zscore_anomalies",  # new in r5
+    "rolling_zscore_anomalies_chunked",  # new in r5
     "cusum_drift_flags",         # new in r5
     "signal_spearman_corr",      # new in r5
     "signal_autocorr_lag1",      # new in r5

@@ -152,6 +152,37 @@ def test_autocorr_lag_matches_numpy(spark):
         )
 
 
+def test_rolling_zscore_chunked_equals_plain(spark):
+    """Exactness of the skew-safe shard path, including sparse buckets
+    (gaps force context replication to chain across several buckets)."""
+    rng = np.random.RandomState(13)
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for i in range(400):
+            t += int(rng.randint(1, 2500))  # gaps up to ~40 min
+            rows.append((key, t, i, round(float(rng.normal(50, 5)), 2)))
+    df = (
+        spark.createDataFrame(
+            rows, "event_type string, tsec long, event_id long, value double"
+        )
+        .withColumn("ts", F.timestamp_seconds("tsec"))
+        .drop("tsec")
+    )
+    plain = {
+        (r["event_type"], r["event_id"]): r["zscore"]
+        for r in st.rolling_zscore(df, 25).collect()
+    }
+    chunk = {
+        (r["event_type"], r["event_id"]): r["zscore"]
+        for r in st.rolling_zscore_chunked(
+            df, 25, bucket_span_s=3600
+        ).collect()
+    }
+    assert plain == chunk
+    assert len(plain) == 800
+
+
 def test_stats_single_shuffle_plans(spark):
     """Scale shapes: z-score and CUSUM must keep ONE Exchange (the per-key
     window partitioning reused by every stacked window)."""
