@@ -768,3 +768,93 @@ def streaming_quantile_p2(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming rolling z-score anomaly monitor ------------------------------
+
+#: trailing window-1 cents values, oldest first
+ZS_STATE_SCHEMA = "tail array<long>"
+ZS_OUT_SCHEMA = (
+    "key string, event_id long, ts timestamp, value double, zscore double"
+)
+
+
+def _zscore_batch(key, pdf_iter, state: GroupState, window: int, scale: int):
+    import math
+
+    tail = list(state.get[0]) if state.exists else []
+    keep = window - 1
+    keys, eids, tss, vals, zs = [], [], [], [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            xc = int(round(val * scale))
+            win = tail[-keep:] + [xc] if keep else [xc]
+            n = len(win)
+            z = None
+            if n >= window:
+                s = sum(win)
+                qq = sum(v * v for v in win)
+                var_num = n * qq - s * s
+                if var_num > 0:
+                    # EXACT batch expression order (operators/stats.py
+                    # rolling_zscore): int->double conversions are exact,
+                    # * / sqrt correctly rounded -> bit-equal zscores
+                    z = float(xc * n - s) / math.sqrt(
+                        float(var_num) * float(n) / float(n - 1)
+                    )
+            keys.append(key[0])
+            eids.append(eid)
+            tss.append(ts)
+            vals.append(val)
+            zs.append(z)
+            tail.append(xc)
+            if len(tail) > keep:
+                tail = tail[-keep:]
+    state.update((tail,))
+    if keys:
+        yield pd.DataFrame(
+            {
+                "key": keys,
+                "event_id": eids,
+                "ts": tss,
+                "value": vals,
+                "zscore": zs,
+            }
+        )
+
+
+def streaming_zscore(
+    stream: DataFrame,
+    window: int = 100,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Online twin of ``operators.stats.rolling_zscore``: each arriving
+    reading is scored against the trailing ``window`` readings of its
+    key the moment it lands — O(window) state per key, append mode.
+
+    Bit-equal to the batch operator on in-order replays (the state update
+    mirrors the batch integer pipeline and the final float expression
+    order exactly; batch-equivalence pytest-pinned across micro-batch
+    splits).  In-order per key across micro-batches is assumed — a
+    late-arriving reading scores against the window AS OF its arrival,
+    where the batch recomputation would slot it historically; bound
+    disorder upstream with a watermark + sort, or reconcile with the
+    batch operator downstream."""
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(tiebreak_col).cast("long").alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _zscore_batch(key, it, st, window, scale),
+        outputStructType=ZS_OUT_SCHEMA,
+        stateStructType=ZS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1652,3 +1652,109 @@ def test_streaming_quantile_p2(spark, tmp_path):
     out = spark.read.parquet(str(outdir / "data")).orderBy("n").collect()
     assert out[-1].n == 600  # counts survived the restart
     assert abs(out[-1].q_est - float(np.quantile(vals, 0.5))) < 3.0
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Online z-score is bit-equal to the batch rolling_zscore on an
+    in-order replay split across micro-batches (unit level via FakeState
+    chunks + end-to-end through Structured Streaming)."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.stats import (
+        rolling_zscore,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_zscore,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.stateful import (
+        _zscore_batch,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 300
+    vals = np.round(rng.normal(40, 6, n), 2)
+    ts = pd.to_datetime(np.arange(n) * 60 + 1_700_000_000, unit="s")
+
+    batch_df = spark.createDataFrame(
+        [
+            ("a", int(i), float(vals[i]), ts[i].to_pydatetime())
+            for i in range(n)
+        ],
+        "event_type string, event_id long, value double, ts timestamp",
+    )
+    want = {
+        r["event_id"]: r["zscore"]
+        for r in rolling_zscore(batch_df, 30).collect()
+    }
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    st = FakeState()
+    got = {}
+    for lo in range(0, n, 100):  # 3 micro-batches
+        chunk = pd.DataFrame(
+            {
+                "ts": ts[lo : lo + 100],
+                "event_id": np.arange(lo, min(lo + 100, n)),
+                "value": vals[lo : lo + 100],
+            }
+        )
+        for out in _zscore_batch(("a",), iter([chunk]), st, 30, 100):
+            for eid, z in zip(out["event_id"], out["zscore"]):
+                got[int(eid)] = None if z is None or pd.isna(z) else float(z)
+    assert set(got) == set(want)
+    for eid in want:
+        if want[eid] is None:
+            assert got[eid] is None
+        else:
+            assert got[eid] == want[eid], (eid, got[eid], want[eid])
+
+    # end-to-end: two availableNow passes over a growing CSV dir
+    indir = tmp_path / "zs_in"
+    indir.mkdir()
+
+    def write_batch(name, lo, hi):
+        with open(indir / name, "w") as f:
+            f.write("event_type|event_id|value|tsec\n")
+            for i in range(lo, hi):
+                f.write(f"a|{i}|{vals[i]}|{int(ts[i].timestamp())}\n")
+
+    def run_once():
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.schema(
+                "event_type string, event_id long, value double, tsec long"
+            )
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+            .withColumn("ts", F.timestamp_seconds("tsec"))
+        )
+        q = (
+            streaming_zscore(stream, window=30)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "zs_out"))
+            .option("checkpointLocation", str(tmp_path / "zs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", 0, 150)
+    run_once()
+    write_batch("b2.csv", 150, 300)
+    run_once()
+    got2 = {
+        r["event_id"]: r["zscore"]
+        for r in spark.read.parquet(str(tmp_path / "zs_out")).collect()
+    }
+    assert set(got2) == set(want)
+    mism = [e for e in want if got2[e] != want[e]]
+    assert not mism, mism[:5]
