@@ -236,3 +236,72 @@ def autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf.select(
         "event_type", "n_pairs", qfloor(F.col("acf")).alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral funnel: signup -> purchase conversion within the hour
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min({_TS}) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min({_TS}) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase'
+    AND {_TS} > s1.t1
+    AND epoch({_TS}) <= epoch(s1.t1) + 3600
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_converted,
+       floor(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+             / CAST((SELECT count(*) FROM s1) AS DOUBLE) * 1e4) / 1e4
+         AS conversion
+"""
+
+
+@register("funnel_conversion", _FUNNEL_SQL)
+def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step behavioral funnel: users whose FIRST purchase follows
+    their first signup within one hour.  Each step is a tiny per-user
+    min-aggregate of a type-filtered slice (filters push to the scan);
+    the step join carries |users| rows, never raw events — the classic
+    funnel plan that survives 100 TB of events."""
+    events = load(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.unix_timestamp("ts")
+                <= F.unix_timestamp("t1") + F.lit(3600)
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_signup"))
+    n2 = s2.agg(F.count("*").alias("n_converted"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .select(
+            "n_signup",
+            "n_converted",
+            (
+                F.floor(
+                    F.col("n_converted").cast("double")
+                    / F.col("n_signup").cast("double")
+                    * F.lit(1e4)
+                )
+                / F.lit(1e4)
+            ).alias("conversion"),
+        )
+    )

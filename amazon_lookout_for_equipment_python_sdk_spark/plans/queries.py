@@ -60,6 +60,8 @@ _MUST_VERIFY: list[str] = [
     "signal_autocorr_lag1",      # new in r5
     "orders_upsert_merge",       # new in r5
     "cdc_latest_state",          # new in r5
+    "q10_returned_items",        # new in r5
+    "funnel_conversion",         # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",

@@ -654,3 +654,67 @@ def cdc_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("user_id") % 50 == 0).select(
         "user_id", "event_type", "ts", "value", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analogue: returned-item revenue per customer (top 20)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * CAST(round(100 - l.l_discount*100) AS BIGINT)) AS rc
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(rev.rc AS DOUBLE) / 1e4 AS revenue
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.rc DESC, c.c_custkey LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact-fact join (orders filtered to one
+    quarter BEFORE joining lineitem), revenue on exact cents, then the
+    customer/nation dims join AFTER the per-customer rollup — the rollup
+    output (|customers| rows) is what meets the dims, not the fact table.
+    Top-20 is TakeOrdered with a key tiebreak (exact integers, so ties
+    rank identically in both engines)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rc = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(100 - F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rc).alias("rc"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rc").cast("double") / F.lit(1e4)).alias("revenue"),
+            "rc",
+        )
+        .orderBy(F.col("rc").desc(), F.col("c_custkey"))
+        .limit(20)
+        .drop("rc")
+    )

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "rolling_zscore_anomalies",
     "cusum_drift_flags",
     "signal_spearman_corr",
+    "q10_returned_items",
+    "funnel_conversion",
 ]
 
 
