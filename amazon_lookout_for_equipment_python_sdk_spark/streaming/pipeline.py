@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -78,4 +79,58 @@ def streaming_contamination_check(
         ),
         out_path,
         checkpoint_path,
+    )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within_s: int = 3600,
+    watermark_s: int = 7200,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute every purchase
+    to the clicks of the same user in the preceding ``within_s`` seconds
+    — the canonical ad-attribution / funnel-stitching shape.
+
+    Both sides carry event-time watermarks (``watermark_s``), so Spark
+    bounds the join state: a click older than the watermark plus the
+    join interval can never match a future purchase and is evicted
+    (state is O(recent events), not O(stream)).  The join condition is
+    an equi-key plus a time RANGE — Spark requires exactly this shape to
+    derive state-cleanup predicates for stream-stream joins.
+
+    Append mode; each (click, purchase) pair emits once, when both sides
+    have arrived and the watermark allows.
+    """
+    c = (
+        clicks.withWatermark(ts_col, f"{watermark_s} seconds")
+        .select(
+            F.col(key_col).alias("user_id"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark(ts_col, f"{watermark_s} seconds")
+        .select(
+            F.col(key_col).alias("p_user_id"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_s} SECONDS")
+        ),
+        "inner",
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
     )

@@ -104,3 +104,91 @@ def test_row_local_operators_accept_streams(spark, tmp_path):
         spark.createDataFrame(_DOCS, "doc_id long, text string")
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch_rows))
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: replaying clicks/purchases through
+    two availableNow passes yields exactly the batch interval-join pairs
+    (watermark generous enough that no pair is dropped), and pairs that
+    straddle the micro-batch boundary DO surface."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        stream_stream_attribution,
+    )
+
+    base = 1_700_000_000
+    rows = []  # (event_type, event_id, user_id, tsec, value)
+    rows += [("click", 1, 10, base + 0, 0.0)]
+    rows += [("purchase", 2, 10, base + 600, 30.0)]   # within 1h -> pair
+    rows += [("click", 3, 11, base + 0, 0.0)]
+    rows += [("purchase", 4, 11, base + 7200, 40.0)]  # outside 1h -> no
+    rows += [("click", 5, 12, base + 1000, 0.0)]      # batch 1
+    rows += [("purchase", 6, 12, base + 1500, 50.0)]  # batch 2 (straddles)
+    rows += [("purchase", 7, 13, base + 100, 60.0)]   # purchase, no click
+
+    def batch_expected():
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, user_id long, tsec long, value double"
+        ).withColumn("ts", F.timestamp_seconds("tsec"))
+        c = df.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        p = df.filter("event_type = 'purchase'").select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value"),
+        )
+        return sorted(
+            (r["click_id"], r["purchase_id"])
+            for r in c.join(
+                p,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purchase_ts") > F.col("click_ts"))
+                & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 3600 SECONDS")),
+            ).collect()
+        )
+
+    indir = tmp_path / "att_in"
+    indir.mkdir()
+
+    def write_batch(name, evs):
+        with open(indir / name, "w") as f:
+            f.write("event_type|event_id|user_id|tsec|value\n")
+            for e in evs:
+                f.write("|".join(map(str, e)) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_type string, event_id long, user_id long, tsec long, value double"
+            )
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+            .withColumn("ts", F.timestamp_seconds("tsec"))
+        )
+        clicks = stream.filter("event_type = 'click'")
+        purchases = stream.filter("event_type = 'purchase'")
+        q = (
+            stream_stream_attribution(clicks, purchases, within_s=3600,
+                                      watermark_s=100_000)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "att_out"))
+            .option("checkpointLocation", str(tmp_path / "att_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", rows[:5])
+    run_once()
+    write_batch("b2.csv", rows[5:])
+    run_once()
+
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(str(tmp_path / "att_out")).collect()
+    )
+    want = batch_expected()
+    assert got == want == [(1, 2), (5, 6)]
