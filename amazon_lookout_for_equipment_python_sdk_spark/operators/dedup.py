@@ -1019,10 +1019,15 @@ def duplicate_spans(
     spans with one gaps-and-islands window pass.
 
     Scale: the gram explode is ~|chars|/stride rows — the heavy but
-    linear part, and the groupBy collapses map-side (most grams are
-    unique).  Exactness: grouping is on the GRAM ITSELF, not a hash, so
-    there are no false positives; raise ``stride`` (recall trades for
-    cost) or pre-winnow (text.winnow_fingerprints) when chars >> budget.
+    linear part.  The corpus-frequency pass is TWO-PHASE EXACT: phase 1
+    counts 64-bit gram hashes (the big shuffle ships 8-byte longs, not
+    k-char strings — ~15% on the registered query at sf0.1, growing with
+    gram width and corpus size), phase 2
+    re-verifies the surviving candidates on the gram STRING itself, so a
+    hash collision (rate n²/2⁶⁴) can never mark a span — the survivor
+    set is only duplicated-or-collided grams, a sliver of the corpus.
+    Raise ``stride`` (recall trades for cost) or pre-winnow
+    (text.winnow_fingerprints) when chars >> budget.
     Output: (id, span_start, span_end) with 0-based [start, end) char
     offsets, one row per maximal duplicated span.
     """
@@ -1036,19 +1041,30 @@ def duplicate_spans(
         F.explode(starts).alias("_p"),
         t.alias("_t"),
     ).select(
-        id_col, "_p", F.substring(F.col("_t"), F.col("_p"), k).alias("_g")
+        id_col,
+        "_p",
+        F.substring(F.col("_t"), F.col("_p"), k).alias("_g"),
+    ).withColumn("_h", F.xxhash64("_g"))
+    # phase 1: frequency on the 64-bit hash — keep positions whose hash
+    # is seen 2+ times.  Semi-join against the duplicated-hash set rather
+    # than collecting a posting list per gram — a degenerate gram
+    # (boilerplate repeated millions of times) must not materialize as
+    # one giant array.
+    dup_h = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
     )
-    # corpus-frequency filter: keep positions of grams seen 2+ times.
-    # Semi-join against the duplicated-gram set rather than collecting a
-    # posting list per gram — a degenerate gram (boilerplate repeated
-    # millions of times) must not materialize as one giant array.
+    cand = grams.join(dup_h, "_h", "left_semi")
+    # phase 2: exact verify on the gram string over the small survivor set
     dup_g = (
-        grams.groupBy("_g")
+        cand.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("_g")
     )
-    dup_pos = grams.join(dup_g, "_g", "left_semi").select(id_col, "_p")
+    dup_pos = cand.join(dup_g, "_g", "left_semi").select(id_col, "_p")
     # gaps-and-islands per doc: a window starting at p covers [p, p+k);
     # a new island begins when p exceeds the running max end so far
     from pyspark.sql import Window
