@@ -305,3 +305,92 @@ def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value*100) AS BIGINT) AS xc
+  FROM events
+), med AS (
+  SELECT event_type, xc AS med FROM (
+    SELECT event_type, xc,
+           row_number() OVER (PARTITION BY event_type ORDER BY xc, event_id)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base) t
+  WHERE rn = floor((n + 1) / 2)
+), dev AS (
+  SELECT b.event_type, b.event_id, b.xc, m.med, abs(b.xc - m.med) AS ad
+  FROM base b JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) t
+  WHERE rn = floor((n + 1) / 2)
+), scored AS (
+  SELECT d.event_type,
+         CAST(d.xc - d.med AS DOUBLE)
+           / (1.4826 * CAST(a.mad AS DOUBLE)) AS rz
+  FROM dev d JOIN mad a USING (event_type)
+  WHERE a.mad > 0
+)
+SELECT event_type,
+       count(CASE WHEN abs({sql_qfloor('rz')}) > 3.5 THEN 1 END)
+         AS n_outliers,
+       {sql_qfloor('max(rz)')} AS max_rz
+FROM scored GROUP BY 1
+"""
+
+
+@register("mad_robust_outliers", _MAD_SQL)
+def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per signal: modified z-score against the
+    median/MAD (the estimator that survives the contamination that wrecks
+    mean/std z-scores).  Medians are integer order statistics on cents —
+    exact — so the only float is the final scaled division.  Two window
+    passes over the same key partitioning + one tiny broadcast join."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_type", "event_id", xc.alias("xc"))
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy("event_type").orderBy(col, "event_id")
+        w_all = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w_rank))
+            .withColumn("_n", F.count("*").over(w_all))
+            .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(base, "xc", "med")
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("xc") - F.col("med"))
+    )
+    mad = lower_median(dev, "ad", "mad")
+    rz = F.col("xc") - F.col("med")
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "rz",
+            rz.cast("double")
+            / (F.lit(1.4826) * F.col("mad").cast("double")),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(
+            F.when(F.abs(qfloor(F.col("rz"))) > F.lit(3.5), 1)
+        ).alias("n_outliers"),
+        qfloor(F.max("rz")).alias("max_rz"),
+    )

@@ -1663,3 +1663,60 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped on the gram itself, not a hash."""
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.duplicate_spans(docs, k=_DUPSPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram token entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks
+  WHERE tok <> '' GROUP BY 1, 2
+), with_n AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM tf
+), lp AS (
+  SELECT doc_id, c, n,
+         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4)
+              AS BIGINT) AS lp4
+  FROM with_n
+)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(-sum(c * lp4) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1e4)
+         AS entropy
+FROM lp GROUP BY 1
+"""
+
+
+@register("token_entropy", _ENTROPY_SQL)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document in nats — low entropy = repetitive /
+    template text (a standard corpus quality signal alongside the
+    repetition stats and LM perplexity).  Per-token log-probs floor onto
+    the 1e-4 grid at source (the operators/lm.py determinism trick) so
+    per-doc sums are exact integers.  One (doc, tok) hash agg; the
+    per-doc rollup rides the same doc-prefixed partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    lp4 = F.floor(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1e4)
+    ).cast("long")
+    scored = tf.withColumn("n", n).withColumn("lp4", lp4)
+    return scored.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        (
+            (-F.sum(F.col("c") * F.col("lp4"))).cast("double")
+            / (F.max("n").cast("double") * F.lit(1e4))
+        ).alias("entropy"),
+    )

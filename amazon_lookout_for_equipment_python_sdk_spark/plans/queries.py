@@ -74,6 +74,14 @@ _MUST_VERIFY: list[str] = [
     "wasserstein_raw_rank",
 ]
 
+# R6 VERIFICATION QUEUE: _MUST_VERIFY is at the 50-entry driver window
+# cap, so these late-r5 additions register in the MIDDLE section (past
+# position 50 — locally oracle-verified via tools/check.py, no driver row
+# this round).  They MUST move into _MUST_VERIFY at the start of r6:
+#   mad_robust_outliers, token_entropy, orders_cube_rollup
+# (tests/test_driver_contract.py pins the window property; this list is
+# the hand-off note.)
+
 # Long-stable queries (green since r1/r2, untouched) rotated past the
 # driver's 50-query window to make room.  Anything here must NOT be
 # modified without moving it back into the window.

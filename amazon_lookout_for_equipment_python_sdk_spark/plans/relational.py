@@ -718,3 +718,44 @@ def q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("rc")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE multi-level rollup (grouping sets surface)
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_cube_rollup", _CUBE_SQL)
+def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in ONE pass —
+    Spark plans a single Expand + hash aggregate, not four scans.
+    ``grouping_id`` disambiguates subtotal NULLs from data NULLs (none in
+    this data, but the column is part of the cube contract).  Money on
+    exact cents."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total"
+        )
+    )
