@@ -394,3 +394,101 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outliers"),
         qfloor(F.max("rz")).alias("max_rz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations over events (operators/dq.py)
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'not_null(event_id)' AS rule,
+       CAST(count(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT)
+         AS n_violations
+FROM events
+UNION ALL
+SELECT 'in_range(value,0.0,10000.0)',
+       CAST(count(CASE WHEN value IS NOT NULL
+                        AND (value < 0.0 OR value > 10000.0)
+                  THEN 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'accepted_values(event_type)',
+       CAST(count(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                       ('click','view','purchase','signup','error')
+                  THEN 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM events GROUP BY event_id) t
+UNION ALL
+SELECT 'foreign_key(user_id)',
+       CAST(count(*) AS BIGINT)
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND e.user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+@register("dq_violations_events", _DQ_SQL)
+def dq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level data quality over the events feed: 3 row-local rules
+    fused into ONE aggregate pass + a uniqueness check + a dim
+    referential check (operators/dq.py).  The audit row set includes the
+    zero-violation passes — an ingest gate needs the record of what
+    held."""
+    from ..operators import dq
+
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        dq.not_null("event_id"),
+        dq.in_range("value", 0.0, 10000.0),
+        dq.accepted_values(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        ),
+        dq.unique("event_id"),
+        dq.foreign_key("user_id", customer, "c_custkey"),
+    ]
+    return dq.check(events, rules)
+
+
+# ---------------------------------------------------------------------------
+# Sensor-outage gap report
+# ---------------------------------------------------------------------------
+
+_GAP_SQL = f"""
+SELECT event_type, gap_start, gap_end, gap_us FROM (
+  SELECT event_type,
+         lag({_TS}) OVER (PARTITION BY event_type
+                          ORDER BY {_TS}, event_id) AS gap_start,
+         {_TS} AS gap_end,
+         epoch_us({_TS}) - epoch_us(lag({_TS}) OVER (
+             PARTITION BY event_type ORDER BY {_TS}, event_id))
+           AS gap_us
+  FROM events) t
+WHERE gap_us > 1800 * 1000000
+"""
+
+
+@register("sensor_gap_report", _GAP_SQL)
+def gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor outage detection: intervals where a signal was silent for
+    over 30 minutes (the reference's scheduler flags missing FILES —
+    ST3; this flags missing DATA).  One lag window per key; MICROSECOND
+    integer arithmetic (unix_micros / epoch_us) — whole-second epoch
+    truncation shifts gaps near the threshold across engines."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        events.select(
+            "event_type",
+            prev.alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (F.unix_micros("ts") - F.unix_micros(prev)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us") > 1800 * 1_000_000)
+    )
