@@ -62,6 +62,8 @@ _MUST_VERIFY: list[str] = [
     "cdc_latest_state",          # new in r5
     "q10_returned_items",        # new in r5
     "funnel_conversion",         # new in r5
+    "mad_robust_outliers",       # new in r5
+    "dq_violations_events",      # new in r5
     # implementation touched in r5 (in-expansion pair verify; grid-join
     # broadcast side) — must re-verify even though green in r4
     "simhash_near_pairs",
@@ -78,8 +80,7 @@ _MUST_VERIFY: list[str] = [
 # cap, so these late-r5 additions register in the MIDDLE section (past
 # position 50 — locally oracle-verified via tools/check.py, no driver row
 # this round).  They MUST move into _MUST_VERIFY at the start of r6:
-#   mad_robust_outliers, token_entropy, orders_cube_rollup,
-#   dq_violations_events, sensor_gap_report
+#   token_entropy, orders_cube_rollup, sensor_gap_report
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 
