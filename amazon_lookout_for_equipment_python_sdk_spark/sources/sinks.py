@@ -344,3 +344,65 @@ def write_columnar(
         )
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-files compaction (the OPTIMIZE maintenance pass): rewrite a
+    table directory into ~``target_file_mb`` files.
+
+    Streaming sinks and incremental ingests leave thousands of KB-sized
+    files; every later scan then pays per-file open/footer costs and the
+    driver pays listing time.  Compaction = read -> coalesce to
+    ceil(bytes/target) -> atomic swap (write to ``path/.compact_tmp``,
+    move old files out, move new in) — the same observable data, a
+    fraction of the file count.  Returns {files_before, files_after,
+    bytes}.  Coalesce (not repartition): no shuffle, existing partitions
+    concatenate.  For hive-partitioned tables compact each partition
+    directory separately (partition columns are not preserved by a
+    whole-table rewrite)."""
+    import math
+    import shutil
+
+    data_files = [
+        p
+        for p in glob.glob(os.path.join(path, "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+        and os.path.isfile(p)
+    ]
+    total_bytes = sum(os.path.getsize(p) for p in data_files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = os.path.join(path, ".compact_tmp")
+    (
+        spark.read.format(fmt)
+        .load(path)
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(tmp)
+    )
+    for p in data_files:
+        os.remove(p)
+    for p in glob.glob(os.path.join(tmp, "*")):
+        base = os.path.basename(p)
+        if not base.startswith((".", "_")):
+            shutil.move(p, os.path.join(path, base))
+    shutil.rmtree(tmp, ignore_errors=True)
+    # drop any cached file listings for this path (Spark caches InMemory
+    # file indexes; stale entries point at the removed part files)
+    spark.catalog.refreshByPath(path)
+    after = [
+        p
+        for p in glob.glob(os.path.join(path, "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+        and os.path.isfile(p)
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

@@ -307,3 +307,23 @@ def test_orc_columnar_roundtrip_with_pushdown(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_columnar(df, path, fmt="avro")
+
+
+def test_compact_table_round_trip(spark, tmp_path):
+    """Small-files compaction: 40 tiny files -> few files, identical rows."""
+    from amazon_lookout_for_equipment_python_sdk_spark.sources.sinks import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    sum_before = before.agg(F.sum("v")).collect()[0][0]
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert after.agg(F.sum("v")).collect()[0][0] == sum_before == 10_000 * 9_999
