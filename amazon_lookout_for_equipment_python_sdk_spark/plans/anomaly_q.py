@@ -492,3 +492,76 @@ def gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us") > 1800 * 1_000_000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (hour-of-day) baseline anomalies
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(hour({_TS}) AS BIGINT) AS hod,
+         CAST(round(value*100) AS BIGINT) AS xc
+  FROM events
+), prof AS (
+  SELECT event_type, hod,
+         count(*) AS n,
+         CAST(sum(xc) AS BIGINT) AS s,
+         CAST(sum(xc*xc) AS BIGINT) AS q
+  FROM base GROUP BY 1, 2
+), scored AS (
+  SELECT b.event_type, b.hod, p.n, p.s,
+         CAST(b.xc * p.n - p.s AS DOUBLE)
+           / sqrt(CAST(p.n*p.q - p.s*p.s AS DOUBLE)
+                  * CAST(p.n AS DOUBLE) / CAST(p.n - 1 AS DOUBLE)) AS z
+  FROM base b JOIN prof p USING (event_type, hod)
+  WHERE p.n >= 30 AND p.n*p.q - p.s*p.s > 0
+)
+SELECT event_type, hod, max(n) AS n_obs,
+       {sql_qfloor('CAST(max(s) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 100.0)')}
+         AS baseline,
+       count(CASE WHEN abs({sql_qfloor('z')}) > 3.0 THEN 1 END) AS n_anomalous
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("seasonal_hourly_anomalies", _SEASONAL_SQL)
+def seasonal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly counts: every reading scores against its
+    signal's OWN hour-of-day population (a pump runs hotter at noon —
+    global z-scores flag the season, this flags the exception).  One
+    profile hash agg (|signals|x24 rows, broadcast back) + one row-local
+    scoring pass; exact integer n/S/Q with the shared z expression."""
+    events = load(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        xc.alias("xc"),
+    )
+    prof = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = (F.col("xc") * F.col("n") - F.col("s")).cast("double") / F.sqrt(
+        var_num.cast("double")
+        * F.col("n").cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    scored = (
+        base.join(F.broadcast(prof), ["event_type", "hod"])
+        .filter((F.col("n") >= 30) & (var_num > 0))
+        .withColumn("z", z)
+    )
+    return scored.groupBy("event_type", "hod").agg(
+        F.max("n").alias("n_obs"),
+        qfloor(
+            F.max("s").cast("double")
+            / (F.max("n").cast("double") * F.lit(100.0))
+        ).alias("baseline"),
+        F.count(
+            F.when(F.abs(qfloor(F.col("z"))) > F.lit(3.0), 1)
+        ).alias("n_anomalous"),
+    )

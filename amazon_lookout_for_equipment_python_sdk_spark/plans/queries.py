@@ -80,7 +80,8 @@ _MUST_VERIFY: list[str] = [
 # cap, so these late-r5 additions register in the MIDDLE section (past
 # position 50 — locally oracle-verified via tools/check.py, no driver row
 # this round).  They MUST move into _MUST_VERIFY at the start of r6:
-#   token_entropy, orders_cube_rollup, sensor_gap_report
+#   token_entropy, orders_cube_rollup, sensor_gap_report,
+#   seasonal_hourly_anomalies
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 
