@@ -105,7 +105,15 @@ def main() -> None:
     for name in BENCH_QUERIES:
         # drain GC debt from the previous query's allocations before
         # timing: measured cuts of 2x+ on the worst min-of-3 outliers
-        # (a full GC landing mid-rep taxes whichever query is running)
+        # (a full GC landing mid-rep taxes whichever query is running).
+        # Two gc passes: the first drops exchange/broadcast references,
+        # which queues their shuffle files on the ContextCleaner; the
+        # second (after a beat) collects what the cleanup itself freed —
+        # late-list queries otherwise run against dozens of earlier
+        # queries' accumulated shuffle state.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.2)
         spark.sparkContext._jvm.System.gc()
         try:
             timings[name] = round(
