@@ -759,3 +759,62 @@ def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 history merge (operators/merge.py scd2_apply)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT o_orderkey AS k, o_orderstatus AS attr, o_orderdate AS vf
+  FROM orders
+), u AS (
+  SELECT o_orderkey AS k, 'X' AS uattr, TIMESTAMP '1999-01-01' AS uts
+  FROM orders WHERE o_orderkey % 97 = 0
+), j AS (
+  SELECT coalesce(c.k, u.k) AS k, c.attr, c.vf, u.uattr, u.uts
+  FROM cur c FULL JOIN u ON c.k = u.k
+), rows_out AS (
+  SELECT k, attr, CAST(NULL AS TIMESTAMP) AS vt FROM j
+  WHERE vf IS NOT NULL AND (uts IS NULL OR attr IS NOT DISTINCT FROM uattr)
+  UNION ALL
+  SELECT k, attr, uts FROM j
+  WHERE vf IS NOT NULL AND uts IS NOT NULL AND attr IS DISTINCT FROM uattr
+  UNION ALL
+  SELECT k, uattr, CAST(NULL AS TIMESTAMP) FROM j
+  WHERE uts IS NOT NULL AND (vf IS NULL OR attr IS DISTINCT FROM uattr)
+)
+SELECT attr AS o_orderstatus,
+       count(CASE WHEN vt IS NULL THEN 1 END) AS n_current,
+       count(CASE WHEN vt IS NOT NULL THEN 1 END) AS n_closed
+FROM rows_out GROUP BY 1
+"""
+
+
+@register("scd2_orders_history", _SCD2_SQL)
+def scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history merge (operators/merge.py scd2_apply): orders as the
+    initial current snapshot, a deterministic 1% status-change feed;
+    rollup counts current vs closed versions per status — verifying the
+    close/open/insert expansion end-to-end in ONE join pass
+    (plan-pinned in tests/test_merge.py)."""
+    from ..operators.merge import scd2_apply
+
+    orders = load(spark, sf_dir, "orders")
+    hist = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("attr"),
+        F.to_timestamp(F.lit("1999-01-01")).alias("ts"),
+    )
+    out = scd2_apply(hist, upd, ["k"], ["attr"])
+    return out.groupBy(F.col("attr").alias("o_orderstatus")).agg(
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
+        F.count(F.when(F.col("valid_to").isNotNull(), 1)).alias("n_closed"),
+    )

@@ -67,3 +67,84 @@ def test_cdc_latest_plans_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def _scd2_frames(spark):
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: one closed version + one current
+            (1, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+            (1, "b", "2024-02-01 00:00:00", None),
+            # key 2: current only
+            (2, "x", "2024-01-15 00:00:00", None),
+            # key 3: current only, update won't change it
+            (3, "z", "2024-01-20 00:00:00", None),
+        ],
+        "k long, attr string, vf_s string, vt_s string",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("vf_s").alias("valid_from"),
+        F.to_timestamp("vt_s").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "c", "2024-03-01 00:00:00"),   # change -> close + open
+            (3, "z", "2024-03-01 00:00:00"),   # no change -> dropped
+            (4, "new", "2024-03-01 00:00:00"), # new key -> insert
+        ],
+        "k long, attr string, ts_s string",
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    return hist, upd
+
+
+def test_scd2_apply_semantics(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    hist, upd = _scd2_frames(spark)
+    out = scd2_apply(hist, upd, ["k"], ["attr"])
+    rows = sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),  # untouched
+        (1, "b", "2024-02-01 00:00:00", "2024-03-01 00:00:00"),  # closed
+        (1, "c", "2024-03-01 00:00:00", "None"),                 # opened
+        (2, "x", "2024-01-15 00:00:00", "None"),                 # kept
+        (3, "z", "2024-01-20 00:00:00", "None"),                 # no-change
+        (4, "new", "2024-03-01 00:00:00", "None"),               # inserted
+    ]
+
+
+def test_scd2_apply_is_idempotent_for_unchanged_feed(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    hist, upd = _scd2_frames(spark)
+    once = scd2_apply(hist, upd, ["k"], ["attr"])
+    twice = scd2_apply(once, upd, ["k"], ["attr"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_scd2_single_join_plan(spark):
+    """The candidate-array expansion must keep ONE join (no per-branch
+    refilter recomputing it)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    hist, upd = _scd2_frames(spark)
+    plan = (
+        scd2_apply(hist, upd, ["k"], ["attr"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("HashJoin") == 1, plan
