@@ -893,3 +893,69 @@ def ivfpq_adc_topk(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    left_id_col: str = "query_id",
+    right_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Table-to-table ANN join: for EVERY left row, the top-k
+    approximate cosine neighbors from ``right`` — the shape behind
+    embedding-based retrieval-augmentation joins and cross-corpus
+    alignment, where BOTH sides are corpus-scale and the broadcast-probe
+    paths (:func:`lsh_cosine_topk`, :func:`ivf_cosine_topk`) stop
+    applying.
+
+    Same multi-table hyperplane banding as :func:`lsh_cosine_topk`, but
+    the candidate join is a plain (table, bucket) SHUFFLE equi-join —
+    Catalyst/AQE picks broadcast automatically when one side turns out
+    small, and degrades to sort-merge when neither is.  Cross-table
+    duplicates die row-local via first-matching-table ownership, so the
+    bucket join and the final per-left top-k window are the only wide
+    operations."""
+    buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
+
+    def banded(df: DataFrame, id_c: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_c),
+            F.col(vec_col).alias(vec_alias),
+            buckets_udf(_as_double(F.col(vec_col))).alias(f"{vec_alias}_bk"),
+        ).select(
+            id_c,
+            vec_alias,
+            f"{vec_alias}_bk",
+            F.posexplode(f"{vec_alias}_bk").alias("_tbl", "_bkt"),
+        )
+
+    lb = banded(left, left_id_col, "_lvec")
+    rb = banded(right, right_id_col, "_rvec")
+    match_flags = F.array(
+        *[
+            F.col("_lvec_bk")[t] == F.col("_rvec_bk")[t]
+            for t in range(num_tables)
+        ]
+    )
+    first_match = F.array_position(match_flags, F.lit(True)) - 1
+    cands = (
+        lb.join(rb, ["_tbl", "_bkt"])
+        .filter(F.col(left_id_col) != F.col(right_id_col))
+        .filter(first_match == F.col("_tbl"))
+    )
+    scored = cands.select(
+        left_id_col,
+        right_id_col,
+        cosine(F.col("_lvec"), F.col("_rvec")).alias("cos"),
+    )
+    w = Window.partitionBy(left_id_col).orderBy(F.desc("cos"), right_id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

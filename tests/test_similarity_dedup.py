@@ -423,3 +423,57 @@ def test_duplicate_spans_and_removal(spark):
     )
     sp9 = duplicate_spans(rep, k=20).collect()
     assert len(sp9) >= 1 and all(r.doc_id == 9 for r in sp9)
+
+
+def test_ann_join_table_to_table(spark):
+    """Cross-table ANN join: recall vs brute force on clustered vectors,
+    with NO broadcast requirement on either side (plan runs as a shuffle
+    join when broadcast is disabled)."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.similarity import (
+        ann_join,
+        cosine_topk,
+    )
+
+    rng = np.random.RandomState(31)
+    dim = 16
+    centers = rng.normal(0, 1, (5, dim))
+    right_rows, left_rows = [], []
+    for i in range(200):
+        c = centers[i % 5]
+        right_rows.append((i, [float(x) for x in c + rng.normal(0, 0.05, dim)]))
+    for i in range(20):
+        c = centers[i % 5]
+        left_rows.append((1000 + i, [float(x) for x in c + rng.normal(0, 0.05, dim)]))
+    right = spark.createDataFrame(right_rows, "vec_id long, embedding array<double>")
+    left = spark.createDataFrame(left_rows, "query_id long, embedding array<double>")
+
+    got = ann_join(left, right, k=5, dim=dim)
+    pairs = {
+        (r["query_id"], r["vec_id"]) for r in got.collect()
+    }
+    # brute-force truth via cosine_topk (right as corpus, left as queries)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(right, left, k=5).collect()
+    }
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, recall
+    # per-left k bound holds
+    from collections import Counter
+
+    per_left = Counter(q for q, _ in pairs)
+    assert max(per_left.values()) <= 5
+
+    # shuffle-join viability: same answer with broadcast disabled
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = ann_join(left, right, k=5, dim=dim)
+        plan = out2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        pairs2 = {(r["query_id"], r["vec_id"]) for r in out2.collect()}
+        assert pairs2 == pairs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
