@@ -260,3 +260,39 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     out_cols += [scores[lang].alias(f"score_{lang}") for lang in langs]
     out_cols.append(best.alias("pred_lang"))
     return df.select(*out_cols)
+
+
+# --- text normalization (the C4/CCNet cleanup pass) -------------------------
+
+#: typographic chars folded to ASCII: curly quotes, dashes, ellipsis, NBSP
+_NORM_FROM = "‘’“”–—… "
+_NORM_TO = "''\"\"--. "
+#: C0 control chars except \t \n \r (Java and RE2 agree on this class)
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(text: Column, lowercase: bool = False) -> Column:
+    """Codegen-only corpus text cleanup (no UDF): fold typographic
+    unicode (curly quotes/dashes/ellipsis/NBSP) to ASCII via one
+    ``translate``, strip C0 control characters, collapse whitespace runs
+    to single spaces, trim.  The deterministic subset of ftfy-style
+    fixing that two engines can agree on byte-for-byte —
+    ``sql_normalize_text`` is the DuckDB mirror, verified by md5 in the
+    registered query."""
+    out = F.translate(text, _NORM_FROM, _NORM_TO)
+    out = F.regexp_replace(out, _CTRL_RE, "")
+    out = F.regexp_replace(out, "\\s+", " ")
+    out = F.trim(out)
+    return F.lower(out) if lowercase else out
+
+
+def sql_normalize_text(expr: str, lowercase: bool = False) -> str:
+    """DuckDB mirror of :func:`normalize_text` (RE2 'g' flag makes
+    regexp_replace global, matching Spark's replace-all default)."""
+    from_esc = _NORM_FROM
+    to_esc = _NORM_TO.replace("'", "''")
+    out = f"translate({expr}, '{from_esc}', '{to_esc}')"
+    out = f"regexp_replace({out}, '{_CTRL_RE}', '', 'g')"
+    out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
+    out = f"trim({out})"
+    return f"lower({out})" if lowercase else out

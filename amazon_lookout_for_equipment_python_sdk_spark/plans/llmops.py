@@ -1720,3 +1720,36 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n").cast("double") * F.lit(1e4))
         ).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (C4/CCNet cleanup) — md5-verified cross-engine
+# ---------------------------------------------------------------------------
+
+from ..operators.text import sql_normalize_text as _sql_norm  # noqa: E402
+
+_NORM_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length({_sql_norm('text')}) AS BIGINT) AS n_after,
+       md5({_sql_norm('text')}) AS norm_md5
+FROM documents
+"""
+
+
+@register("normalize_text_md5", _NORM_SQL)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen text normalization verified byte-for-byte: the md5 of
+    every normalized document must match DuckDB's (translate + global
+    regexp_replace on the Java/RE2-common subset).  Row-local, zero
+    shuffle."""
+    from ..operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_before"),
+        F.length(norm).cast("long").alias("n_after"),
+        F.md5(norm).alias("norm_md5"),
+    )

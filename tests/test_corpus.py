@@ -515,3 +515,30 @@ def test_kmv_sketch_estimate_and_jaccard(spark):
         k=k,
     )
     assert {r.h for r in merged.collect()} == {r.h for r in whole.collect()}
+
+
+def test_normalize_text_unicode_folding(spark):
+    """The testdata is ASCII, so pin the unicode path on crafted strings:
+    curly quotes/dashes/ellipsis/NBSP fold to ASCII, control chars strip,
+    whitespace collapses."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "“quoted” ‘single’ a–b c—d e…"),
+        (2, "nb space   and\ttabs\n\nnewlines"),
+        (3, "ctl\x00chars\x1fhere"),
+        (4, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert got[1] == "\"quoted\" 'single' a-b c-d e."
+    assert got[2] == "nb space and tabs newlines"
+    assert got[3] == "ctlcharshere"
+    assert got[4] == "already clean"
