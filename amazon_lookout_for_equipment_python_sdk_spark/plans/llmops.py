@@ -1753,3 +1753,76 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("n_after"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-column data quality (embeddings table)
+# ---------------------------------------------------------------------------
+
+_VDQ_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS dim,
+         list_aggregate(list_transform(embedding,
+             x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END), 'sum') AS n_nan,
+         list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                       AS BIGINT)), 'sum') AS sq6
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_nan,
+       CAST(sum(CASE WHEN sq6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_vectors,
+       floor(CAST(min(sq6) AS DOUBLE) / 1e2) / 1e4 AS min_sq_norm,
+       floor(CAST(max(sq6) AS DOUBLE) / 1e2) / 1e4 AS max_sq_norm
+FROM v
+"""
+
+
+@register("dq_embeddings", _VDQ_SQL)
+def dq_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column data quality: dimension consistency, NaN presence,
+    zero vectors, and squared-norm bounds over the embeddings table —
+    the checks an ANN index build must run before trusting a feed.
+    Per-element floats are floored onto a 1e-6 grid inside the fold so
+    the corpus aggregates are exact integers (the engine determinism
+    contract); one row-local pass + one 1-row aggregate."""
+    docs = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    sq6 = F.aggregate(
+        F.transform(
+            e,
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e6)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_nan = F.aggregate(
+        F.transform(e, lambda x: F.when(F.isnan(x), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    v = docs.select(
+        F.size(e).alias("dim"),
+        n_nan.alias("n_nan"),
+        sq6.alias("sq6"),
+    )
+    return v.agg(
+        F.count("*").alias("n_vectors"),
+        F.count_distinct("dim").alias("n_distinct_dims"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum((F.col("n_nan") > 0).cast("long")).alias("n_with_nan"),
+        F.sum((F.col("sq6") == 0).cast("long")).alias("n_zero_vectors"),
+        (F.floor(F.min("sq6").cast("double") / F.lit(1e2)) / F.lit(1e4)).alias(
+            "min_sq_norm"
+        ),
+        (F.floor(F.max("sq6").cast("double") / F.lit(1e2)) / F.lit(1e4)).alias(
+            "max_sq_norm"
+        ),
+    )

@@ -81,7 +81,8 @@ _MUST_VERIFY: list[str] = [
 # position 50 — locally oracle-verified via tools/check.py, no driver row
 # this round).  They MUST move into _MUST_VERIFY at the start of r6:
 #   token_entropy, orders_cube_rollup, sensor_gap_report,
-#   seasonal_hourly_anomalies, scd2_orders_history, normalize_text_md5
+#   seasonal_hourly_anomalies, scd2_orders_history, normalize_text_md5,
+#   dq_embeddings
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 

@@ -858,3 +858,81 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming sensor-outage gap monitor ------------------------------------
+
+GAP_STATE_SCHEMA = "last_ts timestamp, alerted boolean"
+GAP_OUT_SCHEMA = (
+    "key string, gap_start timestamp, gap_end timestamp, gap_us long, "
+    "open boolean"
+)
+
+
+def _gap_batch(key, pdf_iter, state: GroupState, gap_s: int):
+    rows = []
+    last = state.get[0] if state.exists else None
+    alerted = bool(state.get[1]) if state.exists else False
+    wm = state.getCurrentWatermarkMs()
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap: the signal is silent NOW
+        if last is not None and not alerted:
+            rows.append((key[0], last, None, None, True))
+        state.update((last, True))
+        # re-arm beyond the CURRENT watermark (a timeout below it is
+        # rejected); wm + gap = "alert again if still silent"
+        state.setTimeoutTimestamp(
+            max(int(last.timestamp() * 1000) + 2 * gap_s * 1000, wm + gap_s * 1000)
+        )
+    else:
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for ts in pdf["ts"]:
+                if last is not None:
+                    gap_us = int(
+                        round((ts - last).total_seconds() * 1_000_000)
+                    )
+                    if gap_us > gap_s * 1_000_000:
+                        rows.append((key[0], last, ts, gap_us, False))
+                last = ts
+                alerted = False
+        if last is not None:
+            state.update((last, alerted))
+            state.setTimeoutTimestamp(
+                max(int(last.timestamp() * 1000) + gap_s * 1000, wm + 1)
+            )
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "gap_start", "gap_end", "gap_us", "open"],
+        )
+
+
+def streaming_gap_monitor(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Online twin of the batch ``sensor_gap_report``: emits a CLOSED gap
+    row the moment a reading arrives after silence (> ``gap_s``), and —
+    the part batch cannot do — an OPEN gap row via event-time TIMEOUT
+    when the watermark passes ``last_ts + gap_s`` with no reading at
+    all: the "signal is silent right now" alert.
+
+    O(1) state per key (last timestamp + alert latch); closed-gap rows
+    carry exact microsecond widths matching the batch operator.  The
+    open-gap alert re-arms at 2x the gap so a long outage surfaces
+    without flooding."""
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+    ).withWatermark("ts", watermark)
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _gap_batch(key, it, st, gap_s),
+        outputStructType=GAP_OUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1758,3 +1758,68 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     assert set(got2) == set(want)
     mism = [e for e in want if got2[e] != want[e]]
     assert not mism, mism[:5]
+
+
+def test_streaming_gap_monitor(spark, tmp_path):
+    """Closed gaps surface exactly as in the batch report (microsecond
+    widths), including a gap straddling the micro-batch boundary; an OPEN
+    gap fires via event-time timeout once the watermark moves past
+    last_ts + gap with no reading."""
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        streaming_gap_monitor,
+    )
+
+    base = 1_700_000_000
+    # key a: in-batch gap (b1), then cross-batch gap into b2
+    b1 = [("a", base), ("a", base + 100), ("a", base + 3000),
+          ("b", base), ("b", base + 50)]
+    b2 = [("a", base + 7000), ("c", base + 20_000)]
+    # key b goes silent: watermark from c's base+20000 reading in b2 pushes
+    # past b's last_ts + gap -> open-gap alert for b
+
+    indir = tmp_path / "gap_in"
+    indir.mkdir()
+
+    def write_batch(name, evs):
+        with open(indir / name, "w") as f:
+            f.write("event_type|tsec\n")
+            for k, t in evs:
+                f.write(f"{k}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_type string, tsec long")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+            .withColumn("ts", F.timestamp_seconds("tsec"))
+        )
+        q = (
+            streaming_gap_monitor(stream, gap_s=1000)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "gap_out"))
+            .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", b1)
+    run_once()
+    write_batch("b2.csv", b2)
+    run_once()
+
+    rows = spark.read.parquet(str(tmp_path / "gap_out")).collect()
+    closed = sorted(
+        (r["key"], int(r["gap_start"].timestamp()), int(r["gap_end"].timestamp()),
+         r["gap_us"])
+        for r in rows if not r["open"]
+    )
+    assert closed == [
+        ("a", base + 100, base + 3000, 2900 * 1_000_000),   # in-batch
+        ("a", base + 3000, base + 7000, 4000 * 1_000_000),  # cross-batch
+    ]
+    opened = [(r["key"], int(r["gap_start"].timestamp())) for r in rows if r["open"]]
+    assert ("b", base + 50) in opened
