@@ -58,7 +58,7 @@ class MahalanobisModel:
                 )
         return acc
 
-    def transform(self, wide: DataFrame, ts_col: str = "ts") -> DataFrame:
+    def transform(self, wide: DataFrame) -> DataFrame:
         """Score every row; adds ``d2`` and (when a threshold is fitted)
         the ``anomaly`` flag."""
         out = wide.withColumn("d2", self.score_col())

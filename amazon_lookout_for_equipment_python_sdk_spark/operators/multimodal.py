@@ -579,15 +579,13 @@ def ahash64(payload: bytes) -> int:
     return _pack_bits64(g > g.mean())
 
 
-_DCT32 = None
+import functools
 
 
+@functools.lru_cache(maxsize=8)
 def _dct_matrix(n: int = 32) -> "np.ndarray":
-    global _DCT32
-    if _DCT32 is None:
-        k = np.arange(n)
-        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    return _DCT32
+    k = np.arange(n)
+    return np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
 
 
 def phash64(payload: bytes) -> int:

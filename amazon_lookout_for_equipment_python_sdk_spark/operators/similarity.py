@@ -905,6 +905,7 @@ def ann_join(
     left_id_col: str = "query_id",
     right_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Table-to-table ANN join: for EVERY left row, the top-k
     approximate cosine neighbors from ``right`` — the shape behind
@@ -943,11 +944,14 @@ def ann_join(
         ]
     )
     first_match = F.array_position(match_flags, F.lit(True)) - 1
-    cands = (
-        lb.join(rb, ["_tbl", "_bkt"])
-        .filter(F.col(left_id_col) != F.col(right_id_col))
-        .filter(first_match == F.col("_tbl"))
+    cands = lb.join(rb, ["_tbl", "_bkt"]).filter(
+        first_match == F.col("_tbl")
     )
+    if exclude_same_id:
+        # the two tables share an id space (self-join shape) — drop the
+        # identity pair.  OFF by default: in cross-corpus joins equal ids
+        # are unrelated entities and dropping them silently shifts ranks.
+        cands = cands.filter(F.col(left_id_col) != F.col(right_id_col))
     scored = cands.select(
         left_id_col,
         right_id_col,

@@ -383,7 +383,9 @@ def gk_merge(summaries: DataFrame, m: int = 256) -> DataFrame:
 
         srcs = {}
         for s, sub in pdf.groupby("src", sort=True):
-            sub = sub.sort_values("v", kind="mergesort")
+            # sort by (v, r): ties on v must keep rank order so rj stays
+            # monotone and rj.max() is the true source size
+            sub = sub.sort_values(["v", "r"], kind="mergesort")
             srcs[s] = (
                 sub["v"].to_numpy(dtype=np.float64),
                 sub["r"].to_numpy(dtype=np.int64),
@@ -397,14 +399,15 @@ def gk_merge(summaries: DataFrame, m: int = 256) -> DataFrame:
         rmin = np.zeros(nc, dtype=np.int64)
         rmax = np.zeros(nc, dtype=np.int64)
         for s, (vj, rj) in srcs.items():
-            nj = int(rj[-1])
-            # L_j: largest point <= v
+            nj = int(rj.max())
+            # L_j: largest point <= v (side='right' so ties at v count)
             pos_r = np.searchsorted(vj, cand_v, side="right")
             L = np.where(pos_r > 0, rj[np.maximum(pos_r - 1, 0)], 0)
-            # U_j: smallest point >= v
-            pos_l = np.searchsorted(vj, cand_v, side="left")
+            # U_j: first point STRICTLY above v (side='right' — a tied
+            # sampled point at v must count BELOW the bound, else ties
+            # shrink rmax and break the interval contract)
             U = np.where(
-                pos_l < len(vj), rj[np.minimum(pos_l, len(vj) - 1)] - 1, nj
+                pos_r < len(vj), rj[np.minimum(pos_r, len(vj) - 1)] - 1, nj
             )
             own = cand_s == s
             rmin += L

@@ -251,7 +251,7 @@ WITH s1 AS (
   FROM events e JOIN s1 ON e.user_id = s1.user_id
   WHERE e.event_type = 'purchase'
     AND {_TS} > s1.t1
-    AND epoch({_TS}) <= epoch(s1.t1) + 3600
+    AND epoch_us({_TS}) <= epoch_us(s1.t1) + CAST(3600 AS BIGINT) * 1000000
   GROUP BY 1
 )
 SELECT (SELECT count(*) FROM s1) AS n_signup,
@@ -265,7 +265,9 @@ SELECT (SELECT count(*) FROM s1) AS n_signup,
 @register("funnel_conversion", _FUNNEL_SQL)
 def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step behavioral funnel: users whose FIRST purchase follows
-    their first signup within one hour.  Each step is a tiny per-user
+    their first signup within one hour (exact MICROSECOND window
+    arithmetic — whole-second truncation shifts boundary conversions
+    across engines).  Each step is a tiny per-user
     min-aggregate of a type-filtered slice (filters push to the scan);
     the step join carries |users| rows, never raw events — the classic
     funnel plan that survives 100 TB of events."""
@@ -281,8 +283,8 @@ def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("ts") > F.col("t1"))
             & (
-                F.unix_timestamp("ts")
-                <= F.unix_timestamp("t1") + F.lit(3600)
+                F.unix_micros("ts")
+                <= F.unix_micros("t1") + F.lit(3600 * 1_000_000)
             )
         )
         .groupBy("user_id")

@@ -1766,8 +1766,9 @@ WITH v AS (
          list_aggregate(list_transform(embedding,
              x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END), 'sum') AS n_nan,
          list_aggregate(list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
-                       AS BIGINT)), 'sum') AS sq6
+             x -> CASE WHEN isnan(x) THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                            AS BIGINT) END), 'sum') AS sq6
   FROM embeddings
 )
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -1793,12 +1794,18 @@ def dq_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract); one row-local pass + one 1-row aggregate."""
     docs = load(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    # NaN scores 0 EXPLICITLY on both engines (Spark's non-ANSI cast
+    # silently folds NaN->0 while DuckDB raises — the divergence would
+    # surface on exactly the feeds this gate exists to catch; n_with_nan
+    # carries the detection)
     sq6 = F.aggregate(
         F.transform(
             e,
-            lambda x: F.floor(
-                x.cast("double") * x.cast("double") * F.lit(1e6)
-            ).cast("long"),
+            lambda x: F.when(F.isnan(x), F.lit(0).cast("long")).otherwise(
+                F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e6)
+                ).cast("long")
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

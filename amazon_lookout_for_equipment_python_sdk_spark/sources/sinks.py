@@ -385,12 +385,20 @@ def compact_table(
         .format(fmt)
         .save(tmp)
     )
+    # crash-safe swap: originals move ASIDE (rename, not delete) before
+    # the compacted files move in; only after the new files are in place
+    # does the backup go away.  A crash mid-swap leaves every row in
+    # either .compact_bak or the table dir — nothing is lost, and a rerun
+    # recovers (the data files are a superset, dedup by re-compacting).
+    bak = os.path.join(path, ".compact_bak")
+    os.makedirs(bak, exist_ok=True)
     for p in data_files:
-        os.remove(p)
+        shutil.move(p, os.path.join(bak, os.path.basename(p)))
     for p in glob.glob(os.path.join(tmp, "*")):
         base = os.path.basename(p)
         if not base.startswith((".", "_")):
             shutil.move(p, os.path.join(path, base))
+    shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     # drop any cached file listings for this path (Spark caches InMemory
     # file indexes; stale entries point at the removed part files)

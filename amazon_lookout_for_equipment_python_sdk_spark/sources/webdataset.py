@@ -114,7 +114,8 @@ def write_webdataset(
                     info.size = len(data)
                     info.mtime = 0
                     tf.addfile(info, io.BytesIO(data))
-                n += 1
+                if files:  # a row with no payload and no sidecar wrote
+                    n += 1  # nothing — the manifest must not claim it
         path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
         payload_bytes = buf.getvalue()
         with open(path, "wb") as f:

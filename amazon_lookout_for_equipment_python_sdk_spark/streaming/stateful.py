@@ -880,9 +880,11 @@ def _gap_batch(key, pdf_iter, state: GroupState, gap_s: int):
             rows.append((key[0], last, None, None, True))
         state.update((last, True))
         # re-arm beyond the CURRENT watermark (a timeout below it is
-        # rejected); wm + gap = "alert again if still silent"
+        # rejected); wm + gap = "alert again if still silent".  _epoch_ms
+        # (not .timestamp()): state hands back naive datetimes and the
+        # epoch must not depend on the process TZ.
         state.setTimeoutTimestamp(
-            max(int(last.timestamp() * 1000) + 2 * gap_s * 1000, wm + gap_s * 1000)
+            max(_epoch_ms(last) + 2 * gap_s * 1000, wm + gap_s * 1000)
         )
     else:
         for pdf in pdf_iter:
@@ -899,7 +901,7 @@ def _gap_batch(key, pdf_iter, state: GroupState, gap_s: int):
         if last is not None:
             state.update((last, alerted))
             state.setTimeoutTimestamp(
-                max(int(last.timestamp() * 1000) + gap_s * 1000, wm + 1)
+                max(_epoch_ms(last) + gap_s * 1000, wm + 1)
             )
     if rows:
         yield pd.DataFrame(

@@ -94,3 +94,25 @@ def test_gk_incremental_merge_matches_full_build(spark):
         est = sk.gk_quantile(merged, q).collect()[0]["q_est"]
         est_rank = np.searchsorted(allv, est, side="right")
         assert abs(est_rank - (1 + q * (n - 1))) <= 2.0 * n / m
+
+
+def test_gk_tied_values_keep_valid_bounds(spark):
+    """Regression: duplicated values within one source must not shrink
+    n_j (rank arrays arrive in arbitrary shuffle order; the merge sorts
+    by (v, r) and sizes sources by rj.max())."""
+    vals = [5.0] * 500 + [1.0, 2.0, 7.0] * 100  # heavy ties
+    df = _df(spark, {"a": vals})
+    merged = sk.gk_merge(
+        sk.gk_partition_summaries(df, "grp", "value", m=16), m=16
+    ).collect()
+    import numpy as np
+
+    s = np.sort(np.array(vals))
+    assert max(r["rmax"] for r in merged) == len(vals)
+    for r in merged:
+        lo = int(np.searchsorted(s, r["v"], side="left")) + 1
+        hi = int(np.searchsorted(s, r["v"], side="right"))
+        # any rank this value legitimately occupies must intersect bounds
+        assert r["rmin"] <= hi and r["rmax"] >= lo, (
+            r["v"], r["rmin"], r["rmax"], lo, hi,
+        )
