@@ -114,3 +114,84 @@ def test_redaction_idempotent_property(text):
 
     once = redact(text)
     assert redact(once) == once
+
+
+# --- r5 session: pure-function properties of the new operators --------------
+
+
+@given(
+    cents=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=200),
+    slack=st.integers(0, 50),
+)
+@settings(max_examples=200)
+def test_reflected_walk_identity_equals_clamped_recursion(cents, slack):
+    """The CUSUM closed form S_i = C_i - min(0, min_prefix C) used by
+    operators/stats.py cusum_reflected must equal the textbook clamped
+    fold for ANY integer deviation series."""
+    med = sorted(cents)[(len(cents) + 1) // 2 - 1]
+    devs = [c - med - slack for c in cents]
+    # direct recursion
+    s, direct = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        direct.append(s)
+    # closed form
+    cum, run_min, closed = 0, 0, []
+    for d in devs:
+        cum += d
+        run_min = min(run_min, cum)
+        closed.append(cum - min(0, run_min))
+    assert closed == direct
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-1e6, 1e6)),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=100)
+def test_gk_single_source_bounds_exact(data):
+    """A single summarize pass over one source must produce exact-rank
+    points whose ranks are correct against the sorted slice — the
+    invariant gk_merge composes from."""
+    import numpy as np
+
+    vals = np.sort(np.array([v for _, v in data], dtype=np.float64))
+    m = 8
+    n = len(vals)
+    step = max(1, -(-n // m))
+    idx = list(range(step - 1, n, step))
+    if not idx or idx[-1] != n - 1:
+        idx.append(n - 1)
+    for i in idx:
+        v = vals[i]
+        lo = int(np.searchsorted(vals, v, side="left")) + 1
+        hi = int(np.searchsorted(vals, v, side="right"))
+        assert lo <= i + 1 <= hi  # the claimed exact rank is a real rank
+
+
+@given(s=st.text(max_size=200))
+@settings(max_examples=200)
+def test_normalize_text_reference_is_idempotent(s):
+    """normalize(normalize(x)) == normalize(x) on the pure-python
+    reference of the codegen pipeline (same translate table + regexes)."""
+    import re
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        _CTRL_RE,
+        _NORM_FROM,
+        _NORM_TO,
+    )
+
+    table = str.maketrans(_NORM_FROM, _NORM_TO)
+
+    def norm(x: str) -> str:
+        x = x.translate(table)
+        x = re.sub(_CTRL_RE, "", x)
+        x = re.sub(r"\s+", " ", x)
+        return x.strip()
+
+    once = norm(s)
+    assert norm(once) == once
