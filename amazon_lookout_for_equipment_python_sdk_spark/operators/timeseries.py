@@ -464,3 +464,55 @@ def asof_join(
             ]
         )
     return out.select(*left_cols, *payload_cols)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    within_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Generalized k-step behavioral funnel: per key, the FIRST time of
+    step i that follows the matched step i-1 within ``within_s`` seconds
+    (each window measured from the PREVIOUS step — the standard product-
+    analytics definition).  Returns one row per key that completed step 1
+    with columns ``t_1 .. t_k`` (null once the funnel breaks) and
+    ``steps_completed``.
+
+    Plan: each step is a per-key min-aggregate over a type-filtered
+    slice (the filter pushes into the scan), chained by k-1 joins that
+    carry ONE row per key — raw events never cross a join.  Window
+    comparisons use exact microsecond integers (engine-portable)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            key_col, F.col(ts_col).alias("_ts")
+        )
+        prev = f"t_{i - 1}"
+        matched = (
+            nxt.join(cur.select(key_col, prev), key_col)
+            .filter(
+                (F.col("_ts") > F.col(prev))
+                & (
+                    F.unix_micros("_ts")
+                    <= F.unix_micros(prev)
+                    + F.lit(within_s).cast("long") * F.lit(1_000_000)
+                )
+            )
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias(f"t_{i}"))
+        )
+        cur = cur.join(matched, key_col, "left")
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull()).cast("int")
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.withColumn("steps_completed", reached)

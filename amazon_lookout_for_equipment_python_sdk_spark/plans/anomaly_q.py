@@ -567,3 +567,48 @@ def seasonal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(qfloor(F.col("z"))) > F.lit(3.0), 1)
         ).alias("n_anomalous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-step funnel (generalized funnel_steps operator)
+# ---------------------------------------------------------------------------
+
+_F3_US = "CAST(3600 AS BIGINT) * 1000000"
+
+_FUNNEL3_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min({_TS}) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min({_TS}) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND {_TS} > s1.t1
+    AND epoch_us({_TS}) <= epoch_us(s1.t1) + {_F3_US}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min({_TS}) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND {_TS} > s2.t2
+    AND epoch_us({_TS}) <= epoch_us(s2.t2) + {_F3_US}
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3
+"""
+
+
+@register("funnel_three_step", _FUNNEL3_SQL)
+def funnel3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> view -> purchase, each within an hour of the previous
+    step (operators/timeseries.py funnel_steps — k-step generalization;
+    chained per-key min-aggregates, raw events never cross a join)."""
+    from ..operators.timeseries import funnel_steps
+
+    events = load(spark, sf_dir, "events")
+    f = funnel_steps(events, ["signup", "view", "purchase"], within_s=3600)
+    return f.agg(
+        F.count("t_1").alias("n_step1"),
+        F.count("t_2").alias("n_step2"),
+        F.count("t_3").alias("n_step3"),
+    )

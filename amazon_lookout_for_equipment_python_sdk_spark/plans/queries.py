@@ -82,7 +82,7 @@ _MUST_VERIFY: list[str] = [
 # this round).  They MUST move into _MUST_VERIFY at the start of r6:
 #   token_entropy, orders_cube_rollup, sensor_gap_report,
 #   seasonal_hourly_anomalies, scd2_orders_history, normalize_text_md5,
-#   dq_embeddings
+#   dq_embeddings, funnel_three_step
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 
