@@ -818,3 +818,110 @@ def scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
         F.count(F.when(F.col("valid_to").isNotNull(), 1)).alias("n_closed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function surface: ntile quartiles
+# ---------------------------------------------------------------------------
+
+_NTILE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value*100) AS BIGINT) AS xc,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+       count(*) AS n_rows,
+       CAST(sum(xc) AS DOUBLE) / (count(*) * 100.0) AS avg_value
+FROM q GROUP BY 1, 2
+"""
+
+
+@register("ntile_quartile_stats", _NTILE_SQL)
+def ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) per signal with a deterministic (value, event_id) order,
+    then exact-cents per-quartile means — §2.5 window surface."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum("xc").cast("double")
+            / (F.count("*") * F.lit(100.0))
+        ).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset difference: EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+_EXCEPT_SQL = """
+SELECT event_type, count(*) AS n FROM (
+  SELECT event_type FROM events WHERE user_id % 2 = 0
+  EXCEPT ALL
+  SELECT event_type FROM events WHERE user_id % 2 = 1
+) t GROUP BY 1
+"""
+
+
+@register("except_all_event_types", _EXCEPT_SQL)
+def except_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (U3 extended): per-type surplus of even-user
+    events over odd-user events via EXCEPT ALL — bag semantics both
+    engines implement identically."""
+    events = load(spark, sf_dir, "events")
+    even = events.filter(F.col("user_id") % 2 == 0).select("event_type")
+    odd = events.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return even.exceptAll(odd).groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH sub AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 40 = 0
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM sub a JOIN sub b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 3
+"""
+
+
+@register("fuzzy_name_pairs", _FUZZY_SQL)
+def fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching on a deterministic customer subset:
+    pairs within levenshtein <= 3 (F-layer string functions; the
+    blocking-key subset keeps the pair space tiny — at scale, block on a
+    phonetic/prefix key exactly like this modulus stands in for)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 40 == 0
+    ).select("c_custkey", "c_name")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("_na")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("_na"), F.col("_nb")).cast("long")
+        )
+        .filter(F.col("dist") <= 3)
+        .select("key_a", "key_b", "dist")
+    )
