@@ -612,3 +612,61 @@ def funnel3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_2").alias("n_step2"),
         F.count("t_3").alias("n_step3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistence-forecast baseline + SMAPE
+# ---------------------------------------------------------------------------
+
+_SMAPE_SQL = f"""
+WITH sums AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, sc,
+         lag(sc) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev
+  FROM sums
+)
+SELECT event_type, count(*) AS n_forecasts,
+       {sql_qfloor(
+           'sum(CAST(abs(sc - prev) AS DOUBLE) '
+           '/ (CAST(abs(sc) + abs(prev) AS DOUBLE) / 2.0)) '
+           '/ count(*)'
+       )} AS smape
+FROM lagged
+WHERE prev IS NOT NULL AND abs(sc) + abs(prev) > 0
+GROUP BY 1
+"""
+
+
+@register("forecast_smape_baseline", _SMAPE_SQL)
+def smape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence (naive lag-1) forecast quality per signal: SMAPE of
+    predicting each 5-min bucket sum with the previous bucket's — the
+    baseline every forecasting model must beat, and the denominator of
+    skill scores.  Bucket sums are exact integer cents; each SMAPE term
+    is one fixed-shape double expression, the mean is a count-division
+    (order-independent sum of identically-computed doubles after qfloor
+    on the TOTAL — pinned by the oracle)."""
+    events = load(spark, sf_dir, "events")
+    sums = events.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        ).alias("bucket_ts"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    lagged = sums.withColumn("prev", F.lag("sc").over(w)).filter(
+        F.col("prev").isNotNull()
+        & ((F.abs(F.col("sc")) + F.abs(F.col("prev"))) > 0)
+    )
+    term = F.abs(F.col("sc") - F.col("prev")).cast("double") / (
+        (F.abs(F.col("sc")) + F.abs(F.col("prev"))).cast("double") / F.lit(2.0)
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_forecasts"),
+        qfloor(F.sum(term) / F.count("*")).alias("smape"),
+    )
