@@ -333,3 +333,45 @@ def autocorr_lag(
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return agg.select(key_col, F.col("_n").alias("n_pairs"), r.alias("acf"))
+
+
+def rolling_corr(
+    paired: DataFrame,
+    window: int,
+    x_col: str = "xc",
+    y_col: str = "yc",
+    order_col: str = "bucket_ts",
+    key_col: str | None = None,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation between two integer-valued series
+    (cents) over the trailing ``window`` rows — the relationship-drift
+    monitor (two sensors that normally co-move decoupling is a fault
+    signature single-signal monitors can't see).
+
+    Input is one row per time point carrying BOTH values (join/pivot the
+    two signals first — that table is time-bounded).  All five windowed
+    sums are exact integers; the Pearson identity is evaluated in double
+    after (correctly-rounded, deterministic).  One window partition =
+    one shuffle; NULL until ``min_periods`` (default ``window``) rows
+    and when either series is constant in the window."""
+    if min_periods is None:
+        min_periods = window
+    part = Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    w = part.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    x, y = F.col(x_col), F.col(y_col)
+    n = F.count(x).over(w)
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return paired.withColumn(
+        "rolling_r",
+        F.when(
+            (n >= F.lit(min_periods)) & (varx > 0) & (vary > 0), r
+        ),
+    )

@@ -670,3 +670,67 @@ def smape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_forecasts"),
         qfloor(F.sum(term) / F.count("*")).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling cross-signal correlation (relationship drift)
+# ---------------------------------------------------------------------------
+
+_RCORR_W = 48  # trailing buckets (4 h of 5-min slots)
+
+_RCORR_SQL = f"""
+WITH sums AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.bucket_ts, a.sc AS xc, b.sc AS yc
+  FROM sums a JOIN sums b ON a.bucket_ts = b.bucket_ts
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+), scored AS (
+  SELECT bucket_ts,
+         count(xc) OVER w AS n,
+         sum(xc) OVER w AS sx, sum(yc) OVER w AS sy,
+         sum(xc*xc) OVER w AS sxx, sum(yc*yc) OVER w AS syy,
+         sum(xc*yc) OVER w AS sxy
+  FROM paired
+  WINDOW w AS (ORDER BY bucket_ts
+               ROWS BETWEEN {_RCORR_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT bucket_ts,
+       {sql_qfloor(
+           'CAST(n*sxy - sx*sy AS DOUBLE) / '
+           '(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * '
+           'sqrt(CAST(n*syy - sy*sy AS DOUBLE)))'
+       )} AS rolling_r
+FROM scored
+WHERE n >= {_RCORR_W} AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+"""
+
+
+@register("rolling_corr_click_view", _RCORR_SQL)
+def rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship drift between the click and view signals: trailing
+    4-hour Pearson on common 5-min bucket sums (operators/stats.py
+    rolling_corr).  Exact integer windowed sums; the pair table is
+    time-range-bounded so the join and window stay tiny at any corpus
+    size."""
+    events = load(spark, sf_dir, "events")
+    sums = events.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        ).alias("bucket_ts"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"))
+    a = sums.filter(F.col("event_type") == "click").select(
+        "bucket_ts", F.col("sc").alias("xc")
+    )
+    b = sums.filter(F.col("event_type") == "view").select(
+        "bucket_ts", F.col("sc").alias("yc")
+    )
+    paired = a.join(b, "bucket_ts")
+    out = st.rolling_corr(paired, _RCORR_W, order_col="bucket_ts")
+    return (
+        out.filter(F.col("rolling_r").isNotNull())
+        .select("bucket_ts", qfloor(F.col("rolling_r")).alias("rolling_r"))
+    )

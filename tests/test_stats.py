@@ -191,3 +191,33 @@ def test_stats_single_shuffle_plans(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange hashpartitioning")
         assert n_exchange == 1, plan
+
+
+def test_rolling_corr_matches_pandas(spark):
+    rng = np.random.RandomState(41)
+    n = 120
+    x = rng.randint(-500, 500, n)
+    y = (x * 2 + rng.randint(-100, 100, n)).astype(int)
+    rows = [(int(i), int(x[i]), int(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "bucket long, xc long, yc long") \
+        .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    out = {
+        r["bucket"]: r["rolling_r"]
+        for r in st.rolling_corr(df, 20, order_col="bucket_ts").collect()
+    }
+    import pandas as pd
+
+    ref = pd.Series(x.astype(float)).rolling(20).corr(pd.Series(y.astype(float)))
+    for i in range(n):
+        if i < 19:
+            assert out[i] is None
+        else:
+            assert out[i] == pytest.approx(ref[i], abs=1e-9)
+
+
+def test_rolling_corr_constant_window_null(spark):
+    rows = [(i, 5, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "bucket long, xc long, yc long") \
+        .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    out = st.rolling_corr(df, 10, order_col="bucket_ts").collect()
+    assert all(r["rolling_r"] is None for r in out)  # x constant
