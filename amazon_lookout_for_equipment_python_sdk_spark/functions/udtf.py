@@ -1,0 +1,48 @@
+"""Python UDTF surface (SURVEY §2.12): arrow-era table functions.
+
+Spark's Python UDTFs (3.5+) return MULTIPLE rows per input — the
+lateral-view shape that scalar UDFs can't express.  One real table
+function for the corpus layer: sentence splitting with offsets (the
+pre-chunking step when chunk boundaries must respect sentences).
+
+The split itself is deliberately regex-simple (., !, ? + whitespace) and
+deterministic; swap the `_split` seam for a real segmenter (pysbd etc.)
+in deployments that ship one — the UDTF plumbing (registration, lateral
+join, schema) is the engine surface being provided.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+_SENT_RE = re.compile(r"[^.!?]+[.!?]?")
+
+
+def _split(text: str):
+    pos = 0
+    for m in _SENT_RE.finditer(text or ""):
+        s = m.group().strip()
+        if s:
+            yield s, m.start(), m.end()
+        pos = m.end()
+
+
+@udtf(returnType="sent_id int, sentence string, start int, end int")
+class SplitSentences:
+    """Explode a document into sentences with char offsets.
+
+    Usage::
+
+        from pyspark.sql.functions import lit
+        SplitSentences(lit("One. Two!")).show()
+        # or registered for SQL lateral joins:
+        spark.udtf.register("split_sentences", SplitSentences)
+        spark.sql("SELECT d.doc_id, s.* FROM docs d, "
+                  "LATERAL split_sentences(d.text) s")
+    """
+
+    def eval(self, text: str):
+        for i, (s, a, b) in enumerate(_split(text)):
+            yield i, s, a, b

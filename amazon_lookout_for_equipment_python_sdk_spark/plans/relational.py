@@ -925,3 +925,50 @@ def fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("key_a", "key_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — long-form measures
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH m AS (
+  SELECT l_returnflag, 'quantity' AS measure,
+         CAST(round(l_quantity*100) AS BIGINT) AS cents FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice',
+         CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount',
+         CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+FROM m GROUP BY 1, 2
+"""
+
+
+@register("unpivot_lineitem_measures", _UNPIVOT_SQL)
+def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of N1's pivot): three lineitem measures
+    to long form via Spark's native ``unpivot`` — ONE scan with an
+    Expand node, not three union'd scans (the oracle spells it as the
+    equivalent UNION ALL).  Exact cents."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("extendedprice"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "cents",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("total"),
+    )

@@ -1,0 +1,44 @@
+"""Python UDTF surface (functions/udtf.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import lit
+
+from amazon_lookout_for_equipment_python_sdk_spark.functions.udtf import (
+    SplitSentences,
+)
+
+
+def test_split_sentences_direct(spark):
+    rows = SplitSentences(lit("One two. Three! Four? trailing bit")).collect()
+    sents = [(r["sent_id"], r["sentence"]) for r in rows]
+    assert sents == [
+        (0, "One two."),
+        (1, "Three!"),
+        (2, "Four?"),
+        (3, "trailing bit"),
+    ]
+    # offsets index into the original string
+    text = "One two. Three! Four? trailing bit"
+    for r in rows:
+        assert text[r["start"] : r["end"]].strip() == r["sentence"]
+
+
+def test_split_sentences_lateral_sql(spark):
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = spark.createDataFrame(
+        [(1, "Alpha. Beta."), (2, "Solo"), (3, None)],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sentence "
+        "FROM udtf_docs d, LATERAL split_sentences(d.text) s "
+        "ORDER BY d.doc_id, s.sent_id"
+    ).collect()
+    got = [(r["doc_id"], r["sent_id"], r["sentence"]) for r in out]
+    assert got == [
+        (1, 0, "Alpha."),
+        (1, 1, "Beta."),
+        (2, 0, "Solo"),
+    ]
