@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql.functions import udtf
 
 _SENT_RE = re.compile(r"[^.!?]+[.!?]?")
@@ -46,3 +48,33 @@ class SplitSentences:
     def eval(self, text: str):
         for i, (s, a, b) in enumerate(_split(text)):
             yield i, s, a, b
+
+
+# --- grouped-agg pandas UDAF (the UDAF leg of §2.12) ------------------------
+
+
+def weighted_median_udaf():
+    """Arrow grouped-agg UDAF: weighted lower median — the aggregation
+    shape built-ins can't express (percentile_approx has no weights).
+
+    Returns a pandas_udf usable in ``groupBy().agg()``; per group the
+    whole (value, weight) slice arrives as pandas Series (Arrow batch,
+    not row-at-a-time).  Deterministic: sort by value, take the first
+    value whose cumulative weight reaches half the total."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        if len(v) == 0:
+            return float("nan")
+        order = np.lexsort((np.arange(len(v)), v.to_numpy()))
+        vv = v.to_numpy()[order]
+        ww = w.to_numpy()[order].astype(np.float64)
+        cum = np.cumsum(ww)
+        total = cum[-1]
+        idx = int(np.searchsorted(cum, total / 2.0, side="left"))
+        return float(vv[min(idx, len(vv) - 1)])
+
+    return wmedian

@@ -42,3 +42,25 @@ def test_split_sentences_lateral_sql(spark):
         (1, 1, "Beta."),
         (2, 0, "Solo"),
     ]
+
+
+def test_weighted_median_udaf(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.functions.udtf import (
+        weighted_median_udaf,
+    )
+
+    rows = [
+        # group a: values 1..4, weight on 4 dominates -> median 4
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 10.0),
+        # group b: uniform weights -> plain lower median of [5, 6] = 5
+        ("b", 5.0, 1.0), ("b", 6.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    wm = weighted_median_udaf()
+    out = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(wm("v", "w").alias("m")).collect()
+    }
+    assert out == {"a": 4.0, "b": 5.0}
