@@ -734,3 +734,89 @@ def rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("rolling_r").isNotNull())
         .select("bucket_ts", qfloor(F.col("rolling_r")).alias("rolling_r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend-removed seasonal decomposition (STL-lite)
+# ---------------------------------------------------------------------------
+
+_DEC_K = 12  # centered MA half-width (buckets): 2h window at 5-min rate
+
+_DECOMP_SQL = f"""
+WITH sums AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, bucket_ts, sc, n,
+         sum(sc) OVER w AS tn, sum(n) OVER w AS td,
+         count(*) OVER w AS nw
+  FROM sums
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN {_DEC_K} PRECEDING AND {_DEC_K} FOLLOWING)
+), det AS (
+  SELECT event_type, CAST(hour(bucket_ts) AS BIGINT) AS hod,
+         CAST(floor((CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+               - CAST(tn AS DOUBLE) / (CAST(td AS DOUBLE) * 100.0)) * 1e4)
+              AS BIGINT) AS det4
+  FROM tr WHERE nw = {2 * _DEC_K + 1}
+)
+SELECT event_type, hod, count(*) AS n_obs,
+       floor(CAST(sum(det4) AS DOUBLE) / count(*)) / 1e4 AS seasonal
+FROM det GROUP BY 1, 2
+"""
+
+
+@register("seasonal_decompose_profile", _DECOMP_SQL)
+def decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition: centered 2-hour moving average removes the
+    trend, then the hour-of-day mean of the DETRENDED series is the
+    seasonal profile (seasonal_hourly_anomalies averages raw values — a
+    trending signal contaminates that; this one doesn't).
+
+    Determinism chain: the trend is a ratio of two WINDOW-SUMMED
+    INTEGERS (cents and counts — never a float sum), detrended values
+    floor onto a 1e-4 grid at source, so the final per-(signal, hour)
+    means are exact-integer sums with one correctly-rounded division."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    sums = events.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        ).alias("bucket_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-_DEC_K, _DEC_K)
+    )
+    tr = sums.select(
+        "event_type",
+        "bucket_ts",
+        "sc",
+        "n",
+        F.sum("sc").over(w).alias("tn"),
+        F.sum("n").over(w).alias("td"),
+        F.count("*").over(w).alias("nw"),
+    ).filter(F.col("nw") == 2 * _DEC_K + 1)
+    avg = F.col("sc").cast("double") / (F.col("n").cast("double") * F.lit(100.0))
+    trend = F.col("tn").cast("double") / (
+        F.col("td").cast("double") * F.lit(100.0)
+    )
+    det = tr.select(
+        "event_type",
+        F.hour("bucket_ts").cast("long").alias("hod"),
+        F.floor((avg - trend) * F.lit(1e4)).cast("long").alias("det4"),
+    )
+    return det.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.floor(F.sum("det4").cast("double") / F.count("*")) / F.lit(1e4)
+        ).alias("seasonal"),
+    )

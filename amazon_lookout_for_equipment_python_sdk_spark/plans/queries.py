@@ -84,7 +84,8 @@ _MUST_VERIFY: list[str] = [
 #   seasonal_hourly_anomalies, scd2_orders_history, normalize_text_md5,
 #   dq_embeddings, funnel_three_step, ntile_quartile_stats,
 #   except_all_event_types, fuzzy_name_pairs, forecast_smape_baseline,
-#   rolling_corr_click_view, unpivot_lineitem_measures
+#   rolling_corr_click_view, unpivot_lineitem_measures,
+#   seasonal_decompose_profile
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 
