@@ -190,3 +190,67 @@ def compact_runs(
         )
         .drop("_run")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_seconds: int = 3600,
+    left_cols: tuple[str, str] = ("start", "end"),
+    right_cols: tuple[str, str] = ("start", "end"),
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval x interval overlap join: pairs where
+    ``l.start < r.end AND r.start < l.end`` (half-open overlap) — the
+    downtime-correlation / maintenance-window-conflict join.
+
+    Same block-bucket strategy as :func:`range_join_bucketed` lifted to
+    two interval sides: BOTH explode into the time blocks they touch,
+    the join is an equi-join on (key, block) with the residual overlap
+    predicate, and cross-block duplicates are owned by the FIRST block
+    the overlap itself touches (max of the two starts) — pure row-local
+    arithmetic, no distinct shuffle.  At 100 TB each side's explode is
+    bounded by interval-length/block, and the equi-join shuffles only
+    block-matched rows — never the quadratic interval cross product."""
+    keys = key_cols or []
+    blk = F.lit(block_seconds)
+    ls, le = left_cols
+    rs, re_ = right_cols
+
+    def blocked(df, s_col, e_col, prefix):
+        # half-open [s, e): the end-boundary block matters only when the
+        # interval extends into it.  ALL columns ride through with the
+        # side prefix (payloads included), the interval pair normalized
+        # to {prefix}_start/{prefix}_end.
+        passthrough = [
+            F.col(c).alias(f"{prefix}_{c}")
+            for c in df.columns
+            if c not in (s_col, e_col)
+        ]
+        return df.select(
+            *passthrough,
+            F.col(s_col).alias(f"{prefix}_start"),
+            F.col(e_col).alias(f"{prefix}_end"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s_col)) / blk),
+                    F.floor(
+                        (F.unix_timestamp(F.col(e_col)) - 1) / blk
+                    ),
+                )
+            ).alias("_blk"),
+        )
+
+    lb = blocked(left, ls, le, "l")
+    rb = blocked(right, rs, re_, "r")
+    cond = [lb["_blk"] == rb["_blk"]]
+    cond += [lb[f"l_{k}"] == rb[f"r_{k}"] for k in keys]
+    cond += [
+        lb["l_start"] < rb["r_end"],
+        rb["r_start"] < lb["l_end"],
+    ]
+    joined = lb.join(rb, reduce(lambda a, b: a & b, cond))
+    # first-block ownership: the overlap's own first block emits the pair
+    overlap_start = F.greatest(F.col("l_start"), F.col("r_start"))
+    own = F.floor(F.unix_timestamp(overlap_start) / blk)
+    return joined.filter(lb["_blk"] == own).drop("_blk")

@@ -712,3 +712,62 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, ts_col="ts", key_col="user_id",
         payload_cols=["purchase_value"],
     ).select("event_id", "user_id", "ts", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join (J1 extended)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH er AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         min(CAST(ts AS TIMESTAMP)) AS s,
+         max(CAST(ts AS TIMESTAMP)) + INTERVAL 1 SECOND AS e
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+), cl AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         min(CAST(ts AS TIMESTAMP)) AS s,
+         max(CAST(ts AS TIMESTAMP)) + INTERVAL 1 SECOND AS e
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT er.user_id AS user_id, er.d AS error_day, cl.d AS click_day,
+       CAST(epoch_us(least(er.e, cl.e)) - epoch_us(greatest(er.s, cl.s))
+            AS BIGINT) AS overlap_us
+FROM er JOIN cl
+  ON er.user_id = cl.user_id AND er.s < cl.e AND cl.s < er.e
+"""
+
+
+@register("interval_overlap_error_click", _OVERLAP_SQL)
+def interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime correlation: each user's daily error activity span joined
+    to their overlapping daily click spans (operators/intervals.py
+    interval_overlap_join — block-bucketed, first-overlap-block
+    ownership; the oracle is the naive theta join).  Exact microsecond
+    overlap widths."""
+    from ..operators.intervals import interval_overlap_join
+
+    events = load(spark, sf_dir, "events")
+
+    def day_spans(etype):
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.to_date("ts").alias("d"))
+            .agg(
+                F.min("ts").alias("start"),
+                (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("end"),
+            )
+        )
+
+    er = day_spans("error")
+    cl = day_spans("click")
+    j = interval_overlap_join(er, cl, key_cols=["user_id"])
+    return j.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_d").alias("error_day"),
+        F.col("r_d").alias("click_day"),
+        (
+            F.unix_micros(F.least(F.col("l_end"), F.col("r_end")))
+            - F.unix_micros(F.greatest(F.col("l_start"), F.col("r_start")))
+        ).alias("overlap_us"),
+    )

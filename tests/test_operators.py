@@ -387,3 +387,70 @@ def test_asof_join_rejects_payload_clash(spark):
     )
     with pytest.raises(ValueError, match="payload columns already in left"):
         asof_join(df, df, ts_col="ts", key_col="k", payload_cols=["pay"])
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Block-bucketed interval-overlap join == the naive theta join, on
+    intervals spanning multiple blocks, touching boundaries, and nested."""
+    import random
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+
+    def mk(n, seed_off):
+        rows = []
+        for i in range(n):
+            s = base + rng.randint(0, 100_000)
+            e = s + rng.randint(1, 20_000)  # up to ~5.5h -> multi-block
+            rows.append((seed_off + i, s, e))
+        return rows
+
+    lrows, rrows = mk(40, 0), mk(40, 1000)
+    left = spark.createDataFrame(lrows, "lid long, s long, e long").select(
+        "lid",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    right = spark.createDataFrame(rrows, "rid long, s long, e long").select(
+        "rid",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    got = sorted(
+        (r["l_lid"], r["r_rid"])
+        for r in interval_overlap_join(left, right).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (li, ls, le) in lrows
+        for (ri, rs, rr) in rrows
+        if ls < rr and rs < le
+    )
+    assert got == want and len(want) > 50  # non-trivial overlap mass
+
+
+def test_interval_overlap_join_boundary_half_open(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    base = 1_700_000_000
+    left = spark.createDataFrame(
+        [(1, base, base + 3600)], "lid long, s long, e long"
+    ).select("lid", F.timestamp_seconds("s").alias("start"),
+             F.timestamp_seconds("e").alias("end"))
+    # touching at the boundary: [base+3600, ...) does NOT overlap [base, base+3600)
+    right = spark.createDataFrame(
+        [(2, base + 3600, base + 7200), (3, base + 3599, base + 7200)],
+        "rid long, s long, e long",
+    ).select("rid", F.timestamp_seconds("s").alias("start"),
+             F.timestamp_seconds("e").alias("end"))
+    got = sorted(
+        (r["l_lid"], r["r_rid"])
+        for r in interval_overlap_join(left, right).collect()
+    )
+    assert got == [(1, 3)]
