@@ -69,3 +69,38 @@ def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
         if nonatomic:
             bad[name] = nonatomic
     assert not bad, f"queries with non-atomic output columns: {bad}"
+
+
+def test_r6_queue_note_matches_out_of_window_queries():
+    """The hand-off comment in plans/queries.py must list EXACTLY the
+    queries that are new since the last driver round AND sit past the
+    50-entry window — a stale note sends r6 hunting for the wrong set."""
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev_rows = json.load(
+        open(os.path.join(root, "CORRECTNESS_r04.json"))
+    ).keys()
+    names = list(entrymod.queries())
+    window = set(names[:DRIVER_WINDOW])
+    expected = {
+        n for n in names if n not in prev_rows and n not in window
+    }
+    src = open(
+        os.path.join(
+            root,
+            "amazon_lookout_for_equipment_python_sdk_spark/plans/queries.py",
+        )
+    ).read()
+    block = re.search(
+        r"R6 VERIFICATION QUEUE.*?hand-off note", src, re.S
+    ).group()
+    listed = set(re.findall(r"\b([a-z][a-z0-9_]{3,})\b(?:,|\n)", block)) & set(
+        names
+    )
+    assert listed == expected, (
+        f"note lists {sorted(listed)} but out-of-window new queries are "
+        f"{sorted(expected)}"
+    )
