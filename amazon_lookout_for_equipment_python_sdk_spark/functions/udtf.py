@@ -23,12 +23,14 @@ _SENT_RE = re.compile(r"[^.!?]+[.!?]?")
 
 
 def _split(text: str):
-    pos = 0
     for m in _SENT_RE.finditer(text or ""):
-        s = m.group().strip()
+        raw = m.group()
+        s = raw.strip()
         if s:
-            yield s, m.start(), m.end()
-        pos = m.end()
+            # offsets of the STRIPPED sentence so text[start:end] == s
+            lead = len(raw) - len(raw.lstrip())
+            start = m.start() + lead
+            yield s, start, start + len(s)
 
 
 @udtf(returnType="sent_id int, sentence string, start int, end int")

@@ -227,15 +227,19 @@ def interval_overlap_join(
             for c in df.columns
             if c not in (s_col, e_col)
         ]
+        # microsecond-exact block indices: whole-second truncation
+        # (unix_timestamp) drops sub-second boundaries into the wrong
+        # block and can miss genuinely overlapping pairs
+        span_us = blk * F.lit(1_000_000).cast("long")
         return df.select(
             *passthrough,
             F.col(s_col).alias(f"{prefix}_start"),
             F.col(e_col).alias(f"{prefix}_end"),
             F.explode(
                 F.sequence(
-                    F.floor(F.unix_timestamp(F.col(s_col)) / blk),
+                    F.floor(F.unix_micros(F.col(s_col)) / span_us),
                     F.floor(
-                        (F.unix_timestamp(F.col(e_col)) - 1) / blk
+                        (F.unix_micros(F.col(e_col)) - 1) / span_us
                     ),
                 )
             ).alias("_blk"),
@@ -252,5 +256,7 @@ def interval_overlap_join(
     joined = lb.join(rb, reduce(lambda a, b: a & b, cond))
     # first-block ownership: the overlap's own first block emits the pair
     overlap_start = F.greatest(F.col("l_start"), F.col("r_start"))
-    own = F.floor(F.unix_timestamp(overlap_start) / blk)
+    own = F.floor(
+        F.unix_micros(overlap_start) / (blk * F.lit(1_000_000).cast("long"))
+    )
     return joined.filter(lb["_blk"] == own).drop("_blk")

@@ -296,6 +296,19 @@ GK_SCHEMA = "grp string, v double, rmin long, rmax long"
 _GK_CALL_SEQ = [0]  # per-session call counter: default source-tag salt
 
 
+def _gk_sample_indices(n: int, m: int) -> list[int]:
+    """0-based indices kept from a sorted block of ``n``: every
+    ceil(n/m)-th element plus always the last — the pure invariant
+    gk_merge composes from (property-tested directly)."""
+    if n <= 0:
+        return []
+    step = max(1, -(-n // m))  # ceil(n/m)
+    idx = list(range(step - 1, n, step))
+    if not idx or idx[-1] != n - 1:
+        idx.append(n - 1)
+    return idx
+
+
 def gk_partition_summaries(
     df: DataFrame,
     group_col: str,
@@ -339,10 +352,7 @@ def gk_partition_summaries(
                 n = len(vals)
                 if n == 0:
                     continue
-                step = max(1, -(-n // m))  # ceil(n/m)
-                idx = list(range(step - 1, n, step))
-                if not idx or idx[-1] != n - 1:
-                    idx.append(n - 1)
+                idx = _gk_sample_indices(n, m)
                 src = f"{tag}-{p}-{bi}"
                 for i in idx:
                     out_g.append(str(g))

@@ -614,15 +614,35 @@ def funnel3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared per-signal 5-min bucket cents-sum spine (used by the SMAPE,
+# rolling-correlation, and decomposition queries — ONE definition so the
+# bucketing/rounding convention cannot silently diverge from its oracle)
+_SUMS_SQL = f"""
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _bucket_cent_sums(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / RATE) * RATE
+        ).alias("bucket_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persistence-forecast baseline + SMAPE
 # ---------------------------------------------------------------------------
 
 _SMAPE_SQL = f"""
-WITH sums AS (
-  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
-         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
-  FROM events GROUP BY 1, 2
+WITH sums AS ({_SUMS_SQL}
 ), lagged AS (
   SELECT event_type, sc,
          lag(sc) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev
@@ -650,12 +670,7 @@ def smape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent sum of identically-computed doubles after qfloor
     on the TOTAL — pinned by the oracle)."""
     events = load(spark, sf_dir, "events")
-    sums = events.groupBy(
-        "event_type",
-        F.timestamp_seconds(
-            F.floor(F.unix_timestamp("ts") / RATE) * RATE
-        ).alias("bucket_ts"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"))
+    sums = _bucket_cent_sums(events)
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
@@ -679,10 +694,7 @@ def smape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RCORR_W = 48  # trailing buckets (4 h of 5-min slots)
 
 _RCORR_SQL = f"""
-WITH sums AS (
-  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
-         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
-  FROM events GROUP BY 1, 2
+WITH sums AS ({_SUMS_SQL}
 ), paired AS (
   SELECT a.bucket_ts, a.sc AS xc, b.sc AS yc
   FROM sums a JOIN sums b ON a.bucket_ts = b.bucket_ts
@@ -716,12 +728,7 @@ def rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-range-bounded so the join and window stay tiny at any corpus
     size."""
     events = load(spark, sf_dir, "events")
-    sums = events.groupBy(
-        "event_type",
-        F.timestamp_seconds(
-            F.floor(F.unix_timestamp("ts") / RATE) * RATE
-        ).alias("bucket_ts"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"))
+    sums = _bucket_cent_sums(events)
     a = sums.filter(F.col("event_type") == "click").select(
         "bucket_ts", F.col("sc").alias("xc")
     )
@@ -743,11 +750,7 @@ def rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEC_K = 12  # centered MA half-width (buckets): 2h window at 5-min rate
 
 _DECOMP_SQL = f"""
-WITH sums AS (
-  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
-         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc,
-         count(*) AS n
-  FROM events GROUP BY 1, 2
+WITH sums AS ({_SUMS_SQL}
 ), tr AS (
   SELECT event_type, bucket_ts, sc, n,
          sum(sc) OVER w AS tn, sum(n) OVER w AS td,
@@ -782,15 +785,7 @@ def decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
-    sums = events.groupBy(
-        "event_type",
-        F.timestamp_seconds(
-            F.floor(F.unix_timestamp("ts") / RATE) * RATE
-        ).alias("bucket_ts"),
-    ).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
-        F.count("*").alias("n"),
-    )
+    sums = _bucket_cent_sums(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_ts")

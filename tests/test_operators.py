@@ -454,3 +454,37 @@ def test_interval_overlap_join_boundary_half_open(spark):
         for r in interval_overlap_join(left, right).collect()
     )
     assert got == [(1, 3)]
+
+
+def test_interval_overlap_join_subsecond_boundaries(spark):
+    """Regression: whole-second block truncation missed overlaps whose
+    boundaries carry sub-second parts (the fixture timestamps all do).
+    Block membership must be microsecond-exact."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    base_us = 1_700_000_000 * 1_000_000
+    # left [..:59:59.5, +1h later by 0.5s): crosses the hour boundary by
+    # half a second; right starts exactly on the hour -> 0.5s true overlap
+    left = spark.createDataFrame(
+        [(1, base_us + 3600_500_000 - 3601_000_000, base_us + 3600_500_000)],
+        "lid long, s_us long, e_us long",
+    ).select(
+        "lid",
+        F.timestamp_micros("s_us").alias("start"),
+        F.timestamp_micros("e_us").alias("end"),
+    )
+    right = spark.createDataFrame(
+        [(2, base_us + 3600_000_000, base_us + 7200_000_000)],
+        "rid long, s_us long, e_us long",
+    ).select(
+        "rid",
+        F.timestamp_micros("s_us").alias("start"),
+        F.timestamp_micros("e_us").alias("end"),
+    )
+    got = [
+        (r["l_lid"], r["r_rid"])
+        for r in interval_overlap_join(left, right).collect()
+    ]
+    assert got == [(1, 2)]

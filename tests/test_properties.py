@@ -144,32 +144,25 @@ def test_reflected_walk_identity_equals_clamped_recursion(cents, slack):
     assert closed == direct
 
 
-@given(
-    data=st.lists(
-        st.tuples(st.integers(0, 3), st.floats(-1e6, 1e6)),
-        min_size=1,
-        max_size=300,
+@given(n=st.integers(1, 2000), m=st.integers(1, 64))
+@settings(max_examples=300)
+def test_gk_sample_indices_invariants(n, m):
+    """The PACKAGE's sampling-index rule (sketches._gk_sample_indices):
+    strictly increasing, bounded by n, last element always kept, at most
+    m+1 points, and gaps bounded by ceil(n/m) — the invariants gk_merge's
+    rank composition relies on."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.sketches import (
+        _gk_sample_indices,
     )
-)
-@settings(max_examples=100)
-def test_gk_single_source_bounds_exact(data):
-    """A single summarize pass over one source must produce exact-rank
-    points whose ranks are correct against the sorted slice — the
-    invariant gk_merge composes from."""
-    import numpy as np
 
-    vals = np.sort(np.array([v for _, v in data], dtype=np.float64))
-    m = 8
-    n = len(vals)
-    step = max(1, -(-n // m))
-    idx = list(range(step - 1, n, step))
-    if not idx or idx[-1] != n - 1:
-        idx.append(n - 1)
-    for i in idx:
-        v = vals[i]
-        lo = int(np.searchsorted(vals, v, side="left")) + 1
-        hi = int(np.searchsorted(vals, v, side="right"))
-        assert lo <= i + 1 <= hi  # the claimed exact rank is a real rank
+    idx = _gk_sample_indices(n, m)
+    assert idx and idx[-1] == n - 1
+    assert all(0 <= i < n for i in idx)
+    assert all(b > a for a, b in zip(idx, idx[1:]))
+    assert len(idx) <= m + 1
+    step = -(-n // m)
+    gaps = [idx[0] + 1] + [b - a for a, b in zip(idx, idx[1:])]
+    assert max(gaps) <= step
 
 
 @given(s=st.text(max_size=200))
