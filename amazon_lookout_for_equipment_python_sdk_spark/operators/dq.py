@@ -130,3 +130,34 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     if out is None:
         return spark.createDataFrame([], "rule string, n_violations long")
     return out
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """The expectations-gate ingest pattern: (clean, quarantined) —
+    quarantined rows carry a ``dq_failures`` array naming every ROW-LOCAL
+    rule they break (set-level rules can't attribute to a single row and
+    are ignored here; run :func:`check` for their counts).
+
+    One row-local projection — both outputs share the scan; no shuffle.
+    Write `clean` to the main table and `quarantined` to a side table for
+    triage/replay (the standard lakehouse quarantine flow)."""
+    row_rules = [r for r in rules if r.kind == "row"]
+    if not row_rules:
+        return df, df.limit(0).withColumn(
+            "dq_failures", F.array().cast("array<string>")
+        )
+    failures = F.filter(
+        F.array(
+            *[
+                F.when(r.violation, F.lit(r.name)).otherwise(F.lit(None))
+                for r in row_rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("dq_failures", failures)
+    clean = tagged.filter(F.size("dq_failures") == 0).drop("dq_failures")
+    quarantined = tagged.filter(F.size("dq_failures") > 0)
+    return clean, quarantined

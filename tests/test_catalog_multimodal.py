@@ -683,3 +683,51 @@ def test_jpeg_ac_refinement_fuzz():
                 eobrun = f(reader, tab, blk, 1, 63, al, eobrun)
         for zz, d in zip(blocks, dec):
             np.testing.assert_array_equal(zz[1:], d[1:])
+
+
+def test_decoders_fail_closed_on_fuzzed_bytes():
+    """Robustness gate: corrupt/truncated payloads must raise a clean
+    exception (or decode) — never hang, never return garbage shapes.
+    The corpus-scale wrappers (image_hashes, media_features) rely on
+    this to map one bad file to a NULL instead of a dead executor."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(99)
+    real = {
+        b"BM": mm.encode_bmp(np.zeros((8, 8, 3), np.uint8)),
+        b"P6": b"P6 8 8 255\n" + bytes(8 * 8 * 3),
+        b"\x89P": mm.encode_png(np.zeros((8, 8, 3), np.uint8)),
+        b"\xff\xd8": None,  # pure fuzz for JPEG
+    }
+    payloads = []
+    for magic, good in real.items():
+        for _ in range(40):
+            if good and rng.random() < 0.5:
+                b = bytearray(good)
+                # random truncation + byte flips
+                del b[rng.randrange(1, len(b)) :]
+                for _ in range(3):
+                    if b:
+                        b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+                payloads.append(bytes(b))
+            else:
+                payloads.append(
+                    bytes(magic)
+                    + bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+                )
+    for p in payloads:
+        try:
+            img = mm.decode_image(p)
+            assert img.ndim == 3 and img.shape[2] == 3  # decoded -> sane
+        except Exception:
+            pass  # clean failure is the contract
+    # audio: fuzzed RIFF containers
+    for _ in range(60):
+        p = b"RIFF" + bytes(rng.randrange(256) for _ in range(rng.randrange(300)))
+        try:
+            samples, rate = mm.decode_audio(p)
+            assert samples.ndim == 2 and rate > 0
+        except Exception:
+            pass

@@ -78,3 +78,40 @@ def test_row_rules_fuse_into_one_aggregate(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2, plan  # partial + final only
+
+
+def test_quarantine_split(spark):
+    clean, bad = dq.quarantine_split(
+        _facts(spark),
+        [
+            dq.not_null("event_id"),
+            dq.in_range("value", 0.0, 100.0),
+            dq.accepted_values("event_type", ["click", "view"]),
+        ],
+    )
+    assert clean.count() + bad.count() == 5
+    good_ids = {r["event_id"] for r in clean.collect()}
+    assert good_ids == {1, 2, 5}  # row (2,'click',7.0) dup is row-clean
+    bad_rows = {
+        r["event_id"]: sorted(r["dq_failures"]) for r in bad.collect()
+    }
+    assert bad_rows[None] == [
+        "accepted_values(event_type)",
+        "in_range(value,0.0,100.0)",
+        "not_null(event_id)",
+    ]
+    assert bad_rows[2] == ["in_range(value,0.0,100.0)"]  # the -3.0 view row
+
+
+def test_quarantine_split_no_row_rules(spark):
+    clean, bad = dq.quarantine_split(_facts(spark), [dq.unique("event_id")])
+    assert clean.count() == 5 and bad.count() == 0
+
+
+def test_quarantine_split_single_scan_plan(spark):
+    clean, bad = dq.quarantine_split(
+        _facts(spark), [dq.not_null("event_id")]
+    )
+    for out in (clean, bad):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # row-local, no shuffle
