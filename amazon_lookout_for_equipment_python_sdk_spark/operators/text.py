@@ -296,3 +296,54 @@ def sql_normalize_text(expr: str, lowercase: bool = False) -> str:
     out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
     out = f"trim({out})"
     return f"lower({out})" if lowercase else out
+
+
+# --- feature-hashing document embeddings ------------------------------------
+
+
+def hashed_embedding_udf(dim: int = 64, scale: int = 10_000):
+    """Deterministic document embeddings via the hashing trick (Weinberger
+    et al. 2009), as an Arrow pandas UDF returning ``array<double>``:
+    each token hashes to a dimension (48-bit md5 prefix mod dim) and a
+    sign (bit 8 — decorrelated from the index for dims <= 256), signed
+    counts accumulate, the vector L2-normalizes onto a 1/scale grid.
+
+    Gives every document a dense vector WITHOUT a model — the
+    featurization bridge from raw text to the ANN/near-dup layer
+    (cold-start dedup, cheap clustering).  Zero shuffle, and bit-exact
+    against the SQL md5 replay (the interpreted higher-order-function
+    formulation was measured ~50x slower — same winnowing lesson:
+    per-token work belongs in numpy, not nested codegen lambdas).
+    Distinct tokens are hashed once per batch (vocabulary repeats)."""
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf("array<double>")
+    def udf(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def embed(txt):
+            if txt is None:
+                return [0.0] * dim
+            acc = np.zeros(dim, dtype=np.int64)
+            for t in txt.split(" "):
+                if not t:
+                    continue
+                hv = cache.get(t)
+                if hv is None:
+                    hv = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+                    cache[t] = hv
+                acc[hv % dim] += 1 if (hv >> 8) & 1 else -1
+            sq = int(np.dot(acc, acc))
+            if sq == 0:
+                return [0.0] * dim
+            nrm = float(np.sqrt(float(sq)))
+            # exact float op order of the oracle: v/nrm, *scale, floor
+            return [
+                float(np.floor(float(v) / nrm * scale)) / scale for v in acc
+            ]
+
+        return texts.map(embed)
+
+    return udf

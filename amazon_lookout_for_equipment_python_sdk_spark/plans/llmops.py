@@ -1833,3 +1833,56 @@ def dq_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sq_norm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing document embeddings (hashing trick)
+# ---------------------------------------------------------------------------
+
+_HE_DIM = 16
+
+_HE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE doc_id % 25 = 0
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT) AS h
+  FROM toks WHERE t <> ''
+), acc AS (
+  SELECT doc_id, CAST(h % {_HE_DIM} AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS v
+  FROM hashed GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sum(v*v) AS sq FROM acc GROUP BY 1
+)
+SELECT a.doc_id, a.pos,
+       floor(CAST(a.v AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE)) * 1e4) / 1e4
+         AS component
+FROM acc a JOIN nrm n USING (doc_id)
+WHERE n.sq > 0 AND a.v <> 0
+"""
+
+
+@register("hashed_embedding_components", _HE_SQL)
+def hashed_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings for a deterministic doc subset, emitted
+    as scalar (doc_id, pos, component) rows (driver-canonicalizer-safe).
+    The operator (operators/text.py hashed_embedding) computes the full
+    array row-local; this query posexplodes the nonzero components.  The
+    oracle replays the identical md5 index/sign pipeline."""
+    from ..operators.text import hashed_embedding_udf
+
+    docs = load_par(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    emb = docs.select(
+        "doc_id",
+        hashed_embedding_udf(dim=_HE_DIM)(F.col("text")).alias("e"),
+    )
+    return (
+        emb.select("doc_id", F.posexplode("e").alias("pos", "component"))
+        .filter(F.col("component") != 0.0)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
+    )

@@ -542,3 +542,33 @@ def test_normalize_text_unicode_folding(spark):
     assert got[2] == "nb space and tabs newlines"
     assert got[3] == "ctlcharshere"
     assert got[4] == "already clean"
+
+
+def test_hashed_embedding_bridges_to_ann(spark):
+    """The hashing-trick embedding is a usable ANN key: near-identical
+    docs land close in cosine, unrelated docs don't; vectors are unit
+    norm on the quantization grid."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        hashed_embedding_udf,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+        (3, "completely unrelated text about spark query planning internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {
+        r["doc_id"]: np.array(r["e"])
+        for r in df.select(
+            "doc_id", hashed_embedding_udf(dim=32)(F.col("text")).alias("e")
+        ).collect()
+    }
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert abs(np.linalg.norm(emb[1]) - 1.0) < 0.01  # unit on the grid
+    assert cos(emb[1], emb[2]) > 0.9
+    assert cos(emb[1], emb[3]) < 0.6
