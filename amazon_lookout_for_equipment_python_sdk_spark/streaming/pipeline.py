@@ -134,3 +134,32 @@ def stream_stream_attribution(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
         "purchase_value",
     )
+
+
+def streaming_quarantine(
+    stream: DataFrame,
+    rules,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming expectations gate: every micro-batch splits through
+    ``operators.dq.quarantine_split`` — clean rows append to the main
+    table, failing rows (with their ``dq_failures`` attribution) to the
+    quarantine table.  One scan per batch, no shuffle; the standard
+    lakehouse ingest-gate flow, online."""
+    from ..operators.dq import quarantine_split
+
+    def run(batch_df: DataFrame, _epoch: int) -> None:
+        clean, bad = quarantine_split(batch_df, rules)
+        clean.write.mode("append").parquet(clean_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -192,3 +192,54 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     )
     want = batch_expected()
     assert got == want == [(1, 2), (5, 6)]
+
+
+def test_streaming_quarantine_gate(spark, tmp_path):
+    """Micro-batched expectations gate: clean rows reach the main table,
+    violations land in quarantine with per-rule attribution — across two
+    availableNow passes."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import dq
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        streaming_quarantine,
+    )
+
+    indir = tmp_path / "q_in"
+    indir.mkdir()
+    rules = [
+        dq.not_null("event_id"),
+        dq.in_range("value", 0.0, 100.0),
+    ]
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("event_id|value\n")
+            for eid, v in rows:
+                f.write(f"{'' if eid is None else eid}|{v}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+        )
+        q = streaming_quarantine(
+            stream, rules,
+            str(tmp_path / "clean"), str(tmp_path / "bad"),
+            str(tmp_path / "q_ckpt"),
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", [(1, 5.0), (2, -3.0)])
+    run_once()
+    write_batch("b2.csv", [(None, 7.0), (4, 50.0)])
+    run_once()
+
+    clean = {r["event_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert clean == {1, 4}
+    bad = {
+        r["event_id"]: list(r["dq_failures"])
+        for r in spark.read.parquet(str(tmp_path / "bad")).collect()
+    }
+    assert bad[2] == ["in_range(value,0.0,100.0)"]
+    assert bad[None] == ["not_null(event_id)"]
