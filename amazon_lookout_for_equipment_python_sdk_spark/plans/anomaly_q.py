@@ -3,10 +3,13 @@
 The reference's managed service trains a model to flag abnormal equipment
 behavior (reference: src/lookoutequipment/model.py + evaluation.py); these
 queries provide the classical statistical counterparts as oracle-checked
-engine operators: rolling z-score outliers, CUSUM mean-drift, cross-signal
-Spearman correlation, and per-signal autocorrelation.
+engine operators: rolling z-score outliers (plain + skew-safe sharded),
+CUSUM mean-drift, MAD robust outliers, seasonal hour-of-day baselines and
+STL-lite decomposition, cross-signal Spearman + rolling correlation,
+per-signal autocorrelation, persistence-forecast SMAPE, behavioral
+funnels, sensor-outage gaps, and the data-quality gate.
 
-All four follow the exact-integer determinism contract (registry module
+All follow the exact-integer determinism contract (registry module
 doc): aggregates run on cents, floats appear only in final correctly-
 rounded IEEE expressions mirrored verbatim in the DuckDB oracle.
 """
