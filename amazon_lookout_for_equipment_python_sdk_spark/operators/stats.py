@@ -375,3 +375,42 @@ def rolling_corr(
             (n >= F.lit(min_periods)) & (varx > 0) & (vary > 0), r
         ),
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    window: int = 64,
+    value_col: str = "avg_value",
+    order_col: str = "bucket_ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959), declaratively: the geometric
+    recursion z_i = αx_i + (1-α)z_{i-1} truncates to the trailing
+    ``window`` rows and evaluates as a HORNER FOLD over the ordered
+    window array — a fixed left-to-right op sequence both engines
+    reproduce bit-for-bit (a plain weighted window SUM would leave the
+    summation order to the engine).
+
+    adjust=True normalization (pandas' default): with truncation depth n
+    (= rows available, <= window), num = fold(x₁..x_n; acc·(1-α)+x) and
+    den = (1-(1-α)^n)/α in closed form, so ewma = num·α/(1-(1-α)^n).
+    Truncation error is (1-α)^window — pick window so it's below the
+    emission grid (64 rows at α=0.3 is ~1e-10).
+
+    One per-key window; the collected array is ``window``-bounded."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    decay = F.lit(1.0 - alpha)
+    num = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * decay + x,
+    )
+    n = F.size(arr).cast("double")
+    den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(float(alpha))
+    return df.withColumn("ewma", num / den)

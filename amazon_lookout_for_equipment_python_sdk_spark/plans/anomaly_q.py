@@ -818,3 +818,64 @@ def decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("det4").cast("double") / F.count("*")) / F.lit(1e4)
         ).alias("seasonal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart
+# ---------------------------------------------------------------------------
+
+_EWMA_A = 0.3
+_EWMA_W = 64
+
+_EWMA_SQL = f"""
+WITH sums AS ({_SUMS_SQL}
+), series AS (
+  SELECT event_type, bucket_ts,
+         CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS avg_value
+  FROM sums
+), arred AS (
+  SELECT event_type, bucket_ts,
+         list(CAST(avg_value AS DOUBLE)) OVER w AS arr
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_type, bucket_ts,
+         list_reduce(arr, (acc, x) -> acc * {1.0 - _EWMA_A} + x)
+           / ((1.0 - pow({1.0 - _EWMA_A}, CAST(len(arr) AS DOUBLE)))
+              / {_EWMA_A}) AS z
+  FROM arred
+)
+SELECT event_type, bucket_ts, floor(z * 1e4) / 1e4 AS ewma
+FROM scored
+WHERE CAST(epoch(bucket_ts) AS BIGINT) % (16 * {RATE}) = 0
+"""
+
+
+@register("ewma_chart", _EWMA_SQL)
+def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each signal's 5-min bucket means
+    (operators/stats.py ewma — Horner fold over the ordered window
+    array, so the float op sequence is fixed and engine-portable).
+    Output thinned to every 16th bucket for the driver compare."""
+    events = load(spark, sf_dir, "events")
+    sums = _bucket_cent_sums(events)
+    series = sums.select(
+        "event_type",
+        "bucket_ts",
+        (
+            F.col("sc").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0))
+        ).alias("avg_value"),
+    )
+    out = st.ewma(series, _EWMA_A, _EWMA_W)
+    return (
+        out.filter(
+            F.unix_timestamp("bucket_ts") % F.lit(16 * RATE) == 0
+        )
+        .select(
+            "event_type",
+            "bucket_ts",
+            (F.floor(F.col("ewma") * F.lit(1e4)) / F.lit(1e4)).alias("ewma"),
+        )
+    )

@@ -221,3 +221,35 @@ def test_rolling_corr_constant_window_null(spark):
         .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
     out = st.rolling_corr(df, 10, order_col="bucket_ts").collect()
     assert all(r["rolling_r"] is None for r in out)  # x constant
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """EWMA (adjust=True, truncated Horner fold) vs pandas ewm.mean():
+    equal to truncation error (1-alpha)^window ~ 1e-10."""
+    rng = np.random.RandomState(47)
+    vals = rng.normal(100, 10, 200)
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, avg_value double"
+    ).withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    out = {
+        r["bucket"]: r["ewma"]
+        for r in st.ewma(df, alpha=0.3, window=64).collect()
+    }
+    import pandas as pd
+
+    ref = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(200):
+        assert out[i] == pytest.approx(ref[i], rel=1e-8), i
+
+
+def test_ewma_tracks_level_shift(spark):
+    vals = [10.0] * 50 + [20.0] * 50
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, avg_value double"
+    ).withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    out = {r["bucket"]: r["ewma"] for r in st.ewma(df, 0.3).collect()}
+    assert out[49] == pytest.approx(10.0, abs=1e-6)
+    assert out[99] == pytest.approx(20.0, abs=0.01)
+    assert 10.0 < out[52] < 20.0  # transitioning
