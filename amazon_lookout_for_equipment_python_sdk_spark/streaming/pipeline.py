@@ -163,3 +163,60 @@ def streaming_quarantine(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_scd2(
+    updates_stream: DataFrame,
+    history_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """Online SCD-2: each micro-batch of updates folds into the
+    validity-interval history table via ``operators.merge.scd2_apply``
+    (after ``cdc_latest`` compaction within the batch — the unique-key
+    contract).
+
+    Honest cost note: plain parquet has no MERGE, so each batch
+    read-modify-WRITES the whole history (staged to a temp dir, then
+    swapped — the epoch-id makes retries idempotent).  That is the
+    correct shape for dimension-sized histories (millions of rows);
+    fact-sized histories belong in a table format with MERGE support or
+    the daily batch job (scd2_apply directly over bucketed storage)."""
+    import os
+    import shutil
+
+    from ..operators.merge import cdc_latest, scd2_apply
+
+    def run(batch_df: DataFrame, _epoch: int) -> None:
+        spark = batch_df.sparkSession
+        compacted = cdc_latest(batch_df, keys, ts_col=ts_col)
+        if os.path.exists(history_path):
+            hist = spark.read.parquet(history_path)
+        else:
+            hist = (
+                compacted.select(
+                    *keys,
+                    *attrs,
+                    F.col(ts_col).alias("valid_from"),
+                )
+                .limit(0)
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            )
+        merged = scd2_apply(hist, compacted, keys, attrs, ts_col=ts_col)
+        tmp = history_path + f".__epoch_{_epoch}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(history_path):
+            shutil.rmtree(history_path)
+        os.rename(tmp, history_path)
+        spark.catalog.refreshByPath(history_path)
+
+    writer = (
+        updates_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -243,3 +243,57 @@ def test_streaming_quarantine_gate(spark, tmp_path):
     }
     assert bad[2] == ["in_range(value,0.0,100.0)"]
     assert bad[None] == ["not_null(event_id)"]
+
+
+def test_streaming_scd2_builds_history_across_batches(spark, tmp_path):
+    """Two micro-batches of updates fold into the SCD-2 history: batch 1
+    inserts, batch 2 closes changed versions and opens new ones; in-batch
+    duplicate keys compact to the latest first."""
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        streaming_scd2,
+    )
+
+    indir = tmp_path / "s2_in"
+    indir.mkdir()
+    hist_path = str(tmp_path / "hist")
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("k|attr|tsec\n")
+            for k, a, t in rows:
+                f.write(f"{k}|{a}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, attr string, tsec long")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+            .withColumn("ts", F.timestamp_seconds("tsec"))
+            .drop("tsec")
+        )
+        q = streaming_scd2(
+            stream, hist_path, str(tmp_path / "s2_ckpt"),
+            keys=["k"], attrs=["attr"],
+        )
+        q.awaitTermination()
+
+    base = 1_700_000_000
+    # batch 1: k=1 arrives twice (compacts to 'b'), k=2 once
+    write_batch("b1.csv", [(1, "a", base), (1, "b", base + 10), (2, "x", base)])
+    run_once()
+    h1 = {
+        (r["k"], r["attr"], r["valid_to"] is None)
+        for r in spark.read.parquet(hist_path).collect()
+    }
+    assert h1 == {(1, "b", True), (2, "x", True)}
+
+    # batch 2: k=1 changes, k=2 unchanged, k=3 new
+    write_batch("b2.csv", [(1, "c", base + 100), (2, "x", base + 100),
+                           (3, "n", base + 100)])
+    run_once()
+    rows = spark.read.parquet(hist_path).collect()
+    cur = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is None}
+    closed = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is not None}
+    assert cur == {(1, "c"), (2, "x"), (3, "n")}
+    assert closed == {(1, "b")}
