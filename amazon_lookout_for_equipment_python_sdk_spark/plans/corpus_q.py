@@ -597,3 +597,64 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_text").alias("line"),
     )
     return cp.line_dedup_first(lines, "line", "doc_id", "line_pos")
+
+
+_SESSION_NATIVE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), s AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= CAST({_GAP_MINUTES} AS BIGINT) * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       {sql_det_sum('value')} AS value_sum
+FROM t GROUP BY user_id, session_seq
+"""
+
+
+@register("session_window_native", _SESSION_NATIVE_SQL)
+def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` aggregation verified against
+    the gaps-and-islands oracle.  Boundary semantics differ from the
+    custom ``sessionize`` by one epsilon: session_window's window is
+    half-open ``[first, last+gap)``, so an event arriving at EXACTLY the
+    gap starts a NEW session (the oracle uses ``>=`` where sessionize
+    uses ``>``) — both operators are offered, semantics documented.
+    One shuffle on the session-window grouping; no window functions at
+    all (the native operator merges sessions inside the aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_GAP_MINUTES} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+            det_sum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "n_errors",
+            "value_sum",
+        )
+    )
