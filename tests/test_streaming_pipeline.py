@@ -297,3 +297,90 @@ def test_streaming_scd2_builds_history_across_batches(spark, tmp_path):
     closed = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is not None}
     assert cur == {(1, "c"), (2, "x"), (3, "n")}
     assert closed == {(1, "b")}
+
+
+def test_native_session_window_streaming_matches_batch(spark, tmp_path):
+    """Spark's built-in session_window in STREAMING append mode: closed
+    sessions (watermark passed) match the batch session_window rollup,
+    including a session straddling the micro-batch boundary."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000
+    gap_s = 600
+    rows = [
+        # user 10: one session across batches (gap 100 < 600)
+        (10, base), (10, base + 100),            # batch 1
+        (10, base + 650),                        # batch 2, still in session
+        # user 11: two sessions (gap 1200 > 600)
+        (11, base), (11, base + 1200),
+        # watermark pusher
+        (99, base + 100_000),
+    ]
+    b1, b2 = rows[:2] + rows[3:4], rows[2:3] + rows[4:]
+
+    indir = tmp_path / "sw_in"
+    indir.mkdir()
+
+    def write_batch(name, evs):
+        with open(indir / name, "w") as f:
+            f.write("user_id|tsec\n")
+            for u, t in evs:
+                f.write(f"{u}|{t}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, tsec long")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(indir / "*.csv"))
+            .withColumn("ts", F.timestamp_seconds("tsec"))
+            .withWatermark("ts", "0 seconds")
+        )
+        agg = (
+            stream.groupBy(
+                "user_id", F.session_window("ts", f"{gap_s} seconds")
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("start"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "sw_out"))
+            .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", b1)
+    run_once()
+    write_batch("b2.csv", b2)
+    run_once()
+
+    got = {
+        (r["user_id"], int(r["start"].timestamp()), r["n"])
+        for r in spark.read.parquet(str(tmp_path / "sw_out")).collect()
+    }
+    # batch truth over the same rows (closed sessions only: all but 99's)
+    batch = (
+        spark.createDataFrame(rows, "user_id long, tsec long")
+        .withColumn("ts", F.timestamp_seconds("tsec"))
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id", F.col("session_window.start").alias("start"), "n"
+        )
+    )
+    want = {
+        (r["user_id"], int(r["start"].timestamp()), r["n"])
+        for r in batch.collect()
+        if r["user_id"] != 99  # 99's session is still open at stream end
+    }
+    assert want <= got  # every closed session surfaced, batch-identical
+    assert (10, base, 3) in got  # merged ACROSS the micro-batch boundary
+    assert (11, base, 1) in got and (11, base + 1200, 1) in got
