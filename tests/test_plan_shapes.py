@@ -206,3 +206,42 @@ def test_bloom_semi_join_prunes_before_shuffle(spark):
     assert "LeftSemi" in plan, plan
     assert "bit_or" in plan, plan  # bitmap word fold is a real aggregate
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_fires_on_hot_key(spark):
+    """The session config promises runtime skew mitigation
+    (spark.sql.adaptive.skewJoin.enabled); pin that a hot-key sort-merge
+    join actually gets split — 'skew=true' in the final adaptive plan —
+    so a config regression can't silently re-serialize hot partitions."""
+    from pyspark.sql import functions as F
+
+    n = 400_000
+    # 95% of the fact on one key, payload wide enough to cross the
+    # skewed-partition threshold once thresholds are lowered for test
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+    )
+    dim = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # threshold must EXCEED the advisory target or the optimizer
+        # declines to split (matches the config docs' guidance)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, "k")
+        # hot key 7 (19/20 of the fact) + the id-keyed rows inside dim's range
+        want = n * 19 // 20 + len(range(0, 50_000, 20))
+        assert len(j.collect()) == want
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
