@@ -86,7 +86,8 @@ _MUST_VERIFY: list[str] = [
 #   except_all_event_types, fuzzy_name_pairs, forecast_smape_baseline,
 #   rolling_corr_click_view, unpivot_lineitem_measures,
 #   seasonal_decompose_profile, interval_overlap_error_click,
-#   hashed_embedding_components, ewma_chart, session_window_native
+#   hashed_embedding_components, ewma_chart, session_window_native,
+#   top3_orders_per_segment
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 

@@ -972,3 +972,51 @@ def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum("cents").cast("double") / F.lit(100.0)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (T2 extended from global to grouped)
+# ---------------------------------------------------------------------------
+
+_TOPK_GRP_SQL = """
+SELECT c_mktsegment, o_orderkey, total, rnk FROM (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(CAST(round(o.o_totalprice*100) AS BIGINT) AS DOUBLE) / 100.0
+           AS total,
+         CAST(row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY CAST(round(o.o_totalprice*100) AS BIGINT) DESC,
+                    o.o_orderkey) AS BIGINT) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+WHERE rnk <= 3
+"""
+
+
+@register("top3_orders_per_segment", _TOPK_GRP_SQL)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the grouped form of T2's global top-k): the 3
+    largest orders in each market segment.  The rank<=k filter compiles
+    to WindowGroupLimit — map tasks keep a local top-3 per segment before
+    the shuffle, so the exchange carries O(segments x k x tasks) rows,
+    not the order table (plan-pinned in tests)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", cents.alias("_cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            (F.col("_cents").cast("double") / F.lit(100.0)).alias("total"),
+            "rnk",
+        )
+    )

@@ -245,3 +245,15 @@ def test_aqe_skew_join_fires_on_hot_key(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["top3_orders_per_segment"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
