@@ -905,3 +905,87 @@ def extract_video_frames(
             )
 
     return media.mapInPandas(run, schema=schema)
+
+
+# --- audio perceptual fingerprinting (near-dup for the audio leg) -----------
+
+
+def audio_fingerprint64(payload: bytes, bands: int = 16, frames: int = 4) -> int:
+    """Spectral average hash: decode -> mono -> ``frames`` equal time
+    slices -> ``bands`` LINEAR FFT band energies per slice (DC skipped)
+    -> bit = log band energy above its frame's log-mean (aHash on the
+    spectrogram; Chromaprint's core intuition, stdlib + numpy only).
+
+    The log-mean threshold is decisive for both kinds of band — tonal
+    bands sit orders of magnitude above it, noise bands orders below —
+    so a 4-bit ADPCM re-encode flips ~2 of the 64 bits while distinct
+    tonal content sits >= 10 away (pytest-pinned).  Adjacent-band dHash
+    bits were coin flips between noise bands, and log-spaced edges
+    degenerate to single-bin slivers at the low end — both measured
+    worse.  Level-invariant (gain shifts band and mean alike); 64 bits
+    plug straight into ``operators.dedup.hamming_banded_pairs``."""
+    samples, rate = decode_audio(payload)
+    x = samples.astype(np.float64).mean(axis=1)
+    n = len(x)
+    if n < frames * 2 * bands:
+        raise ValueError("audio too short to fingerprint")
+    grid = np.zeros((frames, bands))
+    step = n // frames
+    for f in range(frames):
+        seg = x[f * step : (f + 1) * step]
+        spec = np.abs(np.fft.rfft(seg))[1:]  # skip DC
+        edges = np.linspace(0, len(spec), bands + 1).astype(int)
+        for b in range(bands):
+            grid[f, b] = float(
+                np.sum(spec[edges[b] : max(edges[b + 1], edges[b] + 1)] ** 2)
+            )
+    logg = np.log(grid + 1e-30)
+    bits = logg > logg.mean(axis=1, keepdims=True)  # frames x bands = 64
+    return _pack_bits64(bits)
+
+
+def audio_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for decodable audio payloads; undecodable or
+    too-short clips hash to NULL.  Row-local in Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b):
+            if b is None:
+                return None
+            try:
+                return audio_fingerprint64(bytes(b))
+            except Exception:  # noqa: BLE001 — undecodable payload
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(safe),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def audio_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprints + the generic
+    banded-Hamming join — the audio twin of :func:`image_near_pairs`
+    (4-bit ADPCM re-encodes flip ~2 bits, distinct content >= 10)."""
+    from .dedup import hamming_banded_pairs
+
+    sigs = audio_hashes(media).filter(F.col("phash").isNotNull())
+    return hamming_banded_pairs(
+        sigs,
+        total_bits=64,
+        max_hamming=max_hamming,
+        bands=bands,
+        sig_col="phash",
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )

@@ -134,3 +134,44 @@ def test_image_near_pairs_single_shuffle_plan(spark):
     out = mm.image_near_pairs(df, max_bucket=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def _tone_clip(freqs, rate=8000, secs=1.0, seed=None):
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    x = sum(np.sin(2 * np.pi * f * t) * a for f, a in freqs)
+    if seed is not None:
+        rng = np.random.RandomState(seed)
+        x = x + rng.normal(0, 0.01, len(t))
+    x = (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+    return mm.encode_wav(x[:, None], rate)
+
+
+def test_audio_fingerprint_deterministic_and_robust():
+    clip = _tone_clip([(440, 1.0), (880, 0.5)], seed=1)
+    h1, h2 = mm.audio_fingerprint64(clip), mm.audio_fingerprint64(clip)
+    assert h1 == h2 and -(2**63) <= h1 < 2**63
+    # lossy ADPCM round trip: few bits flip
+    samples, rate = mm.decode_audio(clip)
+    lossy = mm.encode_wav_ima_adpcm(samples, rate)
+    d = _hamming(h1, mm.audio_fingerprint64(lossy))
+    assert d <= 2, d
+    # different content: far
+    other = mm.audio_fingerprint64(_tone_clip([(523, 1.0), (1320, 0.8)], seed=2))
+    assert _hamming(h1, other) > 8
+
+
+def test_audio_near_pairs_finds_reencoded_twin(spark):
+    clip = _tone_clip([(440, 1.0), (880, 0.5)], seed=3)
+    samples, rate = mm.decode_audio(clip)
+    lossy = mm.encode_wav_ima_adpcm(samples, rate)
+    rows = [
+        (1, "audio", bytearray(clip), None),
+        (2, "audio", bytearray(lossy), None),
+        (3, "audio", bytearray(_tone_clip([(600, 1.0)], seed=4)), None),
+        (4, "audio", bytearray(b"RIFFgarbage"), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.audio_near_pairs(df, max_hamming=3, bands=4).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
