@@ -9,6 +9,7 @@ from .stateful import (  # noqa: F401
     streaming_ngram_jaccard_lsh,
     streaming_resample_mean,
     streaming_quantile_p2,
+    streaming_ewma,
     streaming_gap_monitor,
     streaming_zscore,
     streaming_topk_tokens,

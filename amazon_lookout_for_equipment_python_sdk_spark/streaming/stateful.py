@@ -938,3 +938,54 @@ def streaming_gap_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming EWMA control chart -------------------------------------------
+
+EWMA_STATE_SCHEMA = "num double, den double"
+EWMA_OUT_SCHEMA = "key string, event_id long, value double, ewma double"
+
+
+def _ewma_batch(key, pdf_iter, state: GroupState, alpha: float):
+    decay = 1.0 - alpha
+    num, den = state.get if state.exists else (0.0, 0.0)
+    keys, eids, vals, zs = [], [], [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("event_id", kind="mergesort")
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            num = num * decay + float(val)
+            den = den * decay + 1.0
+            keys.append(key[0])
+            eids.append(eid)
+            vals.append(val)
+            zs.append(num / den)
+    state.update((num, den))
+    if keys:
+        yield pd.DataFrame(
+            {"key": keys, "event_id": eids, "value": vals, "ewma": zs}
+        )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Online EWMA (adjust=True): every reading emits its smoothed value
+    the moment it lands — O(1) state per key (two doubles), the exact
+    UNTRUNCATED recursion the batch operator approximates with its
+    Horner window (equal to (1-alpha)^window — both pandas-pinned)."""
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        lambda key, it, st: _ewma_batch(key, it, st, alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1823,3 +1823,53 @@ def test_streaming_gap_monitor(spark, tmp_path):
     ]
     opened = [(r["key"], int(r["gap_start"].timestamp())) for r in rows if r["open"]]
     assert ("b", base + 50) in opened
+
+
+def test_streaming_ewma_matches_pandas_and_batch(spark, tmp_path):
+    """O(1)-state online EWMA == pandas ewm(adjust=True) across
+    micro-batch splits (unit-level FakeState), and == the batch Horner
+    operator to truncation error."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.stats import ewma
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.stateful import (
+        _ewma_batch,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.normal(50, 5, 250)
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    st_ = FakeState()
+    got = {}
+    for lo in range(0, 250, 90):
+        chunk = pd.DataFrame(
+            {"event_id": np.arange(lo, min(lo + 90, 250)),
+             "value": vals[lo : lo + 90]}
+        )
+        for out in _ewma_batch(("a",), iter([chunk]), st_, 0.3):
+            for eid, z in zip(out["event_id"], out["ewma"]):
+                got[int(eid)] = float(z)
+    ref = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(250):
+        assert got[i] == pytest.approx(ref[i], rel=1e-12), i
+
+    # batch operator agreement (to truncation error)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", int(i), float(v)) for i, v in enumerate(vals)],
+        "event_type string, bucket long, avg_value double",
+    ).withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    batch = {
+        r["bucket"]: r["ewma"] for r in ewma(df, 0.3, window=64).collect()
+    }
+    for i in range(250):
+        assert got[i] == pytest.approx(batch[i], rel=1e-8), i
