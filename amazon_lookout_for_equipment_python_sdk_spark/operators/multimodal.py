@@ -989,3 +989,73 @@ def audio_near_pairs(
         id_col="media_id",
         max_bucket=max_bucket,
     )
+
+
+# --- video perceptual fingerprinting ----------------------------------------
+
+
+def video_fingerprint64(payload: bytes) -> int:
+    """Clip-level perceptual hash: dHash every decoded frame, take the
+    BITWISE MAJORITY across frames — stable under dropped/extra frames
+    and per-frame noise (a bit flips only when most frames flip it),
+    while distinct footage disagrees across most positions.
+
+    Completes the image/audio/video near-dup triple on the shared 64-bit
+    banded-Hamming machinery."""
+    frames, _fps = decode_y4m(payload)
+    if not frames:
+        raise ValueError("no frames to fingerprint")
+    votes = np.zeros(64, dtype=np.int64)
+    for img in frames:
+        h = dhash64(encode_bmp(img))
+        u = np.uint64(h & (2**64 - 1))
+        bits = (u >> np.arange(63, -1, -1, dtype=np.uint64)) & np.uint64(1)
+        votes += bits.astype(np.int64)
+    maj = votes * 2 > len(frames)
+    return _pack_bits64(maj)
+
+
+def video_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for decodable video payloads; undecodable or
+    frameless clips hash to NULL.  Row-local in Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b):
+            if b is None:
+                return None
+            try:
+                return video_fingerprint64(bytes(b))
+            except Exception:  # noqa: BLE001 — undecodable payload
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(safe),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def video_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Video near-duplicate pairs over majority-dHash fingerprints —
+    the video leg of the shared banded-Hamming join."""
+    from .dedup import hamming_banded_pairs
+
+    sigs = video_hashes(media).filter(F.col("phash").isNotNull())
+    return hamming_banded_pairs(
+        sigs,
+        total_bits=64,
+        max_hamming=max_hamming,
+        bands=bands,
+        sig_col="phash",
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )

@@ -175,3 +175,44 @@ def test_audio_near_pairs_finds_reencoded_twin(spark):
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     pairs = mm.audio_near_pairs(df, max_hamming=3, bands=4).collect()
     assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
+
+
+def _clip(seed, n_frames=6):
+    """Y4M clip: static footage + tiny deterministic per-frame noise —
+    the near-dup shape is same-footage-different-encode, not motion
+    (dHash is deliberately not translation invariant)."""
+    base = _img(seed, 32, 32).astype(np.int16)
+    rng = np.random.RandomState(seed * 7 + 1)
+    frames = [
+        np.clip(base + rng.randint(-6, 7, base.shape), 0, 255).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    return mm.encode_y4m(frames, fps=5)
+
+
+def test_video_fingerprint_majority_stability():
+    clip = _clip(21)
+    h1 = mm.video_fingerprint64(clip)
+    assert h1 == mm.video_fingerprint64(clip)
+    # dropped last frame: majority hash moves at most a few bits
+    frames, fps = mm.decode_y4m(clip)
+    shorter = mm.encode_y4m(frames[:-1], fps=fps)
+    assert _hamming(h1, mm.video_fingerprint64(shorter)) <= 3
+    # different footage: far
+    other = mm.video_fingerprint64(_clip(22))
+    assert _hamming(h1, other) > 10
+
+
+def test_video_near_pairs(spark):
+    clip = _clip(23)
+    frames, fps = mm.decode_y4m(clip)
+    trimmed = mm.encode_y4m(frames[:-1], fps=fps)
+    rows = [
+        (1, "video", bytearray(clip), None),
+        (2, "video", bytearray(trimmed), None),
+        (3, "video", bytearray(_clip(24)), None),
+        (4, "video", None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.video_near_pairs(df).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
