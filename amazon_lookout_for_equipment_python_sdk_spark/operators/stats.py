@@ -1,5 +1,6 @@
-"""Statistical monitoring operators: rolling z-score anomaly flags, CUSUM
-drift detection, Spearman rank correlation, lag autocorrelation.
+"""Statistical monitoring operators: rolling z-score anomaly flags (plain
++ skew-safe sharded), CUSUM drift detection, EWMA control chart, Spearman
+rank correlation, rolling cross-signal correlation, lag autocorrelation.
 
 The condition-monitoring layer the reference delegates to its managed model
 (reference: src/lookoutequipment/evaluation.py diagnostics + plot.py rolling
