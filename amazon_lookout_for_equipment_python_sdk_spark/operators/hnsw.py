@@ -53,7 +53,10 @@ class HnswIndex:
         self.M = M
         self.ef_construction = ef_construction
         self.ids: list = []
-        self.vecs: "np.ndarray | None" = None
+        #: list of unit vectors (ndarray rows) — a list, not a growing
+        #: matrix: per-insert np.vstack would make the build O(n^2) in
+        #: memory traffic
+        self.vecs: list = []
         self.levels: list[int] = []
         #: adjacency per level: list[dict[node -> list[node]]]
         self.graph: list[dict[int, list[int]]] = []
@@ -99,10 +102,7 @@ class HnswIndex:
         idx = len(self.ids)
         self.ids.append(vid)
         v = vec / max(float(np.linalg.norm(vec)), 1e-30)
-        if self.vecs is None:
-            self.vecs = v[None, :].copy()
-        else:
-            self.vecs = np.vstack([self.vecs, v])
+        self.vecs.append(v)
         lvl = _hash_level(vid)
         self.levels.append(lvl)
         while len(self.graph) <= lvl:

@@ -540,14 +540,12 @@ def image_features(payload: bytes, dim: int = 8) -> list[float]:
 # --- perceptual image hashing (near-dup for the image leg) ------------------
 
 
-def _gray_block_mean(payload: bytes, oh: int, ow: int) -> "np.ndarray":
-    """Decode -> grayscale -> area-average downsample to (oh, ow).
-
-    Area (bucket) averaging, not interpolation: every source pixel lands in
-    exactly one output cell (integer bucket index), so the result — and
-    therefore the hash — is deterministic and stable under modest resizes
-    of the source (the buckets see the same image regions)."""
-    img = decode_image(payload)
+def _gray_block_mean_arr(img: "np.ndarray", oh: int, ow: int) -> "np.ndarray":
+    """Grayscale + area-average downsample of a decoded array to
+    (oh, ow).  Area (bucket) averaging, not interpolation: every source
+    pixel lands in exactly one output cell (integer bucket index), so
+    the result — and therefore the hash — is deterministic and stable
+    under modest resizes of the source."""
     gray = img.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = np.arange(h) * oh // h
@@ -558,10 +556,22 @@ def _gray_block_mean(payload: bytes, oh: int, ow: int) -> "np.ndarray":
     return (sums / np.maximum(cnts, 1)).reshape(oh, ow)
 
 
+def _gray_block_mean(payload: bytes, oh: int, ow: int) -> "np.ndarray":
+    return _gray_block_mean_arr(decode_image(payload), oh, ow)
+
+
 def _pack_bits64(bits: "np.ndarray") -> int:
     """64 bools -> signed int64 (bit 0 = MSB), via big-endian packbits."""
     raw = np.packbits(bits.ravel().astype(np.uint8)).tobytes()
     return int.from_bytes(raw[:8], "big", signed=True)
+
+
+def _dhash64_from_array(img: "np.ndarray") -> int:
+    """dHash from an already-decoded (h, w, 3) array — the shared core
+    of :func:`dhash64` and the per-frame video fingerprint (which would
+    otherwise re-encode every decoded frame just to decode it again)."""
+    g = _gray_block_mean_arr(img, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
 
 
 def dhash64(payload: bytes) -> int:
@@ -569,8 +579,7 @@ def dhash64(payload: bytes) -> int:
     left.  The standard near-dup hash for images — robust to rescaling,
     re-encoding, and brightness shifts (it compares gradients, not
     levels)."""
-    g = _gray_block_mean(payload, 8, 9)
-    return _pack_bits64(g[:, 1:] > g[:, :-1])
+    return _dhash64_from_array(decode_image(payload))
 
 
 def ahash64(payload: bytes) -> int:
@@ -615,29 +624,9 @@ PHASH_SCHEMA = T.StructType(
 
 
 def image_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
-    """(media_id, phash) for every decodable image payload; undecodable or
-    null payloads hash to NULL (never kill the corpus job).  Row-local
-    inside Arrow batches — zero shuffle."""
-    fn = _HASHERS[method]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def safe(b):
-            if b is None:
-                return None
-            try:
-                return fn(bytes(b))
-            except Exception:  # noqa: BLE001 — undecodable payload
-                return None
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "phash": pdf["payload"].map(safe),
-                }
-            )
-
-    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+    """(media_id, phash) for every decodable image payload; undecodable
+    or null payloads hash to NULL (never kill the corpus job)."""
+    return _media_hashes(media, _HASHERS[method])
 
 
 def image_near_pairs(
@@ -652,17 +641,8 @@ def image_near_pairs(
     ``max_hamming <= bands - 1``, one (band, chunk) shuffle of 16-byte
     rows no matter how large the payloads are (hashing is row-local, the
     binary column never shuffles)."""
-    from .dedup import hamming_banded_pairs
-
-    sigs = image_hashes(media, method).filter(F.col("phash").isNotNull())
-    return hamming_banded_pairs(
-        sigs,
-        total_bits=64,
-        max_hamming=max_hamming,
-        bands=bands,
-        sig_col="phash",
-        id_col="media_id",
-        max_bucket=max_bucket,
+    return _hash_near_pairs(
+        image_hashes(media, method), max_hamming, bands, max_bucket
     )
 
 
@@ -944,16 +924,17 @@ def audio_fingerprint64(payload: bytes, bands: int = 16, frames: int = 4) -> int
     return _pack_bits64(bits)
 
 
-def audio_hashes(media: DataFrame) -> DataFrame:
-    """(media_id, phash) for decodable audio payloads; undecodable or
-    too-short clips hash to NULL.  Row-local in Arrow batches."""
+def _media_hashes(media: DataFrame, fingerprint) -> DataFrame:
+    """Shared (media_id, phash) frame: any payload->int64 fingerprint
+    function, undecodable payloads to NULL, row-local Arrow batches —
+    ONE wrapper for the image/audio/video legs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def safe(b):
             if b is None:
                 return None
             try:
-                return audio_fingerprint64(bytes(b))
+                return fingerprint(bytes(b))
             except Exception:  # noqa: BLE001 — undecodable payload
                 return None
 
@@ -968,6 +949,28 @@ def audio_hashes(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+def _hash_near_pairs(
+    hashes: DataFrame, max_hamming: int, bands: int, max_bucket
+) -> DataFrame:
+    from .dedup import hamming_banded_pairs
+
+    return hamming_banded_pairs(
+        hashes.filter(F.col("phash").isNotNull()),
+        total_bits=64,
+        max_hamming=max_hamming,
+        bands=bands,
+        sig_col="phash",
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )
+
+
+def audio_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for decodable audio payloads; undecodable or
+    too-short clips hash to NULL."""
+    return _media_hashes(media, audio_fingerprint64)
+
+
 def audio_near_pairs(
     media: DataFrame,
     max_hamming: int = 3,
@@ -977,18 +980,7 @@ def audio_near_pairs(
     """Audio near-duplicate pairs: spectral fingerprints + the generic
     banded-Hamming join — the audio twin of :func:`image_near_pairs`
     (4-bit ADPCM re-encodes flip ~2 bits, distinct content >= 10)."""
-    from .dedup import hamming_banded_pairs
-
-    sigs = audio_hashes(media).filter(F.col("phash").isNotNull())
-    return hamming_banded_pairs(
-        sigs,
-        total_bits=64,
-        max_hamming=max_hamming,
-        bands=bands,
-        sig_col="phash",
-        id_col="media_id",
-        max_bucket=max_bucket,
-    )
+    return _hash_near_pairs(audio_hashes(media), max_hamming, bands, max_bucket)
 
 
 # --- video perceptual fingerprinting ----------------------------------------
@@ -1007,7 +999,7 @@ def video_fingerprint64(payload: bytes) -> int:
         raise ValueError("no frames to fingerprint")
     votes = np.zeros(64, dtype=np.int64)
     for img in frames:
-        h = dhash64(encode_bmp(img))
+        h = _dhash64_from_array(img)
         u = np.uint64(h & (2**64 - 1))
         bits = (u >> np.arange(63, -1, -1, dtype=np.uint64)) & np.uint64(1)
         votes += bits.astype(np.int64)
@@ -1017,26 +1009,8 @@ def video_fingerprint64(payload: bytes) -> int:
 
 def video_hashes(media: DataFrame) -> DataFrame:
     """(media_id, phash) for decodable video payloads; undecodable or
-    frameless clips hash to NULL.  Row-local in Arrow batches."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def safe(b):
-            if b is None:
-                return None
-            try:
-                return video_fingerprint64(bytes(b))
-            except Exception:  # noqa: BLE001 — undecodable payload
-                return None
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "phash": pdf["payload"].map(safe),
-                }
-            )
-
-    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+    frameless clips hash to NULL."""
+    return _media_hashes(media, video_fingerprint64)
 
 
 def video_near_pairs(
@@ -1047,15 +1021,4 @@ def video_near_pairs(
 ) -> DataFrame:
     """Video near-duplicate pairs over majority-dHash fingerprints —
     the video leg of the shared banded-Hamming join."""
-    from .dedup import hamming_banded_pairs
-
-    sigs = video_hashes(media).filter(F.col("phash").isNotNull())
-    return hamming_banded_pairs(
-        sigs,
-        total_bits=64,
-        max_hamming=max_hamming,
-        bands=bands,
-        sig_col="phash",
-        id_col="media_id",
-        max_bucket=max_bucket,
-    )
+    return _hash_near_pairs(video_hashes(media), max_hamming, bands, max_bucket)

@@ -399,7 +399,10 @@ def ewma(
     Truncation error is (1-α)^window — pick window so it's below the
     emission grid (64 rows at α=0.3 is ~1e-10).
 
-    One per-key window; the collected array is ``window``-bounded."""
+    NULL values are SKIPPED (collect_list drops them) — pandas
+    ``ignore_na=True`` semantics: the recursion runs over the compacted
+    non-null series, and a row whose whole trailing window is null gets
+    NULL.  One per-key window; the collected array is ``window``-bounded."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(order_col)
@@ -408,10 +411,12 @@ def ewma(
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
     decay = F.lit(1.0 - alpha)
     num = F.aggregate(
-        F.slice(arr, 2, F.size(arr) - 1),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
         F.element_at(arr, 1),
         lambda acc, x: acc * decay + x,
     )
     n = F.size(arr).cast("double")
     den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(float(alpha))
-    return df.withColumn("ewma", num / den)
+    return df.withColumn(
+        "ewma", F.when(F.size(arr) > 0, num / den)
+    )

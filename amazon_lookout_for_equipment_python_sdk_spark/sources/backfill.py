@@ -21,6 +21,7 @@ import glob
 import json
 import os
 import shutil
+from urllib.parse import unquote
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +35,9 @@ def _partition_fingerprints(src_dir: str, partition_col: str) -> dict[str, str]:
     same signal a lakehouse table format keeps in its manifest."""
     out: dict[str, str] = {}
     for pdir in sorted(glob.glob(os.path.join(src_dir, f"{partition_col}=*"))):
-        value = os.path.basename(pdir).split("=", 1)[1]
+        # hive escapes special chars (%XX) in partition dir names; decode
+        # so the value matches the actual column values in isin()
+        value = unquote(os.path.basename(pdir).split("=", 1)[1])
         parts = []
         for f in sorted(glob.glob(os.path.join(pdir, "*"))):
             base = os.path.basename(f)
@@ -67,6 +70,12 @@ def incremental_recompute(
     prev: dict[str, str] = {}
     if os.path.exists(state_path):
         prev = json.load(open(state_path))
+    if "__HIVE_DEFAULT_PARTITION__" in cur:
+        raise ValueError(
+            "null partition values are not supported — the recompute "
+            "filter cannot address __HIVE_DEFAULT_PARTITION__ by equality; "
+            "coalesce the partition column before writing the source"
+        )
     changed = sorted(v for v in cur if prev.get(v) != cur[v])
     removed = sorted(v for v in prev if v not in cur)
     skipped = sorted(v for v in cur if v not in changed)
@@ -78,6 +87,21 @@ def incremental_recompute(
             raise ValueError(
                 f"transform must keep partition column {partition_col!r}"
             )
+        # a changed partition whose transform now emits ZERO rows would be
+        # untouched by dynamic overwrite (it only replaces partitions
+        # present in the output) — clear all changed partitions first so
+        # empties come out empty, not stale
+        dirname_of = {
+            unquote(os.path.basename(d).split("=", 1)[1]): os.path.basename(d)
+            for d in glob.glob(os.path.join(dst_dir, f"{partition_col}=*"))
+        }
+        for v in changed:
+            shutil.rmtree(
+                os.path.join(
+                    dst_dir, dirname_of.get(v, f"{partition_col}={v}")
+                ),
+                ignore_errors=True,
+            )
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -88,9 +112,14 @@ def incremental_recompute(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
+    removed_dirs = {
+        unquote(os.path.basename(d).split("=", 1)[1]): d
+        for d in glob.glob(os.path.join(dst_dir, f"{partition_col}=*"))
+    }
     for v in removed:
         shutil.rmtree(
-            os.path.join(dst_dir, f"{partition_col}={v}"), ignore_errors=True
+            removed_dirs.get(v, os.path.join(dst_dir, f"{partition_col}={v}")),
+            ignore_errors=True,
         )
     os.makedirs(dst_dir, exist_ok=True)
     with open(state_path, "w") as f:

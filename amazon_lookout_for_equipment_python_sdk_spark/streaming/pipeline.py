@@ -20,6 +20,7 @@ row-local, broadcast probe, one per-doc rollup within the micro-batch.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -38,11 +39,19 @@ def foreach_batch_apply(
     result to parquet — the standard shape for stream-static joins and
     other batch-only plans inside Structured Streaming.
 
-    Exactly-once: foreachBatch re-executions of a failed batch overwrite
-    deterministically because the sink write rides the same epoch id."""
+    Exactly-once: each micro-batch writes its OWN hive-style
+    ``batch_epoch=N`` sub-directory with overwrite, so a replayed batch
+    rewrites rather than duplicates; reading the parent directory sees
+    every batch plus a ``batch_epoch`` audit column (partition
+    discovery)."""
 
     def run(batch_df: DataFrame, _epoch: int) -> None:
-        fn(batch_df).write.mode("append").parquet(out_path)
+        # one sub-directory per epoch, written with overwrite: a replayed
+        # micro-batch rewrites ITS OWN directory instead of appending a
+        # duplicate — this is what makes foreachBatch exactly-once here
+        fn(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_epoch={_epoch}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(run)
@@ -153,8 +162,14 @@ def streaming_quarantine(
 
     def run(batch_df: DataFrame, _epoch: int) -> None:
         clean, bad = quarantine_split(batch_df, rules)
-        clean.write.mode("append").parquet(clean_path)
-        bad.write.mode("append").parquet(quarantine_path)
+        # per-epoch overwrite directories = idempotent retries (see
+        # foreach_batch_apply)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(clean_path, f"batch_epoch={_epoch}")
+        )
+        bad.write.mode("overwrite").parquet(
+            os.path.join(quarantine_path, f"batch_epoch={_epoch}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(run)
@@ -190,8 +205,17 @@ def streaming_scd2(
 
     from ..operators.merge import cdc_latest, scd2_apply
 
+    bak = history_path + ".__prev"
+
     def run(batch_df: DataFrame, _epoch: int) -> None:
         spark = batch_df.sparkSession
+        # crash recovery: a previous attempt that died mid-swap left the
+        # real history parked at .__prev — restore before reading (the
+        # rename pair below guarantees at most one of the two exists
+        # fully, and .__prev is only removed after the new history is in
+        # place)
+        if not os.path.exists(history_path) and os.path.exists(bak):
+            os.rename(bak, history_path)
         compacted = cdc_latest(batch_df, keys, ts_col=ts_col)
         if os.path.exists(history_path):
             hist = spark.read.parquet(history_path)
@@ -208,9 +232,14 @@ def streaming_scd2(
         merged = scd2_apply(hist, compacted, keys, attrs, ts_col=ts_col)
         tmp = history_path + f".__epoch_{_epoch}"
         merged.write.mode("overwrite").parquet(tmp)
+        # swap via RENAMES only (no delete-then-rename window): park the
+        # old history aside, move the new one in, then drop the parked
+        # copy — a crash at any point leaves a recoverable state
+        shutil.rmtree(bak, ignore_errors=True)
         if os.path.exists(history_path):
-            shutil.rmtree(history_path)
+            os.rename(history_path, bak)
         os.rename(tmp, history_path)
+        shutil.rmtree(bak, ignore_errors=True)
         spark.catalog.refreshByPath(history_path)
 
     writer = (

@@ -785,9 +785,19 @@ def _zscore_batch(key, pdf_iter, state: GroupState, window: int, scale: int):
     tail = list(state.get[0]) if state.exists else []
     keep = window - 1
     keys, eids, tss, vals, zs = [], [], [], [], []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+    # concat-then-sort: chunk order within a micro-batch is arbitrary and
+    # the window recursion is order-sensitive
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        whole = whole.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts, eid, val in zip(
+            whole["ts"], whole["event_id"], whole["value"]
+        ):
             xc = int(round(val * scale))
             win = tail[-keep:] + [xc] if keep else [xc]
             n = len(win)
@@ -887,9 +897,15 @@ def _gap_batch(key, pdf_iter, state: GroupState, gap_s: int):
             max(_epoch_ms(last) + 2 * gap_s * 1000, wm + gap_s * 1000)
         )
     else:
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts", kind="mergesort")
-            for ts in pdf["ts"]:
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            whole = whole.sort_values("ts", kind="mergesort")
+            for ts in whole["ts"]:
                 if last is not None:
                     gap_us = int(
                         round((ts - last).total_seconds() * 1_000_000)
@@ -950,9 +966,18 @@ def _ewma_batch(key, pdf_iter, state: GroupState, alpha: float):
     decay = 1.0 - alpha
     num, den = state.get if state.exists else (0.0, 0.0)
     keys, eids, vals, zs = [], [], [], []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("event_id", kind="mergesort")
-        for eid, val in zip(pdf["event_id"], pdf["value"]):
+    # concat-then-sort: a group spanning several Arrow chunks arrives in
+    # arbitrary chunk order, and the recursion is order-sensitive (the
+    # sibling _compact_batch/_sessionize_batch do the same)
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        whole = whole.sort_values("event_id", kind="mergesort")
+        for eid, val in zip(whole["event_id"], whole["value"]):
             num = num * decay + float(val)
             den = den * decay + 1.0
             keys.append(key[0])

@@ -253,3 +253,17 @@ def test_ewma_tracks_level_shift(spark):
     assert out[49] == pytest.approx(10.0, abs=1e-6)
     assert out[99] == pytest.approx(20.0, abs=0.01)
     assert 10.0 < out[52] < 20.0  # transitioning
+
+
+def test_ewma_null_handling(spark):
+    """NULLs skip (ignore_na=True semantics); an all-null leading window
+    yields NULL instead of erroring."""
+    rows = [("a", 0, None), ("a", 1, None), ("a", 2, 10.0), ("a", 3, 20.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, avg_value double"
+    ).withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket") * 300))
+    out = {r["bucket"]: r["ewma"] for r in st.ewma(df, 0.5, window=8).collect()}
+    assert out[0] is None and out[1] is None
+    assert out[2] == pytest.approx(10.0)
+    # compacted recursion over [10, 20]: (10*0.5+20)/(0.5+1)
+    assert out[3] == pytest.approx((10 * 0.5 + 20) / 1.5)
