@@ -43,7 +43,10 @@ def foreach_batch_apply(
     ``batch_epoch=N`` sub-directory with overwrite, so a replayed batch
     rewrites rather than duplicates; reading the parent directory sees
     every batch plus a ``batch_epoch`` audit column (partition
-    discovery)."""
+    discovery).  The checkpoint and output directories are a UNIT (the
+    same contract as Spark's native file sinks): restarting with a fresh
+    checkpoint over an existing output dir re-numbers epochs and must
+    use a fresh output dir too."""
 
     def run(batch_df: DataFrame, _epoch: int) -> None:
         # one sub-directory per epoch, written with overwrite: a replayed
