@@ -420,3 +420,24 @@ def ewma(
     return df.withColumn(
         "ewma", F.when(F.size(arr) > 0, num / den)
     )
+
+
+def exact_distinct_two_phase(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Exact per-key distinct count, hot-key-safe: phase 1 reduces to
+    DISTINCT (key, item) pairs — partial map-side, every duplicate dies
+    before the shuffle — phase 2 counts rows per key.
+
+    The naive ``countDistinct`` builds each key's full distinct SET in
+    one reducer; a hot key (half the corpus sharing one key) serializes
+    onto one task and can OOM it.  Here the heavy phase is keyed on
+    (key, item) — cardinality spreads over the cluster no matter how hot
+    ``key`` is — and phase 2 rides the same hash partitioning prefix.
+    Returns (key, n_distinct)."""
+    pairs = df.select(key_col, item_col).distinct()
+    return pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )

@@ -879,3 +879,25 @@ def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("ewma") * F.lit(1e4)) / F.lit(1e4)).alias("ewma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key-safe exact distinct (two-phase)
+# ---------------------------------------------------------------------------
+
+_DISTINCT2_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+FROM (SELECT DISTINCT event_type, user_id FROM events) t
+GROUP BY 1
+"""
+
+
+@register("distinct_users_per_signal", _DISTINCT2_SQL)
+def distinct_two_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per signal via the two-phase shape
+    (operators/stats.py exact_distinct_two_phase): the heavy phase keys
+    on (signal, user) so a hot signal spreads across the cluster instead
+    of serializing one reducer — the exact-answer complement to the HLL
+    sketch."""
+    events = load(spark, sf_dir, "events")
+    return st.exact_distinct_two_phase(events, "event_type", "user_id")

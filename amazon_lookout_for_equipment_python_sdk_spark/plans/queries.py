@@ -87,7 +87,7 @@ _MUST_VERIFY: list[str] = [
 #   rolling_corr_click_view, unpivot_lineitem_measures,
 #   seasonal_decompose_profile, interval_overlap_error_click,
 #   hashed_embedding_components, ewma_chart, session_window_native,
-#   top3_orders_per_segment
+#   top3_orders_per_segment, distinct_users_per_signal
 # (tests/test_driver_contract.py pins the window property; this list is
 # the hand-off note.)
 

@@ -267,3 +267,31 @@ def test_ewma_null_handling(spark):
     assert out[2] == pytest.approx(10.0)
     # compacted recursion over [10, 20]: (10*0.5+20)/(0.5+1)
     assert out[3] == pytest.approx((10 * 0.5 + 20) / 1.5)
+
+
+def test_exact_distinct_two_phase_matches_count_distinct(spark):
+    rng = np.random.RandomState(53)
+    rows = [("hot" if i % 10 else f"k{i % 7}", int(rng.randint(0, 500)))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, item long")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in st.exact_distinct_two_phase(df, "k", "item").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(
+            F.count_distinct("item").alias("n")
+        ).collect()
+    }
+    assert got == want
+    # plan shape: the heavy exchange keys on (k, item), not k alone
+    plan = (
+        st.exact_distinct_two_phase(df, "k", "item")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(k#" in plan and "item" in plan.split(
+        "hashpartitioning"
+    )[1], plan
