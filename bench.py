@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "signal_spearman_corr",
     "q10_returned_items",
     "funnel_conversion",
+    "mad_robust_outliers",
+    "ewma_chart",
+    "scd2_orders_history",
+    "hashed_embedding_components",
 ]
 
 
