@@ -33,24 +33,80 @@ def test_oracle_coverage_is_total():
 DRIVER_WINDOW = 50  # the driver's correctness harness checks this many
 
 
-def test_must_verify_queries_inside_driver_window():
-    """Registry ORDER is part of the driver contract (r4 lesson: 7 tail
-    queries past position 50 got no correctness row).  Every query that
-    lacks a green row from the previous round must sit in the first 50."""
-    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
-        _MUST_VERIFY,
-        _STABLE_TAIL,
+def _current_round() -> int:
+    """The round about to run = latest committed CORRECTNESS round + 1."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) + 1
+
+
+def test_last_green_map_matches_artifacts():
+    """last_green.json must be regenerated whenever a new CORRECTNESS
+    artifact lands — a stale map silently rotates the wrong queries."""
+    import json
+    import os
+
+    from tools.gen_last_green import OUT, build
+
+    committed = json.load(open(OUT))
+    derived = build()
+    assert committed == derived, (
+        "plans/last_green.json is stale — run tools/gen_last_green.py "
+        f"(diff keys: {set(committed) ^ set(derived)})"
     )
 
+
+def test_no_query_goes_stale():
+    """Staleness invariant: every registered query must land a green
+    driver row at least every STALE_ROUNDS rounds.  A query whose last
+    green row would be STALE_ROUNDS old by the end of the round about to
+    run must therefore sit inside the driver's 50-query window (where the
+    driver will refresh its row).  Never-verified queries count as round
+    0 and always belong in the window."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        STALE_ROUNDS,
+        _load_last_green,
+    )
+
+    last = _load_last_green()
+    rnd = _current_round()
     names = list(entrymod.queries())
     window = set(names[:DRIVER_WINDOW])
-    missing = [n for n in _MUST_VERIFY if n not in window]
-    assert not missing, f"must-verify queries outside driver window: {missing}"
-    # the rotation lists must stay consistent with the registry
-    unknown = [n for n in _MUST_VERIFY + _STABLE_TAIL if n not in names]
-    assert not unknown, f"rotation lists reference unknown queries: {unknown}"
-    overlap = set(_MUST_VERIFY) & set(_STABLE_TAIL)
-    assert not overlap, f"query in both rotation lists: {overlap}"
+    stale = [
+        n
+        for n in names
+        if rnd - last.get(n, 0) >= STALE_ROUNDS and n not in window
+    ]
+    assert not stale, (
+        f"queries stale >= {STALE_ROUNDS} rounds but outside the driver "
+        f"window: {stale}"
+    )
+
+
+def test_rotation_is_oldest_first():
+    """The derived order must put oldest-verified (and force-verify)
+    queries first — this is what makes the staleness bound self-renewing
+    as the registry grows."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        _FORCE_VERIFY,
+        _load_last_green,
+    )
+
+    last = _load_last_green()
+    forced = set(_FORCE_VERIFY)
+    rounds = [
+        0 if n in forced else last.get(n, 0) for n in entrymod.queries()
+    ]
+    assert rounds == sorted(rounds), "registry not ordered by last-green round"
+    unknown = [n for n in _FORCE_VERIFY if n not in entrymod.queries()]
+    assert not unknown, f"_FORCE_VERIFY references unknown queries: {unknown}"
 
 
 def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
@@ -71,36 +127,24 @@ def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
     assert not bad, f"queries with non-atomic output columns: {bad}"
 
 
-def test_r6_queue_note_matches_out_of_window_queries():
-    """The hand-off comment in plans/queries.py must list EXACTLY the
-    queries that are new since the last driver round AND sit past the
-    50-entry window — a stale note sends r6 hunting for the wrong set."""
-    import json
-    import os
-    import re
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prev_rows = json.load(
-        open(os.path.join(root, "CORRECTNESS_r04.json"))
-    ).keys()
-    names = list(entrymod.queries())
-    window = set(names[:DRIVER_WINDOW])
-    expected = {
-        n for n in names if n not in prev_rows and n not in window
-    }
-    src = open(
-        os.path.join(
-            root,
-            "amazon_lookout_for_equipment_python_sdk_spark/plans/queries.py",
-        )
-    ).read()
-    block = re.search(
-        r"R6 VERIFICATION QUEUE.*?hand-off note", src, re.S
-    ).group()
-    listed = set(re.findall(r"\b([a-z][a-z0-9_]{3,})\b(?:,|\n)", block)) & set(
-        names
+def test_window_capacity_covers_backlog():
+    """If ever-unverified + stale queries exceed the 50-slot window, the
+    staleness bound silently breaks for whatever spills past position 50.
+    Catch the capacity problem itself, not just its symptom."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        STALE_ROUNDS,
+        _load_last_green,
     )
-    assert listed == expected, (
-        f"note lists {sorted(listed)} but out-of-window new queries are "
-        f"{sorted(expected)}"
+
+    last = _load_last_green()
+    rnd = _current_round()
+    backlog = [
+        n
+        for n in entrymod.queries()
+        if rnd - last.get(n, 0) >= STALE_ROUNDS
+    ]
+    assert len(backlog) <= DRIVER_WINDOW, (
+        f"{len(backlog)} queries need verification this round but the "
+        f"driver window holds {DRIVER_WINDOW} — registry grew too fast; "
+        "stop adding queries until the backlog drains"
     )
