@@ -78,7 +78,9 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     passes, not just the failures).
 
     Row-local rules fuse into ONE aggregate over one scan.  ``unique``
-    counts rows beyond the first per key (groupBy + sum(cnt-1));
+    counts rows beyond the first per key (groupBy + sum(cnt-1)),
+    ignoring rows with any NULL key column (dbt/Great-Expectations
+    semantics — NULL keys belong to ``not_null``);
     ``foreign_key`` counts fact rows whose key misses the dim (left_anti,
     broadcastable dims stay broadcast).
     """
@@ -104,8 +106,14 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     for r in rules:
         if r.kind == "unique":
+            # dbt / Great Expectations semantics: NULL-keyed rows are the
+            # not_null rule's concern, never each other's duplicates
+            nn = F.lit(True)
+            for c in r.cols:
+                nn = nn & F.col(c).isNotNull()
             dup = (
-                df.groupBy(*r.cols)
+                df.filter(nn)
+                .groupBy(*r.cols)
                 .agg(F.count(F.lit(1)).alias("_c"))
                 .agg(
                     F.coalesce(

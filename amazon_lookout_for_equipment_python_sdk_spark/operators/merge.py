@@ -76,6 +76,16 @@ def scd2_apply(
     insert directly.  ``updates`` must be unique per key (pre-compact a
     changelog with :func:`cdc_latest`).
 
+    Late data: an update whose ts is EARLIER than the current row's
+    ``valid_from`` is *stale* — applying it would write an inverted
+    interval (valid_to < valid_from) into the history.  Stale updates
+    are dropped and the current row survives unchanged; the feed is
+    assumed monotone per key ACROSS batches (within a batch
+    :func:`cdc_latest` compacts to the newest version).  This mirrors
+    the monotone-input assumption ``compact_runs`` documents; callers
+    needing late-update replay must rebuild the key's history from the
+    raw changelog instead.
+
     Plan: ONE key-shuffle full-outer join of CURRENT rows against the
     updates; each joined row expands row-local (array + explode — no
     branch refilters, so the join is computed once) into its outcome
@@ -96,6 +106,9 @@ def scd2_apply(
         changed = changed | ~(F.col(a).eqNullSafe(F.col(f"_u_{a}")))
     has_cur = F.col(valid_from).isNotNull()
     has_upd = F.col("_u_ts").isNotNull()
+    # out-of-order guard: an update older than the open row's valid_from
+    # would invert the interval — treat as no-op (monotone-feed contract)
+    stale = has_cur & has_upd & (F.col("_u_ts") < F.col(valid_from))
 
     null_ts = F.lit(None).cast("timestamp")
 
@@ -112,20 +125,20 @@ def scd2_apply(
     old_attrs = [F.col(a) for a in attrs]
     new_attrs = [F.col(f"_u_{a}") for a in attrs]
     candidates = F.array(
-        # surviving current row: no update, or update with identical attrs
+        # surviving current row: no update, identical attrs, or stale update
         out_struct(
             old_attrs, F.col(valid_from), null_ts,
-            has_cur & (~has_upd | ~changed),
+            has_cur & (~has_upd | ~changed | stale),
         ),
-        # closing row: current version superseded by a differing update
+        # closing row: current version superseded by a differing fresh update
         out_struct(
             old_attrs, F.col(valid_from), F.col("_u_ts"),
-            has_cur & has_upd & changed,
+            has_cur & has_upd & changed & ~stale,
         ),
-        # opening row: differing update, or brand-new key
+        # opening row: differing fresh update, or brand-new key
         out_struct(
             new_attrs, F.col("_u_ts"), null_ts,
-            has_upd & (~has_cur | changed),
+            has_upd & (~has_cur | (changed & ~stale)),
         ),
     )
     expanded = j.select(

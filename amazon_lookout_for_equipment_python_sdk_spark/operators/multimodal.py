@@ -122,13 +122,34 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
 
 
 def _decode_ppm(payload: bytes) -> "np.ndarray":
-    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
-    if not m:
+    """Binary PPM (P6) -> (h, w, 3) uint8.  The spec allows '#...'
+    comment lines anywhere between header tokens, so the header is
+    tokenized with a scanner rather than a fixed regex."""
+    if not payload.startswith(b"P6"):
         raise ValueError("malformed PPM header")
-    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
     if maxval != 255:
         raise NotImplementedError("only maxval=255 PPM supported")
-    data = payload[m.end() : m.end() + w * h * 3]
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    data = payload[pos : pos + w * h * 3]
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -425,7 +425,8 @@ FROM events
 UNION ALL
 SELECT 'unique(event_id)',
        CAST(coalesce(sum(c - 1), 0) AS BIGINT)
-FROM (SELECT count(*) AS c FROM events GROUP BY event_id) t
+FROM (SELECT count(*) AS c FROM events
+      WHERE event_id IS NOT NULL GROUP BY event_id) t
 UNION ALL
 SELECT 'foreign_key(user_id)',
        CAST(count(*) AS BIGINT)

@@ -776,14 +776,19 @@ WITH cur AS (
   SELECT coalesce(c.k, u.k) AS k, c.attr, c.vf, u.uattr, u.uts
   FROM cur c FULL JOIN u ON c.k = u.k
 ), rows_out AS (
+  -- stale rule mirrors scd2_apply: an update older than the open row's
+  -- valid_from is dropped (monotone-feed contract)
   SELECT k, attr, CAST(NULL AS TIMESTAMP) AS vt FROM j
-  WHERE vf IS NOT NULL AND (uts IS NULL OR attr IS NOT DISTINCT FROM uattr)
+  WHERE vf IS NOT NULL AND (uts IS NULL OR attr IS NOT DISTINCT FROM uattr
+                            OR uts < vf)
   UNION ALL
   SELECT k, attr, uts FROM j
   WHERE vf IS NOT NULL AND uts IS NOT NULL AND attr IS DISTINCT FROM uattr
+    AND uts >= vf
   UNION ALL
   SELECT k, uattr, CAST(NULL AS TIMESTAMP) FROM j
-  WHERE uts IS NOT NULL AND (vf IS NULL OR attr IS DISTINCT FROM uattr)
+  WHERE uts IS NOT NULL
+    AND (vf IS NULL OR (attr IS DISTINCT FROM uattr AND uts >= vf))
 )
 SELECT attr AS o_orderstatus,
        count(CASE WHEN vt IS NULL THEN 1 END) AS n_current,
@@ -798,7 +803,9 @@ def scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial current snapshot, a deterministic 1% status-change feed;
     rollup counts current vs closed versions per status — verifying the
     close/open/insert expansion end-to-end in ONE join pass
-    (plan-pinned in tests/test_merge.py)."""
+    (plan-pinned in tests/test_merge.py).  The fixed 1999-01-01 update ts
+    lands BEFORE some order dates, so the out-of-order stale-drop rule is
+    exercised by real rows on both engines."""
     from ..operators.merge import scd2_apply
 
     orders = load(spark, sf_dir, "orders")

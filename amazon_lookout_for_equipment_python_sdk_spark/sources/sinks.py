@@ -368,12 +368,27 @@ def compact_table(
     import math
     import shutil
 
-    data_files = [
-        p
-        for p in glob.glob(os.path.join(path, "*"))
-        if not os.path.basename(p).startswith((".", "_"))
-        and os.path.isfile(p)
-    ]
+    def _visible(d: str) -> list[str]:
+        return [
+            p
+            for p in glob.glob(os.path.join(d, "*"))
+            if not os.path.basename(p).startswith((".", "_"))
+            and os.path.isfile(p)
+        ]
+
+    bak = os.path.join(path, ".compact_bak")
+    # crash recovery: a crash between moving originals to .compact_bak and
+    # moving the compacted files in leaves the table dir empty — restore
+    # the backup before proceeding so the rerun compacts real data instead
+    # of writing an empty table over it.  (Leftover .compact_bak alongside
+    # visible data files means the crash hit AFTER the new files landed;
+    # the backup is then the superseded copy and is discarded below.)
+    if os.path.isdir(bak) and _visible(bak) and not _visible(path):
+        for p in _visible(bak):
+            shutil.move(p, os.path.join(path, os.path.basename(p)))
+        shutil.rmtree(bak, ignore_errors=True)
+
+    data_files = _visible(path)
     total_bytes = sum(os.path.getsize(p) for p in data_files)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = os.path.join(path, ".compact_tmp")
@@ -388,9 +403,9 @@ def compact_table(
     # crash-safe swap: originals move ASIDE (rename, not delete) before
     # the compacted files move in; only after the new files are in place
     # does the backup go away.  A crash mid-swap leaves every row in
-    # either .compact_bak or the table dir — nothing is lost, and a rerun
-    # recovers (the data files are a superset, dedup by re-compacting).
-    bak = os.path.join(path, ".compact_bak")
+    # either .compact_bak or the table dir — nothing is lost, and the
+    # recovery preamble above restores the backup on the next run when
+    # the table dir was left without visible data files.
     os.makedirs(bak, exist_ok=True)
     for p in data_files:
         shutil.move(p, os.path.join(bak, os.path.basename(p)))

@@ -736,12 +736,16 @@ def _p2_batch(key, pdf_iter, state: GroupState, q: float):
     state.update((heights, npos, count))
     if count == 0:
         return
-    if count < 5:
+    if count <= 5:
+        # heights is still the exact sorted sample at count == 5 (markers
+        # only start moving on the 6th observation), so the sorted-sample
+        # quantile — not heights[2], which is only the q=0.5 marker — is
+        # the honest exact estimate here
         srt = sorted(heights)
         idx = max(0, min(len(srt) - 1, round(q * (len(srt) - 1))))
         est, exact = srt[idx], True
     else:
-        est, exact = heights[2], count <= 5
+        est, exact = heights[2], False
     yield pd.DataFrame(
         {"key": [key_val], "n": [count], "q_est": [est], "exact": [exact]}
     )

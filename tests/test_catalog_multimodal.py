@@ -260,6 +260,11 @@ def test_multimodal_real_codecs_roundtrip():
     # PPM decode
     ppm = b"P6\n6 4\n255\n" + img.tobytes()
     np.testing.assert_array_equal(mm.decode_image(ppm), img)
+    # PPM spec permits '#' comment lines between any header tokens
+    commented = (
+        b"P6\n# made by a test\n6 4\n# maxval next\n255\n" + img.tobytes()
+    )
+    np.testing.assert_array_equal(mm.decode_image(commented), img)
     # nearest-neighbor resize halves dimensions, preserves the two colors
     small = mm.decode_image(mm.resize_image(bmp, 3, 2))
     assert small.shape == (2, 3, 3)

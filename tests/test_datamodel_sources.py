@@ -327,3 +327,34 @@ def test_compact_table_round_trip(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == n_before
     assert after.agg(F.sum("v")).collect()[0][0] == sum_before == 10_000 * 9_999
+
+
+def test_compact_table_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash between 'originals moved to .compact_bak' and 'compacted
+    files moved in' leaves the table dir with no visible data; the next
+    compact_table run must restore the backup and proceed, losing
+    nothing."""
+    import os
+    import shutil
+
+    from amazon_lookout_for_equipment_python_sdk_spark.sources.sinks import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "crashed")
+    df = spark.range(5_000).withColumn("v", F.col("id") * 3)
+    df.repartition(8).write.parquet(path)
+    # simulate the mid-swap crash state
+    bak = os.path.join(path, ".compact_bak")
+    os.makedirs(bak)
+    for name in os.listdir(path):
+        if not name.startswith((".", "_")) and os.path.isfile(
+            os.path.join(path, name)
+        ):
+            shutil.move(os.path.join(path, name), os.path.join(bak, name))
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 8  # recovered originals were compacted
+    after = spark.read.parquet(path)
+    assert after.count() == 5_000
+    assert after.agg(F.sum("v")).collect()[0][0] == 3 * 5_000 * 4_999 // 2
+    assert not os.path.exists(bak)

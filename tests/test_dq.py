@@ -115,3 +115,16 @@ def test_quarantine_split_single_scan_plan(spark):
     for out in (clean, bad):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan  # row-local, no shuffle
+
+
+def test_unique_ignores_null_keys(spark):
+    """dbt/GE unique semantics: NULL-keyed rows are not duplicates of
+    each other — they belong to not_null, not unique."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (7,), (7,)], "event_id long"
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in dq.check(df, [dq.unique("event_id")]).collect()
+    }
+    assert out == {"unique(event_id)": 1}  # only the real 7-dup counts

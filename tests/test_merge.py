@@ -148,3 +148,36 @@ def test_scd2_single_join_plan(spark):
         .toString()
     )
     assert plan.count("SortMergeJoin") + plan.count("HashJoin") == 1, plan
+
+
+def test_scd2_apply_drops_stale_out_of_order_update(spark):
+    """A cross-batch late update (ts earlier than the current row's
+    valid_from) must NOT close the row with an inverted interval — the
+    monotone-feed contract drops it and the current row survives."""
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "b", "2024-02-01 00:00:00", None)],
+        "k long, attr string, vf_s string, vt_s string",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("vf_s").alias("valid_from"),
+        F.to_timestamp("vt_s").alias("valid_to"),
+    )
+    late = spark.createDataFrame(
+        [(1, "old", "2024-01-10 00:00:00")], "k long, attr string, ts_s string"
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    out = scd2_apply(hist, late, ["k"], ["attr"]).collect()
+    assert [(r["k"], r["attr"], str(r["valid_from"]), r["valid_to"]) for r in out] == [
+        (1, "b", "2024-02-01 00:00:00", None)
+    ]
+    # and no row anywhere may carry valid_to < valid_from
+    bad = [
+        r for r in out
+        if r["valid_to"] is not None and r["valid_to"] < r["valid_from"]
+    ]
+    assert not bad

@@ -1616,6 +1616,18 @@ def test_streaming_quantile_p2(spark, tmp_path):
     )
     assert snap["q_est"][0] == 2.0 and bool(snap["exact"][0])
 
+    # at exactly five observations the markers are still the sorted
+    # sample, so any q (not just 0.5) must report the exact sample
+    # quantile; the sixth observation flips exact off
+    st = FakeState()
+    five = pd.DataFrame({"value": [10.0, 40.0, 20.0, 50.0, 30.0]})
+    (snap,) = list(_p2_batch(("k",), iter([five]), st, 0.9))
+    assert snap["q_est"][0] == 50.0 and bool(snap["exact"][0])
+    (snap,) = list(
+        _p2_batch(("k",), iter([pd.DataFrame({"value": [25.0]})]), st, 0.9)
+    )
+    assert not bool(snap["exact"][0])
+
     # end-to-end through Structured Streaming with a restart
     indir = tmp_path / "p2_in"
     outdir = tmp_path / "p2_out"
