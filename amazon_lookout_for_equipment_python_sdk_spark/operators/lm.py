@@ -35,12 +35,22 @@ LP_SCALE = 4
 
 
 def doc_bigrams(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unigram_sentinels: bool = False,
 ) -> DataFrame:
     """Explode each document into its consecutive token bigrams:
     ``(id, w1, w2)``, one row per bigram OCCURRENCE (not distinct).
-    Row-local; docs with fewer than two tokens emit nothing."""
+    Row-local; docs with fewer than two tokens emit nothing — unless
+    ``unigram_sentinels`` is set, in which case a single-token doc emits
+    one ``(id, tok, NULL)`` sentinel row.  Sentinels make the corpus
+    VOCABULARY exactly derivable from the bigram table (every token
+    appears as some row's w1 or w2), so training needs no separate
+    corpus-wide token scan; filter ``w2 IS NOT NULL`` to recover the
+    true bigrams."""
     w = tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
     pairs = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -50,17 +60,37 @@ def doc_bigrams(
                 F.element_at(w, i + 1).alias("w2"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    )
+    if unigram_sentinels:
+        pairs = pairs.otherwise(
+            F.when(
+                F.size(w) == 1,
+                F.array(
+                    F.struct(
+                        F.element_at(w, 1).alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    else:
+        pairs = pairs.otherwise(empty)
     return df.select(id_col, F.explode(pairs).alias("_b")).select(
         id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
     )
 
 
 def doc_bigram_counts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unigram_sentinels: bool = False,
 ) -> DataFrame:
     """Per-document distinct-bigram occurrence counts ``(id, w1, w2, _n)``
-    — the shared base of BOTH training and scoring.
+    — the shared base of BOTH training and scoring.  With
+    ``unigram_sentinels`` single-token docs contribute ``(tok, NULL)``
+    rows (see :func:`doc_bigrams`) so the vocabulary derives from this
+    frame with no extra corpus scan.
 
     Pass the SAME returned frame to :func:`bigram_lm` (as ``doc_counts``)
     and :func:`doc_cross_entropy`: training then re-aggregates the
@@ -69,10 +99,13 @@ def doc_bigram_counts(
     partitioning (measured ~1.6x on the registered query).  Note Spark's
     ReuseExchange does NOT dedup the two branches (its canonicalizer
     rejects these multi-branch agg shapes), so the corpus scan itself
-    still runs per branch — callers pipelining MANY scoring passes over
-    one trained LM should ``persist()`` this frame explicitly."""
+    still runs per branch — :func:`bigram_lm`'s ``persist`` option caps
+    corpus traversals at two by caching the much smaller CORPUS-level
+    bigram table instead of this per-doc frame (A/B at sf0.1: caching
+    this frame costs more in materialization barrier than the saved
+    recompute; see plans/llmops.py bigram_lm_q)."""
     return (
-        doc_bigrams(df, text_col, id_col)
+        doc_bigrams(df, text_col, id_col, unigram_sentinels)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -83,6 +116,8 @@ def bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     doc_counts: DataFrame | None = None,
+    counts_have_sentinels: bool = False,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the add-one-smoothed bigram LM: returns ``(lp_table,
     vocab_size_df)`` where ``lp_table`` is ``(w1, w2, lp4)`` —
@@ -92,18 +127,53 @@ def bigram_lm(
     The prefix counts ``c1`` come from re-aggregating the bigram table
     (sum of c12 per w1), not from a second corpus scan, so training is
     exactly one corpus-wide shuffle (on the bigram) plus one |bigrams|-
-    sized reshuffle on w1."""
+    sized reshuffle on w1.
+
+    ``counts_have_sentinels`` (with a ``doc_counts`` built via
+    ``unigram_sentinels=True``): the VOCABULARY also derives from the
+    bigram table — every corpus token appears as some row's w1/w2 — so
+    training touches the corpus zero extra times.  Without sentinels the
+    vocab falls back to a corpus-wide distinct-token scan.
+
+    ``persist``: cache the corpus-LEVEL bigram count table (the LM
+    itself — |distinct bigrams| rows, far smaller than the corpus or the
+    per-doc frame) so its three consumers (lp, c1, vocab) share one
+    materialization.  With sentinels+persist the whole train+score
+    pipeline makes exactly TWO corpus traversals.  Opt-in because at
+    small scale recompute-with-stage-overlap measures faster than the
+    materialization barrier (sf0.1 A/B in plans/llmops.py); at corpus
+    scale the saved scans dominate."""
     if doc_counts is not None:
         # re-aggregate the per-doc counts: identical totals, and the
         # (id, w1, w2) exchange is shared with the scoring branch
-        c12 = doc_counts.groupBy("w1", "w2").agg(F.sum("_n").alias("c12"))
+        c12_all = doc_counts.groupBy("w1", "w2").agg(
+            F.sum("_n").alias("c12")
+        )
     else:
-        bg = doc_bigrams(corpus, text_col, id_col)
-        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        bg = doc_bigrams(
+            corpus, text_col, id_col, unigram_sentinels=True
+        )
+        c12_all = bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        )
+        counts_have_sentinels = True
+    if persist:
+        from pyspark import StorageLevel
+
+        c12_all = c12_all.persist(StorageLevel.MEMORY_AND_DISK)
+    if counts_have_sentinels:
+        c12 = c12_all.filter(F.col("w2").isNotNull())
+        vocab = (
+            c12_all.select(F.explode(F.array("w1", "w2")).alias("tok"))
+            .filter(F.col("tok").isNotNull())
+            .agg(F.count_distinct("tok").alias("v"))
+        )
+    else:
+        c12 = c12_all
+        vocab = corpus.select(
+            F.explode(tokens(F.col(text_col))).alias("tok")
+        ).agg(F.count_distinct("tok").alias("v"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = corpus.select(
-        F.explode(tokens(F.col(text_col))).alias("tok")
-    ).agg(F.count_distinct("tok").alias("v"))
     lp = (
         c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -149,6 +219,10 @@ def doc_cross_entropy(
         if doc_counts is not None
         else doc_bigram_counts(df, text_col, id_col)
     )
+    # a sentinel-carrying counts frame (w2 NULL rows for single-token
+    # docs) must not score those rows as unseen bigrams; real bigrams
+    # never have NULL w2, so the filter is semantics-free otherwise
+    bg = bg.filter(F.col("w2").isNotNull())
     scale = float(10 ** LP_SCALE)
     lm = F.broadcast(lp_table) if broadcast_lm else lp_table
     # unseen-(w1,w2) back-off would need c1+V per prefix; rather than

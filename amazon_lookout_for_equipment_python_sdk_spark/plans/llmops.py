@@ -1402,6 +1402,10 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram-LM perplexity scoring (r5) — the CCNet quality filter
 # ---------------------------------------------------------------------------
 
+# scan-size crossover above which bigram_lm persists its LM table (see
+# bigram_lm_q docstring for the measured local A/B behind the value)
+_BIGRAM_PERSIST_BYTES = 2 << 30
+
 _LM_SQL = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1438,14 +1442,34 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     score every document's cross-entropy with a bigram-keyed join.  Each
     bigram's log-prob is floored onto a 1e-4 grid at the source so the
     per-doc integer sums are order-independent and engine-portable
-    (operators/lm.py)."""
+    (operators/lm.py).
+
+    Shape is SIZE-ADAPTIVE (both paths bit-identical in results).  Above
+    the 2 GiB scan-size crossover: unigram SENTINEL rows make the
+    vocabulary exactly derivable from the bigram table (no corpus-wide
+    distinct-token scan) and the persisted corpus-LEVEL bigram table —
+    the LM itself — serves lp/c1/vocab from one materialization, capping
+    the pipeline at TWO corpus traversals (operator-level pin in
+    test_plan_shapes); at 100 TB the saved full-text scans dominate
+    everything else.  Below the crossover: plain recompute — five
+    thin traversals whose stages the scheduler overlaps across idle
+    cores.  The r6 sf0.1 A/B measured every traversal-reducing variant
+    35-60% SLOWER locally (recompute 1.45s; per-doc persist 2.07s; c12
+    persist 2.00s; sentinel-vocab no persist 2.05s; +vocab persist
+    2.30s): a materialization barrier or a heavier vocab subtree buys
+    nothing when the corpus re-scan is cheaper than the cache
+    round-trip."""
     from ..operators.lm import bigram_lm, doc_bigram_counts, doc_cross_entropy
 
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE corpus explode+shuffle: training and scoring share the per-doc
-    # bigram-count exchange (ReuseExchange, pinned in test_plan_shapes)
-    bg = doc_bigram_counts(docs)
-    lp, vocab = bigram_lm(docs, doc_counts=bg)
+    est_bytes = int(
+        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    big = est_bytes > _BIGRAM_PERSIST_BYTES
+    bg = doc_bigram_counts(docs, unigram_sentinels=big)
+    lp, vocab = bigram_lm(
+        docs, doc_counts=bg, counts_have_sentinels=big, persist=big
+    )
     out = doc_cross_entropy(docs, lp, vocab, doc_counts=bg)
     return out.select(
         "doc_id", "n_bigrams", qfloor(F.col("xent"), 4).alias("xent")

@@ -572,3 +572,46 @@ def test_hashed_embedding_bridges_to_ann(spark):
     assert abs(np.linalg.norm(emb[1]) - 1.0) < 0.01  # unit on the grid
     assert cos(emb[1], emb[2]) > 0.9
     assert cos(emb[1], emb[3]) < 0.6
+
+
+def test_bigram_lm_sentinel_path_matches_token_scan_vocab(spark):
+    """The two adaptive shapes of the registered query must be
+    bit-identical: sentinel-derived vocabulary (+ persisted LM table) vs
+    the direct corpus token scan — including on a corpus with a
+    single-token doc, whose token ONLY the sentinel row can carry into
+    the bigram table."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.lm import (
+        bigram_lm,
+        doc_bigram_counts,
+        doc_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the lazy dog sleeps"),
+            (3, "unicorn"),  # single token: sentinel-only vocab member
+            (4, ""),         # empty: contributes nothing either way
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(big: bool):
+        bg = doc_bigram_counts(docs, unigram_sentinels=big)
+        lp, vocab = bigram_lm(
+            docs, doc_counts=bg, counts_have_sentinels=big, persist=big
+        )
+        out = doc_cross_entropy(docs, lp, vocab, doc_counts=bg)
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.xent) for r in out.collect()
+        )
+
+    try:
+        small, big = run(False), run(True)
+    finally:
+        spark.catalog.clearCache()
+    assert small == big
+    # the singleton token must be counted in V on BOTH paths: 10 distinct
+    # tokens total
+    _, vocab = bigram_lm(docs)
+    assert vocab.first().v == 10

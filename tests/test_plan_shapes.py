@@ -257,3 +257,56 @@ def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def _unique_doc_scans(df) -> set:
+    """Distinct base traversals of documents in a plan: a cached relation
+    prints its child FileScan once per reuse with IDENTICAL text, while
+    genuine recomputes carry fresh expression IDs — so unique
+    FileScan-of-documents lines count real traversals."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        ln.lstrip(" :+-")
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents" in ln
+    }
+
+
+def test_bigram_lm_persist_path_two_corpus_traversals(spark):
+    """The scale path (persist=True + unigram sentinels) must cap the
+    train+score pipeline at TWO corpus traversals: one builds the cached
+    LM table serving lp/c1/vocab, one is the scoring branch — the pre-r6
+    shape paid four (twin agg branches ReuseExchange can't canonicalize,
+    plus two vocab token scans)."""
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.lm import (
+        bigram_lm,
+        doc_bigram_counts,
+        doc_cross_entropy,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bg = doc_bigram_counts(docs, unigram_sentinels=True)
+    lp, vocab = bigram_lm(
+        docs, doc_counts=bg, counts_have_sentinels=True, persist=True
+    )
+    out = doc_cross_entropy(docs, lp, vocab, doc_counts=bg)
+    try:
+        assert len(_unique_doc_scans(out)) <= 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan  # the shared LM cache
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_bigram_lm_registered_query_adapts_small_input(spark):
+    """At test SF the adaptive shape must stay on the recompute path (no
+    cache): every traversal-reducing variant measured 35-60% slower than
+    recompute-with-stage-overlap at sf0.1 (A/B table in the query
+    docstring)."""
+    df = entrymod.queries()["bigram_lm_perplexity"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan, plan
