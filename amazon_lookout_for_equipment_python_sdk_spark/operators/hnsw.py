@@ -154,16 +154,38 @@ class HnswIndex:
         return out
 
 
+#: hnsw_build refuses corpora beyond this row count — the declared
+#: index-RAM serving regime.  An unguarded 100x-scale misuse would fail
+#: late with a driver OOM; the guard fails fast with the alternative.
+HNSW_BUILD_MAX_ROWS = 2_000_000
+
+
 def hnsw_build(
     vectors: DataFrame,
     M: int = 12,
     ef_construction: int = 128,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = HNSW_BUILD_MAX_ROWS,
 ) -> HnswIndex:
     """Collect the serving corpus and build the graph driver-side in
     deterministic id order (see module doc for why build is single-node
-    and what bounds corpus size)."""
+    and what bounds corpus size).
+
+    The count-guard (cheap metadata/agg job before any collect) enforces
+    the regime: above ``max_rows`` the build raises instead of OOMing
+    the driver mid-collect.  For corpora past the bound, shard by a key
+    (one HnswIndex per shard via applyInPandas, fan out queries to all
+    shards, take the global top-k) or switch to the IVF/PQ operators
+    (operators/similarity.py), which serve from executors."""
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"hnsw_build collects every vector to the driver: corpus has "
+            f"{n} rows > max_rows={max_rows}.  Shard the build (one index "
+            f"per key via applyInPandas + query fan-out) or use the "
+            f"IVF/PQ ANN operators for executor-side serving."
+        )
     rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).collect()
     )

@@ -67,8 +67,11 @@ def range_join_bucketed(
     payload = payload_cols or []
     blk = F.lit(block_seconds)
     p = points.withColumn("_blk", F.floor(F.unix_timestamp(F.col(ts_col)) / blk))
+    # range-side keys join under a reserved alias and are dropped after:
+    # they are redundant (equal to the point's by the join condition, or
+    # NULL on a miss) and the shared name would be ambiguous downstream
     r = ranges.select(
-        *keys,
+        *[F.col(k).alias(f"_rk_{k}") for k in keys],
         start_col,
         end_col,
         *payload,
@@ -81,10 +84,12 @@ def range_join_bucketed(
     )
     cond = (
         [p["_blk"] == r["_blk"]]
-        + [p[k] == r[k] for k in keys]
+        + [p[k] == r[f"_rk_{k}"] for k in keys]
         + [p[ts_col] >= r[start_col], p[ts_col] <= r[end_col]]
     )
-    return p.join(r, reduce(lambda a, b: a & b, cond), "left").drop("_blk")
+    return p.join(r, reduce(lambda a, b: a & b, cond), "left").drop(
+        "_blk", *[f"_rk_{k}" for k in keys]
+    )
 
 
 def stamp_points(

@@ -771,3 +771,157 @@ def interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest(F.col("l_start"), F.col("r_start")))
         ).alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed model-evaluation chain (reference evaluation.py:189-313):
+# predicted ranges -> range-join stamping -> shared-bin histograms ->
+# Wasserstein(density) rank -> top-k.  M2+J1+A5+A6+A7+T2 in ONE query.
+# ---------------------------------------------------------------------------
+
+_MODEL_EVAL_SQL = f"""
+WITH pts AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CASE WHEN {sql_det_avg('value')} > 100.0 THEN 1 ELSE 0 END AS f
+  FROM events GROUP BY 1, 2
+), runs AS (
+  SELECT event_type, bucket_ts, f,
+         CASE WHEN lag(f) OVER w IS NULL OR lag(f) OVER w <> f
+              THEN 1 ELSE 0 END AS new_run
+  FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), ids AS (
+  SELECT event_type, bucket_ts, f,
+         sum(new_run) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM runs
+), ranges AS (
+  SELECT event_type, min(bucket_ts) AS rstart, max(bucket_ts) AS rend
+  FROM ids WHERE f = 1 GROUP BY event_type, run_id
+), tagged AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN r.rstart IS NULL THEN 'normal' ELSE 'anomalous' END
+           AS subset
+  FROM (SELECT event_type, value, {SQL_BUCKET} AS ts_b
+        FROM events WHERE value IS NOT NULL) e
+  LEFT JOIN ranges r
+    ON e.event_type = r.event_type AND e.ts_b BETWEEN r.rstart AND r.rend
+), bounds0 AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM tagged GROUP BY 1
+), bounds AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN mn - 0.5 ELSE mn END AS min_value,
+         CASE WHEN mx = mn THEN mx + 0.5 ELSE mx END AS max_value
+  FROM bounds0
+), counts AS (
+  SELECT t.event_type, t.subset,
+         CAST(least(floor((t.value - b.min_value) /
+                          ((b.max_value - b.min_value)/20.0)), 19)
+              AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM tagged t JOIN bounds b USING (event_type)
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT event_type, subset, count(*) AS n FROM tagged GROUP BY 1, 2
+), grid AS (
+  SELECT b.event_type, s.subset, g.bin, b.min_value, b.max_value
+  FROM bounds b,
+       (SELECT unnest(generate_series(0, 19)) AS bin) g,
+       (SELECT DISTINCT subset FROM tagged) s
+), dens AS (
+  SELECT g.event_type, g.subset, g.bin,
+         COALESCE(c.cnt, 0) / (t.n * ((g.max_value - g.min_value)/20.0))
+           AS density
+  FROM grid g
+  LEFT JOIN counts c ON g.event_type = c.event_type
+                    AND g.subset = c.subset AND g.bin = c.bin
+  JOIN totals t ON g.event_type = t.event_type AND g.subset = t.subset
+), rankedd AS (
+  SELECT event_type, subset, density,
+         row_number() OVER (PARTITION BY event_type, subset
+                            ORDER BY density, bin) AS r
+  FROM dens
+), dist AS (
+  SELECT a.event_type,
+         {sql_qfloor('avg(abs(a.density - b.density))', 10)} AS distance
+  FROM rankedd a JOIN rankedd b
+    ON a.event_type = b.event_type AND a.r = b.r
+  WHERE a.subset = 'normal' AND b.subset = 'anomalous'
+  GROUP BY 1
+)
+SELECT event_type, distance, rnk FROM (
+  SELECT event_type, distance,
+         CAST(row_number() OVER (ORDER BY distance DESC, event_type)
+              AS INTEGER) AS rnk
+  FROM (SELECT b.event_type, COALESCE(d.distance, 0.0) AS distance
+        FROM bounds b LEFT JOIN dist d USING (event_type)) t0
+) t WHERE rnk <= 3
+"""
+
+
+@register("model_evaluation", _MODEL_EVAL_SQL)
+def model_evaluation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full evaluation post-processing chain in one
+    composed query (evaluation.py:96-117 predicted ranges; 206-224 point
+    stamping; 228-313 shared-bin histograms + density-vector Wasserstein
+    + rank; 557-571 top-k): a deterministic threshold model flags 5-min
+    buckets (det-avg > 100), contiguous flags compact to predicted
+    RANGES (M2), raw events range-join their signal's ranges to split
+    into normal/anomalous subsets (J1 — block-bucketed equi-join, no
+    theta join), per-signal shared-edge density histograms (A5) feed the
+    density-vector Wasserstein distance (A6), and signals rank by drift
+    with top-3 kept (A7+T2).
+
+    Scale shape: ranges are aggregate-sized (broadcast through the
+    block-bucketed join); the event scan flows once through bucketing,
+    once through the histogram aggs; everything downstream of the two
+    corpus-wide hash aggs is grid-sized."""
+    from pyspark.sql import Window
+
+    from ..operators.intervals import compact_runs, range_join_bucketed
+    from ..operators.wasserstein import (
+        density_histograms,
+        wasserstein_between_density_vectors,
+    )
+
+    events = load(spark, sf_dir, "events")
+    pts = events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg((det_avg(F.col("value")) > F.lit(100.0)).cast("int").alias("f"))
+    ranges = compact_runs(
+        pts, "f", ts_col="bucket_ts", key_col="event_type"
+    ).select("event_type", "start", "end")
+    stamped = range_join_bucketed(
+        events.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            "value",
+            ts_ops.bucket(F.col("ts"), RATE).alias("ts_b"),
+        ),
+        ranges.withColumn("_hit", F.lit(1)),
+        ts_col="ts_b",
+        key_cols=["event_type"],
+        payload_cols=["_hit"],
+    ).select(
+        "event_type",
+        "value",
+        F.when(F.col("_hit").isNotNull(), "anomalous")
+        .otherwise("normal")
+        .alias("subset"),
+    )
+    hists = density_histograms(
+        stamped, "subset", 20, key_col="event_type", value_col="value"
+    )
+    d = wasserstein_between_density_vectors(
+        hists, "normal", "anomalous", "event_type"
+    )
+    return (
+        d.select("event_type", qfloor(F.col("distance"), 10).alias("distance"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("distance"), "event_type"))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

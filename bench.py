@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ewma_chart",
     "scd2_orders_history",
     "hashed_embedding_components",
+    "model_evaluation",
 ]
 
 

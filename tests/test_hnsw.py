@@ -83,3 +83,22 @@ def test_hnsw_search_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_hnsw_build_guards_oversized_corpus(spark):
+    """The single-node build regime must fail fast (count guard, before
+    any collect) on a corpus past max_rows, naming the alternatives."""
+    import pytest
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.hnsw import (
+        hnsw_build,
+    )
+
+    big = spark.range(1_000).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        hnsw_build(big, max_rows=999)
+    # at the bound it builds fine
+    idx = hnsw_build(big.limit(5), max_rows=5)
+    assert len(idx.ids) == 5
