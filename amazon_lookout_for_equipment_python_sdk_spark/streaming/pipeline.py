@@ -197,21 +197,34 @@ def streaming_scd2(
     (after ``cdc_latest`` compaction within the batch — the unique-key
     contract).
 
-    Honest cost note: plain parquet has no MERGE, so each batch
-    read-modify-WRITES the whole history (staged to a temp dir, then
-    swapped — the epoch-id makes retries idempotent).  That is the
-    correct shape for dimension-sized histories (millions of rows);
-    fact-sized histories belong in a table format with MERGE support or
-    the daily batch job (scd2_apply directly over bucketed storage)."""
+    Cost model: plain parquet has no MERGE, so for a PLAIN history dir
+    each batch read-modify-WRITES the whole table (staged to a temp dir,
+    then swapped — the epoch-id makes retries idempotent).  That is the
+    correct shape for dimension-sized histories (millions of rows).  For
+    fact-sized histories, lay the table out with
+    ``operators.merge.scd2_write_bucketed`` first: the sidecar is
+    auto-detected here and each batch then runs the bucket-PRUNED merge
+    (``scd2_apply_bucketed``) — only bucket directories containing
+    updated keys are read or rewritten."""
     import os
     import shutil
 
-    from ..operators.merge import cdc_latest, scd2_apply
+    from ..operators.merge import (
+        cdc_latest,
+        scd2_apply,
+        scd2_apply_bucketed,
+    )
 
     bak = history_path + ".__prev"
 
     def run(batch_df: DataFrame, _epoch: int) -> None:
         spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(history_path, "_scd2_buckets.json")):
+            compacted = cdc_latest(batch_df, keys, ts_col=ts_col)
+            scd2_apply_bucketed(
+                spark, history_path, compacted, attrs, ts_col=ts_col
+            )
+            return
         # crash recovery: a previous attempt that died mid-swap left the
         # real history parked at .__prev — restore before reading (the
         # rename pair below guarantees at most one of the two exists

@@ -181,3 +181,122 @@ def test_scd2_apply_drops_stale_out_of_order_update(spark):
         if r["valid_to"] is not None and r["valid_to"] < r["valid_from"]
     ]
     assert not bad
+
+
+def test_scd2_apply_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """Fact-scale SCD-2: a merge touching one key must leave every
+    untouched bucket directory byte-identical (content AND mtime — the
+    files were never rewritten), rewrite only the touched bucket, and
+    produce exactly the rows whole-table scd2_apply would."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply,
+        scd2_apply_bucketed,
+        scd2_write_bucketed,
+    )
+
+    path = str(tmp_path / "hist")
+    hist = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("attr"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    scd2_write_bucketed(hist, path, ["k"], n_buckets=8)
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = (
+                    os.path.getsize(p),
+                    os.path.getmtime(p),
+                    open(p, "rb").read() if p.endswith(".parquet") else b"",
+                )
+        return out
+
+    before = snapshot()
+    upd = spark.createDataFrame(
+        [(7, "CHANGED", "2024-02-01 00:00:00")],
+        "k long, attr string, ts_s string",
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    stats = scd2_apply_bucketed(spark, path, upd, ["attr"])
+    assert stats["touched_buckets"] == 1 and stats["total_buckets"] == 8
+
+    after = snapshot()
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        _bucket_expr,
+    )
+
+    touched = upd.select(_bucket_expr(["k"], 8).alias("b")).first().b
+    changed_files = {
+        f
+        for f in set(before) | set(after)
+        if before.get(f) != after.get(f)
+    }
+    for f in changed_files:
+        assert f.startswith(f"_bucket={touched}") or f.startswith("_"), f
+    untouched_before = {
+        f: v for f, v in before.items() if f.startswith("_bucket=")
+        and not f.startswith(f"_bucket={touched}")
+    }
+    assert untouched_before  # the test is vacuous without them
+    for f, v in untouched_before.items():
+        assert after[f] == v, f"untouched bucket file rewritten: {f}"
+
+    # row-level equivalence with the whole-table merge
+    expect = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to))
+        for r in scd2_apply(hist, upd, ["k"], ["attr"]).collect()
+    )
+    got = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to))
+        for r in spark.read.parquet(path).drop("_bucket").collect()
+    )
+    assert got == expect
+    # second merge with NO updates is a no-op
+    empty = upd.limit(0)
+    stats2 = scd2_apply_bucketed(spark, path, empty, ["attr"])
+    assert stats2["touched_buckets"] == 0
+
+
+def test_scd2_apply_bucketed_recovers_parked_bucket(spark, tmp_path):
+    """A crash between parking a bucket dir and landing its replacement
+    leaves `_bucket=N.__prev`; the next merge must restore it before
+    reading."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply_bucketed,
+        scd2_write_bucketed,
+    )
+
+    path = str(tmp_path / "hist")
+    hist = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("attr"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    scd2_write_bucketed(hist, path, ["k"], n_buckets=4)
+    # simulate the crash window: one bucket parked, replacement missing
+    victim = next(
+        d for d in os.listdir(path) if d.startswith("_bucket=")
+    )
+    os.rename(os.path.join(path, victim), os.path.join(path, victim + ".__prev"))
+    upd = spark.createDataFrame(
+        [(1, "y", "2024-02-01 00:00:00")], "k long, attr string, ts_s string"
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    scd2_apply_bucketed(spark, path, upd, ["attr"])
+    rows = spark.read.parquet(path)
+    assert rows.filter(F.col("valid_to").isNull()).count() == 50  # no loss
+    assert not any(d.endswith(".__prev") for d in os.listdir(path))

@@ -384,3 +384,68 @@ def test_native_session_window_streaming_matches_batch(spark, tmp_path):
     assert want <= got  # every closed session surfaced, batch-identical
     assert (10, base, 3) in got  # merged ACROSS the micro-batch boundary
     assert (11, base, 1) in got and (11, base + 1200, 1) in got
+
+
+def test_streaming_scd2_bucket_pruned_layout(spark, tmp_path):
+    """With a scd2_write_bucketed history, the streaming sink must take
+    the bucket-pruned path: merge results identical to the plain path,
+    and untouched bucket files NOT rewritten across a batch."""
+    import os
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_write_bucketed,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        streaming_scd2,
+    )
+
+    indir = tmp_path / "s2b_in"
+    indir.mkdir()
+    hist_path = str(tmp_path / "hist_b")
+    base = 1_700_000_000
+    seed = spark.createDataFrame(
+        [(k, "v", base) for k in range(40)], "k long, attr string, tsec long"
+    ).select(
+        "k", "attr",
+        F.timestamp_seconds("tsec").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    scd2_write_bucketed(seed, hist_path, ["k"], n_buckets=4)
+
+    def snap():
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(hist_path)
+            for f in fs
+            if "_bucket=" in r
+        }
+
+    before = snap()
+    with open(indir / "b1.csv", "w") as f:
+        f.write("k|attr|tsec\n")
+        f.write(f"5|CHANGED|{base + 100}\n")
+    stream = (
+        spark.readStream.schema("k long, attr string, tsec long")
+        .option("header", True)
+        .option("sep", "|")
+        .csv(str(indir / "*.csv"))
+        .withColumn("ts", F.timestamp_seconds("tsec"))
+        .drop("tsec")
+    )
+    q = streaming_scd2(
+        stream, hist_path, str(tmp_path / "s2b_ckpt"),
+        keys=["k"], attrs=["attr"],
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(hist_path).collect()
+    cur = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is None}
+    assert (5, "CHANGED") in cur and len(cur) == 40
+    closed = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is not None}
+    assert closed == {(5, "v")}
+    after = snap()
+    untouched_same = [
+        p for p in before
+        if p in after and after[p] == before[p]
+    ]
+    # at least the three untouched bucket dirs' files survived unrewritten
+    assert len(untouched_same) >= 3, (before, after)
