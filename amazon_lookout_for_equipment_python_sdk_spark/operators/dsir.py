@@ -1,0 +1,138 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+The pretraining-data selection method: score every raw document by how
+much more likely its hashed n-gram features are under a TARGET domain's
+bag-of-ngrams model than under the RAW pool's, then keep the head.
+log w(x) = sum_b c_b(x) * (ln q_b - ln p_b) over hashed feature buckets,
+with add-one smoothing — a generalization of the CCNet perplexity filter
+(operators/lm.py) from "fluent under one LM" to "shaped like a chosen
+target corpus".
+
+Spark-first shape: features are row-local (tokenize, unigram+bigram,
+48-bit md5 hash mod B — the same engine-portable hash the whole text
+layer uses); the two bucket-count models are ONE hash-agg each; the
+log-ratio table is B rows (a broadcast); scoring is a broadcast join +
+per-doc sum.  Nothing quadratic, nothing driver-side.
+
+Cross-engine float determinism follows lm.py's proven pattern: each
+bucket's ln is floored onto a 1e-4 grid at the source
+(``floor(ln((c+1)/(N+B)) * 1e4)`` as BIGINT), per-doc totals are
+integer sums of quantized values, and the final division is
+IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: log quantization grid decimals (matches lm.LP_SCALE)
+LR_SCALE = 4
+
+
+def _hash_bucket(gram, n_buckets: int):
+    """48-bit md5 prefix mod B — bit-identical to the DuckDB replay
+    ``CAST(conv(substr(md5(g),1,12),16,10) AS BIGINT) % B``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document hashed feature counts ``(id, bucket, cnt)`` over
+    unigrams + word bigrams (DSIR's feature space).  Row-local until the
+    one (id, bucket) hash-agg."""
+    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+    return (
+        df.select(id_col, F.explode(grams).alias("_g"))
+        .select(id_col, _hash_bucket(F.col("_g"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_logratio(
+    raw_counts: DataFrame,
+    target_counts: DataFrame,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The B-row importance table ``(bucket, lr4)``:
+    ``lr4 = floor(ln((cq+1)/(Nq+B))*1e4) - floor(ln((cp+1)/(Np+B))*1e4)``
+    (add-one smoothed bucket models for target q and raw pool p, each ln
+    floored to the 1e-4 grid so the value is an exact integer on both
+    engines).  Inputs are per-doc count frames from
+    :func:`hashed_ngram_counts`; each reduces with one hash-agg."""
+    scale = float(10**LR_SCALE)
+
+    def model(per_doc: DataFrame, cname: str, nname: str) -> DataFrame:
+        by_bucket = per_doc.groupBy("bucket").agg(F.sum("cnt").alias(cname))
+        total = by_bucket.agg(F.sum(cname).alias(nname))
+        return by_bucket, total
+
+    p, np_ = model(raw_counts, "cp", "np")
+    q, nq_ = model(target_counts, "cq", "nq")
+    spark = raw_counts.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+
+    def lq(c, n):
+        return F.floor(
+            F.log(
+                (F.coalesce(c, F.lit(0)) + 1)
+                / (F.col(n) + F.lit(n_buckets)).cast("double")
+            )
+            * F.lit(scale)
+        ).cast("long")
+
+    return (
+        grid.join(F.broadcast(p), "bucket", "left")
+        .join(F.broadcast(q), "bucket", "left")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nq_))
+        .select(
+            "bucket",
+            (lq(F.col("cq"), "nq") - lq(F.col("cp"), "np")).alias("lr4"),
+        )
+    )
+
+
+def dsir_scores(
+    doc_counts: DataFrame,
+    logratio: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance score ``(id, n_grams, logw)``: the
+    broadcast join of a doc's bucket counts against the B-row table,
+    summed — ``logw = sum(cnt * lr4) / 1e4`` (integer sum, exact final
+    division).  High logw = looks like the target domain; select with a
+    top-k or threshold (deterministic variant of DSIR's Gumbel
+    resampling)."""
+    scale = float(10**LR_SCALE)
+    return (
+        doc_counts.join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            (
+                F.sum(F.col("cnt") * F.col("lr4")).cast("double")
+                / F.lit(scale)
+            ).alias("logw"),
+        )
+    )

@@ -963,3 +963,73 @@ def ann_join(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
+    cap_observation=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication via
+    cluster-then-compare — assign every vector to its nearest centroid
+    cell, compute pairwise cosine ONLY within each cell, and mark a
+    vector ``dropped`` when a lower-id cell-mate sits at
+    ``cos >= threshold`` (the lowest id of each semantic-duplicate group
+    survives, deterministically).  Returns ``(id, cell, dropped)``.
+
+    This is the scalable middle ground between exact/MinHash dedup
+    (surface overlap only) and all-pairs embedding comparison
+    (quadratic): the quadratic work is confined to cells of ~|corpus| /
+    n_cells vectors, and cells compare embarrassingly parallel.  Plan:
+    one row-local assignment pass (centroid literals — no shuffle), one
+    shuffle on ``cell`` for the self-join, cosine in codegen.
+
+    ``max_cell`` guards the quadratic corner exactly like the LSH
+    ``max_bucket`` caps: a cell larger than this (degenerate clustering
+    or duplicate-mass corpus) is dropped from the PAIR comparison — its
+    members pass through undropped — and ``cap_observation`` records
+    ``dropped_cells`` when provided."""
+    assigned = ivf_assign_cells(vectors, centroids, id_col, vec_col).join(
+        vectors.select(id_col, _as_double(F.col(vec_col)).alias("_v")),
+        id_col,
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    if max_cell is not None:
+        if cap_observation is not None:
+            sizes = sizes.observe(
+                cap_observation,
+                F.sum((F.col("_csz") > max_cell).cast("long")).alias(
+                    "dropped_cells"
+                ),
+            )
+        comparable = assigned.join(
+            F.broadcast(sizes.filter(F.col("_csz") <= max_cell)), "cell"
+        ).drop("_csz")
+    else:
+        comparable = assigned
+    a = comparable.select(
+        "cell", F.col(id_col).alias("_ia"), F.col("_v").alias("_va")
+    )
+    b = comparable.select(
+        "cell", F.col(id_col).alias("_ib"), F.col("_v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("_drop"), F.lit(False)).alias("dropped"),
+        )
+    )

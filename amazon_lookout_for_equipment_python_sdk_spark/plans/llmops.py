@@ -1910,3 +1910,170 @@ def hashed_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("component") != 0.0)
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-compare (r6)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), assign AS (
+  SELECT vec_id, cell, vv FROM (
+    SELECT v.vec_id, c.cell, v.vv,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_sql_guarded_cos('v.vv', 'c.cv')} DESC, c.cell) AS rk
+    FROM v, cent c) t
+  WHERE rk = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_guarded_cos('a.vv', 'b.vv')} >= 0.45
+)
+SELECT CAST(a.cell AS BIGINT) AS cell,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+GROUP BY 1
+"""
+
+
+@register("semantic_dedup_cells", _SEMDEDUP_SQL)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-cell rollup: assign every
+    embedding to its nearest Voronoi cell, compare pairs ONLY within a
+    cell, and drop any vector with a lower-id cell-mate at cosine >=
+    0.45 (the corpus's near-dup regime — embedding_near_dup's verified
+    threshold); the group's lowest id survives deterministically.
+
+    Same fixed Voronoi seeds as ivf_cosine_topk (16 lowest vec_ids —
+    replayable in SQL where kmeans|| is not; the 16-row collect is
+    documented eager metadata).  Scale shape: row-local assignment, ONE
+    shuffle on cell, quadratic work confined to |corpus|/n_cells-sized
+    cells with the max_cell cap guarding degenerate clusterings
+    (operators/similarity.py semantic_dedup)."""
+    import numpy as np
+
+    emb = load_par(spark, sf_dir, "embeddings")
+    lite = load(spark, sf_dir, "embeddings")
+    seed_rows = sorted(
+        lite.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    )
+    out = sim.semantic_dedup(emb, centroids, threshold=0.45)
+    return out.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection: importance resampling toward a target domain (r6)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_HASH = "CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)"
+_DSIR_GRAMS = """
+    unnest(list_concat(w,
+      CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           ELSE [] END))
+"""
+
+_DSIR_SQL = f"""
+WITH rawd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents WHERE source <> 'src0'
+), tgd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents WHERE source = 'src0'
+), rawg AS (
+  SELECT doc_id, {_DSIR_HASH} % {_DSIR_B} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, {_DSIR_GRAMS} AS g FROM rawd)
+  GROUP BY 1, 2
+), tgg AS (
+  SELECT doc_id, {_DSIR_HASH} % {_DSIR_B} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, {_DSIR_GRAMS} AS g FROM tgd)
+  GROUP BY 1, 2
+), pm AS (
+  SELECT bucket, sum(cnt) AS cp FROM rawg GROUP BY 1
+), qm AS (
+  SELECT bucket, sum(cnt) AS cq FROM tgg GROUP BY 1
+), lr AS (
+  SELECT g.bucket,
+         CAST(floor(ln((coalesce(qm.cq, 0) + 1) /
+                       ((SELECT sum(cnt) FROM tgg) + {_DSIR_B})) * 1e4)
+              AS BIGINT)
+         - CAST(floor(ln((coalesce(pm.cp, 0) + 1) /
+                         ((SELECT sum(cnt) FROM rawg) + {_DSIR_B})) * 1e4)
+                AS BIGINT) AS lr4
+  FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket) g
+  LEFT JOIN pm ON pm.bucket = g.bucket
+  LEFT JOIN qm ON qm.bucket = g.bucket
+), scored AS (
+  SELECT r.doc_id, sum(r.cnt) AS n_grams,
+         sum(r.cnt * lr.lr4) AS logw4
+  FROM rawg r JOIN lr ON lr.bucket = r.bucket
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, CAST(logw4 AS DOUBLE) / 1e4 AS logw, rnk
+FROM (
+  SELECT doc_id, n_grams, logw4,
+         CAST(row_number() OVER (ORDER BY logw4 DESC, doc_id)
+              AS INTEGER) AS rnk
+  FROM scored) t
+WHERE rnk <= 50
+"""
+
+
+@register("dsir_select_top", _DSIR_SQL)
+def dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bucket models for the target domain (source='src0') and the raw pool
+    (everything else), per-document importance weight
+    ``sum(cnt * (ln q_b - ln p_b))`` over the 1024-bucket table, top-50
+    raw documents kept — the deterministic (top-k) variant of DSIR's
+    Gumbel resampling.  Each ln floored to the 1e-4 grid at source so
+    scores are integer-exact across engines (operators/dsir.py).
+
+    Scale shape: features row-local, two one-pass bucket models, the
+    B-row log-ratio table broadcasts into a per-doc sum — selection over
+    100 TB is two scans and a broadcast join."""
+    from pyspark.sql import Window
+
+    from ..operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        hashed_ngram_counts,
+    )
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    rawc = hashed_ngram_counts(
+        docs.filter(F.col("source") != "src0"), _DSIR_B
+    )
+    tgc = hashed_ngram_counts(
+        docs.filter(F.col("source") == "src0"), _DSIR_B
+    )
+    lr = dsir_logratio(rawc, tgc, _DSIR_B)
+    sc = dsir_scores(rawc, lr)
+    return (
+        sc.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("logw"), "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .select("doc_id", "n_grams", "logw", "rnk")
+    )

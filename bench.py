@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "scd2_orders_history",
     "hashed_embedding_components",
     "model_evaluation",
+    "semantic_dedup_cells",
+    "dsir_select_top",
 ]
 
 

@@ -477,3 +477,73 @@ def test_ann_join_table_to_table(spark):
         assert pairs2 == pairs
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semantic_dedup_drops_higher_id_of_close_pair(spark):
+    """SemDeDup: within a cell the lowest id of a near-identical group
+    survives; distant vectors survive everywhere; the max_cell cap
+    excludes oversized cells from comparison (members pass undropped)."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    centroids = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (0, [1.0, 0.05]),   # cell 0
+        (1, [1.0, 0.06]),   # cell 0, ~identical to 0 -> dropped
+        (2, [0.9, 0.4]),    # cell 0, distinct direction
+        (10, [0.0, 1.0]),   # cell 1
+        (11, [0.05, 1.0]),  # cell 1, ~identical to 10 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["dropped"])
+        for r in semantic_dedup(df, centroids, threshold=0.99).collect()
+    }
+    assert got[0] == (0, False) and got[1] == (0, True)
+    assert got[10] == (1, False) and got[11] == (1, True)
+    assert got[2][1] is False  # similar-but-not-duplicate survives
+
+    # cap: cell 0 (3 members) excluded from comparison entirely
+    obs = Observation()
+    capped = semantic_dedup(
+        df, centroids, threshold=0.99, max_cell=2, cap_observation=obs
+    )
+    got = {r["vec_id"]: r["dropped"] for r in capped.collect()}
+    assert got[1] is False  # would-be duplicate passes through uncompared
+    assert got[11] is True  # cell 1 (2 members) still compared
+    assert obs.get["dropped_cells"] == 1
+
+
+def test_dsir_prefers_target_shaped_documents(spark):
+    """DSIR: raw docs built from the target domain's vocabulary must
+    outscore raw docs from a disjoint vocabulary, and scores are exact
+    1e-4-grid values."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        hashed_ngram_counts,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma beta"),   # target-shaped
+            (101, "zeta eta theta iota"),     # off-domain
+            (102, "alpha beta alpha beta"),   # target-shaped
+        ],
+        "doc_id long, text string",
+    )
+    rawc = hashed_ngram_counts(raw, 256)
+    tgc = hashed_ngram_counts(target, 256)
+    lr = dsir_logratio(rawc, tgc, 256)
+    got = {r["doc_id"]: r["logw"] for r in dsir_scores(rawc, lr).collect()}
+    assert got[100] > got[101] and got[102] > got[101]
+    for v in got.values():
+        assert abs(v * 1e4 - round(v * 1e4)) < 1e-9  # exact grid value
