@@ -15,12 +15,16 @@ need any library beyond numpy/stdlib:
   Huffman; 4:4:4 / 4:2:2 / 4:2:0) — the decoder reads tables from the
   stream so it handles real baseline JPEGs; progressive raises (seam);
 - audio: PCM WAV decodes via the stdlib ``wave`` module to int16 samples;
-- video: YUV4MPEG2 (Y4M) encode/decode (C444 + C420) and REAL frame
-  sampling + per-frame features over mapInPandas;
-- remaining compressed formats (MP3/MP4/H.264 frames) still raise
-  NotImplementedError with swap-in instructions (this container ships no
-  codec libraries), and ``decode_stub`` remains the deterministic testing
-  stand-in.
+- video: YUV4MPEG2 (Y4M) encode/decode (C444 + C420), AVI/MJPEG
+  encode/decode (operators/containers.py — every frame a baseline JPEG
+  through the in-repo codec), and REAL frame sampling + per-frame
+  features over mapInPandas;
+- containers without in-repo codecs demux for real (containers.py:
+  MP4 box walk -> codec id + per-sample byte ranges; MP3 sync-scan ->
+  frame index + duration) while the codec payload decode itself
+  (H.264/HEVC/MP3 audio) raises NotImplementedError with swap-in
+  instructions (this container ships no codec libraries);
+  ``decode_stub`` remains the deterministic testing stand-in.
 
 Scale design: mapInPandas streams Arrow batches — no per-row Python
 round-trip, no driver collect; binary payloads never shuffle unless the
@@ -322,9 +326,10 @@ def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
     PCM WAV goes through the stdlib ``wave`` module; IMA-ADPCM WAV
     (format tag 0x11 — the classic 4-bit compressed WAV) decodes via the
     built-in block decoder below; FLAC (fixed-predictor subset, see
-    operators/_flac.py) dispatches on its "fLaC" magic.  MP3 raises
-    NotImplementedError — swap in soundfile/torchaudio where
-    available."""
+    operators/_flac.py) dispatches on its "fLaC" magic.  MP3 sample
+    decode raises NotImplementedError (swap in soundfile/torchaudio) —
+    but ``containers.mp3_frame_index`` reads the frame layout, duration
+    and bitrate without a codec for the metadata/split path."""
     if payload is not None and payload[:4] == b"fLaC":
         from . import _flac
 
@@ -809,6 +814,29 @@ def encode_y4m(
     return bytes(out)
 
 
+def decode_video(payload: bytes) -> tuple["list[np.ndarray]", int]:
+    """Format-dispatching video decode -> (RGB frames, fps).
+
+    Y4M (uncompressed interchange) and AVI/MJPEG (each frame a baseline
+    JPEG through the in-repo codec, operators/containers.py) decode
+    fully; MP4 raises NotImplementedError pointing at the REAL demux
+    (containers.demux_mp4 yields codec + per-sample byte ranges — only
+    the H.264/HEVC payload decode needs an external codec)."""
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .containers import decode_avi
+
+        return decode_avi(payload)
+    if len(payload) > 8 and payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 sample decode needs an external codec (PyAV); "
+            "containers.demux_mp4 provides the codec id and per-sample "
+            "byte ranges to feed one"
+        )
+    raise ValueError("unrecognized video payload")
+
+
 def decode_y4m(payload: bytes) -> tuple["list[np.ndarray]", int]:
     """YUV4MPEG2 bytes -> (list of (h, w, 3) uint8 RGB frames, fps).
     Supports C444 and C420* chroma (2x2 nearest upsample)."""
@@ -889,7 +917,7 @@ def extract_video_frames(
                 if kind != "video" or payload is None:
                     continue
                 try:
-                    frames, fps = decode_y4m(bytes(payload))
+                    frames, fps = decode_video(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 frame_ms = 1000.0 / fps
@@ -1014,8 +1042,11 @@ def video_fingerprint64(payload: bytes) -> int:
     while distinct footage disagrees across most positions.
 
     Completes the image/audio/video near-dup triple on the shared 64-bit
-    banded-Hamming machinery."""
-    frames, _fps = decode_y4m(payload)
+    banded-Hamming machinery.  Decodes any :func:`decode_video` format —
+    in particular the hash is stable across a Y4M->AVI/MJPEG re-encode
+    of the same footage (pytest-pinned), the video twin of the image
+    hashes' format invariance."""
+    frames, _fps = decode_video(payload)
     if not frames:
         raise ValueError("no frames to fingerprint")
     votes = np.zeros(64, dtype=np.int64)
