@@ -353,6 +353,7 @@ def ivf_assign_cells(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vec_as: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (id, cell) as a ROW-LOCAL expression:
     the centroid table embeds as an array literal (n_cells x dim doubles
@@ -362,7 +363,11 @@ def ivf_assign_cells(
     the corpus — zero shuffle, zero exchange, pure codegen; at 100 TB
     this is the shape that matters (the earlier max_by formulation still
     exchanged one row per vector).  Use :func:`ivf_probe_cells` for the
-    QUERY side (it needs top-nprobe, not argmax)."""
+    QUERY side (it needs top-nprobe, not argmax).
+
+    ``carry_vec_as``: also emit the (double-cast) vector under this
+    name — consumers that need (id, cell, vector) avoid a corpus-wide
+    join back on id (semantic_dedup's shape)."""
     import numpy as np
 
     C = np.asarray([list(c) for c in centroids], dtype=np.float64)
@@ -392,8 +397,13 @@ def ivf_assign_cells(
         cos = dots / np.where(denom == 0.0, 1.0, denom)
         return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
+    extra = (
+        [_as_double(F.col(vec_col)).alias(carry_vec_as)]
+        if carry_vec_as
+        else []
+    )
     return vectors.select(
-        F.col(id_col), assign(F.col(vec_col)).alias("cell")
+        F.col(id_col), assign(F.col(vec_col)).alias("cell"), *extra
     )
 
 
@@ -993,9 +1003,8 @@ def semantic_dedup(
     or duplicate-mass corpus) is dropped from the PAIR comparison — its
     members pass through undropped — and ``cap_observation`` records
     ``dropped_cells`` when provided."""
-    assigned = ivf_assign_cells(vectors, centroids, id_col, vec_col).join(
-        vectors.select(id_col, _as_double(F.col(vec_col)).alias("_v")),
-        id_col,
+    assigned = ivf_assign_cells(
+        vectors, centroids, id_col, vec_col, carry_vec_as="_v"
     )
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
     if max_cell is not None:

@@ -310,3 +310,12 @@ def test_bigram_lm_registered_query_adapts_small_input(spark):
     df = entrymod.queries()["bigram_lm_perplexity"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryRelation" not in plan, plan
+
+
+def test_semantic_dedup_no_corpus_id_join(spark):
+    """semantic_dedup: assignment must CARRY the vector (row-local UDF
+    projection) rather than joining back on id — exactly one big-to-big
+    join in the plan (the within-cell pair comparison)."""
+    plan = _plan(spark, "semantic_dedup_cells")
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "CartesianProduct" not in plan
