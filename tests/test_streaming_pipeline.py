@@ -449,3 +449,77 @@ def test_streaming_scd2_bucket_pruned_layout(spark, tmp_path):
     ]
     # at least the three untouched bucket dirs' files survived unrewritten
     assert len(untouched_same) >= 3, (before, after)
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """DSIR scoring is per-document work against a broadcast log-ratio
+    table, so a trained selector streams through foreach_batch_apply:
+    two micro-batches of raw docs must score bit-identically to the
+    batch pass (the online data-selection serving shape)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        hashed_ngram_counts,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        foreach_batch_apply,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw_rows = [
+        (100, "alpha beta gamma beta"),
+        (101, "zeta eta theta iota"),
+        (102, "alpha beta alpha beta"),
+        (103, "eta theta alpha iota"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    lr = dsir_logratio(
+        hashed_ngram_counts(raw, 256), hashed_ngram_counts(target, 256), 256
+    )
+    # freeze the trained table (serving: the B-row model is a static side)
+    lr_path = str(tmp_path / "lr")
+    lr.write.parquet(lr_path)
+    lr_static = spark.read.parquet(lr_path)
+
+    indir = tmp_path / "dsir_in"
+    indir.mkdir()
+
+    def write_batch(name, rows):
+        with open(indir / name, "w") as f:
+            f.write("doc_id|text\n")
+            for i, t in rows:
+                f.write(f"{i}|{t}\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", True)
+        .option("sep", "|")
+        .csv(str(indir / "*.csv"))
+    )
+
+    def score(batch_df):
+        return dsir_scores(hashed_ngram_counts(batch_df, 256), lr_static)
+
+    write_batch("b1.csv", raw_rows[:2])
+    foreach_batch_apply(
+        stream, score, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    write_batch("b2.csv", raw_rows[2:])
+    foreach_batch_apply(
+        stream, score, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["logw"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .drop("batch_epoch")
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_grams"], r["logw"])
+        for r in dsir_scores(hashed_ngram_counts(raw, 256), lr_static).collect()
+    )
+    assert got == want and len(got) == 4
