@@ -41,15 +41,11 @@ def _hash_bucket(gram, n_buckets: int):
     )
 
 
-def hashed_ngram_counts(
-    df: DataFrame,
-    n_buckets: int = 1024,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _gram_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Per-document hashed feature counts ``(id, bucket, cnt)`` over
-    unigrams + word bigrams (DSIR's feature space).  Row-local until the
-    one (id, bucket) hash-agg."""
+    """Row-local ``(id, bucket)`` stream: one row per unigram/bigram
+    OCCURRENCE, hashed to its feature bucket."""
     w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     bigrams = F.when(
         F.size(w) >= 2,
@@ -61,10 +57,40 @@ def hashed_ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(w, bigrams)
+    return df.select(id_col, F.explode(grams).alias("_g")).select(
+        id_col, _hash_bucket(F.col("_g"), n_buckets).alias("bucket")
+    )
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document hashed feature counts ``(id, bucket, cnt)`` over
+    unigrams + word bigrams (DSIR's feature space) — the SCORING input.
+    Row-local until the one (id, bucket) hash-agg."""
     return (
-        df.select(id_col, F.explode(grams).alias("_g"))
-        .select(id_col, _hash_bucket(F.col("_g"), n_buckets).alias("bucket"))
+        _gram_buckets(df, n_buckets, text_col, id_col)
         .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_bucket_totals(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level bucket totals ``(bucket, cnt)`` — the MODEL input.
+    Aggregates straight from the exploded gram stream with ONE
+    B-cardinality hash-agg (map-side combine collapses each partition to
+    <= B rows), skipping the per-document level a model never needs."""
+    return (
+        _gram_buckets(df, n_buckets, text_col, id_col)
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -78,12 +104,15 @@ def dsir_logratio(
     ``lr4 = floor(ln((cq+1)/(Nq+B))*1e4) - floor(ln((cp+1)/(Np+B))*1e4)``
     (add-one smoothed bucket models for target q and raw pool p, each ln
     floored to the 1e-4 grid so the value is an exact integer on both
-    engines).  Inputs are per-doc count frames from
-    :func:`hashed_ngram_counts`; each reduces with one hash-agg."""
+    engines).  Inputs are bucket frames — either corpus-level totals
+    from :func:`hashed_bucket_totals` (the cheap shape: one
+    B-cardinality agg per model) or per-doc counts from
+    :func:`hashed_ngram_counts` (re-aggregated here); both reduce to
+    identical models."""
     scale = float(10**LR_SCALE)
 
-    def model(per_doc: DataFrame, cname: str, nname: str) -> DataFrame:
-        by_bucket = per_doc.groupBy("bucket").agg(F.sum("cnt").alias(cname))
+    def model(counts: DataFrame, cname: str, nname: str) -> DataFrame:
+        by_bucket = counts.groupBy("bucket").agg(F.sum("cnt").alias(cname))
         total = by_bucket.agg(F.sum(cname).alias(nname))
         return by_bucket, total
 

@@ -2053,20 +2053,25 @@ def dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dsir import (
         dsir_logratio,
         dsir_scores,
+        hashed_bucket_totals,
         hashed_ngram_counts,
     )
 
     docs = load_par(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    rawc = hashed_ngram_counts(
-        docs.filter(F.col("source") != "src0"), _DSIR_B
+    raw = docs.filter(F.col("source") != "src0")
+    # models from corpus-level totals (one B-cardinality agg per side —
+    # no per-doc intermediate); the per-doc frame exists only where
+    # scoring needs it
+    lr = dsir_logratio(
+        hashed_bucket_totals(raw, _DSIR_B),
+        hashed_bucket_totals(
+            docs.filter(F.col("source") == "src0"), _DSIR_B
+        ),
+        _DSIR_B,
     )
-    tgc = hashed_ngram_counts(
-        docs.filter(F.col("source") == "src0"), _DSIR_B
-    )
-    lr = dsir_logratio(rawc, tgc, _DSIR_B)
-    sc = dsir_scores(rawc, lr)
+    sc = dsir_scores(hashed_ngram_counts(raw, _DSIR_B), lr)
     return (
         sc.withColumn(
             "rnk",
