@@ -201,10 +201,11 @@ def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.45,
     num_tables: int = 4,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-pruned: candidates are
     pairs sharing any table's hyperplane bucket (one groupBy on
@@ -214,6 +215,17 @@ def embedding_near_dup(
     Recall is the standard banding curve (1 - (1 - p^planes)^tables with
     p = 1 - angle/pi); the brute-force all-pairs variant exists only as
     the small-SF oracle.
+
+    ``planes_per_table=None`` SCALES WITH THE CORPUS: planes =
+    max(4, ceil(log2(n / target_bucket))), keeping expected bucket
+    occupancy — and thus the per-bucket quadratic verify — near
+    ``target_bucket`` as the corpus grows (one cheap count job).  This
+    is the knob the r6 sf1 profile identified: with planes FIXED,
+    bucket occupancy grows linearly with corpus size and the in-bucket
+    pair scan quadratically — a 10x corpus on the old 4-plane default
+    (16 buckets/table) measured 87 s vs ~5 s at 8 planes.  Pass an
+    explicit plane count only when the bucket layout must be replayable
+    (the registered oracle query pins 8).
 
     Physical shape (fused, mirrors dedup.minhash_candidate_pairs): the
     (id, vector, bucket-array) struct rides through the (table, bucket)
@@ -225,6 +237,11 @@ def embedding_near_dup(
     vectors twice anyway and paid three extra stage barriers."""
     from .dedup import _dedup_cross_band, _expand_bucket_pairs
 
+    if planes_per_table is None:
+        import math
+
+        n = vectors.count()
+        planes_per_table = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
     buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
     withb = vectors.select(
         F.struct(

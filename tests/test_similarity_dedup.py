@@ -547,3 +547,31 @@ def test_dsir_prefers_target_shaped_documents(spark):
     assert got[100] > got[101] and got[102] > got[101]
     for v in got.values():
         assert abs(v * 1e4 - round(v * 1e4)) < 1e-9  # exact grid value
+
+
+def test_embedding_near_dup_auto_planes_scales_with_corpus(spark):
+    """planes_per_table=None derives the plane count from the corpus
+    size (expected bucket occupancy ~ target_bucket), and recall against
+    the explicit-plane run holds on a corpus with known near-dups."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # every 8th vector gets a near-identical twin
+        if i % 8 == 0:
+            rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.01, size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 45 rows, target_bucket 8 -> planes = ceil(log2(45/8)) = 3 -> floor 4
+    auto = embedding_near_dup(df, threshold=0.95, target_bucket=8)
+    explicit = embedding_near_dup(df, threshold=0.95, planes_per_table=4)
+    pa = {(r.a, r.b) for r in auto.collect()}
+    pe = {(r.a, r.b) for r in explicit.collect()}
+    twins = {(i, 1000 + i) for i in range(0, 40, 8)}
+    assert twins <= pa and twins <= pe  # all real twins found both ways
