@@ -779,12 +779,14 @@ def interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wasserstein(density) rank -> top-k.  M2+J1+A5+A6+A7+T2 in ONE query.
 # ---------------------------------------------------------------------------
 
-_MODEL_EVAL_SQL = f"""
-WITH pts AS (
-  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
-         CASE WHEN {sql_det_avg('value')} > 100.0 THEN 1 ELSE 0 END AS f
-  FROM events GROUP BY 1, 2
-), runs AS (
+def _model_eval_sql(pts_cte: str) -> str:
+    """The evaluation-chain SQL with a pluggable flagged-buckets CTE —
+    shared by the fixed-threshold and calibrated variants (the chain
+    after ``pts`` is identical)."""
+    return "WITH " + pts_cte + _EVAL_CHAIN_SQL_TAIL
+
+
+_EVAL_CHAIN_SQL_TAIL = f""", runs AS (
   SELECT event_type, bucket_ts, f,
          CASE WHEN lag(f) OVER w IS NULL OR lag(f) OVER w <> f
               THEN 1 ELSE 0 END AS new_run
@@ -859,6 +861,14 @@ SELECT event_type, distance, rnk FROM (
 ) t WHERE rnk <= 3
 """
 
+_MODEL_EVAL_SQL = _model_eval_sql(
+    f"""pts AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         CASE WHEN {sql_det_avg('value')} > 100.0 THEN 1 ELSE 0 END AS f
+  FROM events GROUP BY 1, 2
+)"""
+)
+
 
 @register("model_evaluation", _MODEL_EVAL_SQL)
 def model_evaluation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,6 +899,21 @@ def model_evaluation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = events.groupBy(
         "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
     ).agg((det_avg(F.col("value")) > F.lit(100.0)).cast("int").alias("f"))
+    return _evaluation_chain(events, pts)
+
+
+def _evaluation_chain(events: DataFrame, pts: DataFrame) -> DataFrame:
+    """ranges -> stamping -> histograms -> Wasserstein -> top-3, shared
+    by the fixed-threshold and calibrated model_evaluation queries.
+    ``pts`` is the flagged-buckets frame (event_type, bucket_ts, f)."""
+    from pyspark.sql import Window
+
+    from ..operators.intervals import compact_runs, range_join_bucketed
+    from ..operators.wasserstein import (
+        density_histograms,
+        wasserstein_between_density_vectors,
+    )
+
     ranges = compact_runs(
         pts, "f", ts_col="bucket_ts", key_col="event_type"
     ).select("event_type", "start", "end")
@@ -925,3 +950,63 @@ def model_evaluation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+_MODEL_EVAL_CAL_SQL = _model_eval_sql(
+    f"""pts0 AS (
+  SELECT event_type, {SQL_BUCKET} AS bucket_ts,
+         {sql_det_avg('value')} AS avg_value
+  FROM events GROUP BY 1, 2
+), thr AS (
+  SELECT event_type, avg_value AS thr FROM (
+    SELECT event_type, avg_value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY avg_value, bucket_ts) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM pts0) t
+  WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+), pts AS (
+  SELECT p.event_type, p.bucket_ts,
+         CASE WHEN p.avg_value > t.thr THEN 1 ELSE 0 END AS f
+  FROM pts0 p JOIN thr t USING (event_type)
+)"""
+)
+
+
+@register("model_evaluation_calibrated", _MODEL_EVAL_CAL_SQL)
+def model_evaluation_calibrated_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The evaluation chain driven by a CALIBRATED per-signal threshold
+    instead of a fixed constant — the loop the reference's training step
+    closes (ml/pipeline.py calibrates against candidate quantiles,
+    reference model.py trains server-side): each signal's threshold is
+    the exact 95th-percentile order statistic of its 5-min bucket
+    averages (k = ceil(0.95 n), deterministic (avg, bucket_ts)
+    tie-break — replayable where approxQuantile is not), buckets above
+    it flag, and the flags feed the identical ranges -> stamping ->
+    histograms -> Wasserstein -> top-3 chain as ``model_evaluation``.
+
+    Scale shape: the calibration window runs over the AGGREGATE-sized
+    bucket frame (|signals| x |buckets| rows), partitioned by signal —
+    nothing corpus-sized sorts."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    pts0 = events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg(det_avg(F.col("value")).alias("avg_value"))
+    w = Window.partitionBy("event_type").orderBy("avg_value", "bucket_ts")
+    wn = Window.partitionBy("event_type")
+    thr = (
+        pts0.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("long"))
+        .select("event_type", F.col("avg_value").alias("thr"))
+    )
+    pts = pts0.join(thr, "event_type").select(
+        "event_type",
+        "bucket_ts",
+        (F.col("avg_value") > F.col("thr")).cast("int").alias("f"),
+    )
+    return _evaluation_chain(events, pts)

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "scd2_orders_history",
     "hashed_embedding_components",
     "model_evaluation",
+    "model_evaluation_calibrated",
     "semantic_dedup_cells",
     "dsir_select_top",
 ]
