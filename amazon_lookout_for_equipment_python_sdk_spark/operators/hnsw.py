@@ -182,9 +182,9 @@ def hnsw_build(
     if n > max_rows:
         raise ValueError(
             f"hnsw_build collects every vector to the driver: corpus has "
-            f"{n} rows > max_rows={max_rows}.  Shard the build (one index "
-            f"per key via applyInPandas + query fan-out) or use the "
-            f"IVF/PQ ANN operators for executor-side serving."
+            f"{n} rows > max_rows={max_rows}.  Use hnsw_topk_sharded "
+            f"(one executor-side index per hash shard + query fan-out) "
+            f"or the IVF/PQ ANN operators for executor-side serving."
         )
     rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).collect()
@@ -237,4 +237,78 @@ def hnsw_topk(
 
     return queries.select(query_id_col, vec_col).mapInPandas(
         run, schema=schema
+    )
+
+
+def hnsw_topk_sharded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_shards: int = 8,
+    k: int = 10,
+    M: int = 12,
+    ef_construction: int = 128,
+    ef: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Corpus-scale HNSW — the sharded regime :func:`hnsw_build`'s guard
+    points at: the corpus hash-shards deterministically
+    (``pmod(xxhash64(id), n_shards)``), ONE graph builds per shard
+    INSIDE ``applyInPandas`` (sequential within a shard — HNSW's
+    inherent build constraint — but shards build in parallel on
+    executors, and no vector ever reaches the driver), every query
+    searches every shard, and a per-query window merges the per-shard
+    top-k into the global top-k.
+
+    The query batch broadcasts into the shard tasks (the bounded
+    query-batch serving regime, like the IVF probe sets); corpus scale
+    is bounded only by per-shard index RAM — raise ``n_shards`` to
+    shrink shards.  Merged results can only IMPROVE on a single index
+    searched with the same ``ef`` (each shard's graph is smaller, so
+    per-shard recall at fixed ef is higher); the recall floor is
+    pytest-pinned against brute force."""
+    spark = vectors.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qb = spark.sparkContext.broadcast(
+        [(r[query_id_col], np.asarray(r[vec_col], np.float64)) for r in qrows]
+    )
+    id_type = vectors.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField("vec_id", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = HnswIndex(M=M, ef_construction=ef_construction)
+        order = pdf.sort_values(id_col)
+        for vid, vec in zip(order[id_col], order[vec_col]):
+            idx.add(vid, np.asarray(vec, dtype=np.float64))
+        qids, vids, sims = [], [], []
+        for qid, qv in qb.value:
+            for vid, cos in idx.search(qv, k, ef):
+                qids.append(qid)
+                vids.append(vid)
+                sims.append(cos)
+        return pd.DataFrame({query_id_col: qids, "vec_id": vids, "cos": sims})
+
+    sharded = vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+    )
+    local = sharded.groupBy("_shard").applyInPandas(
+        lambda pdf: per_shard(pdf), schema=schema
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "vec_id")
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

@@ -102,3 +102,39 @@ def test_hnsw_build_guards_oversized_corpus(spark):
     # at the bound it builds fine
     idx = hnsw_build(big.limit(5), max_rows=5)
     assert len(idx.ids) == 5
+
+
+def test_hnsw_sharded_recall_and_no_driver_collect_of_corpus(spark):
+    """Sharded regime: per-shard executor-side builds + query fan-out +
+    global merge must reach the same recall floor as the single index —
+    and must work on a corpus LARGER than hnsw_build's guard, proving it
+    is the guard's real alternative."""
+    dim = 16
+    vecs = _corpus(n=400)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    rng = np.random.RandomState(9)
+    queries = [(1000 + i, vecs[i * 7] + rng.normal(0, 0.05, dim)) for i in range(15)]
+    qdf = spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in queries],
+        "query_id long, embedding array<double>",
+    )
+    # the guard would refuse this corpus at max_rows=300...
+    with pytest.raises(ValueError, match="max_rows"):
+        hn.hnsw_build(corpus, max_rows=300)
+    # ...but the sharded path serves it
+    got = hn.hnsw_topk_sharded(corpus, qdf, n_shards=4, k=5, ef=64)
+    rows_out = got.collect()
+    pairs = {(r["query_id"], r["vec_id"]) for r in rows_out}
+    assert all(
+        len([1 for p in pairs if p[0] == q]) == 5 for q, _ in queries
+    )
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    truth = set()
+    for q, v in queries:
+        vq = v / np.linalg.norm(v)
+        for t in np.argsort(-(norm @ vq))[:5]:
+            truth.add((q, int(t)))
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.95, recall
