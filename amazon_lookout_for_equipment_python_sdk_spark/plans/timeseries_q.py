@@ -1010,3 +1010,55 @@ def model_evaluation_calibrated_q(
         (F.col("avg_value") > F.col("thr")).cast("int").alias("f"),
     )
     return _evaluation_chain(events, pts)
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 1h by EVENT time (not row count)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+SELECT event_id, event_type,
+       CAST(n_1h AS BIGINT) AS n_1h,
+       CAST(sum_cents AS DOUBLE) / 100.0 AS sum_1h
+FROM (
+  SELECT event_id, event_type,
+         count(*) OVER w AS n_1h,
+         sum(CAST(round(value*100) AS BIGINT)) OVER w AS sum_cents
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+) t
+"""
+
+
+@register("rolling_1h_range_frame", _RANGE_FRAME_SQL)
+def range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame (§2.5): each event's trailing-1-hour count
+    and exact-cents sum over its signal, framed by actual timestamps
+    (``RANGE BETWEEN 3600 PRECEDING``), not row counts — irregular
+    series make row frames and time frames genuinely different, and the
+    range frame is the one the reference's rolling diagnostics semantics
+    imply for unresampled data.
+
+    Scale shape: ONE per-signal window (hash partition + sort); Spark
+    evaluates range frames with a sliding aggregate over the sorted run
+    — no self-join, no per-row rescan.  The frame orders on MICROSECOND
+    epochs (unix_timestamp would truncate to seconds and admit extra
+    rows at the boundary vs the oracle); same-instant ties share a frame
+    by definition on BOTH engines (RANGE semantics), so the exact
+    integer sums need no tie-break."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("sum_1h"),
+    )

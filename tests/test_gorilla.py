@@ -1,0 +1,114 @@
+"""Gorilla time-series codec (operators/gorilla.py): bit-exact round
+trips (property-based), compression ratio on sensor-like data, Spark
+archive round trip."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+    compress_series,
+    decompress_series,
+    gorilla_compress,
+    gorilla_decompress,
+)
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_round_trip_property(points):
+    ts = sorted(t for t, _ in points)
+    vals = [v for _, v in points]
+    back_ts, back_vals = gorilla_decompress(gorilla_compress(ts, vals))
+    assert back_ts == ts
+    # bit-exact, including NaN payloads and signed zeros
+    assert [_bits(v) for v in back_vals] == [_bits(v) for v in vals]
+
+
+def test_compression_ratio_on_sensor_like_series():
+    """The Gorilla sweet spot — regular cadence, quantized
+    slowly-drifting readings (~85% exact repeats, the production shape
+    the paper reports 1.37 bytes/point on): must beat 10x vs raw
+    (ts int64 + value f64 = 128 bits/point; measured ~9 bits/point)."""
+    rng = np.random.default_rng(8)
+    n = 10_000
+    ts = np.arange(n) * 60_000_000
+    base = 100 + np.cumsum(rng.normal(0, 0.02, n))
+    vals = np.round(base * 10) / 10  # 0.1-step sensor quantization
+    payload = gorilla_compress([int(t) for t in ts], [float(v) for v in vals])
+    raw = n * 16
+    assert len(payload) * 10 < raw, (len(payload), raw)
+    bts, bvs = gorilla_decompress(payload)
+    assert bts == [int(t) for t in ts]
+    assert bvs == [float(v) for v in vals]
+
+
+def test_incompressible_data_bounded_overhead():
+    """Random values are Gorilla's worst case: the cost must stay within
+    ~8% of raw (control bits), never blow up."""
+    rng = np.random.default_rng(9)
+    n = 2_000
+    ts = np.sort(rng.integers(0, 30 * 86_400 * 1_000_000, n))
+    vals = np.round(rng.uniform(0, 200, n), 2)
+    payload = gorilla_compress([int(t) for t in ts], [float(v) for v in vals])
+    assert len(payload) <= int(n * 16 * 1.08) + 32
+    bts, bvs = gorilla_decompress(payload)
+    assert bts == [int(t) for t in ts] and bvs == [float(v) for v in vals]
+
+
+def test_constant_series_is_near_two_bits_per_point():
+    n = 5_000
+    ts = [i * 1_000_000 for i in range(n)]
+    vals = [42.5] * n
+    payload = gorilla_compress(ts, vals)
+    # header 20 bytes + ~2 bits/point
+    assert len(payload) < 20 + n // 3
+
+
+def test_spark_archive_round_trip(spark, sf_dir):
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import load
+
+    events = load(spark, sf_dir, "events").filter("value IS NOT NULL")
+    archive = compress_series(events)
+    rows = archive.collect()
+    assert {r["event_type"] for r in rows} == {
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    }
+    total_points = sum(r["n_points"] for r in rows)
+    assert total_points == events.count()
+    # events values are uniform-random (incompressible); the archive
+    # must stay within the bounded-overhead envelope regardless
+    for r in rows:
+        assert r["n_bytes"] <= int(r["n_points"] * 16 * 1.08) + 32
+    back = decompress_series(archive)
+    import pyspark.sql.functions as F
+
+    a = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.unix_micros("ts")).alias("ts_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    b = back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.unix_micros("ts")).alias("ts_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
