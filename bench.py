@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "model_evaluation_calibrated",
     "semantic_dedup_cells",
     "dsir_select_top",
+    "rolling_1h_range_frame",
 ]
 
 

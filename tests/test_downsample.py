@@ -1,0 +1,53 @@
+"""LTTB visual downsampling (plot/downsample.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from amazon_lookout_for_equipment_python_sdk_spark.plot.downsample import (
+    downsample_series,
+    lttb,
+)
+
+
+def test_lttb_keeps_endpoints_shape_and_spikes():
+    n = 10_000
+    ts = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    vals = np.sin(ts / 300.0) * 10 + rng.normal(0, 0.1, n)
+    vals[4321] = 80.0  # a spike a naive stride would miss
+    idx = lttb(ts, vals, 500)
+    assert len(idx) == 500
+    assert idx[0] == 0 and idx[-1] == n - 1
+    assert (np.diff(idx) > 0).all()
+    assert 4321 in set(idx.tolist())  # the spike survives
+    # short series pass through
+    assert lttb(ts[:100], vals[:100], 500).tolist() == list(range(100))
+
+
+def test_downsample_series_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import load
+
+    events = load(spark, sf_dir, "events").filter("value IS NOT NULL")
+    out = downsample_series(events, n_out=200)
+    per = {
+        r["event_type"]: r["n"]
+        for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for k, n in per.items():
+        assert n == min(200, full[k])
+    # kept rows are a SUBSET of the original points (key, ts, value)
+    joined = out.join(
+        events.select("event_type", "ts", "value").distinct(),
+        ["event_type", "ts", "value"],
+        "left_anti",
+    )
+    assert joined.count() == 0
