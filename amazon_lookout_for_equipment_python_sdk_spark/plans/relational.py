@@ -1027,3 +1027,117 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analogue: large-volume orders (HAVING-filtered semi-join)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY total_cents DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_orders", _Q18_SQL)
+def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: orders whose total line quantity exceeds a
+    threshold (aggregate -> HAVING -> semi-join back to facts), with
+    customer enrichment and a top-100 by price.  The §2.4 shape q1-q10
+    don't cover: an AGGREGATE output driving a fact-side join filter.
+
+    Plan: the HAVING aggregate reduces lineitem to qualifying orderkeys
+    (aggregate-sized); joining THAT to orders/lineitem keeps every join
+    build side small; the final rollup groups only surviving orders.
+    Exact integer quantities and cents end-to-end."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    # the qualifying-keys frame derives from li and joins back beside
+    # li: alias its key so the self-join lineage stays unambiguous
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("_bigkey"))
+        .drop("_bigkey")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(F.desc("total_cents"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 analogue: supplier diversity per part attribute (anti-join +
+# count distinct)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+WITH bad AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 2, 3, 4, 5)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q16_supplier_diversity", _Q16_SQL)
+def q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct-supplier counts per (brand, type,
+    size) over a selective part filter, EXCLUDING complaint suppliers
+    via an anti-join — the count-distinct-after-anti-join shape.
+
+    Plan: the part filter pushes to the scan and the filtered dim
+    broadcasts; the negative supplier list is tiny and broadcasts as an
+    anti-join; count(DISTINCT) compiles to Spark's two-phase
+    expand/partial-agg — no row ever carries more than the three group
+    keys + suppkey."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_size").isin(1, 2, 3, 4, 5))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

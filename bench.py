@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "semantic_dedup_cells",
     "dsir_select_top",
     "rolling_1h_range_frame",
+    "q18_large_volume_orders",
+    "q16_supplier_diversity",
 ]
 
 
