@@ -3,9 +3,10 @@
     python docs/examples/llm_pipeline_demo.py [sf_dir]
 
 Walks the corpus path a training-data job takes: quality gate ->
-near-dup removal -> decontamination -> deterministic split -> sequence
-packing -> assembled examples, then the ANN serving side: exact cosine
-baseline vs hyperplane-LSH vs IVF vs PQ/IVF-PQ on the same probes.
+near-dup removal -> DSIR target-domain selection -> deterministic split
+-> sequence packing -> assembled examples, then the embedding side:
+SemDeDup semantic pruning and ANN serving (exact cosine baseline vs
+hyperplane-LSH vs IVF vs PQ/IVF-PQ on the same probes).
 Every step is a lazy DataFrame — nothing materializes until the final
 counts — so the same composition runs unchanged on a cluster."""
 
@@ -22,6 +23,7 @@ from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
 from amazon_lookout_for_equipment_python_sdk_spark.operators import (
     corpus as cp,
     dedup as dd,
+    dsir,
     similarity as sim,
     text as tx,
 )
@@ -36,12 +38,35 @@ def main() -> None:
     # 1. corpus prep, one lazy plan end to end
     clean = tx.quality_filter(docs, min_tokens=20, max_stopword_ratio=0.4)
     keep = dd.dedup_near(clean.select("doc_id", "text", "source"))
-    train = cp.hash_split(keep, "text").filter(F.col("split") == "train")
+    # r6: keep the raw-pool docs most shaped like the src0 target domain
+    target = keep.filter(F.col("source") == "src0")
+    pool = keep.filter(F.col("source") != "src0")
+    lr = dsir.dsir_logratio(
+        dsir.hashed_bucket_totals(pool), dsir.hashed_bucket_totals(target)
+    )
+    scores = dsir.dsir_scores(dsir.hashed_ngram_counts(pool), lr)
+    selected = keep.join(
+        scores.orderBy(F.desc("logw")).limit(200).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).unionByName(target)
+    train = cp.hash_split(selected, "text").filter(F.col("split") == "train")
     packed = cp.assemble_packs(train, budget_tokens=512)
     print("packs:", packed.count(), "| sample:")
     packed.orderBy("source", "pack_id").show(3, truncate=60)
 
-    # 2. ANN serving: same probes through four search strategies
+    # 2. r6 SemDeDup: semantic near-dup pruning before indexing
+    import numpy as np
+
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.stack([np.asarray(r["embedding"], float) for r in seeds])
+    sd = sim.semantic_dedup(emb, cents, threshold=0.45)
+    print("semantic dedup: dropped", sd.filter("dropped").count(), "of", sd.count())
+
+    # 3. ANN serving: same probes through four search strategies
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
