@@ -35,6 +35,8 @@ def lttb(ts: "np.ndarray", vals: "np.ndarray", n_out: int) -> "np.ndarray":
     prev = 0
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
+        if hi <= lo:  # integer-truncated edges can collide near n_out ~ n
+            hi = lo + 1
         nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
         if nhi <= nlo:
             nlo, nhi = nlo, nlo + 1

@@ -109,3 +109,35 @@ def test_mp3_frame_index():
     offs = idx["frames"]
     for (o1, s1), (o2, _s2) in zip(offs, offs[1:]):
         assert o1 + s1 == o2
+
+
+def test_container_parsers_fail_cleanly_on_garbage():
+    """A 100 TB ingest sees truncated/corrupt payloads constantly: every
+    parser must raise a catchable error or return a degenerate result —
+    never hang or die on an uncatchable internal error."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ok_errors = (ValueError, NotImplementedError, struct.error, IndexError)
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def fuzz(payload):
+        for fn in (ct.decode_avi, ct.demux_mp4, ct.mp3_frame_index):
+            try:
+                fn(payload)
+            except ok_errors:
+                pass
+        # prefixed with real magic bytes to reach deeper branches
+        for prefix, fn in (
+            (b"RIFF\x20\x00\x00\x00AVI ", ct.decode_avi),
+            (struct.pack(">I", 16) + b"ftypisom", ct.demux_mp4),
+        ):
+            try:
+                fn(prefix + payload)
+            except ok_errors:
+                pass
+
+    fuzz()

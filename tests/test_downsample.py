@@ -51,3 +51,16 @@ def test_downsample_series_spark(spark, sf_dir):
         "left_anti",
     )
     assert joined.count() == 0
+
+
+def test_lttb_edge_collisions_near_full_size():
+    """n_out just under n: integer bucket edges collide — indices must
+    stay strictly increasing, include endpoints, and never crash."""
+    rng = np.random.default_rng(7)
+    for n, n_out in ((100, 99), (100, 98), (50, 49), (10, 3), (4, 3)):
+        ts = np.arange(n, dtype=np.int64)
+        vals = rng.normal(size=n)
+        idx = lttb(ts, vals, n_out)
+        assert idx[0] == 0 and idx[-1] == n - 1
+        assert (np.diff(idx) > 0).all(), (n, n_out, idx)
+        assert len(idx) <= n_out
