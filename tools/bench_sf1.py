@@ -33,6 +33,9 @@ QUERIES = [
     "corpus_pipeline",
     "wasserstein_raw_rank",
     "model_evaluation",
+    "model_evaluation_calibrated",
+    "semantic_dedup_cells",
+    "dsir_select_top",
 ]
 
 SF01 = "/root/testdata/sf0.1"
