@@ -209,8 +209,12 @@ def compress_series(
             }
         )
 
+    # tz-naive parquet surfaces TIMESTAMP_NTZ, which unix_micros rejects;
+    # session tz is pinned UTC so the cast is value-preserving
     prepared = df.select(
-        key_col, F.unix_micros(F.col(ts_col)).alias("_us"), value_col
+        key_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        value_col,
     )
     schema = (
         f"{key_col} string, n_points long, n_bytes long, payload binary"

@@ -74,7 +74,9 @@ def downsample_series(
         return pdf.iloc[idx][[key_col, "_us", value_col]]
 
     prepared = df.select(
-        key_col, F.unix_micros(F.col(ts_col)).alias("_us"), value_col
+        key_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        value_col,
     )
     out = prepared.groupBy(key_col).applyInPandas(
         run, schema=f"{key_col} string, _us long, {value_col} double"
