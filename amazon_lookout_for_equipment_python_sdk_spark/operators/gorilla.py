@@ -183,16 +183,27 @@ def compress_series(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    block_hours: int | None = None,
 ):
-    """DataFrame -> one (key, n_points, n_bytes, payload) row per
-    series: ONE shuffle on the key, each series Gorilla-compresses
-    sequentially inside its ``applyInPandas`` group (the paper's
-    per-series constraint), all series in parallel.  Timestamps encode
-    as microsecond epochs; ordering inside the block is
-    (ts, value) — deterministic for any input order."""
+    """DataFrame -> (key, t_min, t_max, n_points, n_bytes, payload)
+    Gorilla blocks: ONE shuffle on the grouping key, each block
+    compresses sequentially inside its ``applyInPandas`` group (the
+    paper's per-series constraint), blocks in parallel.  Timestamps
+    encode as microsecond epochs; in-block order is (ts, value) —
+    deterministic for any input order.
+
+    ``block_hours`` bounds block size by TIME WINDOW (key x window
+    groups): at archive scale one block per series is unbounded, and
+    windowed blocks are what make range reads cheap — ``t_min/t_max``
+    are the block's pruning statistics, the same min/max role parquet
+    row-group stats play, so :func:`decompress_range` decompresses only
+    overlapping blocks.  ``None`` keeps one block per series (small
+    series / interop)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
+
+    group_cols = [key_col] + (["_blk"] if block_hours else [])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_us", value_col])
@@ -203,6 +214,8 @@ def compress_series(
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],
+                "t_min": [int(pdf["_us"].iloc[0])],
+                "t_max": [int(pdf["_us"].iloc[-1])],
                 "n_points": [len(pdf)],
                 "n_bytes": [len(payload)],
                 "payload": [payload],
@@ -216,10 +229,15 @@ def compress_series(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
         value_col,
     )
+    if block_hours:
+        prepared = prepared.withColumn(
+            "_blk", F.floor(F.col("_us") / (block_hours * 3_600_000_000))
+        )
     schema = (
-        f"{key_col} string, n_points long, n_bytes long, payload binary"
+        f"{key_col} string, t_min long, t_max long, "
+        "n_points long, n_bytes long, payload binary"
     )
-    return prepared.groupBy(key_col).applyInPandas(pack, schema=schema)
+    return prepared.groupBy(*group_cols).applyInPandas(pack, schema=schema)
 
 
 def decompress_series(
@@ -249,4 +267,30 @@ def decompress_series(
         key_col,
         F.timestamp_micros(F.col("_us")).alias("ts"),
         "value",
+    )
+
+
+def decompress_range(
+    archive,
+    t0,
+    t1,
+    key_col: str = "event_type",
+):
+    """Time-range read over a blocked archive: the ``t_min/t_max`` block
+    statistics prune non-overlapping blocks BEFORE any decompression
+    (planning-level row filtering, like parquet row-group min/max), then
+    the surviving blocks decompress and a point-level filter trims the
+    block edges.  ``t0``/``t1`` are inclusive timestamps (strings or
+    timestamp values)."""
+    from pyspark.sql import functions as F
+
+    lo = F.unix_micros(F.lit(t0).cast("timestamp"))
+    hi = F.unix_micros(F.lit(t1).cast("timestamp"))
+    pruned = archive.filter(
+        (F.col("t_max") >= lo) & (F.col("t_min") <= hi)
+    )
+    pts = decompress_series(pruned, key_col=key_col)
+    return pts.filter(
+        (F.col("ts") >= F.lit(t0).cast("timestamp"))
+        & (F.col("ts") <= F.lit(t1).cast("timestamp"))
     )
