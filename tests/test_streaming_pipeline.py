@@ -600,3 +600,63 @@ def test_streaming_hnsw_serving_matches_batch(spark, tmp_path):
         for r in hn.hnsw_topk(qdf, index, k=3, ef=32).collect()
     )
     assert got == want and len(got) == 18
+
+
+def test_streaming_gorilla_archiver_matches_batch_points(spark, tmp_path):
+    """Online archiving: each micro-batch Gorilla-compresses its
+    (key, window) blocks through foreach_batch_apply; decompressing the
+    accumulated archive must recover every streamed point exactly (block
+    fragmentation across epochs is expected — compaction's job, not the
+    archiver's)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        compress_series,
+        decompress_series,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        foreach_batch_apply,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        ("a", base + i * 60, round(100 + i * 0.1, 1)) for i in range(40)
+    ] + [("b", base + i * 30, 50.0) for i in range(20)]
+
+    indir = tmp_path / "g_in"
+    indir.mkdir()
+
+    def write_batch(name, batch):
+        with open(indir / name, "w") as f:
+            f.write("k|tsec|value\n")
+            for k, t, v in batch:
+                f.write(f"{k}|{t}|{v}\n")
+
+    stream = (
+        spark.readStream.schema("k string, tsec long, value double")
+        .option("header", True)
+        .option("sep", "|")
+        .csv(str(indir / "*.csv"))
+        .withColumn("ts", F.timestamp_seconds("tsec"))
+        .drop("tsec")
+    )
+
+    def archive(batch_df):
+        return compress_series(
+            batch_df, key_col="k", block_hours=1
+        )
+
+    write_batch("b1.csv", rows[:30])
+    foreach_batch_apply(
+        stream, archive, str(tmp_path / "g_out"), str(tmp_path / "g_ckpt")
+    ).awaitTermination()
+    write_batch("b2.csv", rows[30:])
+    foreach_batch_apply(
+        stream, archive, str(tmp_path / "g_out"), str(tmp_path / "g_ckpt")
+    ).awaitTermination()
+
+    blocks = spark.read.parquet(str(tmp_path / "g_out")).drop("batch_epoch")
+    back = decompress_series(blocks, key_col="k")
+    got = sorted(
+        (r["k"], r["ts"].timestamp(), r["value"]) for r in back.collect()
+    )
+    want = sorted((k, float(t), v) for k, t, v in rows)
+    assert got == want
