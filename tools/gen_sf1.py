@@ -38,12 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
+#: replication factor and output dir are overridable for larger points
+#: (e.g. SPARK_GRAFT_SF_COPIES=30 -> .localdata/sf3)
+COPIES = int(os.environ.get("SPARK_GRAFT_SF_COPIES", "10"))
 DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".localdata",
-    "sf1",
+    os.environ.get("SPARK_GRAFT_SF_NAME", "sf1"),
 )
-COPIES = 10
 
 
 def main() -> None:
