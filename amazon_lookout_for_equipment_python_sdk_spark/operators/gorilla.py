@@ -294,3 +294,23 @@ def decompress_range(
         (F.col("ts") >= F.lit(t0).cast("timestamp"))
         & (F.col("ts") <= F.lit(t1).cast("timestamp"))
     )
+
+
+def recompact_archive(
+    archive,
+    key_col: str = "event_type",
+    block_hours: int | None = 24,
+):
+    """Merge a FRAGMENTED archive (e.g. the per-epoch blocks a streaming
+    archiver appends — one block per key per micro-batch) back into
+    consolidated windowed blocks: decompress -> re-compress under the
+    target blocking.  Same observable points, a fraction of the block
+    count and better intra-block compression (longer runs amortize the
+    XOR windows).  The Gorilla twin of ``sinks.compact_table``'s
+    small-files pass; run it on the archive table on the same
+    maintenance cadence."""
+    return compress_series(
+        decompress_series(archive, key_col=key_col),
+        key_col=key_col,
+        block_hours=block_hours,
+    )

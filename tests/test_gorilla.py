@@ -157,3 +157,46 @@ def test_blocked_archive_range_read_prunes_before_decompress(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
     ).first()
     assert (a["t"], a["c"]) == (b["t"], b["c"])
+
+
+def test_recompact_merges_fragmented_blocks(spark):
+    """Per-batch fragmented blocks consolidate into per-window blocks:
+    fewer rows, identical points, no worse total bytes."""
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        recompact_archive,
+    )
+
+    base = 1_700_000_000
+    rows = [("a", base + i * 60, 100.0 + (i % 7) / 10) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "k string, tsec long, value double"
+    ).select("k", F.timestamp_seconds("tsec").alias("ts"), "value")
+    # simulate 6 streaming epochs: compress 100-row slices separately
+    frags = None
+    for i in range(6):
+        part = compress_series(
+            df.filter(
+                (F.col("ts") >= F.timestamp_seconds(F.lit(base + i * 100 * 60)))
+                & (F.col("ts") < F.timestamp_seconds(F.lit(base + (i + 1) * 100 * 60)))
+            ),
+            key_col="k",
+            block_hours=1,
+        )
+        frags = part if frags is None else frags.unionByName(part)
+    n_frag = frags.count()
+    compacted = recompact_archive(frags, key_col="k", block_hours=24)
+    assert compacted.count() < n_frag
+    assert (
+        compacted.agg(F.sum("n_points")).first()[0]
+        == frags.agg(F.sum("n_points")).first()[0]
+        == 600
+    )
+    a = sorted(map(tuple, decompress_series(frags, key_col="k").collect()))
+    b = sorted(map(tuple, decompress_series(compacted, key_col="k").collect()))
+    assert a == b
+    assert (
+        compacted.agg(F.sum("n_bytes")).first()[0]
+        <= frags.agg(F.sum("n_bytes")).first()[0]
+    )
