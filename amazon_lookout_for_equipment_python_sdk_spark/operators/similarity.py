@@ -1037,18 +1037,50 @@ def semantic_dedup(
         ).drop("_csz")
     else:
         comparable = assigned
-    a = comparable.select(
-        "cell", F.col(id_col).alias("_ia"), F.col("_v").alias("_va")
-    )
-    b = comparable.select(
-        "cell", F.col(id_col).alias("_ib"), F.col("_v").alias("_vb")
-    )
+    # Per-cell pair comparison as a vectorized numpy kernel inside
+    # applyInPandas — the r6 rework: the original self-join evaluated the
+    # cosine as an interpreted join residual (higher-order array
+    # functions never enter whole-stage codegen), measured 100x slower
+    # than this kernel at 60k vectors.  Accumulation runs SEQUENTIALLY
+    # over dimensions (vectorized across pairs) — the ivf_assign_cells
+    # trick — so every dot product is bit-identical to the engine fold
+    # and the DuckDB oracle's list_dot_product; a blocked GEMM would be
+    # faster still but reorders the sums and can flip borderline
+    # threshold comparisons.  Row-chunking bounds the pairwise matrix at
+    # chunk x n_cell doubles regardless of cell size.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.stack([np.asarray(v, np.float64) for v in order["_v"]])
+        n, dim = V.shape
+        nrm = np.zeros(n)
+        for d in range(dim):
+            nrm += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        nrm = np.where(nrm == 0.0, 1.0, nrm)
+        dropped = np.zeros(n, dtype=bool)
+        chunk = max(1, min(1024, (1 << 24) // max(n, 1)))
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n - 1)
+            dots = np.zeros((hi - lo, n))
+            for d in range(dim):
+                dots += V[lo:hi, d : d + 1] * V[None, :, d]
+            cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+            # a row i may drop any LATER id j (ids sorted ascending)
+            for i in range(lo, hi):
+                hits = cos[i - lo, i + 1 :] >= thr
+                if hits.any():
+                    dropped[i + 1 :][hits] = True
+        return pd.DataFrame({id_col: order[id_col][dropped]})
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("_ia") < F.col("_ib"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
-        .select(F.col("_ib").alias(id_col))
-        .distinct()
+        comparable.groupBy("cell")
+        .applyInPandas(cell_dropped, schema=f"{id_col} {id_type}")
         .withColumn("_drop", F.lit(True))
     )
     return (

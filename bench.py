@@ -88,11 +88,15 @@ BENCH_QUERIES = [
 def run_one(spark, sf_dir: str, name: str) -> float:
     t0 = time.time()
     df = q.QUERIES[name](spark, sf_dir)
-    # drain the full result without shipping rows to python one by one
-    n = df.count()
-    dt = time.time() - t0
-    assert n >= 0
-    return dt
+    # drain through the noop sink: every output COLUMN materializes, no
+    # rows ship to python.  count() — the r1-r5 drain — lets Catalyst
+    # prune any subtree no row-count depends on, silently under-measuring
+    # queries whose expensive work feeds only values (discovered in r6:
+    # semantic_dedup_cells' whole pair kernel vanished under count();
+    # map-only queries lost their projections).  docs/BENCH_AB_r6.md §3
+    # records the count-vs-noop A/B for cross-round comparability.
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
 
 
 def main() -> None:
