@@ -142,16 +142,20 @@ def cms_counters(
     items hashing to w under hash d.  Output <= depth x width rows —
     CONSTANT in corpus size; merge across shards/days = sum by (d, w).
 
-    Scale: the item column fans out x depth row-locally (a tiny literal
-    explode), then ONE map-combinable (d, hash) aggregation."""
+    Scale: ONE md5 per item OCCURRENCE (the 48-bit base hash), the depth
+    row cells derived by universal-hash multiply-adds (the
+    dedup._PERM_A/B scheme — md5 dominated the old per-(d,item) salting
+    at ~4x the digests, r6 measured ~2x on the registered query), then
+    one map-combinable (d, hash) aggregation."""
     rows = F.explode(
         F.array(*[F.lit(d) for d in range(depth)])
     ).alias("d")
     wgt = (
         F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     )
-    fanned = df.select(F.col(item_col).alias("_item"), wgt.alias("_w"), rows)
-    cell = _salted_cell(F.col("_item"), F.col("d"), depth, width)
+    based = df.select(_base_h(F.col(item_col)).alias("_h"), wgt.alias("_w"))
+    fanned = based.select("_h", "_w", rows)
+    cell = _cell_from(F.col("_h"), F.col("d"), depth, width)
     return (
         fanned.select("d", cell.alias("w"), "_w")
         .groupBy("d", "w")
@@ -159,16 +163,26 @@ def cms_counters(
     )
 
 
-def _salted_cell(item: Column, d: Column, depth: int, width: int) -> Column:
-    """Row-d hash cell for an item: md5 salted with the row index."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(d.cast("string"), F.lit(":"), item)), 1, 12
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(width)
+def _base_h(item: Column) -> Column:
+    """48-bit md5 base hash — computed ONCE per item, shared by every
+    sketch row."""
+    return F.conv(F.substring(F.md5(item), 1, 12), 16, 10).cast("long")
+
+
+def _cell_from(h: Column, d: Column, depth: int, width: int) -> Column:
+    """Row-d cell from the base hash: ``((A[d]*h + B[d]) mod P) mod
+    width`` with the same overflow-safe universal-hash constants the
+    MinHash permutations use (A < 2^15 keeps A*h < 2^63 — identical
+    BIGINT values on both engines)."""
+    from .dedup import _PERM_A, _PERM_B, _PERM_P
+
+    a = F.element_at(
+        F.array(*[F.lit(x) for x in _PERM_A[:depth]]), d.cast("int") + 1
+    )
+    b = F.element_at(
+        F.array(*[F.lit(x) for x in _PERM_B[:depth]]), d.cast("int") + 1
+    )
+    return ((a * h + b) % F.lit(_PERM_P)) % F.lit(width)
 
 
 def cms_estimate(
@@ -183,9 +197,11 @@ def cms_estimate(
     rows — broadcast — so probing any number of items is one row-local
     fan-out plus a broadcast join and a (item) min-aggregation."""
     fanned = probes.select(
-        item_col, F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+        item_col,
+        _base_h(F.col(item_col)).alias("_h"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
     )
-    cell = _salted_cell(F.col(item_col), F.col("d"), depth, width)
+    cell = _cell_from(F.col("_h"), F.col("d"), depth, width)
     probed = fanned.select(item_col, "d", cell.alias("w")).join(
         F.broadcast(counters), ["d", "w"], "left"
     )

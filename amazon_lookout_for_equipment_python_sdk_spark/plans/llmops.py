@@ -1355,19 +1355,24 @@ WITH toks AS (
   SELECT unnest(string_split(text,' ')) AS tok FROM documents
 ), ds AS (
   SELECT unnest([0, 1, 2, 3]) AS d
+), based AS (
+  -- ONE md5 per occurrence; row cells via the shared universal-hash
+  -- constants (dedup._PERM_A/B, overflow-safe BIGINT on both engines)
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+  FROM toks
 ), counters AS (
   SELECT d,
-         CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', tok)),
-                                  1, 12)) AS BIGINT) % 512 AS w,
+         ((([9973, 12007, 14033, 16061])[d + 1] * h
+           + ([1, 7, 13, 19])[d + 1]) % 4294967291) % 512 AS w,
          count(*) AS counter
-  FROM toks, ds GROUP BY 1, 2
+  FROM based, ds GROUP BY 1, 2
 ), truec AS (
   SELECT tok, count(*) AS n_true FROM toks GROUP BY 1
 ), probe AS (
   SELECT t.tok, ds.d,
-         CAST(concat('0x', substr(md5(concat(CAST(ds.d AS VARCHAR), ':',
-                                             t.tok)), 1, 12)) AS BIGINT)
-           % 512 AS w
+         ((([9973, 12007, 14033, 16061])[ds.d + 1]
+           * CAST(concat('0x', substr(md5(t.tok), 1, 12)) AS BIGINT)
+           + ([1, 7, 13, 19])[ds.d + 1]) % 4294967291) % 512 AS w
   FROM (SELECT DISTINCT tok FROM toks) t, ds
 ), est AS (
   SELECT p.tok, min(coalesce(c.counter, 0)) AS cms_count
