@@ -1459,11 +1459,12 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else.  Below the crossover: plain recompute — five
     thin traversals whose stages the scheduler overlaps across idle
     cores.  The r6 sf0.1 A/B measured every traversal-reducing variant
-    35-60% SLOWER locally (recompute 1.45s; per-doc persist 2.07s; c12
-    persist 2.00s; sentinel-vocab no persist 2.05s; +vocab persist
-    2.30s): a materialization barrier or a heavier vocab subtree buys
-    nothing when the corpus re-scan is cheaper than the cache
-    round-trip."""
+    slower locally — under the original count-drain, recompute 1.45s vs
+    2.0-2.3s for the persisted variants; re-measured under the honest
+    noop drain the gap narrows to ~0.1-0.3s (recompute 2.2s vs
+    sentinel+persist 2.3-2.5s), still favoring recompute below the
+    crossover: a materialization barrier buys nothing while the corpus
+    re-scan is cheaper than the cache round-trip."""
     from ..operators.lm import bigram_lm, doc_bigram_counts, doc_cross_entropy
 
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
