@@ -902,3 +902,43 @@ def distinct_two_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch."""
     events = load(spark, sf_dir, "events")
     return st.exact_distinct_two_phase(events, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Gorilla codec end-to-end: compress -> decompress -> aggregate (r6)
+# ---------------------------------------------------------------------------
+
+_GORILLA_SQL = """
+SELECT event_type,
+       count(*) AS n_points,
+       sum(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_sum_us,
+       sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("gorilla_roundtrip_stats", _GORILLA_SQL)
+def gorilla_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gorilla codec as a DRIVER-VERIFIED identity: the events table
+    compresses into windowed blocks (delta-of-delta timestamps +
+    XOR-float values, operators/gorilla.py), decompresses back, and
+    aggregates — while the oracle aggregates the RAW rows directly.
+    Because the codec is lossless, the two sides must match bit-for-bit;
+    any encoder/decoder defect (a flipped sign class, a mis-sized
+    window) breaks the hash.  The one oracle pattern that can verify a
+    binary codec in SQL.
+
+    Scale shape: one shuffle on (key, window) for the blocks, row-local
+    decode, one hash agg."""
+    from ..operators.gorilla import compress_series, decompress_series
+
+    events = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    back = decompress_series(
+        compress_series(events, block_hours=24), key_col="event_type"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.unix_micros("ts")).alias("ts_sum_us"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

@@ -3,9 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes end-to-end (results drained via a cheap count-collect,
-never a full driver materialization).  One warm-up pass on the smallest SF
-primes the JVM/codegen so the measured pass reflects steady-state.
+Each query executes end-to-end (results drained through the noop sink —
+every output column materializes; nothing ships to the driver).  One
+warm-up pass on the smallest SF primes the JVM/codegen so the measured
+pass reflects steady-state.
 """
 
 from __future__ import annotations
@@ -82,6 +83,7 @@ BENCH_QUERIES = [
     "rolling_1h_range_frame",
     "q18_large_volume_orders",
     "q16_supplier_diversity",
+    "gorilla_roundtrip_stats",
 ]
 
 
