@@ -908,10 +908,15 @@ def distinct_two_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gorilla codec end-to-end: compress -> decompress -> aggregate (r6)
 # ---------------------------------------------------------------------------
 
-_GORILLA_SQL = """
+# checksums sum RELATIVE micros (vs 2024-01-01): absolute epoch-micros
+# sums overflow int64 past ~5k rows per group (caught by the r6 bench at
+# sf0.1 under ANSI mode; the sf0.01 oracle run fit by luck)
+_GORILLA_EPOCH0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
+
+_GORILLA_SQL = f"""
 SELECT event_type,
        count(*) AS n_points,
-       sum(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_sum_us,
+       sum(epoch_us(CAST(ts AS TIMESTAMP)) - {_GORILLA_EPOCH0}) AS ts_sum_us,
        sum(CAST(round(value*100) AS BIGINT)) AS value_cents
 FROM events WHERE value IS NOT NULL
 GROUP BY 1
@@ -939,6 +944,8 @@ def gorilla_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.sum(F.unix_micros("ts")).alias("ts_sum_us"),
+        F.sum(F.unix_micros("ts") - F.lit(_GORILLA_EPOCH0)).alias(
+            "ts_sum_us"
+        ),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
