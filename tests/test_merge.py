@@ -300,3 +300,49 @@ def test_scd2_apply_bucketed_recovers_parked_bucket(spark, tmp_path):
     rows = spark.read.parquet(path)
     assert rows.filter(F.col("valid_to").isNull()).count() == 50  # no loss
     assert not any(d.endswith(".__prev") for d in os.listdir(path))
+
+
+def test_scd2_apply_bucketed_creates_new_bucket_for_new_key(spark, tmp_path):
+    """An update for a key whose hash bucket has no directory yet (tiny
+    seeded history) must create the bucket dir and insert the row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        _bucket_expr,
+        scd2_apply_bucketed,
+        scd2_write_bucketed,
+    )
+
+    path = str(tmp_path / "hist")
+    hist = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None)],
+        "k long, attr string, vf_s string, vt_s string",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("vf_s").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    scd2_write_bucketed(hist, path, ["k"], n_buckets=16)
+    # find a key landing in a bucket with no directory yet
+    existing = {
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("_bucket=")
+    }
+    probe = spark.createDataFrame(
+        [(k,) for k in range(2, 200)], "k long"
+    ).select("k", _bucket_expr(["k"], 16).alias("b"))
+    new_key = next(
+        r["k"] for r in probe.collect() if r["b"] not in existing
+    )
+    upd = spark.createDataFrame(
+        [(new_key, "fresh", "2024-02-01 00:00:00")],
+        "k long, attr string, ts_s string",
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    stats = scd2_apply_bucketed(spark, path, upd, ["attr"])
+    assert stats["touched_buckets"] == 1
+    rows = spark.read.parquet(path).collect()
+    cur = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is None}
+    assert (1, "a") in cur and (new_key, "fresh") in cur and len(cur) == 2
