@@ -314,3 +314,20 @@ def recompact_archive(
         key_col=key_col,
         block_hours=block_hours,
     )
+
+
+# The Spark wrappers' worker-side closures call the module-level codec
+# functions; cloudpickle serializes module-level functions BY REFERENCE,
+# which breaks on executors whose Python cannot import this package
+# (driver harnesses running from another cwd).  Every other Python-UDF
+# in the repo is a self-contained nested function; the codec is too big
+# to nest, so register this module for by-VALUE pickling instead — the
+# whole module ships inside the serialized task (a few KB).
+try:  # pragma: no cover - depends on the pyspark vendored pickler
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - serialization fallback is by-reference
+    pass
