@@ -166,9 +166,20 @@ class TimeSeriesVisualization:
             F.expr(f"stack({len(tags)}, {pairs}) AS (tag, value)"),
         )
 
+    #: per-signal point budget before LTTB visual downsampling kicks in
+    #: (a 900px-wide panel cannot express more anyway)
+    max_plot_points = 4_000
+
     def signal_series(self, tag_name: str):
         """One signal's plotted series as a small pandas frame
-        (ts, value [, rolling_avg]), resampled/rolled Spark-side."""
+        (ts, value [, rolling_avg]), resampled/rolled Spark-side.
+
+        Series beyond ``max_plot_points`` LTTB-downsample EXECUTOR-side
+        before the collect (plot/downsample.py — shape-preserving:
+        peaks/troughs survive where striding drops them), so plotting a
+        year of 1 Hz data ships thousands of points to the driver, not
+        tens of millions.  The rolling overlay attaches before the
+        downsample so its kept points are exact computed values."""
         df = self._long_view().filter(F.col("tag") == tag_name)
         if self.resample:
             secs = iso8601_duration_to_seconds(self.resample)
@@ -181,6 +192,14 @@ class TimeSeriesVisualization:
             df = rolling_mean(
                 df, self._rolling_window, "value", ts_col="ts", key_col="tag"
             )
+        if df.count() > self.max_plot_points:
+            from .downsample import downsample_series
+
+            keep = downsample_series(
+                df, n_out=self.max_plot_points, key_col="tag"
+            ).select("tag", "ts")
+            # semi-join back so EXTRA columns (rolling_avg) ride along
+            df = df.join(keep, ["tag", "ts"], "left_semi")
         return df.orderBy("ts").drop("tag").toPandas()
 
     # -- figure assembly (plot.py:376-518) -----------------------------------

@@ -157,3 +157,42 @@ def test_feature_importance(spark, tmp_path):
     info2 = plot_feature_importance(scored, str(tmp_path / "imp2.svg"), num_signals=2)
     assert abs(sum(info2["share"]) - 0.9) < 1e-9  # s1+s2 = 1.8 of 2.0
     assert abs(info2["ref_line"] - 1.0 / 3) < 1e-12
+
+
+def test_signal_series_downsamples_large_series(spark):
+    """A series past max_plot_points must LTTB-downsample executor-side:
+    bounded point count, endpoints + an injected spike kept, rolling
+    overlay column intact on the kept points."""
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plot.viz import (
+        TimeSeriesVisualization,
+    )
+
+    n = 20_000
+    base = 1_700_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 60).alias("ts"),
+            F.lit("sig").alias("tag"),
+            (F.sin(F.col("id") / 500.0) * 10).alias("value"),
+        )
+        .withColumn(
+            "value",
+            F.when(F.col("ts") == F.timestamp_seconds(F.lit(base + 7777 * 60)), 99.0)
+            .otherwise(F.col("value")),
+        )
+    )
+    viz = TimeSeriesVisualization(
+        df, timestamp_col="ts", tag_col="tag", value_col="value",
+        data_format="timeseries",
+    )
+    viz.add_signal(["sig"])
+    viz.add_rolling_average(10)
+    pdf = viz.signal_series("sig")
+    assert len(pdf) <= viz.max_plot_points
+    assert "rolling_avg" in pdf.columns
+    assert pdf["value"].max() == 99.0  # the spike survives downsampling
+    assert pdf["ts"].iloc[0].timestamp() == base
+    assert pdf["ts"].iloc[-1].timestamp() == base + (n - 1) * 60
