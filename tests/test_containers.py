@@ -141,3 +141,31 @@ def test_container_parsers_fail_cleanly_on_garbage():
                 pass
 
     fuzz()
+
+
+def test_avi_round_trip_property_random_dims():
+    """AVI/MJPEG round trip across random (odd) frame geometries — the
+    JPEG MCU-padding edges — and frame counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=9, max_value=33),
+        st.integers(min_value=9, max_value=33),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=12, deadline=None)
+    def roundtrip(h, w, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        back, fps = ct.decode_avi(ct.encode_avi_mjpeg(frames, fps=7, quality=95))
+        assert fps == 7 and len(back) == n
+        for a, b in zip(frames, back):
+            assert b.shape == (h, w, 3)
+            assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 16
+
+    roundtrip()
