@@ -916,8 +916,9 @@ _GORILLA_EPOCH0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
 _GORILLA_SQL = f"""
 SELECT event_type,
        count(*) AS n_points,
-       sum(epoch_us(CAST(ts AS TIMESTAMP)) - {_GORILLA_EPOCH0}) AS ts_sum_us,
-       sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) - {_GORILLA_EPOCH0})
+            AS BIGINT) AS ts_sum_us,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events WHERE value IS NOT NULL
 GROUP BY 1
 """

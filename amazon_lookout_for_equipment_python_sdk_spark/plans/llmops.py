@@ -2026,8 +2026,8 @@ WITH rawd AS (
   LEFT JOIN pm ON pm.bucket = g.bucket
   LEFT JOIN qm ON qm.bucket = g.bucket
 ), scored AS (
-  SELECT r.doc_id, sum(r.cnt) AS n_grams,
-         sum(r.cnt * lr.lr4) AS logw4
+  SELECT r.doc_id, CAST(sum(r.cnt) AS BIGINT) AS n_grams,
+         CAST(sum(r.cnt * lr.lr4) AS BIGINT) AS logw4
   FROM rawg r JOIN lr ON lr.bucket = r.bucket
   GROUP BY 1
 )

@@ -148,3 +148,60 @@ def test_window_capacity_covers_backlog():
         f"driver window holds {DRIVER_WINDOW} — registry grew too fast; "
         "stop adding queries until the backlog drains"
     )
+
+
+def test_check_harness_flags_hugeint_oracle():
+    """r6's two red rows: DuckDB ``sum(BIGINT)`` returns HUGEINT, which
+    the driver's pandas canonicalizer renders as float64 — hash-divergent
+    from Spark's int64 even when values match as Python ints.  The local
+    harness must flag the class (tools/check.py oracle_dtype_problems);
+    this fixture replays the exact failure shape."""
+    import duckdb
+
+    from tools.check import oracle_dtype_problems
+
+    class _FakeField:
+        def __init__(self, name):
+            self.name = name
+            self.dataType = type("T", (), {"typeName": staticmethod(lambda: "long")})()
+
+    class _FakeDF:
+        schema = type("S", (), {"fields": [_FakeField("s")]})()
+
+    con = duckdb.connect()
+    bad = con.sql("SELECT sum(x) AS s FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)")
+    assert oracle_dtype_problems(_FakeDF(), bad), "uncast sum() not flagged"
+    good = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)"
+    )
+    assert not oracle_dtype_problems(_FakeDF(), good)
+
+
+def test_no_registered_oracle_returns_hugeint(sf_dir):
+    """Static sweep of EVERY registered oracle: HUGEINT in an oracle's
+    output schema is always an uncast aggregate (there is no legitimate
+    int128 driver column), so describe each SQL against the sf0.001
+    views and fail on sight — no Spark job needed."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        types = [str(t).upper() for t in con.sql(sql).types]
+        huge = [
+            f"{c}:{t}"
+            for c, t in zip(con.sql(sql).columns, types)
+            if t.startswith(("HUGEINT", "UHUGEINT"))
+        ]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"oracles with uncast int128 aggregates: {bad}"

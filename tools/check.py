@@ -71,6 +71,32 @@ def atomic_schema_problems(spark_df):
     )
 
 
+def oracle_dtype_problems(spark_df, rel):
+    """Driver contract, twin of :func:`atomic_schema_problems` (r6's two
+    red rows): the driver canonicalizes the DuckDB side via pandas, and
+    DuckDB ``sum(BIGINT)`` returns HUGEINT (int128) which pandas renders
+    as **float64** — lossy past 2^53 and dtype-hashed differently from
+    Spark's exact int64 even when small.  Python-value equality below
+    cannot see it (int 300 == 300), so flag any oracle column whose
+    DuckDB type is HUGEINT/DECIMAL while Spark returns an integral type:
+    the SQL needs an explicit ``CAST(sum(...) AS BIGINT)``."""
+    integral = {"long", "integer", "short", "byte"}
+    s_types = {f.name: f.dataType.typeName() for f in spark_df.schema.fields}
+    bad = []
+    for col, dtype in zip(rel.columns, rel.types):
+        d = str(dtype).upper()
+        if (d.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+                and s_types.get(col) in integral):
+            bad.append(f"{col}:{d}")
+    return (
+        [f"oracle dtype: {bad} — DuckDB HUGEINT/DECIMAL canonicalizes to "
+         "float64 in the driver hasher vs Spark's integral; wrap the "
+         "aggregate in CAST(... AS BIGINT)"]
+        if bad
+        else []
+    )
+
+
 def compare(name, spark_df, con, sql):
     t0 = time.time()
     s_cols = spark_df.columns
@@ -82,6 +108,7 @@ def compare(name, spark_df, con, sql):
     t2 = time.time()
 
     problems = atomic_schema_problems(spark_df)
+    problems += oracle_dtype_problems(spark_df, rel)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
