@@ -214,8 +214,14 @@ def scd2_apply_bucketed(
     rewrite stages each touched bucket to a temp dir and swaps via
     renames only (park old -> move new -> drop parked), per bucket, so a
     crash leaves every bucket in exactly one recoverable state; a
-    leftover ``.__prev`` park from a crashed swap is restored on the
-    next run before merging."""
+    leftover park from a crashed swap is restored on the next run before
+    merging.  Parks live OUTSIDE the table dir (sibling
+    ``<path>.__prev/<bucket>``): a parked dir named ``_bucket=N.__prev``
+    INSIDE the table would survive Spark's hidden-path filter (which
+    only skips '_'/'.'-prefixed names without '='), so any direct
+    ``spark.read.parquet(path)`` between a crash and the next merge
+    would read it as an extra partition — duplicate rows plus a
+    string-inferred ``_bucket`` (r6 ADVICE)."""
     import json
     import os
     import shutil
@@ -229,6 +235,15 @@ def scd2_apply_bucketed(
 
     # crash recovery: restore any bucket whose previous swap died after
     # parking the old dir but before the new one landed
+    prev_root = path.rstrip("/") + ".__prev"
+    if os.path.isdir(prev_root):
+        for name in os.listdir(prev_root):
+            live = os.path.join(path, name)
+            if not os.path.exists(live):
+                os.rename(os.path.join(prev_root, name), live)
+            else:
+                shutil.rmtree(os.path.join(prev_root, name))
+    # legacy in-table parks from pre-r7 crashes
     for name in os.listdir(path):
         if name.endswith(".__prev"):
             live = os.path.join(path, name[: -len(".__prev")])
@@ -252,9 +267,11 @@ def scd2_apply_bucketed(
     tmp = path + ".__stage"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    os.makedirs(prev_root, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"{BUCKET_COL}={b}")
-        live, prev = bdir(b), bdir(b) + ".__prev"
+        live = bdir(b)
+        prev = os.path.join(prev_root, f"{BUCKET_COL}={b}")
         if not os.path.exists(src):
             # all rows of this bucket's keys merged away (cannot happen
             # for SCD-2, which never deletes — defensive)
@@ -264,5 +281,6 @@ def scd2_apply_bucketed(
         os.rename(src, live)
         shutil.rmtree(prev, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(prev_root, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     return {"touched_buckets": len(touched), "total_buckets": n_buckets}

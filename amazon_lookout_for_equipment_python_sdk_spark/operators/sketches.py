@@ -176,6 +176,16 @@ def _cell_from(h: Column, d: Column, depth: int, width: int) -> Column:
     BIGINT values on both engines)."""
     from .dedup import _PERM_A, _PERM_B, _PERM_P
 
+    if depth > len(_PERM_A):
+        # element_at past the constant table returns NULL (or errors
+        # under ANSI), silently collapsing rows 8+ into one NULL cell
+        # (r6 ADVICE) — refuse instead of corrupting the sketch
+        raise ValueError(
+            f"CMS depth {depth} exceeds the {len(_PERM_A)}-entry "
+            "universal-hash constant table (operators/dedup.py _PERM_A); "
+            "extend the tables or use depth <= "
+            f"{len(_PERM_A)} (error bounds: delta = e^-depth)"
+        )
     a = F.element_at(
         F.array(*[F.lit(x) for x in _PERM_A[:depth]]), d.cast("int") + 1
     )

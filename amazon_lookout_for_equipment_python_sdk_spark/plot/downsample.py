@@ -59,30 +59,49 @@ def downsample_series(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    carry_cols=None,
 ):
-    """DataFrame -> per-series LTTB downsample: (key, ts, value) with
-    <= n_out rows per series.  One shuffle on the key; each series
-    downsamples row-local in its group, deterministically ((ts, value)
-    sort; argmax first-match tie-break)."""
+    """DataFrame -> per-series LTTB downsample: (key, ts, value
+    [, carry...]) with <= n_out rows per series.  One shuffle on the
+    key; each series downsamples row-local in its group,
+    deterministically ((ts, value) sort; argmax first-match tie-break).
+
+    ``carry_cols`` ride along through the kernel: extra columns (e.g. a
+    rolling overlay) keep their row's value on every kept point.  This
+    replaces the old join-back-on-(key, ts) consumers used to do, which
+    (a) pulled back EVERY row at a kept timestamp when a series has
+    duplicate stamps — budget overshoot — and (b) silently dropped
+    points whenever ts did not survive the unix_micros round-trip
+    (r6 ADVICE)."""
     from pyspark.sql import functions as F
+
+    carry = [c for c in (carry_cols or [])]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_us", value_col]).reset_index(drop=True)
         idx = lttb(
             pdf["_us"].to_numpy(), pdf[value_col].to_numpy(), n_out
         )
-        return pdf.iloc[idx][[key_col, "_us", value_col]]
+        return pdf.iloc[idx][[key_col, "_us", value_col] + carry]
 
     prepared = df.select(
         key_col,
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
         value_col,
+        *carry,
+    )
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
     )
     out = prepared.groupBy(key_col).applyInPandas(
-        run, schema=f"{key_col} string, _us long, {value_col} double"
+        run,
+        schema=(
+            f"{key_col} string, _us long, {value_col} double{carry_schema}"
+        ),
     )
     return out.select(
         key_col,
         F.timestamp_micros(F.col("_us")).alias(ts_col),
         value_col,
+        *carry,
     )

@@ -195,11 +195,19 @@ class TimeSeriesVisualization:
         if df.count() > self.max_plot_points:
             from .downsample import downsample_series
 
-            keep = downsample_series(
-                df, n_out=self.max_plot_points, key_col="tag"
-            ).select("tag", "ts")
-            # semi-join back so EXTRA columns (rolling_avg) ride along
-            df = df.join(keep, ["tag", "ts"], "left_semi")
+            # extra columns (rolling_avg) carry THROUGH the kernel — the
+            # old semi-join back on (tag, ts) overshot the budget on
+            # duplicate stamps and depended on ts surviving the
+            # unix_micros round-trip (r6 ADVICE)
+            extra = [
+                c for c in df.columns if c not in ("tag", "ts", "value")
+            ]
+            df = downsample_series(
+                df,
+                n_out=self.max_plot_points,
+                key_col="tag",
+                carry_cols=extra,
+            )
         return df.orderBy("ts").drop("tag").toPandas()
 
     # -- figure assembly (plot.py:376-518) -----------------------------------

@@ -615,3 +615,19 @@ def test_bigram_lm_sentinel_path_matches_token_scan_vocab(spark):
     # tokens total
     _, vocab = bigram_lm(docs)
     assert vocab.first().v == 10
+
+
+def test_cms_depth_beyond_constant_table_refuses(spark):
+    """r6 ADVICE: depth > len(_PERM_A) used to index past the 8-entry
+    universal-hash tables — element_at returned NULL and rows 8+
+    silently collapsed into one NULL cell.  Must raise instead."""
+    import pytest
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError, match="constant table"):
+        cms_counters(df, "tok", depth=9)
+    cms_counters(df, "tok", depth=8).collect()  # boundary is fine

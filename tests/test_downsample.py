@@ -64,3 +64,33 @@ def test_lttb_edge_collisions_near_full_size():
         assert idx[0] == 0 and idx[-1] == n - 1
         assert (np.diff(idx) > 0).all(), (n, n_out, idx)
         assert len(idx) <= n_out
+
+
+def test_carry_cols_ride_through_kernel_with_duplicate_stamps(spark):
+    """r6 ADVICE: extra columns must carry THROUGH applyInPandas —
+    duplicate timestamps used to make the old (key, ts) semi-join pull
+    back every row at a kept stamp (budget overshoot).  With carry the
+    budget holds exactly and each kept point keeps its own overlay
+    value."""
+    import datetime as dt
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plot.downsample import (
+        downsample_series,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5_000):
+        ts = t0 + dt.timedelta(seconds=i // 2)  # EVERY stamp duplicated
+        rows.append(("s", ts, float(i % 97), float(i)))
+    df = spark.createDataFrame(
+        rows, "tag string, ts timestamp, value double, rolling_avg double"
+    )
+    out = downsample_series(
+        df, n_out=100, key_col="tag", carry_cols=["rolling_avg"]
+    ).collect()
+    assert len(out) == 100  # exact budget despite duplicate stamps
+    by = {(r["ts"], r["value"]): r["rolling_avg"] for r in out}
+    src = {(r[1], r[2]): r[3] for r in rows}
+    for k, v in by.items():
+        assert src[k] == v  # overlay is the row's own value

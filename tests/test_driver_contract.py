@@ -47,20 +47,26 @@ def _current_round() -> int:
     return max(rounds) + 1
 
 
-def test_last_green_map_matches_artifacts():
-    """last_green.json must be regenerated whenever a new CORRECTNESS
-    artifact lands — a stale map silently rotates the wrong queries."""
+def test_effective_rotation_derives_from_artifacts():
+    """Since r7 the rotation DERIVES from the CORRECTNESS artifacts at
+    import (no regeneration step to forget — the r6 workflow-coupling
+    ADVICE); this pins that the in-package derivation and the
+    tools/gen_last_green.py mirror never drift apart, and that the
+    committed fallback JSON stays parseable."""
     import json
-    import os
 
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        _derive_last_green,
+        _load_last_green,
+    )
     from tools.gen_last_green import OUT, build
 
-    committed = json.load(open(OUT))
-    derived = build()
-    assert committed == derived, (
-        "plans/last_green.json is stale — run tools/gen_last_green.py "
-        f"(diff keys: {set(committed) ^ set(derived)})"
-    )
+    derived = _derive_last_green()
+    assert derived is not None  # repo root artifacts are visible here
+    assert derived == build(), "queries.py / gen_last_green.py drifted"
+    assert _load_last_green() == derived
+    fallback = json.load(open(OUT))
+    assert isinstance(fallback, dict) and fallback
 
 
 def test_no_query_goes_stale():

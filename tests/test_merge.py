@@ -346,3 +346,48 @@ def test_scd2_apply_bucketed_creates_new_bucket_for_new_key(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     cur = {(r["k"], r["attr"]) for r in rows if r["valid_to"] is None}
     assert (1, "a") in cur and (new_key, "fresh") in cur and len(cur) == 2
+
+
+def test_scd2_parks_outside_table_dir_and_recovers(spark, tmp_path):
+    """r6 ADVICE: parks must live OUTSIDE the table dir — a name like
+    `_bucket=N.__prev` inside it contains '=', so Spark's hidden-path
+    filter does NOT skip it and a direct read during the crash window
+    sees duplicate rows plus a string-inferred _bucket.  Pin both: (a)
+    a crashed swap (live + sibling park both present) stays invisible
+    to spark.read.parquet; (b) the next merge restores a missing live
+    bucket from the sibling park."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.merge import (
+        scd2_apply_bucketed,
+        scd2_write_bucketed,
+    )
+
+    path = str(tmp_path / "hist")
+    hist = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("attr"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    scd2_write_bucketed(hist, path, ["k"], n_buckets=4)
+    victim = next(d for d in os.listdir(path) if d.startswith("_bucket="))
+    prev_root = path + ".__prev"
+    os.makedirs(prev_root)
+    # (a) crash AFTER landing the new dir but BEFORE dropping the park:
+    # both live and park hold data — a direct read must see no dupes
+    shutil.copytree(os.path.join(path, victim), os.path.join(prev_root, victim))
+    assert spark.read.parquet(path).count() == 50
+    # (b) crash BEFORE landing the new dir: live missing, park present —
+    # the next merge restores it and loses nothing
+    shutil.rmtree(os.path.join(path, victim))
+    upd = spark.createDataFrame(
+        [(1, "y", "2024-02-01 00:00:00")], "k long, attr string, ts_s string"
+    ).select("k", "attr", F.to_timestamp("ts_s").alias("ts"))
+    scd2_apply_bucketed(spark, path, upd, ["attr"])
+    rows = spark.read.parquet(path)
+    assert rows.filter(F.col("valid_to").isNull()).count() == 50
+    assert not os.path.exists(prev_root)
