@@ -1056,7 +1056,19 @@ def duplicate_spans(
         .filter(F.col("_n") >= 2)
         .select("_h")
     )
-    cand = grams.join(dup_h, "_h", "left_semi")
+    # persist the SURVIVOR SLIVER: cand feeds both the phase-2 string
+    # count and the final semi-join, and without a cache each consumer
+    # recomputes the corpus gram explode (r7 stage profile, BASELINE.md:
+    # 4 explodes at ~45% of total runtime, the whole super-linear part
+    # of the sf3 factor).  Unlike the gram stream, cand is bounded by
+    # the corpus's DUPLICATE MASS — small by construction — and
+    # MEMORY_AND_DISK degrades to spill, never OOM, if a pathological
+    # corpus is mostly boilerplate.
+    from pyspark import StorageLevel
+
+    cand = grams.join(dup_h, "_h", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # phase 2: exact verify on the gram string over the small survivor set
     dup_g = (
         cand.groupBy("_g")

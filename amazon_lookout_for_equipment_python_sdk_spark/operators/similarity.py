@@ -994,12 +994,13 @@ def ann_join(
 
 def semantic_dedup(
     vectors: DataFrame,
-    centroids,
+    centroids=None,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int | None = 100_000,
     cap_observation=None,
+    target_cells: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication via
     cluster-then-compare — assign every vector to its nearest centroid
@@ -1027,7 +1028,40 @@ def semantic_dedup(
     INSIDE the per-cell kernel (each group knows its own size), the
     kernel emits EVERY member with its flag, and the cap count surfaces
     through an ``observe`` on the output — one assignment pass, one
-    shuffle on ``cell``, nothing else."""
+    shuffle on ``cell``, nothing else.
+
+    ``centroids=None`` SCALES THE CELL COUNT WITH THE CORPUS (the
+    embedding_near_dup auto-planes pattern): n_cells =
+    clamp(sqrt(n), 16, 4096) from one cheap count job — sqrt balances
+    the row-local assignment cost (n x n_cells x dim) against the
+    within-cell quadratic pair cost (n x n/n_cells) — with
+    ``target_cells`` overriding the derivation.  Seeds are the n_cells
+    LOWEST-id vectors (a TakeOrderedAndProject: per-partition top-k,
+    driver merge — deterministic and engine-replayable where kmeans||
+    is not; swap in :func:`ivf_build`'s kmeans centroids when cluster
+    QUALITY matters more than replayability).  Fixed-centroid callers
+    (the registered oracle query's 16 seeds) pass their own array."""
+    import numpy as np
+
+    if centroids is None:
+        import math
+
+        n_corpus = vectors.count()
+        n_cells = int(
+            target_cells
+            if target_cells is not None
+            else min(4096, max(16, math.isqrt(max(n_corpus, 1))))
+        )
+        seed_rows = sorted(
+            vectors.orderBy(id_col)
+            .limit(n_cells)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[0],
+        )
+        centroids = np.stack(
+            [np.asarray(r[1], dtype=np.float64) for r in seed_rows]
+        )
     assigned = ivf_assign_cells(
         vectors, centroids, id_col, vec_col, carry_vec_as="_v"
     )

@@ -97,6 +97,10 @@ def run_one(spark, sf_dir: str, name: str) -> float:
     # semantic_dedup_cells' whole pair kernel vanished under count();
     # map-only queries lost their projections).  docs/BENCH_AB_r6.md §3
     # records the count-vs-noop A/B for cross-round comparability.
+    # BASELINE: BENCH_r06 is the first noop-lineage artifact and the
+    # reference point for the 2x regression gate from r7 on — never
+    # compare noop numbers against the r1-r5 count-mode series
+    # (BASELINE.md "r7: bench gate re-baselined").
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 

@@ -575,3 +575,35 @@ def test_embedding_near_dup_auto_planes_scales_with_corpus(spark):
     pe = {(r.a, r.b) for r in explicit.collect()}
     twins = {(i, 1000 + i) for i in range(0, 40, 8)}
     assert twins <= pa and twins <= pe  # all real twins found both ways
+
+
+def test_semantic_dedup_adaptive_cells(spark):
+    """centroids=None derives n_cells from a corpus count and seeds
+    Voronoi cells with the lowest-id vectors — deterministic, and drop
+    semantics identical to passing those seeds explicitly."""
+    import numpy as np
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5)]) for i in range(64)]
+    rows += [(100, rows[5][1]), (101, rows[5][1])]  # exact dupes of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {
+        r["vec_id"]: r["dropped"]
+        for r in semantic_dedup(df, None, threshold=0.999999).collect()
+    }
+    # sqrt(66) -> 8 cells; same as seeding with the 8 lowest ids
+    seeds = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in sorted(rows)[:8]]
+    )
+    explicit = {
+        r["vec_id"]: r["dropped"]
+        for r in semantic_dedup(df, seeds, threshold=0.999999).collect()
+    }
+    assert auto == explicit
+    # cosine near-1 groups drop all but their lowest id: the [x, 0]
+    # direction's lowest member is id 0, so the colinear 5/100/101 drop
+    assert auto[0] is False
+    assert auto[100] is True and auto[101] is True
