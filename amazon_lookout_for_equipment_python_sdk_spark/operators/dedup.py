@@ -1031,20 +1031,7 @@ def duplicate_spans(
     Output: (id, span_start, span_end) with 0-based [start, end) char
     offsets, one row per maximal duplicated span.
     """
-    t = F.col(text_col)
-    starts = F.when(
-        F.length(t) >= k,
-        F.sequence(F.lit(1), F.length(t) - (k - 1), F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(starts).alias("_p"),
-        t.alias("_t"),
-    ).select(
-        id_col,
-        "_p",
-        F.substring(F.col("_t"), F.col("_p"), k).alias("_g"),
-    ).withColumn("_h", F.xxhash64("_g"))
+    grams = _char_grams(df, k, text_col, id_col, stride)
     # phase 1: frequency on the 64-bit hash — keep positions whose hash
     # is seen 2+ times.  Semi-join against the duplicated-hash set rather
     # than collecting a posting list per gram — a degenerate gram
@@ -1077,8 +1064,36 @@ def duplicate_spans(
         .select("_g")
     )
     dup_pos = cand.join(dup_g, "_g", "left_semi").select(id_col, "_p")
-    # gaps-and-islands per doc: a window starting at p covers [p, p+k);
-    # a new island begins when p exceeds the running max end so far
+    return _merge_islands(dup_pos, k, id_col)
+
+
+def _char_grams(df, k: int, text_col: str, id_col: str, stride: int):
+    """Row-local ``(id, _p, _g, _h)`` k-char gram stream: one row per
+    1-based start position, gram string + its 64-bit xxhash."""
+    t = F.col(text_col)
+    starts = F.when(
+        F.length(t) >= k,
+        F.sequence(F.lit(1), F.length(t) - (k - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(starts).alias("_p"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            "_p",
+            F.substring(F.col("_t"), F.col("_p"), k).alias("_g"),
+        )
+        .withColumn("_h", F.xxhash64("_g"))
+    )
+
+
+def _merge_islands(dup_pos, k: int, id_col: str):
+    """Per-doc gaps-and-islands merge of marked gram positions into
+    maximal [start, end) character spans: a window starting at p covers
+    [p, p+k); a new island begins when p exceeds the running max end."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("_p")
@@ -1106,6 +1121,49 @@ def duplicate_spans(
             F.col("span_end").cast("long").alias("span_end"),
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 1,
+) -> DataFrame:
+    """Character spans of TRAIN documents that occur VERBATIM in an EVAL
+    corpus — the span-level decontamination of Lee et al. 2022 §4.2
+    (doc-level n-gram overlap reporting is :func:`corpus.
+    contamination_check`; this finds the exact characters to cut, fed to
+    :func:`remove_duplicate_spans` for the surgery).
+
+    Cross-corpus twin of :func:`duplicate_spans`, same two-phase exact
+    discipline: phase 1 intersects 64-bit gram hashes (the train-side
+    corpus shuffle ships 8-byte longs; the eval hash set is
+    benchmark-sized), phase 2 re-verifies every surviving train gram on
+    the STRING against the eval grams restricted to matching hashes —
+    a hash collision can never cut training text.  The survivor sliver
+    persists (bounded by actual contamination mass) so the train-corpus
+    explode runs twice, not three times; the eval side explodes twice
+    but is the small side by construction.  ``stride`` thins TRAIN
+    positions only — the eval side always enumerates every gram so
+    recall of eval text is exact for spans >= k + stride - 1.
+
+    Output: (id, span_start, span_end), 0-based [start, end) char
+    offsets of maximal contaminated spans, one row per span.
+    """
+    from pyspark import StorageLevel
+
+    tg = _char_grams(train, k, text_col, id_col, stride)
+    eg = _char_grams(eval_df, k, text_col, id_col, 1)
+    eval_h = eg.select("_h").distinct()
+    cand = tg.join(eval_h, "_h", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand_h = cand.select("_h").distinct()
+    eval_g = eg.join(cand_h, "_h", "left_semi").select("_g").distinct()
+    hit = cand.join(eval_g, "_g", "left_semi").select(id_col, "_p")
+    return _merge_islands(hit, k, id_col)
 
 
 def remove_duplicate_spans(

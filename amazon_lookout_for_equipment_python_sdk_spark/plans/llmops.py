@@ -1696,6 +1696,68 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-corpus span decontamination (r7, Lee et al. 2022 §4.2)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SQL = f"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+), ev AS (
+  SELECT text FROM documents WHERE source = 'src0'
+), g AS (
+  SELECT doc_id, i AS p, substr(text, CAST(i AS INTEGER), {_DUPSPAN_K}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {_DUPSPAN_K - 1}, 0) + 1)) AS i
+        FROM tr)
+), eg AS (
+  SELECT DISTINCT substr(text, CAST(i AS INTEGER), {_DUPSPAN_K}) AS g
+  FROM (SELECT text,
+               unnest(range(1, greatest(length(text) - {_DUPSPAN_K - 1}, 0) + 1)) AS i
+        FROM ev)
+), dp AS (
+  SELECT doc_id, p FROM g WHERE g IN (SELECT g FROM eg)
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN prev_max_end IS NULL OR p > prev_max_end THEN 1 ELSE 0 END
+           AS new_isl
+  FROM (SELECT doc_id, p,
+               max(p + {_DUPSPAN_K}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM dp)
+), isl2 AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(p) - 1 AS BIGINT) AS span_start,
+       CAST(max(p) + {_DUPSPAN_K - 1} AS BIGINT) AS span_end
+FROM isl2 GROUP BY doc_id, isl
+"""
+
+
+@register("decontam_spans_k20", _DECONTAM_SQL)
+def decontam_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (Lee et al. 2022 §4.2): the
+    exact character ranges of TRAIN documents (source != 'src0') that
+    occur verbatim in the EVAL corpus (source = 'src0') — what
+    contamination_check reports at doc granularity, located to the
+    characters a training pipeline must cut before the next epoch.
+
+    Scale shape (operators/dedup.py decontaminate_spans): train-side
+    gram shuffle ships 64-bit hashes only; eval hash set is
+    benchmark-sized; the string re-verify confines itself to the
+    hash-intersection sliver, so a 2^-64 collision can never cut
+    training text."""
+    docs = load_par(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    return dd.decontaminate_spans(train, ev, k=_DUPSPAN_K)
+
+
+# ---------------------------------------------------------------------------
 # Per-document unigram token entropy (quality signal)
 # ---------------------------------------------------------------------------
 

@@ -607,3 +607,50 @@ def test_semantic_dedup_adaptive_cells(spark):
     # direction's lowest member is id 0, so the colinear 5/100/101 drop
     assert auto[0] is False
     assert auto[100] is True and auto[101] is True
+
+
+def test_decontaminate_spans_cross_corpus(spark):
+    """Span-level decontamination: exactly the train characters that
+    occur verbatim in the eval corpus are located (0-based [start, end)
+    maximal spans) and surgically removable; train-internal duplicates
+    alone do NOT mark (cross-corpus, not self)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        decontaminate_spans,
+        remove_duplicate_spans,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    train = spark.createDataFrame(
+        [
+            (1, f"AAA {leak} ZZZ"),
+            (2, "completely unrelated training text with no overlap here"),
+            # train-internal dup pair (same text twice) — must NOT mark
+            (3, "train internal duplicate sentence body padding padding"),
+            (4, "train internal duplicate sentence body padding padding"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark prompt: {leak} (answer: dog)")],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in decontaminate_spans(train, ev, k=20).collect()
+    }
+    assert set(spans) == {1}
+    s, e = spans[1]
+    # the marked span is the leaked substring PLUS its flanking spaces —
+    # " the quick…" and "…lazy dog " (20-grams spanning the boundary)
+    # also occur verbatim in the eval text
+    assert (s, e) == (3, 4 + len(leak) + 1)
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            train, decontaminate_spans(train, ev, k=20)
+        ).collect()
+    }
+    assert cleaned[1] == "AAA ZZZ"
+    assert leak not in cleaned[1]
+    src3 = train.filter("doc_id = 3").collect()[0]["text"]
+    assert cleaned[3] == src3  # untouched
