@@ -153,6 +153,48 @@ def hash_split(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "",
+    shard_col: str = "shard",
+    key_col: str = "sort_key",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every document
+    gets a ``sort_key = md5(epoch:salt:id)`` and a
+    ``shard = key mod n_shards`` — a different, reproducible global
+    permutation each epoch, with documents spread uniformly over shards.
+
+    This is the "reshuffle the corpus between epochs" step every
+    training pipeline needs, done without randomness: re-running the
+    same epoch yields byte-identical order (resumable jobs, bug
+    reproduction), and no driver-side state or RNG seed files exist to
+    lose.  Row-local, zero shuffle here; the intended writer is
+    ``df.repartition(n_shards, shard).sortWithinPartitions(key)`` (or
+    ``partitionBy(shard)`` + sorted parquet), which shuffles ONCE on the
+    shard id — never a global sort.
+
+    Contrast with ``F.rand(seed)``: rand is seeded PER-PARTITION, so the
+    assignment changes whenever the input's partitioning does; the
+    content-derived md5 key survives re-sharding, compaction, and
+    re-ordering of the source — the same property :func:`hash_split`
+    relies on.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat(
+            F.lit(f"{int(epoch)}:{salt}:"), F.col(id_col).cast("string")
+        )
+    )
+    bucket = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+    return df.withColumn(key_col, key).withColumn(
+        shard_col, F.pmod(bucket, F.lit(n_shards)).cast("int")
+    )
+
+
 # --- stratified deterministic sampling --------------------------------------
 
 

@@ -658,3 +658,31 @@ def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch training shuffle (r7)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       md5('1::' || CAST(doc_id AS VARCHAR)) AS sort_key,
+       CAST(CAST(concat('0x',
+                 substr(md5('1::' || CAST(doc_id AS VARCHAR)), 1, 12))
+            AS UBIGINT) % 16 AS INTEGER) AS shard
+FROM documents
+"""
+
+
+@register("epoch_shuffle_e1", _EPOCH_SHUFFLE_SQL)
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (operators/corpus.py
+    epoch_shuffle): epoch 1, 16 shards — sort_key = md5('1::'||id),
+    shard = first-12-hex-digits mod 16.  Re-running an epoch is
+    byte-identical (resumable training, bug repro) and — unlike
+    F.rand(seed), which is seeded per-PARTITION — the assignment
+    survives any re-sharding of the source.  Row-local, zero shuffle;
+    the writer repartitions ONCE on shard and sorts within partitions,
+    never globally."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return cp.epoch_shuffle(docs, epoch=1, n_shards=16)

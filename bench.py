@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q18_large_volume_orders",
     "q16_supplier_diversity",
     "gorilla_roundtrip_stats",
+    "decontam_spans_k20",
 ]
 
 

@@ -631,3 +631,32 @@ def test_cms_depth_beyond_constant_table_refuses(spark):
     with pytest.raises(ValueError, match="constant table"):
         cms_counters(df, "tok", depth=9)
     cms_counters(df, "tok", depth=8).collect()  # boundary is fine
+
+
+def test_epoch_shuffle_reshuffles_deterministically(spark):
+    """Per-epoch shuffle: same epoch -> identical assignment; different
+    epochs -> different permutations; shards cover the range roughly
+    uniformly; assignment survives input re-partitioning (the property
+    F.rand(seed) lacks)."""
+    docs = spark.range(2_000).select(F.col("id").alias("doc_id"))
+    e1 = {r["doc_id"]: (r["shard"], r["sort_key"])
+          for r in cp.epoch_shuffle(docs, epoch=1, n_shards=16).collect()}
+    e1b = {r["doc_id"]: (r["shard"], r["sort_key"])
+           for r in cp.epoch_shuffle(
+               docs.repartition(7), epoch=1, n_shards=16).collect()}
+    assert e1 == e1b  # partitioning-invariant
+    e2 = {r["doc_id"]: (r["shard"], r["sort_key"])
+          for r in cp.epoch_shuffle(docs, epoch=2, n_shards=16).collect()}
+    assert e1 != e2  # epochs permute differently
+    order1 = sorted(e1, key=lambda d: e1[d][1])
+    order2 = sorted(e2, key=lambda d: e2[d][1])
+    assert order1 != order2
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in e1.values())
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 2_000 / 16 * 1.5  # rough uniformity
+    import pytest
+
+    with pytest.raises(ValueError):
+        cp.epoch_shuffle(docs, epoch=1, n_shards=0)
