@@ -208,7 +208,21 @@ def minhash_banded(
     docs = _with_digests(
         _shingle_array(df, shingle_n, text_col, id_col), num_perm
     )
-    sig = docs.select(id_col, _sig_col(num_perm).alias("_sig"))
+    return minhash_banded_from_digests(docs, num_perm, bands, id_col)
+
+
+def minhash_banded_from_digests(
+    digests: DataFrame,
+    num_perm: int = 8,
+    bands: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band buckets from an ALREADY-digested frame (``_with_digests``
+    output) — lets a caller that also needs the per-doc hash arrays
+    derive both from ONE digest pass instead of recomputing the
+    md5-dominated shingle pipeline per consumer (incremental_dedup's
+    batch side)."""
+    sig = digests.select(id_col, _sig_col(num_perm).alias("_sig"))
     return sig.select(
         id_col, F.explode(_band_entries_from_sig(num_perm, bands)).alias("_e")
     ).select(

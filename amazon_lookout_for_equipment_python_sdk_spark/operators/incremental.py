@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _shingle_array, _with_digests, minhash_banded
+from .dedup import (
+    _shingle_array,
+    _with_digests,
+    minhash_banded,
+    minhash_banded_from_digests,
+)
 
 
 def _content_hash(text_col: str):
@@ -54,12 +59,11 @@ def dedup_index_frames(
 
     All row-local to compute (no shuffle until the caller's write)."""
     exact = docs.select(_content_hash(text_col).alias("h")).distinct()
-    bands_tbl = minhash_banded(
-        docs, num_perm, bands, shingle_n, text_col, id_col
-    )
-    hashes = _with_digests(
+    digests = _with_digests(
         _shingle_array(docs, shingle_n, text_col, id_col), num_perm
-    ).select(F.col(id_col).alias("id"), F.col("_h").alias("hh"))
+    )
+    bands_tbl = minhash_banded_from_digests(digests, num_perm, bands, id_col)
+    hashes = digests.select(F.col(id_col).alias("id"), F.col("_h").alias("hh"))
     return exact, bands_tbl, hashes
 
 
@@ -92,8 +96,17 @@ def incremental_dedup(
     ).withColumn("is_exact_dup", F.coalesce("is_exact_dup", F.lit(False)))
 
     fresh = exact_flag.filter(~F.col("is_exact_dup")).select(id_col, text_col)
-    new_bands = minhash_banded(
-        fresh, num_perm, bands, shingle_n, text_col, id_col
+    # ONE digest pass for the batch: bands and hash arrays both derive
+    # from it, and the persist is batch-sized by this function's whole
+    # contract ("only batch-sized data moves") — without it each
+    # consumer re-runs the md5-dominated shingle pipeline
+    from pyspark import StorageLevel
+
+    batch_digests = _with_digests(
+        _shingle_array(fresh, shingle_n, text_col, id_col), num_perm
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_bands = minhash_banded_from_digests(
+        batch_digests, num_perm, bands, id_col
     )
     cand = (
         new_bands.join(
@@ -105,9 +118,7 @@ def incremental_dedup(
         .select(F.col(id_col), F.col("_seen_id"))
         .distinct()
     )
-    new_hh = _with_digests(
-        _shingle_array(fresh, shingle_n, text_col, id_col), num_perm
-    ).select(F.col(id_col), F.col("_h").alias("_hh_new"))
+    new_hh = batch_digests.select(F.col(id_col), F.col("_h").alias("_hh_new"))
     verified = (
         cand.join(new_hh, id_col)
         .join(

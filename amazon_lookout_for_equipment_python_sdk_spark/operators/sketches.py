@@ -251,6 +251,13 @@ def kmv_sketch(
         .distinct()
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+        # a sketch is BY DEFINITION a constant-size summary (<= k rows
+        # per group) that downstream code probes repeatedly (estimate,
+        # jaccard, set ops) — persist so each consumer reads the k rows
+        # instead of recomputing the corpus-wide hash+distinct lineage
+        # (r7 scan audit: kmv_corpus_overlap re-ran the shingle explode
+        # 4x)
+        .persist()
     )
 
 

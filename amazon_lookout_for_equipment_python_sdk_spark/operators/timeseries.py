@@ -484,7 +484,16 @@ def funnel_steps(
     Plan: each step is a per-key min-aggregate over a type-filtered
     slice (the filter pushes into the scan), chained by k-1 joins that
     carry ONE row per key — raw events never cross a join.  Window
-    comparisons use exact microsecond integers (engine-portable)."""
+    comparisons use exact microsecond integers (engine-portable).
+
+    Each intermediate ``cur`` persists (MEMORY_AND_DISK): it feeds BOTH
+    the next step's match join and the carry join, and without the cache
+    lineage duplication re-scans the corpus ~2^k times for a k-step
+    funnel (r7 scan audit: 7 event scans for k=3 where k suffice).  The
+    cached frame is one row per funnel-entered key — the small side by
+    construction — and spills rather than OOMs."""
+    from pyspark import StorageLevel
+
     if not steps:
         raise ValueError("funnel needs at least one step")
     cur = (
@@ -493,6 +502,7 @@ def funnel_steps(
         .agg(F.min(ts_col).alias("t_1"))
     )
     for i, step in enumerate(steps[1:], start=2):
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         nxt = events.filter(F.col(type_col) == step).select(
             key_col, F.col(ts_col).alias("_ts")
         )

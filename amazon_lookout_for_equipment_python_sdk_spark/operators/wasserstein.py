@@ -40,6 +40,7 @@ def density_histograms(
     key_col: str = "tag",
     value_col: str = "value",
     with_edges: bool = False,
+    bounds: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-signal, per-subset density histograms over shared edges.
 
@@ -51,13 +52,22 @@ def density_histograms(
     Exactly two scans regardless of subset count: (1) per-signal bounds,
     (2) per-(signal, subset, bin) counts; the bin grid is rebuilt from the
     tiny aggregates (no driver collect, no per-subset rescans).
+
+    ``bounds`` (key, min_value, max_value) lets a caller supply edges
+    computed over an equivalent but CHEAPER lineage: when ``df`` carries
+    an expensive derivation (the evaluation chain's range-join stamping)
+    whose value set equals a plain upstream frame's, computing min/max
+    upstream halves the expensive passes — Spark recomputes branch
+    lineage per consumer (r7 scan audit).
     """
     # null values carry no sample mass: np.histogram(density=True) operates
     # on the non-null sample, and letting nulls reach the binning would
     # count them into per-subset totals (null bin) while the grid drops
     # them — deflating every density for sparse signals
     df = df.filter(F.col(value_col).isNotNull())
-    bounds = widen_degenerate_bounds(signal_bounds(df, key_col, value_col))
+    if bounds is None:
+        bounds = signal_bounds(df, key_col, value_col)
+    bounds = widen_degenerate_bounds(bounds)
     width = (F.col("max_value") - F.col("min_value")) / F.lit(float(num_bins))
     binned = (
         df.join(F.broadcast(bounds), key_col)
@@ -73,6 +83,12 @@ def density_histograms(
         )
         .groupBy(key_col, "subset", "bin")
         .agg(F.count("*").alias("cnt"))
+        # persist: keys x subsets x bins rows (grid-sized), but BOTH the
+        # totals agg and the final left join consume it, and each
+        # consumer otherwise recomputes the entire corpus lineage
+        # feeding df (the evaluation chain's range-join stamping ran
+        # twice; r7 scan audit).  Same B-row-cache rule as dsir.py.
+        .persist()
     )
     totals = binned.groupBy(key_col, "subset").agg(F.sum("cnt").alias("n"))
     grid = (

@@ -917,8 +917,9 @@ def _evaluation_chain(events: DataFrame, pts: DataFrame) -> DataFrame:
     ranges = compact_runs(
         pts, "f", ts_col="bucket_ts", key_col="event_type"
     ).select("event_type", "start", "end")
+    filtered = events.filter(F.col("value").isNotNull())
     stamped = range_join_bucketed(
-        events.filter(F.col("value").isNotNull()).select(
+        filtered.select(
             "event_type",
             "value",
             ts_ops.bucket(F.col("ts"), RATE).alias("ts_b"),
@@ -934,8 +935,23 @@ def _evaluation_chain(events: DataFrame, pts: DataFrame) -> DataFrame:
         .otherwise("normal")
         .alias("subset"),
     )
+    # shared bin edges come from per-signal min/max over ALL subsets —
+    # the stamping is a disjoint-range left join, so stamped's value set
+    # IS filtered's: compute bounds from the plain scan and the
+    # expensive range-join lineage executes once (histogram pass), not
+    # twice (r7 scan audit: this chain ran 7-9 event-scan subtrees)
+    from ..operators.histogram import signal_bounds
+
+    bounds = signal_bounds(
+        filtered.select("event_type", "value"), "event_type", "value"
+    )
     hists = density_histograms(
-        stamped, "subset", 20, key_col="event_type", value_col="value"
+        stamped,
+        "subset",
+        20,
+        key_col="event_type",
+        value_col="value",
+        bounds=bounds,
     )
     d = wasserstein_between_density_vectors(
         hists, "normal", "anomalous", "event_type"
