@@ -403,13 +403,18 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_SQL = f"""
-WITH planes AS (
+WITH pp AS (
+  -- corpus-adaptive planes/table, mirroring similarity.embedding_near_dup
+  -- (planes_per_table=None): max(4, ceil(log2(max(n,1) / 64)))
+  SELECT greatest(4, CAST(ceil(log2(greatest(count(*), 1) / 64.0)) AS INTEGER)) AS pp
+  FROM embeddings
+), planes AS (
   SELECT p.p, list_transform(range(0, 64), d ->
     CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), '|', CAST(d AS VARCHAR))), 1, 12)) AS BIGINT)
       / 140737488355328.0 - 1.0) AS w
-  FROM (SELECT unnest(generate_series(0, 31)) AS p) p
+  FROM (SELECT unnest(generate_series(0, (SELECT 4 * pp - 1 FROM pp))) AS p) p
 ), proj AS (
-  SELECT e.vec_id, pl.p // 8 AS tbl, pl.p % 8 AS i,
+  SELECT e.vec_id, pl.p // (SELECT pp FROM pp) AS tbl, pl.p % (SELECT pp FROM pp) AS i,
          list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS proj
   FROM embeddings e, planes pl
 ), bkt AS (
@@ -434,16 +439,19 @@ WHERE cos >= 0.45
 @register("embedding_near_dup", _NEAR_DUP_SQL)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
-    candidates (4 tables x 8 planes = 256 buckets/table — 4-plane tables
-    have only 16 buckets, whose candidate pairs grow quadratically with
-    corpus size; md5-derived deterministic planes; one groupBy per
-    (table, bucket)) + exact cosine >= 0.45 verify — the oracle mirrors
-    the same LSH so results match bit-for-bit."""
+    candidates + exact cosine >= 0.45 verify.  Since r7 the registered
+    query runs the CORPUS-ADAPTIVE plane count (the production default:
+    planes = max(4, ceil(log2(n/64))), so bucket occupancy — and the
+    quadratic in-bucket verify — stays ~constant as the corpus grows;
+    the fixed-8-plane variant measured 10.9x per 3.33x data at the sf10
+    decade, BASELINE.md).  The oracle derives the SAME plane count from
+    count(*) in SQL, so it replays the exact bucket layout at any SF —
+    md5-derived deterministic planes, bit-for-bit candidate parity."""
     out = sim.embedding_near_dup(
         load(spark, sf_dir, "embeddings"),
         threshold=0.45,
         num_tables=4,
-        planes_per_table=8,
+        planes_per_table=None,
         dim=64,
     )
     return out.select("a", "b", qfloor(F.col("cos"), 6).alias("cos"))
