@@ -319,3 +319,37 @@ def test_semantic_dedup_no_corpus_id_join(spark):
     plan = _plan(spark, "semantic_dedup_cells")
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_bucket_models_cached(spark):
+    """r7: dsir's two B-row bucket models persist so the scalar totals
+    reuse them — 2 cached frames x 2 consumers = 4 InMemoryTableScans;
+    losing the cache re-runs the corpus gram explode 5x instead of 3x."""
+    plan = _plan(spark, "dsir_select_top")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_semantic_dedup_single_corpus_scan(spark):
+    """r7: the cap decision lives inside the per-cell kernel — exactly
+    ONE scan of embeddings, one FlatMapGroupsInPandas, no joins."""
+    plan = _plan(spark, "semantic_dedup_cells")
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_duplicate_spans_sliver_cached(spark):
+    """r7: the phase-2 survivor sliver persists (it feeds the string
+    count AND the final semi-join); without it the corpus gram explode
+    runs 4x (BASELINE.md r7 stage profile)."""
+    plan = _plan(spark, "duplicate_spans_k20")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_density_histogram_queries_cache_binned(spark):
+    """r7: density_histograms persists its grid-sized binned frame so
+    the totals agg and the final join stop recomputing the upstream
+    corpus lineage (the evaluation chain ran its range-join stamping
+    twice)."""
+    for q in ("wasserstein_rank", "model_evaluation"):
+        plan = _plan(spark, q)
+        assert plan.count("InMemoryTableScan") >= 2, (q, plan)
