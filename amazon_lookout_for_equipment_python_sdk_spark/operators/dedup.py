@@ -742,6 +742,38 @@ def dedup_near(
     return df.join(keep, id_col, "left_semi")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-argmax canonical selection: keep, per near-dup cluster,
+    the member with the HIGHEST ``quality_col`` (ties break to the
+    lowest id — fully deterministic).  The production alternative to
+    min-id survival: when a crawl has both a clean and a boilerplate-
+    mangled copy, the min-id rule keeps whichever was crawled first,
+    while this keeps the one the quality model scores best (the
+    RefinedWeb/FineWeb keep-best convention).
+
+    ``clusters`` is :func:`near_dup_clusters` output (id, cluster);
+    ``df`` must carry ``quality_col`` (e.g. text.quality_score or the
+    bigram-LM perplexity).  Shape: one broadcast-or-shuffle join to
+    attach labels, one max_by per cluster (aggregate-sized), one
+    semi-join back — no window over the corpus."""
+    labeled = df.select(id_col, quality_col).join(clusters, id_col)
+    best = labeled.groupBy("cluster").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("tie"),  # ties -> lowest id
+            ),
+        ).alias(id_col)
+    )
+    return df.join(best.select(id_col), id_col, "left_semi")
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,

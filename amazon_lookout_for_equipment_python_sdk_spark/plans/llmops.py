@@ -316,6 +316,61 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_clusters(docs.select("doc_id"), pairs)
 
 
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_LSH_SQL.rstrip()}),
+edges AS (
+  SELECT a AS src, b AS dst FROM jp
+  UNION
+  SELECT b AS src, a AS dst FROM jp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cl AS (
+  SELECT d.doc_id, length(d.text) AS q,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id, length(d.text)
+),
+best AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY q DESC, doc_id) AS rk
+    FROM cl) t
+  WHERE rk = 1
+)
+SELECT c.doc_id, CAST(c.q AS BIGINT) AS text_len
+FROM cl c JOIN best b ON b.doc_id = c.doc_id
+"""
+
+
+@register("dedup_near_keep_best", _KEEP_BEST_SQL)
+def dedup_near_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax near-dedup (r7): cluster near-dups (same
+    LSH-verified Jaccard pairs + connected components as
+    near_dup_clusters), then keep each cluster's HIGHEST-quality member
+    — here quality = char length, the simplest oracle-replayable score;
+    production swaps in quality_score or bigram-LM perplexity — with
+    ties to the lowest id (operators/dedup.py keep_best_per_cluster:
+    one label join, one max_by per cluster, one semi-join — no corpus
+    window).  The RefinedWeb/FineWeb keep-best convention vs dedup_near's
+    crawl-order-dependent min-id survival."""
+    docs = load_par(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_lsh(docs, shingle_n=3, threshold=0.5).select(
+        "a", "b"
+    )
+    clusters = dd.near_dup_clusters(docs.select("doc_id"), pairs)
+    kept = dd.keep_best_per_cluster(
+        docs.withColumn("q", F.length("text")), clusters, "q"
+    )
+    return kept.select(
+        "doc_id", F.col("q").cast("long").alias("text_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------

@@ -654,3 +654,29 @@ def test_decontaminate_spans_cross_corpus(spark):
     assert leak not in cleaned[1]
     src3 = train.filter("doc_id = 3").collect()[0]["text"]
     assert cleaned[3] == src3  # untouched
+
+
+def test_keep_best_per_cluster_quality_argmax(spark):
+    """Keep-best survival: per cluster the HIGHEST-quality member wins,
+    ties break to the lowest id, singletons always survive."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5.0),
+            (2, "the long clean copy", 9.0),   # cluster {1,2,3}: best
+            (3, "mangled", 9.0),               # ties 2 on quality; 2 wins (lower id)
+            (7, "solo", 1.0),                  # singleton
+        ],
+        "doc_id long, text string, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id long, cluster long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, clusters, "q").collect()
+    }
+    assert kept == {2, 7}
