@@ -94,6 +94,37 @@ def streaming_contamination_check(
     )
 
 
+def streaming_decontaminate_spans(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming twin of ``operators.dedup.decontaminate_spans`` +
+    ``remove_duplicate_spans``: every arriving training doc has its
+    eval-verbatim character spans located and CUT the moment its
+    micro-batch lands (the span-level r7 extension of
+    :func:`streaming_contamination_check`'s doc-level report).
+
+    Batch-equal by construction: a doc's spans depend only on its own
+    grams vs the static eval side — no cross-doc, no cross-batch state —
+    so any batch split replays to identical cleaned text."""
+    from ..operators.dedup import decontaminate_spans, remove_duplicate_spans
+
+    def per_batch(b: DataFrame) -> DataFrame:
+        spans = decontaminate_spans(
+            b, eval_df, k=k, text_col=text_col, id_col=id_col
+        )
+        return remove_duplicate_spans(
+            b, spans, text_col=text_col, id_col=id_col
+        )
+
+    return foreach_batch_apply(stream, per_batch, out_path, checkpoint_path)
+
+
 def stream_stream_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

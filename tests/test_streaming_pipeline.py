@@ -660,3 +660,54 @@ def test_streaming_gorilla_archiver_matches_batch_points(spark, tmp_path):
     )
     want = sorted((k, float(t), v) for k, t, v in rows)
     assert got == want
+
+
+def test_streaming_span_decontamination_matches_batch(spark, tmp_path):
+    """r7: the span-level decontaminate+cut runs per micro-batch against
+    the static eval side and replays batch-identical under any batch
+    split — a doc's spans depend only on its own grams."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        decontaminate_spans,
+        remove_duplicate_spans,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        streaming_decontaminate_spans,
+    )
+
+    eval_df = spark.createDataFrame(_EVAL, "doc_id long, text string")
+    indir = tmp_path / "in_spans"
+    indir.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", True)
+        .option("sep", "|")
+        .csv(str(indir / "*.csv"))
+    )
+    _write_docs(indir / "b1.csv", _DOCS[:2])
+    q = streaming_decontaminate_spans(
+        stream, eval_df, str(tmp_path / "out_spans"),
+        str(tmp_path / "ckpt_spans"), k=20,
+    )
+    q.awaitTermination()
+    _write_docs(indir / "b2.csv", _DOCS[2:])
+    q = streaming_decontaminate_spans(
+        stream, eval_df, str(tmp_path / "out_spans"),
+        str(tmp_path / "ckpt_spans"), k=20,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out_spans")).collect()
+    }
+    batch = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            batch, decontaminate_spans(batch, eval_df, k=20)
+        ).collect()
+    }
+    assert got == want
+    # the verbatim-leaked doc 5 loses its leaked sentence; doc 3 untouched
+    assert "exact sentence" not in got[5]
+    assert got[3] == _DOCS[2][1]
