@@ -172,9 +172,12 @@ def epoch_shuffle(
     same epoch yields byte-identical order (resumable jobs, bug
     reproduction), and no driver-side state or RNG seed files exist to
     lose.  Row-local, zero shuffle here; the intended writer is
-    ``df.repartition(n_shards, shard).sortWithinPartitions(key)`` (or
-    ``partitionBy(shard)`` + sorted parquet), which shuffles ONCE on the
-    shard id — never a global sort.
+    ``df.repartition(n_shards, shard).sortWithinPartitions(shard, key)``
+    + ``write.partitionBy(shard)``, which shuffles ONCE on the shard id —
+    never a global sort.  Lead the within-partition sort with the shard
+    column: the dynamic-partition writer re-sorts each task by its
+    partition columns when input is unsorted, and that sort is NOT
+    stable — pre-sorting (shard, key) satisfies it so it never runs.
 
     Contrast with ``F.rand(seed)``: rand is seeded PER-PARTITION, so the
     assignment changes whenever the input's partitioning does; the

@@ -660,3 +660,34 @@ def test_epoch_shuffle_reshuffles_deterministically(spark):
 
     with pytest.raises(ValueError):
         cp.epoch_shuffle(docs, epoch=1, n_shards=0)
+
+
+def test_epoch_shuffle_writer_composition(spark, tmp_path):
+    """The intended writer — repartition(n, shard) +
+    sortWithinPartitions(sort_key) + partitionBy(shard) parquet — lands
+    every shard as its own directory with rows readable in epoch order,
+    and the union of shards is exactly the corpus."""
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "epoch1")
+    sh = cp.epoch_shuffle(docs, epoch=1, n_shards=8)
+    (
+        sh.repartition(8, "shard")
+        # leading "shard" matters: the dynamic-partition writer re-sorts
+        # each task by partition columns, and that sort is not stable —
+        # pre-sorting (shard, sort_key) satisfies it so it never runs
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    import os
+
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == 8
+    # within one shard file, rows are stored in sort_key order
+    one = spark.read.parquet(os.path.join(out, shard_dirs[0]))
+    rows = [r["sort_key"] for r in one.collect()]
+    assert rows == sorted(rows)
