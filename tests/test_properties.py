@@ -188,3 +188,50 @@ def test_normalize_text_reference_is_idempotent(s):
 
     once = norm(s)
     assert norm(once) == once
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=5
+    ),
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=3
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_decontaminate_spans_property(spark, train_texts, eval_texts):
+    """For ANY corpora over a tiny alphabet (dense duplicate k-grams):
+    after cutting the reported spans, no k-gram of any cleaned train doc
+    occurs in the eval corpus — the defining guarantee of span
+    decontamination.  (Cleaning joins fragments with ' ', which can
+    create NEW k-grams spanning a cut; those are checked against the
+    original doc, not eval — the documented seam of fragment joining.)"""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        decontaminate_spans,
+        remove_duplicate_spans,
+    )
+
+    K = 8
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)],
+        "doc_id long, text string",
+    )
+    eval_grams = {
+        t[i : i + K]
+        for t in eval_texts
+        for i in range(max(0, len(t) - K + 1))
+    }
+    spans = decontaminate_spans(train, ev, k=K)
+    rows = {r["doc_id"]: r["text"] for r in
+            remove_duplicate_spans(train, spans).collect()}
+    for i, orig in enumerate(train_texts):
+        cleaned = rows[i]
+        # every surviving k-gram that ALREADY existed in the original doc
+        # must be eval-clean (joins may fabricate novel k-grams — allowed)
+        for j in range(max(0, len(cleaned) - K + 1)):
+            g = cleaned[j : j + K]
+            if g in orig:
+                assert g not in eval_grams, (orig, cleaned, g)
