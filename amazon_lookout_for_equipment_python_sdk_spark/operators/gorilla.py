@@ -246,46 +246,81 @@ def gorilla_compress(timestamps, values) -> bytes:
         [c0, c1, c2, c3],
         [np.zeros_like(du), f1, f2, f3],
         default=np.uint64(0b1111),
-    ).tolist()
-    dcount = np.select([c0, c1, c2, c3], [1, 9, 12, 16], default=4).tolist()
-    rawl = du.tolist()
+    )
+    dcount = np.select([c0, c1, c2, c3], [1, 9, 12, 16], default=4)
+    is_raw = dcount == 4
 
-    lead_a = (np.int64(64) - _bit_length_u64(x)).tolist()
+    lead = np.int64(64) - _bit_length_u64(x)
     lowbit = x & (~x + np.uint64(1))
-    trail_a = (_bit_length_u64(lowbit) - 1).tolist()  # -1 when x==0 (unused)
-    xl = x.tolist()
+    trail = _bit_length_u64(lowbit) - 1  # -1 when x==0 (unused)
+    xnz = x != np.uint64(0)
 
-    vals_out: "list[int]" = []
-    cnts_out: "list[int]" = []
-    av = vals_out.append
-    ac = cnts_out.append
-    prev_lead = prev_len = -1
+    # the ONLY sequential part: the paper's (lead, len) window-reuse
+    # chain over nonzero-XOR points — a few int compares per point; the
+    # whole field stream assembles vectorized from its verdicts below
+    nz = np.flatnonzero(xnz)
+    new_flags: "list[bool]" = []
+    r_shift: "list[int]" = []  # reuse-case shift (== window trail)
+    r_len: "list[int]" = []  # reuse-case meaningful-bit count
+    an = new_flags.append
+    as_ = r_shift.append
+    al = r_len.append
+    prev_lead = -1
+    prev_len = 0
     prev_trail = 0
-    for df_, dc_, raw_, xi, li, ti in zip(
-        dfield, dcount, rawl, xl, lead_a, trail_a
-    ):
-        av(df_)
-        ac(dc_)
-        if dc_ == 4:  # raw escape: 4-bit tag field + 64-bit payload
-            av(raw_)
-            ac(64)
-        if xi == 0:
-            av(0)
-            ac(1)
-        elif prev_lead >= 0 and li >= prev_lead and ti >= prev_trail:
-            av(0b10)
-            ac(2)
-            av(xi >> prev_trail)
-            ac(prev_len)
+    for li, ti in zip(lead[nz].tolist(), trail[nz].tolist()):
+        if prev_lead >= 0 and li >= prev_lead and ti >= prev_trail:
+            an(False)
+            as_(prev_trail)
+            al(prev_len)
         else:
-            ln = 64 - li - ti
-            av((0b11 << 12) | (li << 6) | (ln & 0x3F))  # 64 stored as 0
-            ac(14)
-            av(xi >> ti)
-            ac(ln)
-            prev_lead, prev_len, prev_trail = li, ln, ti
+            an(True)
+            as_(0)
+            al(0)
+            prev_lead, prev_trail = li, ti
+            prev_len = 64 - li - ti
 
-    return head + _pack_fields(vals_out, cnts_out).tobytes()
+    # per-point field counts -> scatter positions for the interleaved
+    # (dod fields, value fields) stream
+    dn = 1 + is_raw.astype(np.int64)
+    vn = 1 + xnz.astype(np.int64)
+    tot = dn + vn
+    ends = np.cumsum(tot)
+    nf = int(ends[-1])
+    pos = ends - tot  # first field index of each point
+    va = np.zeros(nf, dtype=np.uint64)
+    ca = np.empty(nf, dtype=np.int64)
+    va[pos] = dfield
+    ca[pos] = dcount
+    rp = pos[is_raw] + 1
+    va[rp] = du[is_raw]
+    ca[rp] = 64
+    vp = pos + dn  # first VALUE field of each point
+    zp = vp[~xnz]
+    ca[zp] = 1  # va already 0
+    vpn = vp[nz]
+    xn = x[nz]
+    newm = np.array(new_flags, dtype=bool)
+    ruse = vpn[~newm]
+    va[ruse] = np.uint64(0b10)
+    ca[ruse] = 2
+    sh_u = np.array(r_shift, dtype=np.uint64)[~newm]
+    va[ruse + 1] = xn[~newm] >> sh_u
+    ca[ruse + 1] = np.array(r_len, dtype=np.int64)[~newm]
+    nw = vpn[newm]
+    lead_n = lead[nz][newm].astype(np.uint64)
+    trail_n = trail[nz][newm].astype(np.uint64)
+    ln_n = np.uint64(64) - lead_n - trail_n
+    va[nw] = (
+        (np.uint64(0b11) << np.uint64(12))
+        | (lead_n << np.uint64(6))
+        | (ln_n & np.uint64(0x3F))  # 64 stored as 0
+    )
+    ca[nw] = 14
+    va[nw + 1] = xn[newm] >> trail_n
+    ca[nw + 1] = ln_n.astype(np.int64)
+
+    return head + _pack_fields(va, ca).tobytes()
 
 
 def _pack_fields(vals_out, cnts_out):
@@ -304,8 +339,8 @@ def _pack_fields(vals_out, cnts_out):
     nf = len(vals_out)
     # int64 view: arithmetic right shift keeps bit k at position 0, and
     # the final &1 only reads that bit, so sign extension is harmless
-    va = np.array(vals_out, dtype=np.uint64).view(np.int64)
-    ca = np.array(cnts_out, dtype=np.int64)
+    va = np.asarray(vals_out, dtype=np.uint64).view(np.int64)
+    ca = np.asarray(cnts_out, dtype=np.int64)
     ends = np.cumsum(ca)
     total = int(ends[-1])
     out = np.zeros((total + 7) >> 3, dtype=np.uint8)
