@@ -691,3 +691,35 @@ def test_epoch_shuffle_writer_composition(spark, tmp_path):
     one = spark.read.parquet(os.path.join(out, shard_dirs[0]))
     rows = [r["sort_key"] for r in one.collect()]
     assert rows == sorted(rows)
+
+
+def test_epoch_shuffle_feeds_sequence_packing(spark):
+    """The training-prep chain: epoch_shuffle -> pack_documents with
+    group=shard and order=sort_key builds packs in epoch order,
+    byte-identically across re-runs, and a different epoch yields a
+    different packing."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(120)],
+        "doc_id long, text string",
+    )
+
+    def packing(epoch):
+        sh = cp.epoch_shuffle(docs, epoch=epoch, n_shards=4)
+        packed = cp.pack_documents(
+            sh, budget_tokens=40, group_col="shard", id_col="sort_key"
+        )
+        return {r["sort_key"]: (r["shard"], r["pack_id"]) for r in packed.collect()}
+
+    p1 = packing(1)
+    assert p1 == packing(1)  # reproducible
+    p2 = packing(2)
+    assert p1 != p2  # epochs repack differently
+    # ~120 docs x ~8 tokens / 40-token budget across 4 shards: >1 pack
+    # per shard, and pack ids are dense from 0 within each shard
+    by_shard = {}
+    for shard, pack in p1.values():
+        by_shard.setdefault(shard, set()).add(pack)
+    assert len(by_shard) == 4
+    for shard, packs in by_shard.items():
+        assert packs == set(range(len(packs))), (shard, packs)
+        assert len(packs) >= 2
