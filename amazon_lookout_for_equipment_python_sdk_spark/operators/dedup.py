@@ -757,21 +757,31 @@ def keep_best_per_cluster(
     RefinedWeb/FineWeb keep-best convention).
 
     ``clusters`` is :func:`near_dup_clusters` output (id, cluster);
-    ``df`` must carry ``quality_col`` (e.g. text.quality_score or the
-    bigram-LM perplexity).  Shape: one broadcast-or-shuffle join to
-    attach labels, one max_by per cluster (aggregate-sized), one
+    ``df`` must carry ``quality_col`` (numeric — e.g. text.quality_score
+    or the bigram-LM perplexity).  ``id_col`` may be ANY orderable type:
+    the tie-break is ``min_by`` over struct(-quality, id), so string ids
+    order lexicographically (the old ``max_by(.., struct(q, -id))`` shape
+    silently required numeric ids).  Ids absent from ``clusters`` (a
+    caller passing a pairs-derived label frame that only covers dup'd
+    docs) SURVIVE — an uncovered doc is its own singleton cluster, not a
+    casualty.  Shape: one join to attach labels, one min_by per cluster
+    (aggregate-sized), one anti-join for the uncovered remainder, one
     semi-join back — no window over the corpus."""
     labeled = df.select(id_col, quality_col).join(clusters, id_col)
     best = labeled.groupBy("cluster").agg(
-        F.max_by(
+        F.min_by(
             F.col(id_col),
             F.struct(
-                F.col(quality_col).alias("q"),
-                (-F.col(id_col)).alias("tie"),  # ties -> lowest id
+                (-F.col(quality_col)).alias("nq"),  # min(-q) = max quality
+                F.col(id_col).alias("tie"),  # ties -> lowest id, any type
             ),
         ).alias(id_col)
     )
-    return df.join(best.select(id_col), id_col, "left_semi")
+    uncovered = df.select(id_col).join(
+        clusters.select(id_col), id_col, "left_anti"
+    )
+    keep = best.select(id_col).unionByName(uncovered)
+    return df.join(keep, id_col, "left_semi")
 
 
 def simhash_near_pairs(

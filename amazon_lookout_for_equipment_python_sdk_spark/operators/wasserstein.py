@@ -74,9 +74,17 @@ def density_histograms(
         .select(
             key_col,
             F.col(split_col).alias("subset"),
-            F.least(
-                F.floor((F.col(value_col) - F.col("min_value")) / width),
-                F.lit(num_bins - 1),
+            # clamp BOTH ends: caller-supplied ``bounds`` is public API, and
+            # a value outside [min, max] would otherwise land in bin -1 / n
+            # — counted into the subset total but dropped by the grid join,
+            # silently deflating every density (the same failure mode the
+            # null filter above guards)
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor((F.col(value_col) - F.col("min_value")) / width),
+                    F.lit(num_bins - 1),
+                ),
             )
             .cast("int")
             .alias("bin"),

@@ -49,12 +49,28 @@ def foreach_batch_apply(
     use a fresh output dir too."""
 
     def run(batch_df: DataFrame, _epoch: int) -> None:
+        # Batch operators that persist (decontaminate_spans' survivor
+        # sliver, duplicate_spans' cand) are session-bounded when called
+        # once, but HERE they run once per micro-batch — without cleanup a
+        # long stream accumulates one cached frame per epoch, leaning on
+        # LRU eviction for storage pressure.  Snapshot the persisted-RDD
+        # set before the batch fn, and unpersist whatever it added once
+        # this epoch's output has materialized (the write is the only
+        # consumer, so nothing recomputes after).
+        sc = batch_df.sparkSession.sparkContext
+        jmap = sc._jsc.getPersistentRDDs()
+        before = set(jmap.keySet().toArray())
         # one sub-directory per epoch, written with overwrite: a replayed
         # micro-batch rewrites ITS OWN directory instead of appending a
         # duplicate — this is what makes foreachBatch exactly-once here
         fn(batch_df).write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch_epoch={_epoch}")
         )
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - before:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
 
     writer = (
         stream.writeStream.foreachBatch(run)

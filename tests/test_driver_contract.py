@@ -211,3 +211,34 @@ def test_no_registered_oracle_returns_hugeint(sf_dir):
         if huge:
             bad[name] = huge
     assert not bad, f"oracles with uncast int128 aggregates: {bad}"
+
+
+def test_registry_headroom_bounds_staleness():
+    """Window-capacity budget (r7 verdict #2): with N registered queries,
+    W window slots, and F of them burned by _FORCE_VERIFY entries, every
+    unforced query cycles through the window once per ceil(N_unforced /
+    (W - F)) rounds.  That quotient must stay within STALE_ROUNDS or the
+    staleness invariant breaks for whichever queries spill past the
+    window — permanently, not just this round.  At 123 queries / 50 slots
+    the bound holds exactly (ceil(123/50)=3): registering query #151
+    without retiring one (or composing it into an existing chain, the
+    model_evaluation pattern) fails HERE at import time, not two rounds
+    later as a red staleness row."""
+    import math
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        _FORCE_VERIFY,
+        STALE_ROUNDS,
+    )
+
+    n_total = len(entrymod.queries())
+    n_forced = len(set(_FORCE_VERIFY))
+    free_slots = DRIVER_WINDOW - n_forced
+    assert free_slots > 0, "forced entries consume the whole driver window"
+    cycle = math.ceil((n_total - n_forced) / free_slots)
+    assert cycle <= STALE_ROUNDS, (
+        f"{n_total} registered queries with {n_forced} forced entries "
+        f"need {cycle} rounds to cycle the {DRIVER_WINDOW}-slot window, "
+        f"exceeding STALE_ROUNDS={STALE_ROUNDS}; retire a query or share "
+        "a slot via a composed chain before registering more"
+    )

@@ -578,35 +578,49 @@ def test_embedding_near_dup_auto_planes_scales_with_corpus(spark):
 
 
 def test_semantic_dedup_adaptive_cells(spark):
-    """centroids=None derives n_cells from a corpus count and seeds
-    Voronoi cells with the lowest-id vectors — deterministic, and drop
-    semantics identical to passing those seeds explicitly."""
+    """centroids=None derives n_cells = clamp(isqrt(n), 16, 4096) and
+    seeds Voronoi cells with the n_cells LOWEST-id vectors.  Pinned
+    non-vacuously (r7 ADVICE: the old 66-row fixture sat under the
+    16-cell floor and compared only colinear dropped flags, which match
+    for ANY seed set): n=300 puts isqrt(300)=17 above the floor, the
+    explicit comparison seeds the SAME 17 centroids the derivation must
+    pick, and the assertion covers CELL ASSIGNMENTS — with 300 diverse
+    8-dim directions, a wrong cell count or wrong seed selection yields
+    different cells, not just different flags."""
+    import math
+
     import numpy as np
 
     from amazon_lookout_for_equipment_python_sdk_spark.operators.similarity import (
         semantic_dedup,
     )
 
-    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5)]) for i in range(64)]
-    rows += [(100, rows[5][1]), (101, rows[5][1])]  # exact dupes of id 5
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(297, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, rows[i][1]) for i in (3, 50, 200)]  # exact dupes
+    assert math.isqrt(len(rows)) == 17  # fixture sized above the 16 floor
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
     auto = {
-        r["vec_id"]: r["dropped"]
+        r["vec_id"]: (r["cell"], r["dropped"])
         for r in semantic_dedup(df, None, threshold=0.999999).collect()
     }
-    # sqrt(66) -> 8 cells; same as seeding with the 8 lowest ids
     seeds = np.stack(
-        [np.asarray(v, dtype=np.float64) for _, v in sorted(rows)[:8]]
+        [np.asarray(rows[i][1], dtype=np.float64) for i in range(17)]
     )
     explicit = {
-        r["vec_id"]: r["dropped"]
+        r["vec_id"]: (r["cell"], r["dropped"])
         for r in semantic_dedup(df, seeds, threshold=0.999999).collect()
     }
-    assert auto == explicit
-    # cosine near-1 groups drop all but their lowest id: the [x, 0]
-    # direction's lowest member is id 0, so the colinear 5/100/101 drop
-    assert auto[0] is False
-    assert auto[100] is True and auto[101] is True
+    assert auto == explicit  # same cells AND same flags, per vector
+    # every one of the 17 derived cells is occupied (each seed is its own
+    # nearest centroid) — a 16-cell floor fallback could not produce this
+    assert len({c for c, _ in auto.values()}) == 17
+    # exact dupes land in their original's cell and drop; originals survive
+    for i in (3, 50, 200):
+        assert auto[i][1] is False and auto[1000 + i][1] is True
+        assert auto[i][0] == auto[1000 + i][0]
 
 
 def test_decontaminate_spans_cross_corpus(spark):
@@ -680,3 +694,34 @@ def test_keep_best_per_cluster_quality_argmax(spark):
         for r in keep_best_per_cluster(docs, clusters, "q").collect()
     }
     assert kept == {2, 7}
+
+
+def test_keep_best_per_cluster_partial_coverage_and_string_ids(spark):
+    """Two r7-verdict hardenings pinned together: (1) ids ABSENT from the
+    ``clusters`` frame survive — a caller passing a pairs-derived label
+    frame (covering only dup'd docs) must not silently drop singletons;
+    (2) string ids work, ordering lexicographically on quality ties (the
+    old ``-F.col(id)`` tie-break required numeric ids)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", 5.0),
+            ("doc-b", 9.0),   # ties doc-c on quality; wins lexicographically
+            ("doc-c", 9.0),
+            ("doc-x", 1.0),   # NOT covered by clusters -> must survive
+            ("doc-y", 0.0),   # NOT covered by clusters -> must survive
+        ],
+        "doc_id string, q double",
+    )
+    clusters = spark.createDataFrame(
+        [("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a")],
+        "doc_id string, cluster string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, clusters, "q").collect()
+    }
+    assert kept == {"doc-b", "doc-x", "doc-y"}
