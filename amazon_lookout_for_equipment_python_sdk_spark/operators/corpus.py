@@ -49,8 +49,16 @@ def contamination_check(
     the per-doc rollup is a map-combinable count aggregation keyed by
     ``id_col``.  A left join (not left_semi) keeps the per-doc hit COUNT,
     which callers need to threshold partial contamination.
+
+    Single train pass (r8 recompute audit): docs shorter than the shingle
+    width ride through as an ``explode_outer`` NULL-shingle row and are
+    counted out by ``count(sh)``, so the old restore-join — a SECOND scan
+    of ``train`` plus a broadcast of the per-doc aggregate, which is
+    CORPUS-sized (one row per train doc) and therefore a 100-TB hazard —
+    is gone: 2 scans (train + eval), one benchmark-sized broadcast, one
+    map-combinable agg exchange.
     """
-    tr = exploded_shingles(train, shingle_n, text_col, id_col)
+    tr = exploded_shingles(train, shingle_n, text_col, id_col, outer=True)
     ev = (
         exploded_shingles(eval_df, shingle_n, text_col, id_col)
         .select("sh")
@@ -59,25 +67,24 @@ def contamination_check(
     )
     hits = tr.join(F.broadcast(ev), "sh", "left")
     agg = hits.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        # count(sh) skips the explode_outer NULL row -> n_sh = 0 for
+        # shingle-less docs; their joined _hit is NULL -> n_hit = 0
+        F.count("sh").alias("n_sh"),
+        F.sum(
+            F.when(F.col("sh").isNotNull(), F.coalesce("_hit", F.lit(0)))
+            .otherwise(F.lit(0))
+        ).alias("n_hit"),
     )
-    # docs shorter than the shingle width produce zero shingle rows and
-    # would vanish from the groupBy — restore them with n_sh = 0
-    return (
-        train.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            # null (not 0) for shingle-less docs: "no evidence", and no
-            # division by zero under ANSI mode
-            F.when(
-                F.col("n_sh") > 0,
-                F.col("n_hit") / F.col("n_sh").cast("double"),
-            ).alias("contamination"),
-        )
+    return agg.select(
+        id_col,
+        "n_sh",
+        "n_hit",
+        # null (not 0) for shingle-less docs: "no evidence", and no
+        # division by zero under ANSI mode
+        F.when(
+            F.col("n_sh") > 0,
+            F.col("n_hit") / F.col("n_sh").cast("double"),
+        ).alias("contamination"),
     )
 
 

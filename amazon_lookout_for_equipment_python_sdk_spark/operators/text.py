@@ -50,11 +50,18 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def exploded_shingles(
-    df: "DataFrame", n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: "DataFrame",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    outer: bool = False,
 ) -> "DataFrame":
     """(id, shingle) rows, distinct per doc.  Projects the token array FIRST
     so ``split`` runs once per row — inlining it into the transform lambda
-    re-evaluates it per shingle (O(tokens^2) per doc)."""
+    re-evaluates it per shingle (O(tokens^2) per doc).  With ``outer``,
+    docs shorter than the shingle width emit ONE (id, NULL) row instead of
+    vanishing — callers that must report every input doc (contamination)
+    then need no restore-join back to the source table."""
     words = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
     sh = F.when(
         F.size("_w") >= n,
@@ -63,8 +70,9 @@ def exploded_shingles(
             lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    exploder = F.explode_outer if outer else F.explode
     return words.select(
-        id_col, F.explode(F.array_distinct(sh)).alias("sh")
+        id_col, exploder(F.array_distinct(sh)).alias("sh")
     )
 
 

@@ -361,12 +361,25 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/MAD (the estimator that survives the contamination that wrecks
     mean/std z-scores).  Medians are integer order statistics on cents —
     exact — so the only float is the final scaled division.  Two window
-    passes over the same key partitioning + one tiny broadcast join."""
+    passes over the same key partitioning + one tiny broadcast join.
+
+    MAD is intrinsically two-pass (median of |x - median|), and each pass
+    Spark re-derives from the scan: unpersisted, the plan read events 3x
+    and computed the med window TWICE.  Persisting the two slivers
+    (``base``: 3 narrow columns; ``dev``: base + med/ad) collapses that to
+    one scan and one med-window pass — session-bounded caches like
+    kmv/funnel's, spill-safe (MEMORY_AND_DISK), and each replaces a full
+    re-scan + sort-shuffle recompute.  A/B at sf0.1 local[32], noop drain,
+    warm: none 1.48s / dev-only 0.79s / both 0.65s (r8 recompute audit).
+    """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
     xc = F.round(F.col("value") * 100).cast("long")
-    base = events.select("event_type", "event_id", xc.alias("xc"))
+    base = events.select("event_type", "event_id", xc.alias("xc")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
         w_rank = Window.partitionBy("event_type").orderBy(col, "event_id")
@@ -379,8 +392,10 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = lower_median(base, "xc", "med")
-    dev = base.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("xc") - F.col("med"))
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("ad", F.abs(F.col("xc") - F.col("med")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mad = lower_median(dev, "ad", "mad")
     rz = F.col("xc") - F.col("med")

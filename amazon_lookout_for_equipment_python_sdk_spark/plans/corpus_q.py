@@ -4,7 +4,7 @@ training-data-pipeline operators beyond dedup/similarity)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
@@ -484,11 +484,24 @@ FROM (
 def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed prep chain a training run actually executes — quality
     gate -> exact-dedup canonical keep -> content-hash split -> sequence
-    packing of the train split — as ONE lazy plan: Catalyst fuses the
-    row-local stages (quality stats, hashing) into the scans around the
-    two aggregations (dedup groupBy, pack window), demonstrating that the
-    §2.14 operators compose without materialization barriers."""
-    from ..operators import dedup as dd
+    packing of the train split.
+
+    SINGLE-SCAN form (r8 recompute audit): the generic-operator
+    composition (quality_filter |> dedup_exact |> semi-join |> hash_split
+    |> semi-join |> pack_documents) re-derived the quality sliver from
+    the parquet scan FOUR times and fed the keep/train id lists through
+    broadcast semi-joins — broadcasts that are corpus-sized (one id per
+    surviving doc), so at 100 TB AQE demotes them to shuffle joins that
+    re-shuffle full text rows.  Here md5(text) is computed once at the
+    scan; dedup's canonical-keep becomes a min-over-hash window and the
+    split bucket a row-local projection of the same digest, so ``text``
+    is DROPPED before the first exchange and only (doc_id, source,
+    n_tokens, digest) ever shuffles.  1 scan, 2 exchanges (digest window,
+    pack window) — vs 4 scans + 2 agg exchanges + 2 broadcasts.  A/B at
+    sf0.1 local[32], noop drain, warm: 1.18s -> 1.13s (the sf0.1 win is
+    modest because the table is small; the structural win is the removed
+    3 re-scans + corpus-sized broadcasts).  Semantics bit-identical to
+    the operator chain (equality pinned in test_corpus.py)."""
     from ..operators import text as tx
 
     docs = load(spark, sf_dir, "documents")
@@ -499,22 +512,31 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_avg_token_len=3.0,
         max_avg_token_len=12.0,
     )
-    keep = dd.dedup_exact(q).select(F.col("keep_id").alias("doc_id"))
-    surv = q.join(keep, "doc_id", "left_semi")
-    train_ids = (
-        cp.hash_split(surv.select("doc_id", "text"))
-        .filter(F.col("split") == "train")
-        .select("doc_id")
+    d = q.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        tx.fingerprint(F.col("text")).alias("_h"),
+    ).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 12), 16, 10).cast("long") % 100
     )
-    tr = surv.join(train_ids, "doc_id", "left_semi")
-    out = cp.pack_documents(
-        tr, budget_tokens=512, group_col="source",
-        text_col="text", id_col="doc_id",
+    surv = (
+        d.withColumn("_keep", F.min("doc_id").over(Window.partitionBy("_h")))
+        .filter((F.col("doc_id") == F.col("_keep")) & (F.col("_b") < 90))
     )
-    return out.select(
-        "doc_id", "source", "n_tokens",
-        F.col("pack_offset").cast("long").alias("pack_offset"),
-        "pack_id",
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(wp)
+    return surv.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("pack_offset"),
+    ).withColumn(
+        "pack_id", F.floor(F.col("pack_offset") / 512).cast("long")
     )
 
 

@@ -723,3 +723,49 @@ def test_epoch_shuffle_feeds_sequence_packing(spark):
     for shard, packs in by_shard.items():
         assert packs == set(range(len(packs))), (shard, packs)
         assert len(packs) >= 2
+
+
+def test_corpus_pipeline_fused_matches_operator_chain(spark):
+    """The registered corpus_pipeline's fused single-scan form (digest
+    computed once; dedup = window min over digest; split = row-local
+    bucket of the same digest) is bit-identical to the generic operator
+    composition quality_filter |> dedup_exact |> semi-join |> hash_split
+    |> semi-join |> pack_documents it replaced (r8 recompute audit)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        dedup as dd,
+        text as tx,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fused = QUERIES["corpus_pipeline"](spark, sf_dir)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = tx.quality_filter(
+        docs,
+        min_tokens=20,
+        max_stopword_ratio=0.4,
+        min_avg_token_len=3.0,
+        max_avg_token_len=12.0,
+    )
+    keep = dd.dedup_exact(q).select(F.col("keep_id").alias("doc_id"))
+    surv = q.join(keep, "doc_id", "left_semi")
+    train_ids = (
+        cp.hash_split(surv.select("doc_id", "text"))
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    tr = surv.join(train_ids, "doc_id", "left_semi")
+    chain = cp.pack_documents(
+        tr, budget_tokens=512, group_col="source",
+        text_col="text", id_col="doc_id",
+    ).select(
+        "doc_id", "source", "n_tokens",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "pack_id",
+    )
+    a = fused.sort("doc_id").collect()
+    b = chain.sort("doc_id").collect()
+    assert len(a) > 0 and a == b

@@ -107,6 +107,11 @@ def test_contamination_eval_side_broadcasts(spark):
     assert "CartesianProduct" not in plan
     # parquet scans keep their pushed source filters (train vs eval split)
     assert "PushedFilters: [IsNotNull(source)" in plan, plan
+    # r8 recompute audit: exactly 2 scans (train shingles + eval shingles)
+    # — the explode_outer rollup removed the train restore-join and its
+    # corpus-sized broadcast of the per-doc aggregate
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
 
 
 def test_chunk_documents_no_shuffle(spark):
@@ -159,15 +164,23 @@ def test_quantized_topk_two_scans(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
-def test_corpus_pipeline_composes_lazily(spark):
-    """The composed prep chain: semi-joins broadcast, no sort-merge or
-    cartesian anywhere, and the aggregation budget stays at the three
-    intrinsic shuffles (dedup groupBy, split semi-join key agg, pack
-    window)."""
+def test_corpus_pipeline_single_scan_two_exchanges(spark):
+    """The fused prep chain (r8 recompute audit): ONE parquet scan — the
+    digest is computed at the scan, dedup's canonical-keep is a window
+    min over it, and the split bucket is row-local — so there are no
+    joins at all and exactly the two intrinsic exchanges (digest window,
+    pack window).  ``text`` must not survive past the first exchange
+    (only the 32-char digest shuffles)."""
     plan = _plan(spark, "corpus_pipeline")
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # text is pruned from every exchange: the hashpartitioning argument
+    # lines carry digest/source keys, never the text column
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
 
 
 def test_sessionize_events_single_window(spark):
@@ -353,3 +366,16 @@ def test_density_histogram_queries_cache_binned(spark):
     for q in ("wasserstein_rank", "model_evaluation"):
         plan = _plan(spark, q)
         assert plan.count("InMemoryTableScan") >= 2, (q, plan)
+
+
+def test_mad_outliers_single_scan_cached_slivers(spark):
+    """mad_robust_outliers (r8 recompute audit): the two intrinsic median
+    passes reuse the persisted base/dev slivers — every downstream
+    consumer reads an InMemoryTableScan (med window, dev build, mad
+    window, scored); unpersisted the plan re-scanned events 3x and ran the
+    med window twice.  The plan STRING still prints each cached
+    relation's FileScan lineage, so pin the cache consumers, not the scan
+    count.  (A/B at sf0.1: none 1.48s / both persists 0.65s.)"""
+    plan = _plan(spark, "mad_robust_outliers")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan
