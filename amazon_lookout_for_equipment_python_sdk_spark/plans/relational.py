@@ -1141,3 +1141,94 @@ def q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analogue: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT okey, skey, is_late,
+         count(*) OVER (PARTITION BY okey) AS n_supp,
+         sum(is_late) OVER (PARTITION BY okey) AS n_late
+  FROM late
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON p.skey = s.s_suppkey
+WHERE p.is_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", _Q21_SQL)
+def q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (reference-free; the classic EXISTS/NOT-EXISTS
+    decision-support shape): suppliers who were the SOLE late shipper on
+    a finished multi-supplier order.  The testdata lineitem carries no
+    commit/receipt dates, so "late" = shipped more than 90 days after
+    the order date.
+
+    Textbook Q21 is two correlated self-joins of the fact table (EXISTS
+    another supplier, NOT EXISTS another LATE supplier) — the shape that
+    goes quadratic on a naive plan.  Here both quantifiers fold into ONE
+    pass: aggregate lineitem to (order, supplier, any_late), then two
+    order-partitioned window counts (suppliers per order, late suppliers
+    per order) decide sole-lateness row-locally.  No self-join, no
+    cartesian ever touches the fact table.
+
+    Exchange budget (pinned in test_plan_shapes.py): when filtered
+    orders broadcast (small SF / selective status), the fact shuffles
+    once map-combined into the (okey, skey) aggregate and once more
+    REDUCED (one row per order-supplier) for the okey window.  At a
+    scale where orders stops broadcasting, the orderkey shuffle-join
+    partitioning satisfies BOTH the aggregate's (okey, skey) clustering
+    (subset rule) and the window's — the whole quantifier pipeline then
+    rides the single join exchange.  Supplier broadcasts for the name
+    rollup either way."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    is_late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("skey"),
+        )
+        .agg(F.max(is_late).alias("is_late"))
+    )
+    w = Window.partitionBy("okey")
+    sole_late = (
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), sole_late.skey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -1,0 +1,114 @@
+"""Driver-visible streaming rows (r8): registered batch queries whose
+Spark side actually executes the STREAMING code path — readStream +
+foreachBatch replay through ``streaming.pipeline`` — and whose final
+table is SQL-expressible, so the DuckDB oracle checks the strongest
+claim the streaming layer makes: stream-replay == batch fold.
+
+The pytest suite pins stream==batch equivalence per operator
+(test_streaming_pipeline.py); this module makes one such equivalence
+oracle-checkable by the driver every round."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# The oracle folds the SAME two-epoch replay in SQL: each epoch
+# contributes its per-key LATEST update (streaming_scd2 runs cdc_latest
+# per micro-batch — the unique-key contract), then the epoch-0 and
+# epoch-1 versions full-join per key and expand by the scd2_apply rule:
+# attribute change -> close (valid_to = new ts) + open; no change ->
+# current row survives; key seen in only one epoch -> single current row.
+# The feed is monotone across epochs by construction (the cut is a
+# timestamp boundary), so the stale-drop branch is vacuous here.
+_SCD2_REPLAY_SQL = """
+WITH u AS (
+  SELECT o_custkey AS k, o_orderstatus AS attr,
+         o_orderdate + to_microseconds(o_orderkey) AS ts
+  FROM orders WHERE o_orderkey % 3 = 0
+), tagged AS (
+  SELECT k, attr, ts,
+         CASE WHEN ts < TIMESTAMP '1995-07-01' THEN 0 ELSE 1 END AS ep
+  FROM u
+), latest AS (
+  SELECT k, attr, ts, ep FROM (
+    SELECT k, attr, ts, ep,
+           row_number() OVER (PARTITION BY k, ep ORDER BY ts DESC) AS rn
+    FROM tagged) t
+  WHERE rn = 1
+), e0 AS (SELECT k, attr, ts FROM latest WHERE ep = 0),
+   e1 AS (SELECT k, attr, ts FROM latest WHERE ep = 1),
+   j AS (
+  SELECT coalesce(e0.k, e1.k) AS k,
+         e0.attr AS a0, e0.ts AS t0, e1.attr AS a1, e1.ts AS t1
+  FROM e0 FULL JOIN e1 ON e0.k = e1.k
+)
+SELECT k, a0 AS attr, t0 AS valid_from, t1 AS valid_to
+FROM j WHERE a0 IS NOT NULL AND a1 IS NOT NULL AND a0 IS DISTINCT FROM a1
+UNION ALL
+SELECT k, a1 AS attr, t1 AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM j WHERE a1 IS NOT NULL AND (a0 IS NULL OR a0 IS DISTINCT FROM a1)
+UNION ALL
+SELECT k, a0 AS attr, t0 AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM j WHERE a0 IS NOT NULL AND (a1 IS NULL OR a0 IS NOT DISTINCT FROM a1)
+"""
+
+
+@register("streaming_scd2_replay", _SCD2_REPLAY_SQL)
+def streaming_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch Structured Streaming replay of an SCD-2 changelog,
+    driven end-to-end through ``streaming.pipeline.streaming_scd2``
+    (readStream file source -> availableNow trigger -> foreachBatch
+    cdc_latest + scd2_apply -> history swap), returning the FINAL
+    history table the stream produced.
+
+    Fixture: a deterministic changelog derived from orders — key =
+    o_custkey, tracked attribute = o_orderstatus, ts = o_orderdate plus
+    o_orderkey microseconds (globally unique, so per-key latest is
+    well-defined on both engines).  Epoch 0 holds every update before
+    1995-07-01, epoch 1 the rest: the first availableNow run folds epoch
+    0 into an empty history; the second run (SAME checkpoint — the file
+    source's seen-files log is what scopes it to the new files) folds
+    epoch 1 on top.  Monotone across epochs by construction.
+
+    This is the one registered query whose Spark side runs the streaming
+    machinery — checkpointing, epoch accounting, the read-modify-swap
+    history writer — so the driver's oracle row certifies stream-replay
+    == SQL fold, not just the batch operator."""
+    from ..streaming.pipeline import streaming_scd2
+
+    orders = load(spark, sf_dir, "orders")
+    u = orders.filter((F.col("o_orderkey") % 3) == 0).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("o_orderdate")) + F.col("o_orderkey")
+        ).alias("ts"),
+    )
+    cut = F.to_timestamp(F.lit("1995-07-01"))
+
+    work = tempfile.mkdtemp(prefix="scd2_replay_")
+    upd_dir = os.path.join(work, "updates")
+    hist_path = os.path.join(work, "history")
+    ckpt = os.path.join(work, "ckpt")
+
+    u.filter(F.col("ts") < cut).write.parquet(upd_dir)
+    for epoch_feed in (None, u.filter(F.col("ts") >= cut)):
+        if epoch_feed is not None:
+            # drop epoch-1 files next to epoch 0's: the checkpoint's
+            # seen-files log makes the second run process ONLY these
+            epoch_feed.write.mode("append").parquet(upd_dir)
+        stream = spark.readStream.schema(u.schema).parquet(upd_dir)
+        q = streaming_scd2(
+            stream, hist_path, ckpt, keys=["k"], attrs=["attr"]
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(hist_path).select(
+        "k", "attr", "valid_from", "valid_to"
+    )

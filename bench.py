@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q16_supplier_diversity",
     "gorilla_roundtrip_stats",
     "decontam_spans_k20",
+    "streaming_scd2_replay",
 ]
 
 

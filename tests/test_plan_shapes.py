@@ -379,3 +379,16 @@ def test_mad_outliers_single_scan_cached_slivers(spark):
     plan = _plan(spark, "mad_robust_outliers")
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_no_fact_self_join(spark):
+    """q21_waiting_suppliers: the EXISTS/NOT-EXISTS quantifiers must fold
+    into one aggregate + window pass — no lineitem self-join (a second
+    lineitem scan would betray one), no sort-merge, no cartesian, and at
+    most two fact-side hash exchanges (map-combined agg + reduced okey
+    window; the join itself broadcasts at test SF)."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan  # +1 name rollup
