@@ -495,17 +495,37 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int = 10,
     num_tables: int = 4,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    target_bucket: int = 64,
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing ANY table's hyperplane
     bucket with the query (multi-table banding — single-table all-planes
     buckets lose recall fast as planes grow), then exact cosine rank
     within the deduplicated candidates.  Corpus buckets come from the
-    Arrow-batched path; recall vs brute force is asserted in tests."""
+    Arrow-batched path; recall vs brute force is asserted in tests.
+
+    ``planes_per_table=None`` SCALES WITH THE CORPUS (the
+    :func:`embedding_near_dup` recipe): planes = max(3,
+    ceil(log2(n / target_bucket))), holding expected bucket occupancy —
+    and thus the exact-cosine candidate volume per query per table —
+    near ``target_bucket`` as the corpus grows.  With planes FIXED,
+    candidates grow linearly with corpus size ON TOP of the linear scan,
+    which the r8 decade measurement saw as a super-linear serving path
+    (fixed 3 planes: 3.2s -> 44.0s over sf1 -> sf10, 4.7x per 3.33x;
+    adaptive: see BASELINE.md r8 addendum).  Pass an explicit plane
+    count only when the bucket layout must be replayable at a pinned
+    geometry."""
+    if planes_per_table is None:
+        import math
+
+        n = vectors.count()
+        planes_per_table = max(
+            3, math.ceil(math.log2(max(n, 1) / target_bucket))
+        )
     buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
     vb = vectors.select(
         id_col,

@@ -576,14 +576,18 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: computation — every step is deterministic, so the oracle matches
 #: bit-for-bit.
 _LSH_COS_SQL = f"""
-WITH pw AS (
-  SELECT t, i,
-         list(CAST(concat('0x', substr(md5(concat(t*3 + i, '|', d)), 1, 12))
-                   AS BIGINT) / 140737488355328.0 - 1.0 ORDER BY d) AS wv
-  FROM (SELECT unnest(range(16)) AS t),
-       (SELECT unnest(range(3)) AS i),
-       (SELECT unnest(range(64)) AS d)
-  GROUP BY t, i
+WITH pp AS (
+  -- corpus-adaptive planes/table, mirroring similarity.lsh_cosine_topk
+  -- (planes_per_table=None): max(3, ceil(log2(max(n,1) / 64)))
+  SELECT greatest(3, CAST(ceil(log2(greatest(count(*), 1) / 64.0)) AS INTEGER)) AS pp
+  FROM embeddings
+), pw AS (
+  SELECT p.p // (SELECT pp FROM pp) AS t, p.p % (SELECT pp FROM pp) AS i,
+         list_transform(range(0, 64), d ->
+           CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), '|',
+                                               CAST(d AS VARCHAR))), 1, 12))
+                AS BIGINT) / 140737488355328.0 - 1.0) AS wv
+  FROM (SELECT unnest(generate_series(0, (SELECT 16 * pp - 1 FROM pp))) AS p) p
 ), vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), proj AS (
@@ -621,18 +625,24 @@ def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path, benched: multi-table hyperplane-LSH candidates
     + exact cosine rank within candidates only (same 5 probes / k=10 as
     ``cosine_topk``, the brute-force baseline it's measured against).
-    16 tables x 3 planes holds recall >= 0.9 vs brute force on this corpus
-    (asserted in tests/test_similarity_dedup.py) while touching only the
-    bucket-join candidates — the knob set that scales: tables bound recall,
-    planes bound candidate volume per table.  Deterministic end-to-end, so
-    the DuckDB oracle reproduces the full LSH pipeline bit-for-bit
+    Since r8 the registered query runs the CORPUS-ADAPTIVE plane count
+    (planes = max(3, ceil(log2(n/64))), 16 tables): the r8 decade run
+    caught the fixed-3-plane geometry super-linear on the serving path
+    (3.2s -> 44.0s over sf1 -> sf10, 4.7x per 3.33x — per-query
+    candidates grow linearly with the corpus on top of the scan), the
+    same occupancy blowup the r7 adaptive fix removed from
+    embedding_near_dup.  At the driver SFs the derivation floors to the
+    old 3 planes, where recall >= 0.9 vs brute force holds (asserted in
+    tests/test_similarity_dedup.py); tables bound recall, planes bound
+    candidate volume.  The oracle derives the SAME plane count from
+    count(*), so it replays the exact bucket layout at any SF
     (_LSH_COS_SQL)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim.lsh_cosine_topk(
-        emb, queries, k=10, num_tables=16, planes_per_table=3
+        emb, queries, k=10, num_tables=16, planes_per_table=None
     )
     return out.select(
         "query_id", "vec_id", qfloor(F.col("cos"), 6).alias("cos")
