@@ -1232,3 +1232,49 @@ def q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analogue: priority counts of orders with a late line item
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+@register("q4_order_priority", _Q4_SQL)
+def q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: per-priority counts of one quarter's orders
+    that had at least one late line item (no commit/receipt dates in the
+    testdata, so "late" = shipped more than 60 days after the order
+    date).  The correlated EXISTS — the one decision-support quantifier
+    the spine didn't yet exercise directly — compiles to a LEFT SEMI
+    join with the residual date predicate riding the orderkey equi-key:
+    the quarter filter pushes to the orders scan (aggregate-small side),
+    lineitem is touched once, and no row is ever duplicated by multiple
+    matching line items (semi-join semantics, not join+distinct)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

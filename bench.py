@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "gorilla_roundtrip_stats",
     "decontam_spans_k20",
     "streaming_scd2_replay",
+    "q21_waiting_suppliers",
+    "q4_order_priority",
 ]
 
 

@@ -392,3 +392,15 @@ def test_q21_no_fact_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan  # +1 name rollup
+
+
+def test_q4_exists_is_semi_join_with_pushdown(spark):
+    """q4_order_priority: the correlated EXISTS compiles to ONE LeftSemi
+    join carrying the residual late-shipment predicate — never
+    join+distinct (which would duplicate and re-dedup orders) — and the
+    quarter window pushes to the orders scan."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
