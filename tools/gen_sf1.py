@@ -129,10 +129,46 @@ def main() -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
-    # dimensions: symlink (read-only driver data)
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    # relational facts (r8: the decision-support spine needs decade
+    # points too): id-shifted copies with the SAME construction logic as
+    # events — orderkeys shift per copy and lineitem shifts in lockstep
+    # so the orderkey join fanout per order is preserved; custkeys shift
+    # with orders; part/supplier dims stay fixed, so per-supplier /
+    # per-part order volume grows linearly with the corpus, which is what
+    # a real 10x business would do to its dimensions' fan-in.
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    n_cst = cust.agg(F.max("c_custkey")).first()[0] + 1
+
+    def shifted(df, shifts: dict):
+        parts = []
+        for i in range(COPIES):
+            cols = [
+                (F.col(c) + F.lit(i * n)).alias(c) if i else F.col(c)
+                for c, n in shifts.items()
+            ] + [c for c in df.columns if c not in shifts]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*df.columns)
+
+    def write_scaled(df, table):
+        dst = f"{DST}/{table}.parquet"
+        if os.path.islink(dst):  # pre-r8 fixtures symlinked these
+            os.remove(dst)
+        df.repartition(32).write.mode("overwrite").parquet(dst)
+
+    write_scaled(
+        shifted(orders, {"o_orderkey": n_ord, "o_custkey": n_cst}), "orders"
+    )
+    write_scaled(shifted(li, {"l_orderkey": n_ord}), "lineitem")
+    write_scaled(shifted(cust, {"c_custkey": n_cst}), "customer")
+
+    # small dimensions: symlink (read-only driver data)
+    for t in "region nation supplier part".split():
         link = f"{DST}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
