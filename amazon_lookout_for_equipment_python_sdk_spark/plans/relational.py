@@ -1278,3 +1278,62 @@ def q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analogue: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(100 - l_discount*100) AS BIGINT)) / 1e6
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: the supplier(s) with maximum quarterly
+    revenue — the aggregate -> scalar-max -> filter quantifier (the
+    classic correlated scalar subquery / CREATE VIEW shape), completing
+    the spine beside Q18's aggregate->join-filter and Q4/Q21's
+    EXISTS forms.  Ties all surface, per the spec.
+
+    Plan: one lineitem scan (quarter filter pushed) into a
+    supplier-sized revenue aggregate, PERSISTED so the scalar max and
+    the equality filter read the aggregate rather than re-deriving the
+    fact lineage; the 1-row max broadcasts; supplier enriches via
+    broadcast.  Exact integer cents until one final division, so the
+    float equality is bit-deterministic on both engines."""
+    from pyspark import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_f = F.round(100 - F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg((F.sum(price_c * disc_f) / F.lit(1e6)).alias("total_revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -404,3 +404,15 @@ def test_q4_exists_is_semi_join_with_pushdown(spark):
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q15_single_fact_scan_via_cached_revenue(spark):
+    """q15_top_supplier: the scalar-max subquery must read the PERSISTED
+    supplier-sized revenue aggregate, not re-derive the lineitem lineage
+    — both consumers (the 1-row max and the equality filter) read
+    InMemoryTableScan.  The plan STRING prints the cached relation's
+    FileScan lineage per consumer, so pin the cache reads, not the scan
+    count (same convention as the MAD pin)."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan
