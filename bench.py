@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "streaming_scd2_replay",
     "q21_waiting_suppliers",
     "q4_order_priority",
+    "q15_top_supplier",
 ]
 
 
