@@ -2223,3 +2223,108 @@ def dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("doc_id", "n_grams", "logw", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed RAG retrieval chain (r8): chunk -> feature-hash embed -> top-k
+# ---------------------------------------------------------------------------
+
+_RAG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS st
+  FROM t
+), chunks AS (
+  SELECT doc_id, CAST((st - 1) // 8 AS INT) AS chunk_idx,
+         array_to_string(toks[st:st+15], ' ') AS chunk_text
+  FROM s
+), ctoks AS (
+  SELECT doc_id, chunk_idx, unnest(string_split(chunk_text, ' ')) AS t
+  FROM chunks
+), hashed AS (
+  SELECT doc_id, chunk_idx,
+         CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT) AS h
+  FROM ctoks WHERE t <> ''
+), acc AS (
+  SELECT doc_id, chunk_idx, CAST(h % {_HE_DIM} AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS v
+  FROM hashed GROUP BY 1, 2, 3
+), nrm AS (
+  SELECT doc_id, chunk_idx, sum(v*v) AS sq FROM acc GROUP BY 1, 2
+), dims AS (SELECT unnest(range(0, {_HE_DIM})) AS pos),
+vecs AS (
+  SELECT n.doc_id, n.chunk_idx,
+         list(coalesce(
+           floor(CAST(a.v AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE)) * 1e4)
+             / 1e4, 0.0) ORDER BY d.pos) AS vv
+  FROM nrm n CROSS JOIN dims d
+  LEFT JOIN acc a ON a.doc_id = n.doc_id AND a.chunk_idx = n.chunk_idx
+                 AND a.pos = d.pos
+  WHERE n.sq > 0
+  GROUP BY 1, 2
+), q AS (
+  SELECT doc_id AS qdoc, vv AS qv FROM vecs
+  WHERE doc_id < 3 AND chunk_idx = 0
+), scored AS (
+  SELECT q.qdoc, v.doc_id, v.chunk_idx,
+         list_dot_product(q.qv, v.vv) /
+           (sqrt(list_dot_product(q.qv, q.qv)) *
+            sqrt(list_dot_product(v.vv, v.vv))) AS rawcos
+  FROM q JOIN vecs v ON v.doc_id <> q.qdoc
+)
+SELECT qdoc, doc_id, chunk_idx, cos FROM (
+  SELECT qdoc, doc_id, chunk_idx, {sql_qfloor('rawcos', 6)} AS cos,
+         row_number() OVER (PARTITION BY qdoc
+                            ORDER BY rawcos DESC, doc_id, chunk_idx) AS rnk
+  FROM scored) x
+WHERE rnk <= 10
+"""
+
+
+@register("rag_chunk_retrieval", _RAG_SQL)
+def rag_chunk_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval chain a RAG indexer runs — context-window
+    chunking -> model-free feature-hash embeddings -> exact cosine top-k
+    with same-document exclusion — as ONE lazy plan over three §2.14
+    operators (chunk_documents, hashed_embedding_udf, the cosine_topk
+    scoring shape).  Returns each query chunk's 10 nearest chunks from
+    OTHER documents.
+
+    Everything upstream of the rank is row-local (chunking is a
+    higher-order transform + explode; the embedding UDF is Arrow-batched
+    with a per-batch token cache), the 3 query vectors broadcast, and
+    the only shuffle is the per-query top-k window — the cosine_topk
+    brute-force shape.  For corpus-scale QUERY sets the same chain feeds
+    ``similarity.ann_join`` instead of the broadcast; this registered
+    form pins the composition and its oracle (DuckDB replays chunking,
+    md5 hashing, grid normalization, and the rank bit-for-bit)."""
+    from ..operators import corpus as cp
+    from ..operators.similarity import cosine
+    from ..operators.text import hashed_embedding_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cp.chunk_documents(docs, chunk_tokens=16, stride=8)
+    emb = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        hashed_embedding_udf(dim=_HE_DIM)(F.col("chunk_text")).alias("e"),
+    ).filter(F.exists("e", lambda x: x != 0))
+    q = emb.filter((F.col("doc_id") < 3) & (F.col("chunk_idx") == 0)).select(
+        F.col("doc_id").alias("qdoc"), F.col("e").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("doc_id") != F.col("qdoc")
+    ).withColumn("rawcos", cosine(F.col("qv"), F.col("e")))
+    w = Window.partitionBy("qdoc").orderBy(
+        F.desc("rawcos"), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "qdoc", "doc_id", "chunk_idx", qfloor(F.col("rawcos"), 6).alias("cos")
+        )
+    )

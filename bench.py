@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "q4_order_priority",
     "q15_top_supplier",
+    "rag_chunk_retrieval",
 ]
 
 
