@@ -11,6 +11,7 @@ oracle-checkable by the driver every round."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +110,85 @@ def streaming_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # the returned frame reads only the final history: drop the replay
+    # feed + checkpoint so repeated bench/driver invocations don't
+    # accumulate fixture bytes in TMPDIR
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(hist_path).select(
         "k", "attr", "valid_from", "valid_to"
+    )
+
+
+# The oracle is plain exact counting: under capacity (97 distinct tokens
+# vs 256 counters) Space-Saving NEVER evicts, so its estimates are exact,
+# order-independent, and err = 0 on every row — the streaming snapshot
+# after the last batch equals the batch top-k of the whole stream.
+_TOPK_REPLAY_SQL = """
+WITH toks AS (
+  SELECT event_type AS grp, CAST(user_id % 97 AS VARCHAR) AS token
+  FROM events
+), counts AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS est
+  FROM toks GROUP BY 1, 2
+)
+SELECT grp, token, est, CAST(0 AS BIGINT) AS err FROM (
+  SELECT grp, token, est,
+         row_number() OVER (PARTITION BY grp ORDER BY est DESC, token) AS rn
+  FROM counts) t
+WHERE rn <= 10
+"""
+
+
+@register("streaming_topk_replay", _TOPK_REPLAY_SQL)
+def streaming_topk_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay through the STATEFUL streaming machinery
+    (``applyInPandasWithState``): the events table, split in half by
+    event_id parity, feeds ``streaming_topk_tokens`` (Space-Saving heavy
+    hitters, Metwally 2005) across two availableNow runs sharing a
+    checkpoint; the final batch's per-group top-10 snapshot is returned
+    and oracle-checked against exact SQL counts.
+
+    Under capacity the sketch is exact and ORDER-INDEPENDENT (no
+    eviction ever fires: 97 distinct tokens vs 256 counters, at any SF
+    since the token is user_id mod 97), which is what makes an
+    arbitrary-state streaming operator driver-hash-checkable — the
+    companion row to ``streaming_scd2_replay``'s foreachBatch path: that
+    one certifies the epoch-swap sink machinery, this one certifies
+    checkpointed GroupState carried ACROSS streaming queries.  err = 0
+    on every row pins that no eviction (and thus no order dependence)
+    occurred."""
+    from ..streaming.pipeline import foreach_batch_apply
+    from ..streaming.stateful import streaming_topk_tokens
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % 97).cast("string").alias("token"),
+    )
+
+    work = tempfile.mkdtemp(prefix="topk_replay_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "snapshots")
+    ckpt = os.path.join(work, "ckpt")
+
+    ev.filter(F.col("event_id") % 2 == 0).select("grp", "token").write.parquet(
+        feed
+    )
+    for epoch_feed in (None, ev.filter(F.col("event_id") % 2 == 1)):
+        if epoch_feed is not None:
+            epoch_feed.select("grp", "token").write.mode("append").parquet(feed)
+        stream = spark.readStream.schema("grp string, token string").parquet(
+            feed
+        )
+        snap = streaming_topk_tokens(stream, capacity=256, k=10)
+        q = foreach_batch_apply(snap, lambda b: b, out, ckpt)
+        q.awaitTermination()
+
+    shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    snaps = spark.read.parquet(out)
+    last = snaps.agg(F.max("batch_epoch")).first()[0]
+    return snaps.filter(F.col("batch_epoch") == last).select(
+        "grp", "token", "est", "err"
     )

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q15_top_supplier",
     "rag_chunk_retrieval",
+    "streaming_topk_replay",
 ]
 
 
