@@ -1,0 +1,34 @@
+"""Driver-visible streaming replay rows (plans/streaming_q.py): the
+oracle gate hashes values, so these queries must be bit-deterministic
+across invocations — each run builds fresh temp dirs, replays two
+epochs, and must land on identical tables."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_replay_deterministic_and_covers_both_epochs(spark):
+    a = _rows(spark, "streaming_scd2_replay")
+    b = _rows(spark, "streaming_scd2_replay")
+    assert a == b and len(a) > 0
+    # both epochs contributed: some closed rows (attr changed across the
+    # cut) AND some still-open rows exist
+    closed = [r for r in a if r[3] is not None]
+    current = [r for r in a if r[3] is None]
+    assert closed and current
+
+
+def test_topk_replay_deterministic_exact_no_eviction(spark):
+    a = _rows(spark, "streaming_topk_replay")
+    b = _rows(spark, "streaming_topk_replay")
+    assert a == b and len(a) > 0
+    # under-capacity Space-Saving: every row exact, err == 0
+    assert all(r[3] == 0 for r in a)
