@@ -488,3 +488,33 @@ def test_interval_overlap_join_subsecond_boundaries(spark):
         for r in interval_overlap_join(left, right).collect()
     ]
     assert got == [(1, 2)]
+
+
+def test_density_histograms_caller_bounds_clamp_both_ends(spark):
+    """r8 (ADVICE r7): caller-supplied ``bounds`` narrower than the data
+    must clamp BOTH ends — a value below min lands in bin 0 (not bin -1,
+    which the grid join would drop while the subset total still counted
+    it, deflating every density) and a value above max in the top bin.
+    Densities must sum to 1/width per subset."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        wasserstein as ws,
+    )
+
+    rows = [("s", "train", v) for v in (-5.0, 0.0, 1.0, 9.0, 10.0, 99.0)]
+    df = spark.createDataFrame(rows, "tag string, subset string, value double")
+    bounds = spark.createDataFrame(
+        [("s", 0.0, 10.0)], "tag string, min_value double, max_value double"
+    )
+    h = (
+        ws.density_histograms(df, "subset", 10, bounds=bounds)
+        .toPandas()
+        .sort_values("bin")
+    )
+    dens = h["density"].to_numpy()
+    width = (10.0 - 0.0) / 10
+    # all 6 samples accounted for: densities integrate to 1
+    assert abs(dens.sum() * width - 1.0) < 1e-12
+    # -5 clamped into bin 0 (with 0.0); 10/99 clamped into bin 9 (with 9)
+    by_bin = dict(zip(h["bin"], dens))
+    assert abs(by_bin[0] - 2 / 6 / width) < 1e-12
+    assert abs(by_bin[9] - 3 / 6 / width) < 1e-12

@@ -711,3 +711,37 @@ def test_streaming_span_decontamination_matches_batch(spark, tmp_path):
     # the verbatim-leaked doc 5 loses its leaked sentence; doc 3 untouched
     assert "exact sentence" not in got[5]
     assert got[3] == _DOCS[2][1]
+
+
+def test_foreach_batch_unpersists_per_batch_caches(spark, tmp_path):
+    """r8 (ADVICE r7): a batch fn that persists (decontaminate_spans'
+    sliver, duplicate_spans' cand) must not leak one cached frame per
+    micro-batch — foreach_batch_apply snapshots the persistent-RDD set
+    around each epoch and unpersists whatever the fn added."""
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        foreach_batch_apply,
+    )
+
+    src = tmp_path / "src"
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(str(src))
+
+    def per_batch(b):
+        cached = b.withColumn("w", F.col("v") + 1).persist()
+        cached.count()
+        return cached
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    q = foreach_batch_apply(
+        spark.readStream.schema("id long, v long").parquet(str(src)),
+        per_batch,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "per-batch cache leaked past its epoch"
+    rows = spark.read.parquet(str(tmp_path / "out"))
+    assert rows.count() == 100
