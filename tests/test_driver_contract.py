@@ -242,3 +242,27 @@ def test_registry_headroom_bounds_staleness():
         f"exceeding STALE_ROUNDS={STALE_ROUNDS}; retire a query or share "
         "a slot via a composed chain before registering more"
     )
+
+
+def test_bench_and_audit_names_are_registered():
+    """Every name in bench.py's BENCH_QUERIES and plan_audit's
+    AUDIT_QUERIES must be a registered query — a typo here silently
+    drops the query from the round artifact (bench records an error
+    entry; the audit raises at regen time, two rounds late)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def names(path, attr):
+        spec = importlib.util.spec_from_file_location("m", path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return getattr(m, attr)
+
+    registered = set(entrymod.queries())
+    bench = names(os.path.join(root, "bench.py"), "BENCH_QUERIES")
+    audit = names(os.path.join(root, "tools", "plan_audit.py"), "AUDIT_QUERIES")
+    assert set(bench) <= registered, set(bench) - registered
+    assert set(audit) <= registered, set(audit) - registered
+    assert len(bench) == len(set(bench)), "duplicate bench entries"
