@@ -2328,3 +2328,93 @@ def rag_chunk_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qdoc", "doc_id", "chunk_idx", qfloor(F.col("rawcos"), 6).alias("cos")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-percentile corpus pruning (r8): the CCNet keep-the-head rule
+# ---------------------------------------------------------------------------
+
+_PPL_PRUNE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+), lp AS (
+  SELECT w1, w2,
+         CAST(floor(ln((c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e4)
+              AS BIGINT) AS lp4
+  FROM c12 JOIN c1 USING (w1), v
+), scored AS (
+  SELECT bg.doc_id,
+         floor((-CAST(sum(lp.lp4) AS DOUBLE) / (count(*) * 1e4)) * 1e4) / 1e4
+           AS xent
+  FROM bg JOIN lp USING (w1, w2)
+  GROUP BY bg.doc_id
+), ranked AS (
+  SELECT d.source, sc.xent,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.xent, sc.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM scored sc JOIN documents d USING (doc_id)
+), thr AS (
+  SELECT source, xent AS thr FROM ranked
+  WHERE rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+)
+SELECT r.source, CAST(max(r.n) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN r.xent <= t.thr THEN 1 END) AS BIGINT) AS n_kept,
+       max(t.thr) AS thr
+FROM ranked r JOIN thr t USING (source)
+GROUP BY 1
+"""
+
+
+@register("perplexity_prune_counts", _PPL_PRUNE_SQL)
+def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pruning DECISION (Wenzek et al. 2020 §4.3) composed on
+    top of the bigram-LM scorer: per source, keep documents at or below
+    the exact 90th-percentile cross-entropy (lower order statistic, rank
+    floor((n-1)*0.9)+1 — replayable, unlike approxQuantile), report
+    (n_docs, n_kept, thr).  Documents too short to score (under 2
+    tokens) are outside the pruning universe by construction.
+
+    Composition: REUSES the registered ``bigram_lm_perplexity`` plan —
+    including its size-adaptive two-traversal persistence above the scan
+    crossover — then one broadcast-ready source join, one
+    source-partitioned rank window over the aggregate-sized scored
+    frame, and a grid-floored threshold comparison.  Everything after
+    the scorer is per-doc-row sized; the expensive corpus passes are the
+    scorer's own, unchanged."""
+    scored = bigram_lm_q(spark, sf_dir).select("doc_id", "xent")
+    src = load_par(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = (
+        scored.join(src, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("xent", "doc_id")
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+    )
+    thr = ranked.filter(
+        F.col("rn") == (F.floor((F.col("n") - 1) * 0.9) + 1)
+    ).select("source", F.col("xent").alias("thr"))
+    return (
+        ranked.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count(F.when(F.col("xent") <= F.col("thr"), 1)).alias(
+                "n_kept"
+            ),
+            F.max("thr").alias("thr"),
+        )
+    )
