@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "rag_chunk_retrieval",
     "streaming_topk_replay",
+    "perplexity_prune_counts",
 ]
 
 
