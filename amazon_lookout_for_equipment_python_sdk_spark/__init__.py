@@ -27,6 +27,26 @@ component; broadcast dimensions; bucketed interval joins).
 
 __version__ = "0.2.0"
 
+# Ship this package's Python kernels BY VALUE in task closures.
+# cloudpickle serializes module-level functions by REFERENCE (the worker
+# re-imports them), so any harness that makes the package importable only
+# in the driver process — sys.path.insert from an arbitrary cwd, the
+# external driver's shape — gets ModuleNotFoundError on executors for
+# every kernel that closes over a module-level helper (the
+# applyInPandasWithState state kernels, codec functions, ...).  Parent
+# registration covers every submodule (cloudpickle resolves by name
+# prefix), the kernels depend only on worker-importable third-party
+# modules (pandas/numpy) and their arguments, and pickling cost is paid
+# once per UDF per query.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - cloudpickle without the API
+    pass
+
 from .session import get_spark  # noqa: F401
 
 # --- reference-parity surface (lookoutequipment __init__.py:29-55) ----------

@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# NOTE: the stateful kernels below are MODULE-LEVEL functions closed
+# over by the lambdas handed to applyInPandasWithState; they reach
+# executors by value because the package root registers itself with
+# cloudpickle.register_pickle_by_value (see the package __init__) —
+# keep them free of mutable module globals.
+
 #: output schema of the closed-range stream
 RANGE_SCHEMA = (
     "key string, start timestamp, end timestamp, n_points long"

@@ -266,3 +266,44 @@ def test_bench_and_audit_names_are_registered():
     assert set(bench) <= registered, set(bench) - registered
     assert set(audit) <= registered, set(audit) - registered
     assert len(bench) == len(set(bench)), "duplicate bench entries"
+
+
+def test_package_kernels_pickle_by_value():
+    """r8: the package registers itself with cloudpickle's
+    register_pickle_by_value at import, so stateful/codec kernels reach
+    executors WITHOUT the package being importable on them — the
+    external harness imports us via sys.path.insert from an arbitrary
+    cwd, where workers raised ModuleNotFoundError for every
+    applyInPandasWithState kernel (caught in the r8 plain-session
+    sweep).  Pin the registration AND that a representative kernel's
+    pickle is self-contained (no by-reference module lookup)."""
+    import base64
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        stateful,
+    )
+
+    assert cloudpickle.cloudpickle._is_registered_pickle_by_value(stateful)
+    payload = base64.b64encode(cloudpickle.dumps(stateful._spacesaving_batch))
+    # a worker that CANNOT import the package must still unpickle and
+    # run the kernel (pandas alone suffices)
+    probe = (
+        "import base64, pickle, sys, types\n"
+        "import pandas as pd\n"
+        "fn = pickle.loads(base64.b64decode(sys.argv[1]))\n"
+        "class St:\n"
+        "    exists = False\n"
+        "    def update(self, v): self.v = v\n"
+        "out = list(fn(('g',), iter([pd.DataFrame({'token': ['a','b','a']})]), St(), 4, 2))\n"
+        "assert out[0]['est'].tolist() == [2, 1], out\n"
+        "print('BYVALUE_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe, payload],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    assert "BYVALUE_OK" in r.stdout, (r.stdout, r.stderr[-500:])
