@@ -768,11 +768,18 @@ def keep_best_per_cluster(
     (aggregate-sized), one anti-join for the uncovered remainder, one
     semi-join back — no window over the corpus."""
     labeled = df.select(id_col, quality_col).join(clusters, id_col)
+    # NULL quality must always LOSE (the max_by-era behavior: an unscored
+    # doc never beats a scored one) — a bare -quality would sort NULL
+    # first under min_by and win; +inf ranks nulls strictly last while
+    # all-null clusters still resolve to their lowest id on the tie key
+    neg_q = F.coalesce(
+        (-F.col(quality_col)).cast("double"), F.lit(float("inf"))
+    )
     best = labeled.groupBy("cluster").agg(
         F.min_by(
             F.col(id_col),
             F.struct(
-                (-F.col(quality_col)).alias("nq"),  # min(-q) = max quality
+                neg_q.alias("nq"),  # min(-q) = max quality
                 F.col(id_col).alias("tie"),  # ties -> lowest id, any type
             ),
         ).alias(id_col)

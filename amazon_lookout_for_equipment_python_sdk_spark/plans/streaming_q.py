@@ -14,7 +14,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -110,9 +110,26 @@ def streaming_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # the oracle folds each epoch's per-key LATEST, i.e. it models each
+    # epoch as exactly ONE micro-batch (cdc_latest compacts per batch).
+    # availableNow with no read limits does run one batch per epoch, but
+    # a session that sets maxFilesPerTrigger would split the files and a
+    # within-epoch attr change would emit a close+open the oracle does
+    # not model — assert the batch count (one offsets file per batch)
+    # so the assumption breaks LOUDLY, not as a silent hash mismatch
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "offsets"))
+         if not f.startswith(".")]
+    )
+    assert n_batches == 2, (
+        f"expected 1 micro-batch per epoch, checkpoint shows {n_batches}; "
+        "a read-limit config (maxFilesPerTrigger?) broke the oracle's "
+        "one-batch-per-epoch contract"
+    )
     # the returned frame reads only the final history: drop the replay
     # feed + checkpoint so repeated bench/driver invocations don't
-    # accumulate fixture bytes in TMPDIR
+    # accumulate the fixture-sized bytes in TMPDIR (the history table
+    # itself must stay — the lazy result reads it)
     shutil.rmtree(upd_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(hist_path).select(
@@ -146,8 +163,10 @@ def streaming_topk_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``applyInPandasWithState``): the events table, split in half by
     event_id parity, feeds ``streaming_topk_tokens`` (Space-Saving heavy
     hitters, Metwally 2005) across two availableNow runs sharing a
-    checkpoint; the final batch's per-group top-10 snapshot is returned
-    and oracle-checked against exact SQL counts.
+    checkpoint; each group's LATEST top-10 snapshot is returned (a group
+    absent from later epochs received no new data, so its latest
+    snapshot already equals the full-stream counts) and oracle-checked
+    against exact SQL counts.
 
     Under capacity the sketch is exact and ORDER-INDEPENDENT (no
     eviction ever fires: 97 distinct tokens vs 256 counters, at any SF
@@ -192,7 +211,15 @@ def streaming_topk_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(feed, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     snaps = spark.read.parquet(out)
-    last = snaps.agg(F.max("batch_epoch")).first()[0]
-    return snaps.filter(F.col("batch_epoch") == last).select(
-        "grp", "token", "est", "err"
+    # take each GROUP's latest snapshot, not the last batch's (r8 review):
+    # applyInPandasWithState only emits for groups present in a batch, so
+    # a group with no epoch-1 rows would vanish from a global-last filter
+    # while the oracle still counts it.  A group absent from later epochs
+    # received no new data, so its latest snapshot already equals the
+    # full-stream counts — per-group latest is ALWAYS the final state.
+    w = Window.partitionBy("grp")
+    return (
+        snaps.withColumn("_last", F.max("batch_epoch").over(w))
+        .filter(F.col("batch_epoch") == F.col("_last"))
+        .select("grp", "token", "est", "err")
     )

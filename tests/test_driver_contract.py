@@ -228,12 +228,15 @@ def test_registry_headroom_bounds_staleness():
 
     from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
         _FORCE_VERIFY,
+        DRIVER_WINDOW as ENGINE_WINDOW,
         STALE_ROUNDS,
     )
 
+    assert ENGINE_WINDOW == DRIVER_WINDOW, "test copy drifted from engine"
+
     n_total = len(entrymod.queries())
     n_forced = len(set(_FORCE_VERIFY))
-    free_slots = DRIVER_WINDOW - n_forced
+    free_slots = ENGINE_WINDOW - n_forced
     assert free_slots > 0, "forced entries consume the whole driver window"
     cycle = math.ceil((n_total - n_forced) / free_slots)
     assert cycle <= STALE_ROUNDS, (
@@ -266,6 +269,7 @@ def test_bench_and_audit_names_are_registered():
     assert set(bench) <= registered, set(bench) - registered
     assert set(audit) <= registered, set(audit) - registered
     assert len(bench) == len(set(bench)), "duplicate bench entries"
+    assert len(audit) == len(set(audit)), "duplicate audit entries"
 
 
 def test_package_kernels_pickle_by_value():

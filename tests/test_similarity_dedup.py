@@ -725,3 +725,28 @@ def test_keep_best_per_cluster_partial_coverage_and_string_ids(spark):
         for r in keep_best_per_cluster(docs, clusters, "q").collect()
     }
     assert kept == {"doc-b", "doc-x", "doc-y"}
+
+
+def test_keep_best_per_cluster_null_quality_always_loses(spark):
+    """r8 review finding: the min_by(struct(-q, id)) rewrite would let a
+    NULL-quality doc WIN its cluster (NULL sorts first ascending),
+    inverting the max_by-era rule that unscored docs never beat scored
+    ones.  Pinned: scored best wins over NULL; an all-NULL cluster
+    falls back to its lowest id."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 9.0), (2, None), (3, 1.0), (10, None), (11, None)],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, clusters, "q").collect()
+    }
+    assert kept == {1, 10}

@@ -40,6 +40,10 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entrymod  # noqa: E402
 
 only = set(sys.argv[1:])
+unknown = only - set(entrymod.queries())
+if unknown:
+    print(f"unknown query name(s): {sorted(unknown)}")
+    sys.exit(2)
 sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 ok = fail = 0
 for name, fn in entrymod.queries().items():
