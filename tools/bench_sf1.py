@@ -36,6 +36,10 @@ QUERIES = [
     "model_evaluation_calibrated",
     "semantic_dedup_cells",
     "dsir_select_top",
+    "rag_chunk_retrieval",
+    "q21_waiting_suppliers",
+    "streaming_scd2_replay",
+    "streaming_topk_replay",
 ]
 
 SF01 = "/root/testdata/sf0.1"
