@@ -750,3 +750,50 @@ def test_keep_best_per_cluster_null_quality_always_loses(spark):
         for r in keep_best_per_cluster(docs, clusters, "q").collect()
     }
     assert kept == {1, 10}
+
+
+def test_keep_best_per_cluster_matches_python_reference_randomized(spark):
+    """Randomized (seeded) equivalence vs a plain-python reference of the
+    full r8 contract: per cluster keep argmax by (quality desc, NULLs
+    strictly last, ties lowest id); ids uncovered by the clusters frame
+    always survive.  One Spark round-trip over 3 seeds keeps it cheap."""
+    import random
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    for seed in (7, 41, 1009):
+        rng = random.Random(seed)
+        n = 60
+        docs = [
+            (i, rng.choice([None, round(rng.uniform(0, 5), 3)]))
+            for i in range(n)
+        ]
+        covered = [i for i in range(n) if rng.random() < 0.7]
+        clusters = [(i, rng.randrange(8)) for i in covered]
+
+        # python reference
+        by_cluster: dict[int, list[int]] = {}
+        qual = dict(docs)
+        for i, c in clusters:
+            by_cluster.setdefault(c, []).append(i)
+        expect = {i for i in range(n) if i not in dict(clusters)}
+        for members in by_cluster.values():
+            expect.add(
+                min(
+                    members,
+                    key=lambda i: (
+                        (0, -qual[i]) if qual[i] is not None else (1, 0),
+                        i,
+                    ),
+                )
+            )
+
+        ddf = spark.createDataFrame(docs, "doc_id long, q double")
+        cdf = spark.createDataFrame(clusters, "doc_id long, cluster long")
+        got = {
+            r["doc_id"]
+            for r in keep_best_per_cluster(ddf, cdf, "q").collect()
+        }
+        assert got == expect, (seed, got ^ expect)
