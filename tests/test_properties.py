@@ -235,3 +235,42 @@ def test_decontaminate_spans_property(spark, train_texts, eval_texts):
             g = cleaned[j : j + K]
             if g in orig:
                 assert g not in eval_grams, (orig, cleaned, g)
+
+
+# --- r8 corpus-adaptive geometry derivations ---------------------------------
+# The adaptive formulas are the scale levers that turned two measured
+# super-linear paths flat (embedding_near_dup r7, lsh_cosine_topk r8).
+# Pin their pure-math contract: monotone nondecreasing in n, floors/caps
+# respected, and expected bucket occupancy n / 2^planes bounded by
+# 2 * target once above the floor (ceil overshoots by < 1 bit).
+
+
+def _adaptive_planes(n: int, floor: int, target: int) -> int:
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n, 1) / target)))
+
+
+@given(n=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=500)
+def test_adaptive_plane_count_contract(n):
+    p_topk = _adaptive_planes(n, 3, 64)   # similarity.lsh_cosine_topk
+    p_pair = _adaptive_planes(n, 4, 64)   # similarity.embedding_near_dup
+    for p, floor in ((p_topk, 3), (p_pair, 4)):
+        assert p >= floor
+        assert p >= _adaptive_planes(max(n - 1, 0), floor, 64)  # monotone
+        if p > floor:  # above the floor, occupancy is bounded
+            assert n / (2 ** p) <= 64
+            assert n / (2 ** p) > 32  # and not over-split (>= target/2)
+
+
+@given(n=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=500)
+def test_adaptive_cell_count_contract(n):
+    import math
+
+    nc = max(16, min(4096, math.isqrt(max(n, 0))))  # semantic_dedup
+    assert 16 <= nc <= 4096
+    assert nc >= max(16, min(4096, math.isqrt(max(n - 1, 0))))
+    if 16 < nc < 4096:  # interior regime: per-cell work ~ sqrt(n)
+        assert abs(nc - math.isqrt(n)) == 0
