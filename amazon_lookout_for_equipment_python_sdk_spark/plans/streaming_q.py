@@ -10,6 +10,7 @@ oracle-checkable by the driver every round."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -18,6 +19,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load, register
+
+
+def _work_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, fixture) work root, wiped at the START
+    of every invocation (r8 verdict #4 / ADVICE): the returned frame is
+    lazy over the final history/snapshot parquet, so the CURRENT run's
+    dir must outlive this function — cleaning the PREVIOUS run's dir on
+    entry bounds TMPDIR residue at exactly one fixture-sized dir per
+    (query, fixture) across any number of bench/driver/plain-env runs,
+    where mkdtemp leaked one per run.  Consequence, documented: a frame
+    returned by an EARLIER invocation dies when a later one starts —
+    the driver and bench consume each result before re-invoking."""
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    work = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_{name}_{digest}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    return work
 
 # The oracle folds the SAME two-epoch replay in SQL: each epoch
 # contributes its per-key LATEST update (streaming_scd2 runs cdc_latest
@@ -93,7 +113,7 @@ def streaming_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut = F.to_timestamp(F.lit("1995-07-01"))
 
-    work = tempfile.mkdtemp(prefix="scd2_replay_")
+    work = _work_dir("scd2_replay", sf_dir)
     upd_dir = os.path.join(work, "updates")
     hist_path = os.path.join(work, "history")
     ckpt = os.path.join(work, "ckpt")
@@ -121,11 +141,15 @@ def streaming_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [f for f in os.listdir(os.path.join(ckpt, "offsets"))
          if not f.startswith(".")]
     )
-    assert n_batches == 2, (
-        f"expected 1 micro-batch per epoch, checkpoint shows {n_batches}; "
-        "a read-limit config (maxFilesPerTrigger?) broke the oracle's "
-        "one-batch-per-epoch contract"
-    )
+    if n_batches != 2:
+        # a runtime contract in a registered query, NOT an assert: under
+        # ``python -O`` an assert is stripped and a read-limit config
+        # would surface only as an opaque oracle hash mismatch (ADVICE r8)
+        raise RuntimeError(
+            f"expected 1 micro-batch per epoch, checkpoint shows "
+            f"{n_batches}; a read-limit config (maxFilesPerTrigger?) "
+            "broke the oracle's one-batch-per-epoch contract"
+        )
     # the returned frame reads only the final history: drop the replay
     # feed + checkpoint so repeated bench/driver invocations don't
     # accumulate the fixture-sized bytes in TMPDIR (the history table
@@ -190,7 +214,7 @@ def streaming_topk_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 97).cast("string").alias("token"),
     )
 
-    work = tempfile.mkdtemp(prefix="topk_replay_")
+    work = _work_dir("topk_replay", sf_dir)
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "snapshots")
     ckpt = os.path.join(work, "ckpt")

@@ -102,17 +102,56 @@ def test_rotation_is_oldest_first():
     as the registry grows."""
     from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
         _FORCE_VERIFY,
+        _effective_forced,
         _load_last_green,
     )
 
     last = _load_last_green()
-    forced = set(_FORCE_VERIFY)
+    forced = _effective_forced(last)
     rounds = [
         0 if n in forced else last.get(n, 0) for n in entrymod.queries()
     ]
     assert rounds == sorted(rounds), "registry not ordered by last-green round"
     unknown = [n for n in _FORCE_VERIFY if n not in entrymod.queries()]
     assert not unknown, f"_FORCE_VERIFY references unknown queries: {unknown}"
+
+
+def test_force_verify_entries_not_stale():
+    """The self-enforcing clear (r8 verdict #1, the #1 hygiene item two
+    rounds running): a _FORCE_VERIFY entry exists to push a changed query
+    back through the driver; once a green row AT OR AFTER the forcing
+    round lands in a committed CORRECTNESS artifact, the entry is stale
+    by definition — it merely burns a driver-window slot.  This test
+    fails the build until the entry is deleted, turning the clear from a
+    remembered chore into a forcing function like the rest of the
+    rotation.  The >= comparison (not 'exists in newest artifact') keeps
+    a query verified in round N-1 and re-changed in round N forceable
+    without tripping on its pre-change row."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
+        _FORCE_VERIFY,
+        _load_last_green,
+    )
+
+    last = _load_last_green()
+    rnd = _current_round()
+    stale = {
+        n: (forced_rnd, last.get(n, 0))
+        for n, forced_rnd in _FORCE_VERIFY.items()
+        if last.get(n, 0) >= forced_rnd
+    }
+    assert not stale, (
+        f"_FORCE_VERIFY entries whose post-change green row already "
+        f"landed (name: (forced_round, last_green)): {stale} — delete them"
+    )
+    premature = {
+        n: forced_rnd
+        for n, forced_rnd in _FORCE_VERIFY.items()
+        if forced_rnd >= rnd + 1
+    }
+    assert not premature, (
+        f"_FORCE_VERIFY rounds in the future (current round {rnd}): "
+        f"{premature}"
+    )
 
 
 def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
@@ -227,15 +266,16 @@ def test_registry_headroom_bounds_staleness():
     import math
 
     from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
-        _FORCE_VERIFY,
         DRIVER_WINDOW as ENGINE_WINDOW,
         STALE_ROUNDS,
+        _effective_forced,
+        _load_last_green,
     )
 
     assert ENGINE_WINDOW == DRIVER_WINDOW, "test copy drifted from engine"
 
     n_total = len(entrymod.queries())
-    n_forced = len(set(_FORCE_VERIFY))
+    n_forced = len(_effective_forced(_load_last_green()))
     free_slots = ENGINE_WINDOW - n_forced
     assert free_slots > 0, "forced entries consume the whole driver window"
     cycle = math.ceil((n_total - n_forced) / free_slots)

@@ -32,3 +32,32 @@ def test_topk_replay_deterministic_exact_no_eviction(spark):
     assert a == b and len(a) > 0
     # under-capacity Space-Saving: every row exact, err == 0
     assert all(r[3] == 0 for r in a)
+
+
+def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
+    """r8 verdict #4 / ADVICE: each invocation used to leave a fresh
+    mkdtemp root (the lazy result needs the final history/snapshot
+    parquet alive) — unbounded across bench/driver/plain-env runs.  Now
+    the work root is deterministic per (query, fixture) and wiped on
+    entry, so N invocations leave exactly ONE dir per query, and the
+    leftover holds only the final table (feed + checkpoint removed)."""
+    import glob
+    import os
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+
+    def dirs(prefix):
+        return set(glob.glob(os.path.join(tmp, f"sparkgraft_{prefix}_*")))
+
+    for name, prefix, keep in (
+        ("streaming_scd2_replay", "scd2_replay", "history"),
+        ("streaming_topk_replay", "topk_replay", "snapshots"),
+    ):
+        _rows(spark, name)
+        first = dirs(prefix)
+        _rows(spark, name)
+        second = dirs(prefix)
+        assert len(first) == 1 and first == second, (name, first, second)
+        leftovers = sorted(os.listdir(next(iter(second))))
+        assert leftovers == [keep], (name, leftovers)
