@@ -769,17 +769,19 @@ def keep_best_per_cluster(
     semi-join back — no window over the corpus."""
     labeled = df.select(id_col, quality_col).join(clusters, id_col)
     # NULL quality must always LOSE (the max_by-era behavior: an unscored
-    # doc never beats a scored one) — a bare -quality would sort NULL
-    # first under min_by and win; +inf ranks nulls strictly last while
-    # all-null clusters still resolve to their lowest id on the tie key
-    neg_q = F.coalesce(
-        (-F.col(quality_col)).cast("double"), F.lit(float("inf"))
-    )
+    # doc never beats a scored one) — ranked with an EXPLICIT null flag
+    # rather than a +inf sentinel so the rule holds at non-finite scores
+    # too: quality == -inf is a (worst) SCORED doc and still beats NULL,
+    # and NaN quality (Spark orders NaN greatest, so -q = NaN sorts after
+    # +inf) is the worst scored doc instead of losing to NULL.  All-null
+    # clusters resolve to their lowest id on the tie key.
     best = labeled.groupBy("cluster").agg(
         F.min_by(
             F.col(id_col),
             F.struct(
-                neg_q.alias("nq"),  # min(-q) = max quality
+                # scored (0) strictly beats unscored (1)
+                F.col(quality_col).isNull().cast("int").alias("unscored"),
+                (-F.col(quality_col)).cast("double").alias("nq"),  # min(-q) = max q
                 F.col(id_col).alias("tie"),  # ties -> lowest id, any type
             ),
         ).alias(id_col)

@@ -501,6 +501,7 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     target_bucket: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing ANY table's hyperplane
     bucket with the query (multi-table banding — single-table all-planes
@@ -518,11 +519,18 @@ def lsh_cosine_topk(
     (fixed 3 planes: 3.2s -> 44.0s over sf1 -> sf10, 4.7x per 3.33x;
     adaptive: see BASELINE.md r8 addendum).  Pass an explicit plane
     count only when the bucket layout must be replayable at a pinned
-    geometry."""
+    geometry.
+
+    EAGER when ``planes_per_table is None`` and ``n`` is not given: the
+    adaptive geometry needs the corpus size, so plan construction runs a
+    ``vectors.count()`` Spark job — one extra full pass if ``vectors``
+    is uncached.  Callers that already know the corpus size (a catalog
+    row count, a prior aggregate) pass ``n`` to keep the builder lazy."""
     if planes_per_table is None:
         import math
 
-        n = vectors.count()
+        if n is None:
+            n = vectors.count()
         planes_per_table = max(
             3, math.ceil(math.log2(max(n, 1) / target_bucket))
         )

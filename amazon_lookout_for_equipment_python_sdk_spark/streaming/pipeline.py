@@ -21,11 +21,83 @@ row-local, broadcast probe, one per-doc rollup within the micro-batch.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+# --- per-call persist tracking -----------------------------------------------
+# foreach_batch_apply must release the caches ITS batch fn created each
+# epoch without touching anyone else's: diffing the session-global
+# getPersistentRDDs set (the pre-r9 shape) races with concurrent streams
+# or jobs in the same session — stream A's epoch cleanup could unpersist
+# a frame stream B had just persisted and still needs (not a correctness
+# break, Spark recomputes, but it silently defeats the other caller's
+# persist).  Instead a THREAD-LOCAL probe on DataFrame.persist records
+# exactly the frames persisted by code running inside the tracking
+# context on THIS thread — foreachBatch callbacks run on their own
+# per-stream callback thread, so concurrent streams never see each
+# other's persists.
+
+_persist_probe = threading.local()
+_probe_install_lock = threading.Lock()
+_probe_installed = False
+
+
+def _install_persist_probe() -> None:
+    global _probe_installed
+    if _probe_installed:
+        return
+    with _probe_install_lock:
+        if _probe_installed:
+            return
+        # patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is
+        # the dispatch parent and classic sessions instantiate
+        # pyspark.sql.classic.dataframe.DataFrame, which overrides both
+        # persist and cache (cache does NOT route through persist)
+        try:
+            from pyspark.sql.classic.dataframe import (
+                DataFrame as _ConcreteDF,
+            )
+        except ImportError:  # pre-4.0 layout: one class
+            _ConcreteDF = DataFrame
+
+        def _probed(orig):
+            def method(self, *args, **kwargs):
+                out = orig(self, *args, **kwargs)
+                frames = getattr(_persist_probe, "frames", None)
+                if frames is not None:
+                    frames.append(out)
+                return out
+
+            method.__wrapped__ = orig
+            method.__doc__ = orig.__doc__
+            return method
+
+        _ConcreteDF.persist = _probed(_ConcreteDF.persist)
+        _ConcreteDF.cache = _probed(_ConcreteDF.cache)
+        _probe_installed = True
+
+
+@contextmanager
+def _track_persists():
+    """Collect every DataFrame persisted or cached ON THIS THREAD while
+    the context is open (nesting-safe: the previous collector is
+    restored on exit, and an outer context does NOT see an inner one's
+    frames — the inner context owns their cleanup).  Only
+    ``DataFrame.persist`` / ``DataFrame.cache`` are probed; callers
+    persisting via raw RDDs manage those themselves."""
+    _install_persist_probe()
+    prev = getattr(_persist_probe, "frames", None)
+    frames: list[DataFrame] = []
+    _persist_probe.frames = frames
+    try:
+        yield frames
+    finally:
+        _persist_probe.frames = prev
 
 
 def foreach_batch_apply(
@@ -53,24 +125,23 @@ def foreach_batch_apply(
         # sliver, duplicate_spans' cand) are session-bounded when called
         # once, but HERE they run once per micro-batch — without cleanup a
         # long stream accumulates one cached frame per epoch, leaning on
-        # LRU eviction for storage pressure.  Snapshot the persisted-RDD
-        # set before the batch fn, and unpersist whatever it added once
-        # this epoch's output has materialized (the write is the only
-        # consumer, so nothing recomputes after).
-        sc = batch_df.sparkSession.sparkContext
-        jmap = sc._jsc.getPersistentRDDs()
-        before = set(jmap.keySet().toArray())
-        # one sub-directory per epoch, written with overwrite: a replayed
-        # micro-batch rewrites ITS OWN directory instead of appending a
-        # duplicate — this is what makes foreachBatch exactly-once here
-        fn(batch_df).write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch_epoch={_epoch}")
-        )
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in set(jmap.keySet().toArray()) - before:
-            jrdd = jmap.get(rid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+        # LRU eviction for storage pressure.  Track exactly the frames
+        # THIS batch fn persists (thread-local probe — NOT a diff of the
+        # session-global persistent-RDD set, which would race with a
+        # concurrent stream's persists in the same session and unpersist
+        # caches it still needs) and release them once this epoch's
+        # output has materialized (the write is the only consumer, so
+        # nothing recomputes after).
+        with _track_persists() as cached:
+            # one sub-directory per epoch, written with overwrite: a
+            # replayed micro-batch rewrites ITS OWN directory instead of
+            # appending a duplicate — this is what makes foreachBatch
+            # exactly-once here
+            fn(batch_df).write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_epoch={_epoch}")
+            )
+        for frame in cached:
+            frame.unpersist(False)
 
     writer = (
         stream.writeStream.foreachBatch(run)

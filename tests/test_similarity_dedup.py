@@ -87,6 +87,37 @@ def test_lsh_cosine_topk_subset_of_bruteforce(spark, planted_vectors):
         assert 100 + q in by_q.get(q, set()), (q, by_q)
 
 
+def test_lsh_cosine_topk_precomputed_n_lazy_and_equal(spark, planted_vectors):
+    """r9 (ADVICE r8): adaptive geometry (planes_per_table=None) needs
+    the corpus size; without it the builder runs an eager count() job at
+    plan-construction time.  Passing a precomputed ``n`` must (1) keep
+    the builder lazy — zero jobs until an action — and (2) produce the
+    identical plan/result as the self-counted path."""
+    queries = planted_vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = planted_vectors.count()
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = sim.lsh_cosine_topk(
+        planted_vectors, queries, k=5, planes_per_table=None, n=n
+    )
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "builder ran a Spark job despite n"
+
+    a = sorted(map(tuple, lazy.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.lsh_cosine_topk(
+                planted_vectors, queries, k=5, planes_per_table=None
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_ivf_ann_recall(spark, planted_vectors):
     """IVF: seeded build is deterministic; probing nprobe cells recovers
     most of the brute-force top-5 (clustered planted data)."""
@@ -750,6 +781,43 @@ def test_keep_best_per_cluster_null_quality_always_loses(spark):
         for r in keep_best_per_cluster(docs, clusters, "q").collect()
     }
     assert kept == {1, 10}
+
+
+def test_keep_best_per_cluster_non_finite_quality(spark):
+    """r9 (ADVICE r8): the +inf NULL sentinel made quality == -inf
+    indistinguishable from unscored, and NaN quality (Spark orders NaN
+    greatest, so -q = NaN sorts past +inf) lost even to NULL.  The
+    explicit null-flag struct restores the documented rule at non-finite
+    inputs: any SCORED doc — including -inf and NaN — beats NULL, and
+    among scored docs NaN is the worst, -inf next-worst."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    inf, nan = float("inf"), float("nan")
+    docs = spark.createDataFrame(
+        [
+            # cluster 1: -inf is a scored doc and must beat NULL
+            (1, None), (2, -inf),
+            # cluster 10: NaN is a scored doc and must beat NULL
+            (10, nan), (11, None),
+            # cluster 20: NaN is the WORST scored value (after -inf)
+            (20, nan), (21, -inf),
+            # cluster 30: +inf beats any finite score
+            (30, inf), (31, 1e308),
+        ],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20), (21, 20),
+         (30, 30), (31, 30)],
+        "doc_id long, cluster long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, clusters, "q").collect()
+    }
+    assert kept == {2, 10, 21, 30}
 
 
 def test_keep_best_per_cluster_matches_python_reference_randomized(spark):

@@ -716,8 +716,9 @@ def test_streaming_span_decontamination_matches_batch(spark, tmp_path):
 def test_foreach_batch_unpersists_per_batch_caches(spark, tmp_path):
     """r8 (ADVICE r7): a batch fn that persists (decontaminate_spans'
     sliver, duplicate_spans' cand) must not leak one cached frame per
-    micro-batch — foreach_batch_apply snapshots the persistent-RDD set
-    around each epoch and unpersists whatever the fn added."""
+    micro-batch — foreach_batch_apply tracks the frames the fn itself
+    persists (thread-local probe since r9) and unpersists them once the
+    epoch's output has materialized."""
     import pyspark.sql.functions as F
 
     from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
@@ -745,3 +746,58 @@ def test_foreach_batch_unpersists_per_batch_caches(spark, tmp_path):
     assert after - before == set(), "per-batch cache leaked past its epoch"
     rows = spark.read.parquet(str(tmp_path / "out"))
     assert rows.count() == 100
+
+
+def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
+    """r9 (ADVICE r8): the pre-r9 cleanup diffed the SESSION-GLOBAL
+    persistent-RDD set, so with two concurrent streams (or any
+    concurrent persisting job) in one session, one stream's epoch
+    cleanup could unpersist the other's still-needed cache.  The
+    thread-local probe collects only the frames persisted by code
+    running inside the tracking context ON ITS OWN THREAD — a bystander
+    persisting concurrently on another thread is untouched, and nesting
+    restores the outer collector."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        _track_persists,
+    )
+
+    bystander_ready = threading.Event()
+    release_batch = threading.Event()
+    bystander_holder = []
+
+    def bystander():
+        # persists WHILE the tracked "batch" is open on the main thread
+        df = spark.range(50).withColumn("b", F.col("id") * 3).persist()
+        df.count()
+        bystander_holder.append(df)
+        bystander_ready.set()
+        release_batch.wait(30)
+
+    t = threading.Thread(target=bystander)
+    with _track_persists() as cached:
+        t.start()
+        assert bystander_ready.wait(30)
+        own = spark.range(10).withColumn("a", F.col("id") + 1).persist()
+        own.count()
+        # nested context owns ITS frames; outer must not double-free them
+        with _track_persists() as inner:
+            nested = spark.range(5).persist()
+            nested.count()
+        # identity checks: == on DataFrames builds a Column, never use it
+        assert len(inner) == 1 and inner[0] is nested
+        assert all(f is not nested for f in cached)
+        nested.unpersist(False)
+        release_batch.set()
+    t.join(30)
+
+    assert len(cached) == 1 and cached[0] is own, (
+        "probe caught a frame another thread persisted"
+    )
+    bystander = bystander_holder[0]
+    assert bystander.storageLevel.useMemory, "bystander cache was dropped"
+    own.unpersist(False)
+    bystander.unpersist(False)
