@@ -4,6 +4,8 @@ documents/embeddings testdata)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1484,6 +1486,22 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram_lm_q docstring for the measured local A/B behind the value)
 _BIGRAM_PERSIST_BYTES = 2 << 30
 
+
+def _bigram_big(docs) -> bool:
+    """Whether the size-adaptive bigram-LM queries take the persisted
+    two-traversal path.  ``SPARKGRAFT_BIGRAM_FORCE_BIG=1`` overrides the
+    scan-size estimate so the path that matters at 100 TB can be
+    plan-audited and shape-pinned on SMALL fixtures (r8 verdict #2:
+    every sf0.001 audit otherwise captures only the recompute path);
+    ``=0`` forces recompute.  Unset -> the measured 2 GiB crossover."""
+    ov = os.environ.get("SPARKGRAFT_BIGRAM_FORCE_BIG")
+    if ov is not None and ov != "":
+        return ov not in ("0", "false", "False")
+    est_bytes = int(
+        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    return est_bytes > _BIGRAM_PERSIST_BYTES
+
 _LM_SQL = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1541,10 +1559,7 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bigram_lm, doc_bigram_counts, doc_cross_entropy
 
     docs = load_par(spark, sf_dir, "documents").select("doc_id", "text")
-    est_bytes = int(
-        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
-    big = est_bytes > _BIGRAM_PERSIST_BYTES
+    big = _bigram_big(docs)
     bg = doc_bigram_counts(docs, unigram_sentinels=big)
     lp, vocab = bigram_lm(
         docs, doc_counts=bg, counts_have_sentinels=big, persist=big
@@ -2391,7 +2406,19 @@ def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-partitioned rank window over the aggregate-sized scored
     frame, and a grid-floored threshold comparison.  Everything after
     the scorer is per-doc-row sized; the expensive corpus passes are the
-    scorer's own, unchanged."""
+    scorer's own, unchanged.
+
+    Above the crossover the per-doc ``ranked`` sliver (source, xent,
+    rank, count — one row per document, tiny next to the corpus) is ALSO
+    persisted: the threshold branch and the final rollup both consume
+    the rank window, and without the sliver cache each branch re-runs
+    the whole scoring traversal AND the source join (the r9 forced-big
+    audit measured 5 unique corpus scans; with it: LM build + one
+    scoring pass + one source join = 3, pinned in test_plan_shapes).
+    Below the crossover recompute stays cheaper, same rationale as the
+    scorer's own A/B."""
+    docs_txt = load_par(spark, sf_dir, "documents").select("doc_id", "text")
+    big = _bigram_big(docs_txt)
     scored = bigram_lm_q(spark, sf_dir).select("doc_id", "xent")
     src = load_par(spark, sf_dir, "documents").select("doc_id", "source")
     ranked = (
@@ -2404,6 +2431,10 @@ def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n", F.count("*").over(Window.partitionBy("source")))
     )
+    if big:
+        from pyspark import StorageLevel
+
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     thr = ranked.filter(
         F.col("rn") == (F.floor((F.col("n") - 1) * 0.9) + 1)
     ).select("source", F.col("xent").alias("thr"))

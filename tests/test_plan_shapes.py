@@ -325,6 +325,40 @@ def test_bigram_lm_registered_query_adapts_small_input(spark):
     assert "InMemoryRelation" not in plan, plan
 
 
+def test_bigram_queries_forced_big_path_scan_budget(spark, monkeypatch):
+    """r8 verdict #2: the path that matters at 100 TB — the persisted
+    above-crossover shape of the size-adaptive bigram-LM queries — was
+    audit-pinned only at the OPERATOR level; the registered queries'
+    big path had no pin because every sf0.001 audit sits below the 2 GiB
+    crossover.  SPARKGRAFT_BIGRAM_FORCE_BIG=1 forces the big path on the
+    small fixture; pinned budget (unique documents traversals — cached
+    relations reprint their child FileScan with identical text, genuine
+    recomputes carry fresh expression ids):
+
+    - bigram_lm_perplexity: <= 2 (LM build feeding the cache + scoring)
+    - perplexity_prune_counts: <= 3 (scorer's two + the source join;
+      the persisted per-doc scored sliver keeps the threshold branch
+      and the final rollup from re-running the scoring traversal —
+      without it the r9 audit measured 5 unique corpus scans)
+
+    Both must show the LM cache (InMemoryTableScan).  Values stay
+    bit-identical to the recompute path — tools/check.py under the same
+    env var is the value-level twin of this shape pin."""
+    monkeypatch.setenv("SPARKGRAFT_BIGRAM_FORCE_BIG", "1")
+    try:
+        for name, budget in (
+            ("bigram_lm_perplexity", 2),
+            ("perplexity_prune_counts", 3),
+        ):
+            df = entrymod.queries()[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            scans = _unique_doc_scans(df)
+            assert len(scans) <= budget, (name, len(scans), plan)
+            assert "InMemoryTableScan" in plan, (name, plan)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_semantic_dedup_no_corpus_id_join(spark):
     """semantic_dedup: assignment must CARRY the vector (row-local UDF
     projection) rather than joining back on id — exactly one big-to-big
