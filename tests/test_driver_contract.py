@@ -285,6 +285,17 @@ def test_registry_headroom_bounds_staleness():
         f"exceeding STALE_ROUNDS={STALE_ROUNDS}; retire a query or share "
         "a slot via a composed chain before registering more"
     )
+    # policy margin (r8 verdict #6): beyond the hard bound above, keep
+    # >= 10 registrable slots against the POST-CLEAR ceiling (forced
+    # entries are transient — the stale-entry test deletes them the
+    # round after their green row lands), so one round's worth of
+    # retire-or-compose debt never turns into a hard import failure.
+    post_clear_margin = ENGINE_WINDOW * STALE_ROUNDS - n_total
+    assert post_clear_margin >= 10, (
+        f"registry at {n_total} leaves only {post_clear_margin} slots "
+        f"below the {ENGINE_WINDOW * STALE_ROUNDS} post-clear ceiling; "
+        "retire or compose (plans/queries.py policy) before registering"
+    )
 
 
 def test_bench_and_audit_names_are_registered():
