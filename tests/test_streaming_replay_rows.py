@@ -39,10 +39,14 @@ def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
     mkdtemp root (the lazy result needs the final history/snapshot
     parquet alive) — unbounded across bench/driver/plain-env runs.  Now
     the work root is deterministic per (query, fixture) and wiped on
-    entry, so N invocations leave exactly ONE dir per query, and the
-    leftover holds only the final table (feed + checkpoint removed)."""
+    entry, so N invocations leave exactly ONE dir per (query, fixture),
+    and the leftover holds only the final table (feed + checkpoint
+    removed).  Dirs from runs against OTHER fixtures (check.py at
+    sf0.01, plain-env sweeps) legitimately coexist — the test clears
+    the prefix space first so the count isolates ITS invocations."""
     import glob
     import os
+    import shutil
     import tempfile
 
     tmp = tempfile.gettempdir()
@@ -54,6 +58,8 @@ def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
         ("streaming_scd2_replay", "scd2_replay", "history"),
         ("streaming_topk_replay", "topk_replay", "snapshots"),
     ):
+        for leftover in dirs(prefix):  # other fixtures' residue
+            shutil.rmtree(leftover, ignore_errors=True)
         _rows(spark, name)
         first = dirs(prefix)
         _rows(spark, name)
