@@ -1112,14 +1112,21 @@ def duplicate_spans(
     # count and the final semi-join, and without a cache each consumer
     # recomputes the corpus gram explode (r7 stage profile, BASELINE.md:
     # 4 explodes at ~45% of total runtime, the whole super-linear part
-    # of the sf3 factor).  Unlike the gram stream, cand is bounded by
-    # the corpus's DUPLICATE MASS — small by construction — and
-    # MEMORY_AND_DISK degrades to spill, never OOM, if a pathological
-    # corpus is mostly boilerplate.
+    # of the sf3 factor).  cand is bounded by the corpus's DUPLICATE
+    # MASS — but that mass scales WITH the corpus, so the level is
+    # DISK_ONLY, not MEMORY_AND_DISK: the r9 sf30 probe caught
+    # MEMORY_AND_DISK blocks that had spilled to disk being read back
+    # through BlockManager.maybeCacheDiskBytesInMemory, which allocates
+    # ONE heap buffer per block (hundreds of MB at 32 blocks of a
+    # multi-GB sliver) across every concurrent task — a read-back
+    # promotion OOM the level itself invites under memory pressure.
+    # DISK_ONLY streams each consumer pass straight from disk (page
+    # cache serves the warm re-read locally), never promotes, and costs
+    # ~nothing at bench SF (sliver is tens of MB).
     from pyspark import StorageLevel
 
     cand = grams.join(dup_h, "_h", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY
     )
     # phase 2: exact verify on the gram string over the small survivor set
     dup_g = (

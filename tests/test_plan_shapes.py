@@ -387,9 +387,19 @@ def test_semantic_dedup_single_corpus_scan(spark):
 def test_duplicate_spans_sliver_cached(spark):
     """r7: the phase-2 survivor sliver persists (it feeds the string
     count AND the final semi-join); without it the corpus gram explode
-    runs 4x (BASELINE.md r7 stage profile)."""
+    runs 4x (BASELINE.md r7 stage profile).  r9: the level must be
+    DISK_ONLY — the sliver scales with the corpus's duplicate mass, and
+    a memory-eligible level invites BlockManager's read-back promotion
+    (one heap buffer per spilled block per concurrent task), the exact
+    OOM the sf30 probe caught (BASELINE.md r9 addendum)."""
     plan = _plan(spark, "duplicate_spans_k20")
     assert plan.count("InMemoryTableScan") >= 2, plan
+    import re
+
+    levels = set(re.findall(r"StorageLevel\([^)]*\)", plan))
+    assert levels and all("memory" not in lv.lower() for lv in levels), (
+        levels
+    )
 
 
 def test_density_histogram_queries_cache_binned(spark):
