@@ -86,7 +86,16 @@ def bpe_train(
     then lexicographic pair), and a row-local rewrite.  Stops early when
     no pair reaches ``min_pair_freq``.  The working table is persisted
     and lineage-cut per iteration (localCheckpoint) so the plan does not
-    deepen with the merge count."""
+    deepen with the merge count.
+
+    Memory note: the word-frequency table grows with the DISTINCT-word
+    vocabulary (Heaps' law) — the canonical use trains on a corpus
+    SAMPLE, which keeps it comfortably cached.  The persist level is
+    the deserialized default, whose disk read-back streams values (no
+    whole-block promotion — the r9 OOM class only hits serialized
+    memory-eligible levels, BASELINE.md r9 addendum 2), so a caller
+    training on an unsampled corpus degrades to disk streaming, not
+    OOM."""
     wt = word_freq_table(corpus, text_col).persist()
     wt.count()
     merges: list[tuple[str, str]] = []

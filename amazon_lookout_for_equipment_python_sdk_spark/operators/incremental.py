@@ -102,9 +102,12 @@ def incremental_dedup(
     # consumer re-runs the md5-dominated shingle pipeline
     from pyspark import StorageLevel
 
+    # DISK_ONLY: "batch-sized" is caller-controlled and a backfill batch
+    # is corpus-sized — the r9 promotion-OOM class for serialized
+    # memory-eligible levels (BASELINE.md r9 addendum 2)
     batch_digests = _with_digests(
         _shingle_array(fresh, shingle_n, text_col, id_col), num_perm
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.DISK_ONLY)
     new_bands = minhash_banded_from_digests(
         batch_digests, num_perm, bands, id_col
     )

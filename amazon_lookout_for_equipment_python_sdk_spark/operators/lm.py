@@ -160,7 +160,15 @@ def bigram_lm(
     if persist:
         from pyspark import StorageLevel
 
-        c12_all = c12_all.persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY: the LM table is corpus-proportional (one row per
+        # distinct bigram — Heaps-law growth), and a serialized
+        # memory-eligible level risks BlockManager's whole-block
+        # read-back promotion once blocks spill (the r9 sf30 OOM class,
+        # BASELINE.md r9 addendum 2).  Its three consumers stream the
+        # table from page-cached disk; at corpus scale the saved
+        # full-text scans dominate the sliver re-reads by orders of
+        # magnitude either way.
+        c12_all = c12_all.persist(StorageLevel.DISK_ONLY)
     if counts_have_sentinels:
         c12 = c12_all.filter(F.col("w2").isNotNull())
         vocab = (

@@ -502,7 +502,9 @@ def funnel_steps(
         .agg(F.min(ts_col).alias("t_1"))
     )
     for i, step in enumerate(steps[1:], start=2):
-        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY: one row per step-1 user = corpus-proportional, the
+        # r9 promotion-OOM class (BASELINE.md r9 addendum 2)
+        cur = cur.persist(StorageLevel.DISK_ONLY)
         nxt = events.filter(F.col(type_col) == step).select(
             key_col, F.col(ts_col).alias("_ts")
         )

@@ -368,17 +368,25 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and computed the med window TWICE.  Persisting the two slivers
     (``base``: 3 narrow columns; ``dev``: base + med/ad) collapses that to
     one scan and one med-window pass — session-bounded caches like
-    kmv/funnel's, spill-safe (MEMORY_AND_DISK), and each replaces a full
-    re-scan + sort-shuffle recompute.  A/B at sf0.1 local[32], noop drain,
-    warm: none 1.48s / dev-only 0.79s / both 0.65s (r8 recompute audit).
+    kmv/funnel's (DISK_ONLY since r9: corpus-proportional slivers never
+    take a promotion-prone memory level, see persist comment), and each
+    replaces a full re-scan + sort-shuffle recompute.  A/B at sf0.1
+    local[32], noop drain, warm: none 1.48s / dev-only 0.79s / both
+    0.65s (r8 recompute audit; DISK_ONLY re-measured within noise, r9).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
     xc = F.round(F.col("value") * 100).cast("long")
+    # DISK_ONLY, not MEMORY_AND_DISK: both slivers are CORPUS-
+    # proportional (one row per event), and a serialized memory-eligible
+    # level invites BlockManager's whole-block read-back promotion once
+    # blocks spill — the OOM class the r9 sf30 probe caught on
+    # duplicate_spans' sliver (BASELINE.md r9 addendum 2).  Bounded
+    # summaries (the broadcast medians here) keep memory levels.
     base = events.select("event_type", "event_id", xc.alias("xc")).persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY
     )
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -395,7 +403,7 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         base.join(F.broadcast(med), "event_type")
         .withColumn("ad", F.abs(F.col("xc") - F.col("med")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
     )
     mad = lower_median(dev, "ad", "mad")
     rz = F.col("xc") - F.col("med")

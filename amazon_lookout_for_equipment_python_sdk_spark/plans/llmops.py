@@ -2434,7 +2434,9 @@ def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     if big:
         from pyspark import StorageLevel
 
-        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY: one row per document = corpus-proportional, the r9
+        # promotion-OOM class (BASELINE.md r9 addendum 2)
+        ranked = ranked.persist(StorageLevel.DISK_ONLY)
     thr = ranked.filter(
         F.col("rn") == (F.floor((F.col("n") - 1) * 0.9) + 1)
     ).select("source", F.col("xent").alias("thr"))
