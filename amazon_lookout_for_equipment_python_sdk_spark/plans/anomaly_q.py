@@ -360,50 +360,66 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counts per signal: modified z-score against the
     median/MAD (the estimator that survives the contamination that wrecks
     mean/std z-scores).  Medians are integer order statistics on cents —
-    exact — so the only float is the final scaled division.  Two window
-    passes over the same key partitioning + one tiny broadcast join.
+    exact — so the only float is the final scaled division.
 
-    MAD is intrinsically two-pass (median of |x - median|), and each pass
-    Spark re-derives from the scan: unpersisted, the plan read events 3x
-    and computed the med window TWICE.  Persisting the two slivers
-    (``base``: 3 narrow columns; ``dev``: base + med/ad) collapses that to
-    one scan and one med-window pass — session-bounded caches like
-    kmv/funnel's (DISK_ONLY since r9: corpus-proportional slivers never
-    take a promotion-prone memory level, see persist comment), and each
-    replaces a full re-scan + sort-shuffle recompute.  A/B at sf0.1
-    local[32], noop drain, warm: none 1.48s / dev-only 0.79s / both
-    0.65s (r8 recompute audit; DISK_ONLY re-measured within noise, r9).
+    The medians are COUNT-BASED order statistics (r9): ``xc`` lives on a
+    bounded integer grid (cents), so ``groupBy(event_type, xc).count()``
+    is a map-side-combinable aggregate whose output is DOMAIN-bounded
+    (~10k distinct cents per signal at any corpus size), and the lower
+    median is the smallest value whose cumulative count reaches
+    floor((n+1)/2) — one tiny window over the aggregate.  The pre-r9
+    shape ranked every EVENT row with row_number over 5 signal
+    partitions: an all-corpus per-key sort serialized onto
+    |event_type| tasks, exactly the single-hot-partition anti-pattern
+    the skew A/B measures, and pure waste when only the rank-r VALUE is
+    needed.  (Value-identical: r-th smallest with duplicates = smallest
+    v with cum(v) >= r; the oracle keeps the row_number form.)
+
+    MAD is intrinsically two-pass (median of |x - median|); persisting
+    the ``base`` sliver (3 narrow columns, DISK_ONLY — corpus-
+    proportional slivers never take a promotion-prone memory level, r9
+    addendum 2) holds the pipeline at ONE events scan.  The r8 ``dev``
+    persist is GONE: with count-based medians its consumers cost one
+    base-cache read + a broadcast join each, cheaper than writing a
+    second corpus-sized cache.  Measured (local[32], count drain,
+    min-of-N): sf0.1 unchanged within the sub-second noise band
+    (1.4-1.6s both shapes; noop-drain bench 0.65-0.83s both), but the
+    DECADE point is 5.3x faster — sf10 25.4s -> 4.8s, factor per 10x
+    data 7.7x -> 1.8x — because the serialized per-signal corpus sort
+    was the whole decade cost.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
     xc = F.round(F.col("value") * 100).cast("long")
-    # DISK_ONLY, not MEMORY_AND_DISK: both slivers are CORPUS-
-    # proportional (one row per event), and a serialized memory-eligible
-    # level invites BlockManager's whole-block read-back promotion once
-    # blocks spill — the OOM class the r9 sf30 probe caught on
-    # duplicate_spans' sliver (BASELINE.md r9 addendum 2).  Bounded
-    # summaries (the broadcast medians here) keep memory levels.
     base = events.select("event_type", "event_id", xc.alias("xc")).persist(
         StorageLevel.DISK_ONLY
     )
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w_rank = Window.partitionBy("event_type").orderBy(col, "event_id")
+        rank = F.floor((F.col("_n") + 1) / 2)
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         w_all = Window.partitionBy("event_type")
+        counts = df.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
         return (
-            df.withColumn("_rn", F.row_number().over(w_rank))
-            .withColumn("_n", F.count("*").over(w_all))
-            .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            counts.withColumn("_cum", F.sum("_c").over(w_cum))
+            .withColumn("_n", F.sum("_c").over(w_all))
+            .filter(
+                (F.col("_cum") >= rank) & (F.col("_cum") - F.col("_c") < rank)
+            )
             .select("event_type", F.col(col).alias(out))
         )
 
     med = lower_median(base, "xc", "med")
-    dev = (
-        base.join(F.broadcast(med), "event_type")
-        .withColumn("ad", F.abs(F.col("xc") - F.col("med")))
-        .persist(StorageLevel.DISK_ONLY)
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("xc") - F.col("med"))
     )
     mad = lower_median(dev, "ad", "mad")
     rz = F.col("xc") - F.col("med")
