@@ -238,6 +238,137 @@ def cusum_reflected(
     return out.drop("_xc", "_rn", "_n", "_med", "_cum")
 
 
+def cusum_reflected_chunked(
+    df: DataFrame,
+    bucket_span_s: int,
+    slack_cents: int = 0,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Skew-safe :func:`cusum_reflected`: identical output (property-
+    tested), with every corpus-sized pass parallel across (key,
+    time-bucket) tasks — the scale path when FEW keys carry LONG
+    histories (the plain form's time-order window serializes a 20-year
+    signal onto one task).
+
+    The reflected walk S_i = C_i − min(0, min_{j≤i} C_j) decomposes as
+    a classic two-level scan — prefix sums/mins are associative, so the
+    per-key serial pass collapses to local scans plus a tiny carry
+    table:
+
+    1. per (key, bucket) ORDER-local: running sum ``localC`` and running
+       min ``localM`` of d = cents − median − k (windows over (key,
+       bucket) partitions — parallel);
+    2. per (key, bucket) AGGREGATE (one row per bucket): total T_b and
+       min-of-localC m_b; bucket carries via two windows over this tiny
+       table: offset_b = Σ T_{b'<b} and carried-min_b =
+       min_{b'<b}(offset_{b'} + m_{b'}) (EXCLUSIVE prefixes);
+    3. row-local combine (broadcast join of the carry table):
+       C_i = offset_b + localC_i, and
+       min_{j≤i} C_j = least(carried-min_b, offset_b + localM_i).
+
+    The per-key lower median comes from the domain-bounded value-count
+    aggregate (cents grid: groupBy(key, cents) is map-side combinable;
+    the median is the smallest value whose cumulative count reaches
+    floor((n+1)/2)) — the count shape LOSES in the plain form, where
+    the value-rank window shares the fold's one exchange (negative A/B
+    in BASELINE.md r9 addendum 3), and WINS here, where no per-key
+    window exists to piggyback on.
+
+    Cost: two corpus scans (median counts + the fold) + two broadcast
+    joins + tiny carry windows, all parallel.  Use the plain form when
+    keys >> cores."""
+    x = _cents(F.col(value_col), scale)
+    # per-key lower median, count-based (no per-key corpus window)
+    rank = F.floor((F.col("_n") + 1) / 2)
+    w_vcum = (
+        Window.partitionBy(key_col)
+        .orderBy("_xc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_key = Window.partitionBy(key_col)
+    vcounts = (
+        df.select(F.col(key_col), x.alias("_xc"))
+        .groupBy(key_col, "_xc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    med = (
+        vcounts.withColumn("_cum", F.sum("_c").over(w_vcum))
+        .withColumn("_n", F.sum("_c").over(w_key))
+        .filter((F.col("_cum") >= rank) & (F.col("_cum") - F.col("_c") < rank))
+        .select(key_col, F.col("_xc").alias("_med"))
+    )
+    rows = (
+        df.withColumn("_xc", x)
+        .join(F.broadcast(med), key_col)
+        .withColumn(
+            "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s)
+        )
+        .withColumn(
+            "_d", F.col("_xc") - F.col("_med") - F.lit(int(slack_cents))
+        )
+    )
+    # 1. order-local scans within each (key, bucket)
+    w_loc = (
+        Window.partitionBy(key_col, "_bkt")
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = rows.withColumn("_lc", F.sum("_d").over(w_loc))
+    local = local.withColumn("_lm", F.min("_lc").over(w_loc))
+    # 2. bucket carry table: exclusive prefix sum/min over bucket aggs
+    bstats = local.groupBy(key_col, "_bkt").agg(
+        F.sum("_d").alias("_t"), F.min("_lc").alias("_m")
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_prev_all = Window.partitionBy(key_col).orderBy("_bkt")
+    boff = bstats.withColumn(
+        "_off",
+        F.coalesce(F.sum("_t").over(w_prev), F.lit(0).cast("long")),
+    )
+    carries = boff.select(
+        key_col,
+        "_bkt",
+        "_off",
+        # exclusive running min of (bucket offset + bucket-local min);
+        # NULL for each key's first bucket (no earlier buckets)
+        F.min(F.col("_off") + F.col("_m"))
+        .over(w_prev_all.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_cmin"),
+    )
+    # 3. row-local combine
+    out = (
+        local.join(F.broadcast(carries), [key_col, "_bkt"])
+        .withColumn("_cum", F.col("_off") + F.col("_lc"))
+        .withColumn(
+            "_pmin",
+            F.least(
+                F.coalesce(F.col("_cmin"), F.col("_off") + F.col("_lm")),
+                F.col("_off") + F.col("_lm"),
+            ),
+        )
+        .withColumn(
+            "cusum",
+            (
+                F.col("_cum")
+                - F.least(F.lit(0).cast("long"), F.col("_pmin"))
+            ).cast("double")
+            / F.lit(float(scale)),
+        )
+    )
+    return out.drop(
+        "_xc", "_med", "_bkt", "_d", "_lc", "_lm", "_off", "_cmin",
+        "_cum", "_pmin",
+    )
+
+
 def spearman_pairs(
     resampled: DataFrame,
     key_col: str = "event_type",

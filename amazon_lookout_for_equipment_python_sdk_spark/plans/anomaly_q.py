@@ -132,6 +132,21 @@ def cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE (r9): cusum_reflected_chunked (operators/stats.py) — the
+# two-level-scan twin of the plain row above — is deliberately NOT
+# registered.  The registry headroom test rejected the registration
+# (131 queries + 10 forced entries -> a 4-round staleness cycle), and
+# the measurements say the slot isn't earned: the PLAIN form wins at
+# every locally measurable SF (sf10 0.61s vs 3.22s — an unbounded-
+# prefix fold has no W-row frame cost for chunking to amortize, unlike
+# rolling_zscore whose twin wins from sf1 up).  The chunked path is the
+# insurance for per-key histories past one task's sort budget, and is
+# certified TRANSITIVELY: the randomized equality property test
+# (tests/test_stats.py) pins it row-for-row to cusum_reflected, whose
+# rollup is this oracle-green driver row.  BASELINE.md r9 addendum 4
+# has the full crossover statement.
+
+
 _RHO_EXPR = (
     "(CAST(_n AS DOUBLE)*CAST(_sab AS DOUBLE)"
     " - CAST(_sa AS DOUBLE)*CAST(_sb AS DOUBLE)) / "

@@ -183,6 +183,49 @@ def test_rolling_zscore_chunked_equals_plain(spark):
     assert len(plain) == 800
 
 
+def test_cusum_chunked_equals_plain(spark):
+    """Exactness of the two-level scan decomposition (r9): the chunked
+    reflected walk must reproduce the plain form row-for-row, including
+    sparse buckets (empty time buckets mean carries chain across gaps),
+    per-key first buckets (no carry -> NULL carried-min), negative
+    drifts (the reflected min actually binds), and timestamp ties
+    (tiebreak column ordering)."""
+    rng = np.random.RandomState(29)
+    rows = []
+    for key in ("a", "b", "c"):
+        t = 0
+        for i in range(500):
+            # occasional large gaps leave whole buckets empty
+            t += int(rng.choice([1, 7, 60, 9000], p=[0.5, 0.3, 0.15, 0.05]))
+            # drifting mean so the walk crosses its running min repeatedly
+            rows.append(
+                (key, t, i,
+                 round(float(rng.normal(50 + (i // 100) * 3, 8)), 2))
+            )
+    # timestamp tie: two rows share (key, ts), ordered by event_id
+    rows.append(("a", rows[0][1], 10_000, 99.31))
+    df = (
+        spark.createDataFrame(
+            rows, "event_type string, tsec long, event_id long, value double"
+        )
+        .withColumn("ts", F.timestamp_seconds("tsec"))
+        .drop("tsec")
+    )
+    plain = {
+        (r["event_type"], r["event_id"]): r["cusum"]
+        for r in st.cusum_reflected(df).collect()
+    }
+    chunk = {
+        (r["event_type"], r["event_id"]): r["cusum"]
+        for r in st.cusum_reflected_chunked(df, bucket_span_s=600).collect()
+    }
+    assert plain == chunk
+    assert len(plain) == 1501
+    # the reflected clamp must have engaged somewhere (else the test
+    # couldn't distinguish S_i = C_i from the real statistic)
+    assert any(v > 0 for v in plain.values())
+
+
 def test_stats_single_shuffle_plans(spark):
     """Scale shapes: z-score and CUSUM must keep ONE Exchange (the per-key
     window partitioning reused by every stacked window)."""
