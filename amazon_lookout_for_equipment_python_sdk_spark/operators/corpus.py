@@ -282,35 +282,46 @@ def group_quantiles(
     (corpus length-distribution reporting).  One output row per group with
     a ``q<percent>`` column per requested quantile.
 
-    Implemented as explicit order statistics — row_number over the sorted
-    group + the textbook interpolation ``v[lo] + (v[hi]−v[lo])·frac`` —
-    rather than ``percentile()``, so the arithmetic is bit-identical
-    across engines (each step is a single IEEE op on exact integers).
+    Implemented as explicit order statistics + the textbook
+    interpolation ``v[lo] + (v[hi]−v[lo])·frac`` rather than
+    ``percentile()``, so the arithmetic is bit-identical across engines
+    (each step is a single IEEE op on exact integers).
 
-    Scale: one shuffle (the per-group sort window); the follow-up
-    aggregation rides the same partitioning.  Groups are assumed many
-    rows each (it's a per-source/per-lang report) — for a single giant
-    group this becomes one sorted partition, where approx_percentile is
-    the right tool instead.
+    COUNT-BASED since r9 (the mad_robust_outliers rewrite, BASELINE.md
+    r9 addendum 3): ``groupBy(group, value).count()`` is a map-side-
+    combinable aggregate bounded by the DISTINCT-VALUE domain, and the
+    rank-r order statistic is the value whose cumulative-count range
+    covers r — so the corpus never takes a per-group SORT.  The pre-r9
+    row_number shape serialized each group's full sort onto one task
+    (billions of rows per source at corpus scale); now the only
+    corpus-sized operation is the combinable count shuffle, and the
+    rank windows run over the tiny counts table.  Bit-identical: the
+    0-based rank r row's value is the v with cum−c ≤ r < cum, and the
+    interpolation applies the same IEEE ops to the same three numbers.
     """
     v = F.col(value_col)
-    w = Window.partitionBy(group_col).orderBy(v)
-    ranked = (
-        df.select(group_col, v)
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn(
-            "_cnt", F.count(F.lit(1)).over(Window.partitionBy(group_col))
-        )
+    counts = df.select(group_col, v).groupBy(group_col, v).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_cnt", F.sum("_c").over(Window.partitionBy(group_col))
     )
     aggs = []
     for q in qs:
-        pos = (F.col("_cnt") - 1) * F.lit(q)  # row-level, constant per group
+        pos = (F.col("_cnt") - 1) * F.lit(q)  # constant per group
         lo, hi = F.floor(pos), F.ceil(pos)
-        vlo = F.max(F.when(F.col("_rn") == lo, v))
-        vhi = F.max(F.when(F.col("_rn") == hi, v))
+        covers_lo = (F.col("_cum") - F.col("_c") <= lo) & (lo < F.col("_cum"))
+        covers_hi = (F.col("_cum") - F.col("_c") <= hi) & (hi < F.col("_cum"))
+        vlo = F.max(F.when(covers_lo, v))
+        vhi = F.max(F.when(covers_hi, v))
         frac = F.max(pos - lo)  # constant within the group
         aggs.append((vlo + (vhi - vlo) * frac).alias(f"q{int(q * 100)}"))
-    return ranked.groupBy(group_col).agg(*aggs)
+    return cum.groupBy(group_col).agg(*aggs)
 
 
 # --- tf-idf term weighting --------------------------------------------------

@@ -1482,9 +1482,18 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram-LM perplexity scoring (r5) — the CCNet quality filter
 # ---------------------------------------------------------------------------
 
-# scan-size crossover above which bigram_lm persists its LM table (see
-# bigram_lm_q docstring for the measured local A/B behind the value)
-_BIGRAM_PERSIST_BYTES = 2 << 30
+# scan-size crossover above which bigram_lm persists its LM table.
+# RE-CALIBRATED r9 by A/B at three stats points (min-of-2, count drain,
+# local[32]; "stats" = optimizedPlan sizeInBytes of the (doc_id, text)
+# parquet scan):
+#     0.25 MB (sf0.1):  recompute 2.0s  vs persisted 2.25s  -> recompute
+#     2.7  MB (sf1):    recompute 5.2s  vs persisted 4.62s  -> persisted
+#     26   MB (sf10):   recompute 39.8s vs persisted 31.2s  -> persisted
+# The r6 value (2 GiB) extrapolated the sf0.1 loss to all local scales;
+# the measured inversion sits near ~1 MB of scan stats, and above it the
+# persisted path's margin GROWS with the corpus (the saved full-text
+# traversals scale, the materialization barrier doesn't).
+_BIGRAM_PERSIST_BYTES = 1 << 20
 
 
 def _bigram_big(docs) -> bool:
@@ -1493,7 +1502,8 @@ def _bigram_big(docs) -> bool:
     scan-size estimate so the path that matters at 100 TB can be
     plan-audited and shape-pinned on SMALL fixtures (r8 verdict #2:
     every sf0.001 audit otherwise captures only the recompute path);
-    ``=0`` forces recompute.  Unset -> the measured 2 GiB crossover."""
+    ``=0`` forces recompute.  Unset -> the measured ~1 MB crossover
+    (see _BIGRAM_PERSIST_BYTES)."""
     ov = os.environ.get("SPARKGRAFT_BIGRAM_FORCE_BIG")
     if ov is not None and ov != "":
         return ov not in ("0", "false", "False")
@@ -1541,7 +1551,8 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lm.py).
 
     Shape is SIZE-ADAPTIVE (both paths bit-identical in results).  Above
-    the 2 GiB scan-size crossover: unigram SENTINEL rows make the
+    the measured scan-size crossover (_BIGRAM_PERSIST_BYTES, r9
+    re-calibration table): unigram SENTINEL rows make the
     vocabulary exactly derivable from the bigram table (no corpus-wide
     distinct-token scan) and the persisted corpus-LEVEL bigram table —
     the LM itself — serves lp/c1/vocab from one materialization, capping
@@ -2402,52 +2413,55 @@ def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: REUSES the registered ``bigram_lm_perplexity`` plan —
     including its size-adaptive two-traversal persistence above the scan
-    crossover — then one broadcast-ready source join, one
-    source-partitioned rank window over the aggregate-sized scored
-    frame, and a grid-floored threshold comparison.  Everything after
-    the scorer is per-doc-row sized; the expensive corpus passes are the
-    scorer's own, unchanged.
-
-    Above the crossover the per-doc ``ranked`` sliver (source, xent,
-    rank, count — one row per document, tiny next to the corpus) is ALSO
-    persisted: the threshold branch and the final rollup both consume
-    the rank window, and without the sliver cache each branch re-runs
-    the whole scoring traversal AND the source join (the r9 forced-big
-    audit measured 5 unique corpus scans; with it: LM build + one
-    scoring pass + one source join = 3, pinned in test_plan_shapes).
-    Below the crossover recompute stays cheaper, same rationale as the
-    scorer's own A/B."""
-    docs_txt = load_par(spark, sf_dir, "documents").select("doc_id", "text")
-    big = _bigram_big(docs_txt)
+    crossover — then one source join and a (source, xent) COUNT
+    aggregate, on which everything else runs (r9, the count-based
+    order-statistic rewrite of BASELINE.md r9 addendum 3): xent is
+    grid-floored to 1e-4, so the counts table is bounded by grid x
+    sources at ANY corpus size, the 90th-percentile threshold is the
+    smallest xent whose cumulative count reaches floor((n-1)*0.9)+1
+    (identical to the old rank-window row by the r-th-smallest-with-
+    duplicates identity), and the (n_docs, n_kept) rollup folds the
+    same counts.  The pre-r9 shape ranked EVERY doc row with
+    row_number over ~|sources| partitions — a serialized per-source
+    corpus sort — and above the crossover had to persist a per-doc
+    sliver so its two consumers wouldn't re-run the scorer; now the
+    persisted frame is the counts AGGREGATE (grid-bounded, memory
+    levels safe per the r9 rule), both branches read it, and the big
+    path stays at 3 unique corpus traversals (pinned) with the
+    corpus-proportional cache GONE."""
     scored = bigram_lm_q(spark, sf_dir).select("doc_id", "xent")
     src = load_par(spark, sf_dir, "documents").select("doc_id", "source")
-    ranked = (
+    counts = (
         scored.join(src, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy("xent", "doc_id")
-            ),
-        )
-        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+        .groupBy("source", "xent")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    if big:
-        from pyspark import StorageLevel
-
-        # DISK_ONLY: one row per document = corpus-proportional, the r9
-        # promotion-OOM class (BASELINE.md r9 addendum 2)
-        ranked = ranked.persist(StorageLevel.DISK_ONLY)
-    thr = ranked.filter(
-        F.col("rn") == (F.floor((F.col("n") - 1) * 0.9) + 1)
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("xent")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        counts.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy("source")))
+        # aggregate-sized (xent grid x sources): the threshold branch and
+        # the final rollup both read it; caching it is what keeps the
+        # scorer's corpus traversal at ONE for both consumers
+        .persist()
+    )
+    rank = F.floor((F.col("_n") - 1) * 0.9) + 1
+    thr = cum.filter(
+        (F.col("_cum") >= rank) & (F.col("_cum") - F.col("_c") < rank)
     ).select("source", F.col("xent").alias("thr"))
     return (
-        ranked.join(F.broadcast(thr), "source")
+        cum.join(F.broadcast(thr), "source")
         .groupBy("source")
         .agg(
-            F.max("n").alias("n_docs"),
-            F.count(F.when(F.col("xent") <= F.col("thr"), 1)).alias(
-                "n_kept"
-            ),
+            F.max("_n").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("xent") <= F.col("thr"), F.col("_c"))),
+                F.lit(0).cast("long"),
+            ).alias("n_kept"),
             F.max("thr").alias("thr"),
         )
     )

@@ -337,9 +337,9 @@ def test_bigram_queries_forced_big_path_scan_budget(spark, monkeypatch):
 
     - bigram_lm_perplexity: <= 2 (LM build feeding the cache + scoring)
     - perplexity_prune_counts: <= 3 (scorer's two + the source join;
-      the persisted per-doc scored sliver keeps the threshold branch
-      and the final rollup from re-running the scoring traversal —
-      without it the r9 audit measured 5 unique corpus scans)
+      the cached grid-bounded (source, xent) counts aggregate keeps the
+      threshold branch and the final rollup from re-running the scoring
+      traversal — the naive shape measured 5 unique corpus scans)
 
     Both must show the LM cache (InMemoryTableScan).  Values stay
     bit-identical to the recompute path — tools/check.py under the same
