@@ -1229,6 +1229,13 @@ def decontaminate_spans(
     tg = _char_grams(train, k, text_col, id_col, stride)
     eg = _char_grams(eval_df, k, text_col, id_col, 1)
     eval_h = eg.select("_h").distinct()
+    # NOTE(r9): this sliver is bounded by the OCCURRENCE mass of eval
+    # grams in the train corpus — usually tiny (the eval suite is MBs),
+    # but a heavily-contaminated/boilerplate corpus scales it with the
+    # corpus, the promotion-OOM class of BASELINE.md r9 addendum 2.
+    # Kept MEMORY_AND_DISK this round (a storage-level change forces a
+    # driver re-verify and the r9 forced-entry budget is full); flip to
+    # DISK_ONLY in r10 when the window clears, as duplicate_spans was.
     cand = tg.join(eval_h, "_h", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )

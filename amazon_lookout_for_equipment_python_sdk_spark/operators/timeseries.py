@@ -486,12 +486,13 @@ def funnel_steps(
     carry ONE row per key — raw events never cross a join.  Window
     comparisons use exact microsecond integers (engine-portable).
 
-    Each intermediate ``cur`` persists (MEMORY_AND_DISK): it feeds BOTH
-    the next step's match join and the carry join, and without the cache
-    lineage duplication re-scans the corpus ~2^k times for a k-step
-    funnel (r7 scan audit: 7 event scans for k=3 where k suffice).  The
-    cached frame is one row per funnel-entered key — the small side by
-    construction — and spills rather than OOMs."""
+    Each intermediate ``cur`` persists (DISK_ONLY since r9 — one row
+    per funnel-entered key scales with the user population, the
+    corpus-proportional class of BASELINE.md r9 addendum 2): it feeds
+    BOTH the next step's match join and the carry join, and without the
+    cache lineage duplication re-scans the corpus ~2^k times for a
+    k-step funnel (r7 scan audit: 7 event scans for k=3 where k
+    suffice)."""
     from pyspark import StorageLevel
 
     if not steps:
