@@ -1229,15 +1229,15 @@ def decontaminate_spans(
     tg = _char_grams(train, k, text_col, id_col, stride)
     eg = _char_grams(eval_df, k, text_col, id_col, 1)
     eval_h = eg.select("_h").distinct()
-    # NOTE(r9): this sliver is bounded by the OCCURRENCE mass of eval
-    # grams in the train corpus — usually tiny (the eval suite is MBs),
-    # but a heavily-contaminated/boilerplate corpus scales it with the
-    # corpus, the promotion-OOM class of BASELINE.md r9 addendum 2.
-    # Kept MEMORY_AND_DISK this round (a storage-level change forces a
-    # driver re-verify and the r9 forced-entry budget is full); flip to
-    # DISK_ONLY in r10 when the window clears, as duplicate_spans was.
+    # This sliver is bounded by the OCCURRENCE mass of eval grams in
+    # the train corpus — usually tiny (the eval suite is MBs), but a
+    # heavily-contaminated/boilerplate corpus scales it with the
+    # corpus, so it takes DISK_ONLY like every corpus-proportional
+    # persist (BASELINE.md r9 addendum 2: serialized memory-eligible
+    # levels re-promote spilled blocks as whole-block heap buffers
+    # across all concurrent tasks — the sf30 read-back OOM class).
     cand = tg.join(eval_h, "_h", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY
     )
     cand_h = cand.select("_h").distinct()
     eval_g = eg.join(cand_h, "_h", "left_semi").select("_g").distinct()

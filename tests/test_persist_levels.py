@@ -1,0 +1,152 @@
+"""Repo-wide persist-level contract (r10, verdict #4).
+
+The r9 sf30 probe established the promotion-OOM class (BASELINE.md r9
+addendum 2): a persisted frame whose size scales with the CORPUS must
+never take a serialized memory-eligible level (MEMORY_AND_DISK /
+MEMORY_ONLY) — BlockManager re-promotes spilled blocks on read-back as
+whole-block heap buffers across all concurrent tasks, so at cluster
+scale the cache that "spills gracefully" instead OOMs the executor.
+The r9 sweep fixed six sites by hand; this test turns the rule into a
+contract so the next operator added can't silently reintroduce the
+class.
+
+Every ``.persist(`` call site in the package must be classified here:
+
+- ``CORPUS``      — the frame scales with the corpus (duplicate mass,
+                    contamination mass, digest stream, n-gram pair
+                    stream, per-step user sets, per-event slivers).
+                    MUST take an explicit ``StorageLevel.DISK_ONLY``.
+- ``BOUNDED``     — aggregate/grid/dimension-bounded summary (bin
+                    grids, k-row sketches, per-source xent grids,
+                    supplier-sized aggregates, per-batch file
+                    listings).  Memory levels are fine; any level
+                    passes.
+- ``ITER_DESER``  — corpus/node-proportional but held at PySpark's
+                    deserialized default (bare ``.persist()`` =
+                    MEMORY_AND_DISK_DESER, which streams on read-back
+                    instead of re-promoting whole serialized blocks —
+                    the lower-risk shape; these are also unpersisted
+                    every iteration).  MUST stay the bare default: an
+                    explicit serialized memory level here would move
+                    the site INTO the OOM class.
+
+A site not in the registry fails the test with instructions: classify
+it (and if CORPUS, pin it DISK_ONLY) before it lands.
+"""
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / (
+    "amazon_lookout_for_equipment_python_sdk_spark"
+)
+
+# (relative_path, enclosing_function) -> class
+REGISTRY = {
+    ("operators/dedup.py", "duplicate_spans"): "CORPUS",
+    ("operators/dedup.py", "decontaminate_spans"): "CORPUS",
+    ("operators/incremental.py", "incremental_dedup"): "CORPUS",
+    ("operators/lm.py", "bigram_lm"): "CORPUS",
+    ("operators/timeseries.py", "funnel_steps"): "CORPUS",
+    ("plans/anomaly_q.py", "mad_q"): "CORPUS",
+    ("operators/dsir.py", "model"): "BOUNDED",
+    ("operators/sketches.py", "kmv_sketch"): "BOUNDED",
+    ("operators/wasserstein.py", "density_histograms"): "BOUNDED",
+    ("plans/llmops.py", "perplexity_prune_q"): "BOUNDED",
+    ("plans/relational.py", "q15_q"): "BOUNDED",
+    ("streaming/scheduler.py", "_process_batch"): "BOUNDED",
+    ("operators/dedup.py", "near_dup_clusters"): "ITER_DESER",
+    ("operators/bpe.py", "bpe_train"): "ITER_DESER",
+}
+
+_DISK_ONLY = "StorageLevel.DISK_ONLY"
+_SERIALIZED_MEMORY = (
+    "StorageLevel.MEMORY_AND_DISK",
+    "StorageLevel.MEMORY_ONLY",
+    "StorageLevel.MEMORY_AND_DISK_2",
+    "StorageLevel.MEMORY_ONLY_2",
+)
+
+
+def _persist_sites():
+    """Yield (relpath, line_no, enclosing_def, level_literal) for every
+    DataFrame .persist( call in the package.  level_literal is the
+    StorageLevel.* token inside the call parens (joined across lines up
+    to the closing paren) or 'DEFAULT' for a bare .persist()."""
+    sites = []
+    for p in sorted(PKG.rglob("*.py")):
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".persist(" not in ln:
+                continue
+            func = "<module>"
+            for j in range(i, -1, -1):
+                m = re.match(r"\s*def\s+(\w+)", lines[j])
+                if m:
+                    func = m.group(1)
+                    break
+            # join forward until the persist call's paren closes
+            blob = ln[ln.index(".persist(") :]
+            k = i
+            while blob.count("(") > blob.count(")") and k + 1 < len(lines):
+                k += 1
+                blob += " " + lines[k].strip()
+            m = re.search(r"\.persist\(\s*(StorageLevel\.\w+)?\s*\)", blob)
+            level = m.group(1) if m and m.group(1) else "DEFAULT"
+            sites.append(
+                (str(p.relative_to(PKG)), i + 1, func, level)
+            )
+    return sites
+
+
+def test_every_persist_site_classified_and_leveled():
+    sites = _persist_sites()
+    assert sites, "extractor found no persist sites — regex broke?"
+    problems = []
+    seen = set()
+    for rel, line_no, func, level in sites:
+        key = (rel, func)
+        seen.add(key)
+        cls = REGISTRY.get(key)
+        where = f"{rel}:{line_no} ({func})"
+        if cls is None:
+            problems.append(
+                f"UNCLASSIFIED persist site {where} [{level}] — add it "
+                f"to tests/test_persist_levels.py REGISTRY as CORPUS "
+                f"(corpus-proportional -> must be DISK_ONLY), BOUNDED "
+                f"(aggregate/grid/dim-bounded), or ITER_DESER "
+                f"(bare-default iterative)."
+            )
+        elif cls == "CORPUS" and level != _DISK_ONLY:
+            problems.append(
+                f"{where}: CORPUS-proportional persist must be "
+                f"{_DISK_ONLY}, found {level} — the BlockManager "
+                f"read-back promotion OOM class (BASELINE.md r9 "
+                f"addendum 2)."
+            )
+        elif cls == "ITER_DESER" and level in _SERIALIZED_MEMORY:
+            problems.append(
+                f"{where}: iterative corpus-scaling persist must stay "
+                f"the deserialized default (bare .persist()), found "
+                f"{level} — a serialized memory level moves it into "
+                f"the promotion-OOM class."
+            )
+    gone = [k for k in REGISTRY if k not in seen]
+    for key in gone:
+        problems.append(
+            f"REGISTRY entry {key} no longer matches any persist site "
+            f"— site removed or renamed; update the registry."
+        )
+    assert not problems, "\n".join(problems)
+
+
+def test_decontaminate_spans_sliver_disk_only():
+    """The r10 flip (verdict #2): the occurrence-mass sliver in
+    decontaminate_spans is corpus-proportional on heavily contaminated
+    corpora — the last parked member of the promotion-OOM class; pin
+    its level exactly as duplicate_spans' sliver is pinned."""
+    for _rel, _ln, func, level in _persist_sites():
+        if func == "decontaminate_spans":
+            assert level == _DISK_ONLY, level
+            return
+    raise AssertionError("decontaminate_spans persist site not found")
