@@ -1504,9 +1504,12 @@ def _bigram_big(docs) -> bool:
     every sf0.001 audit otherwise captures only the recompute path);
     ``=0`` forces recompute.  Unset -> the measured ~1 MB crossover
     (see _BIGRAM_PERSIST_BYTES)."""
-    ov = os.environ.get("SPARKGRAFT_BIGRAM_FORCE_BIG")
-    if ov is not None and ov != "":
-        return ov not in ("0", "false", "False")
+    ov = os.environ.get("SPARKGRAFT_BIGRAM_FORCE_BIG", "").strip().lower()
+    if ov:
+        # any truthy spelling forces big; the falsy family ("0", "false",
+        # "no", "off") forces the recompute path (ADVICE r9: =FALSE/off
+        # used to silently force-big)
+        return ov not in ("0", "false", "no", "off")
     est_bytes = int(
         str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )

@@ -22,20 +22,42 @@ from .registry import load, register
 
 
 def _work_dir(name: str, sf_dir: str) -> str:
-    """Deterministic per-(query, fixture) work root, wiped at the START
-    of every invocation (r8 verdict #4 / ADVICE): the returned frame is
-    lazy over the final history/snapshot parquet, so the CURRENT run's
-    dir must outlive this function — cleaning the PREVIOUS run's dir on
-    entry bounds TMPDIR residue at exactly one fixture-sized dir per
-    (query, fixture) across any number of bench/driver/plain-env runs,
-    where mkdtemp leaked one per run.  Consequence, documented: a frame
-    returned by an EARLIER invocation dies when a later one starts —
-    the driver and bench consume each result before re-invoking."""
+    """Deterministic per-(query, fixture, process) work root (r8
+    verdict #4; hardened r10 per ADVICE): the returned frame is lazy
+    over the final history/snapshot parquet, so the CURRENT run's dir
+    must outlive this function.  The r9 shape — one shared dir wiped on
+    entry — let CONCURRENT invocations (parallel test runners, a bench
+    run overlapping a driver run) delete each other's live feed/
+    checkpoint mid-use.  Now each process owns a ``pid<N>`` subdir of
+    the deterministic base: live processes never touch each other's
+    dirs, and on entry we reap (a) our own previous subdir (its frames
+    are dead by the documented consume-before-reinvoke contract) and
+    (b) any subdir whose owning pid no longer exists, so TMPDIR residue
+    is bounded at one fixture-sized dir per (query, fixture) per LIVE
+    process, with dead-process residue collected by the next caller."""
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    work = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(), f"sparkgraft_{name}_{digest}"
     )
-    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    me = os.getpid()
+    for entry in os.listdir(base):
+        if not entry.startswith("pid"):
+            continue
+        try:
+            pid = int(entry[3:])
+        except ValueError:
+            continue
+        if pid != me:
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+                continue  # owner alive — leave its dir alone
+            except ProcessLookupError:
+                pass  # dead owner — stale residue, reap it
+            except PermissionError:
+                continue  # exists under another uid — treat as alive
+        shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    work = os.path.join(base, f"pid{me}")
     os.makedirs(work)
     return work
 

@@ -82,6 +82,17 @@ def _install_persist_probe() -> None:
         _probe_installed = True
 
 
+def _persistent_rdd_count(df: DataFrame):
+    """Size of the session's persistent-RDD set, or None where the
+    backend doesn't expose it (Spark Connect has no JVM handle)."""
+    try:
+        return int(
+            df.sparkSession.sparkContext._jsc.getPersistentRDDs().size()
+        )
+    except Exception:
+        return None
+
+
 @contextmanager
 def _track_persists():
     """Collect every DataFrame persisted or cached ON THIS THREAD while
@@ -132,6 +143,7 @@ def foreach_batch_apply(
         # caches it still needs) and release them once this epoch's
         # output has materialized (the write is the only consumer, so
         # nothing recomputes after).
+        before = _persistent_rdd_count(batch_df)
         with _track_persists() as cached:
             # one sub-directory per epoch, written with overwrite: a
             # replayed micro-batch rewrites ITS OWN directory instead of
@@ -142,6 +154,28 @@ def foreach_batch_apply(
             )
         for frame in cached:
             frame.unpersist(False)
+        if not cached:
+            # ADVICE r9: the probe patches DataFrame.persist/cache on
+            # the classic concrete class only — persists made through
+            # unpatched paths (Spark Connect frames, raw rdd.persist)
+            # are invisible to it and would silently reintroduce the
+            # per-epoch cache leak.  Detect exactly that signature: the
+            # batch fn recorded nothing, yet the session's persistent-
+            # RDD set grew across the batch.
+            after = _persistent_rdd_count(batch_df)
+            if before is not None and after is not None and after > before:
+                import warnings
+
+                warnings.warn(
+                    f"foreach_batch_apply epoch {_epoch}: persistent-RDD "
+                    f"count grew {before} -> {after} but the persist "
+                    f"probe recorded no frames — the batch fn persists "
+                    f"through a path the probe cannot see (Connect "
+                    f"frame / raw rdd.persist); those caches will "
+                    f"accumulate one per epoch",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     writer = (
         stream.writeStream.foreachBatch(run)

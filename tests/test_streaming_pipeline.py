@@ -801,3 +801,43 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
     assert bystander.storageLevel.useMemory, "bystander cache was dropped"
     own.unpersist(False)
     bystander.unpersist(False)
+
+
+def test_foreach_batch_warns_on_invisible_persists(spark, tmp_path):
+    """r9 ADVICE: persists made through paths the probe cannot patch
+    (raw rdd.persist, Connect frames) are invisible — they'd silently
+    reaccumulate one cache per epoch.  foreach_batch_apply now compares
+    the session's persistent-RDD count across the batch and warns when
+    it grew while the probe recorded nothing."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        foreach_batch_apply,
+    )
+
+    src = tmp_path / "src"
+    spark.range(20).withColumn("v", F.col("id") * 2).write.parquet(str(src))
+    leaked = []
+
+    def per_batch(b):
+        out = b.withColumn("w", F.col("v") + 1)
+        out.rdd.persist()  # probe-invisible path
+        out.rdd.count()
+        leaked.append(out.rdd)
+        return out
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = foreach_batch_apply(
+            spark.readStream.schema("id long, v long").parquet(str(src)),
+            per_batch,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    for r in leaked:
+        r.unpersist()
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("persist probe recorded no frames" in m for m in msgs), msgs

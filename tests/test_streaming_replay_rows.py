@@ -65,5 +65,46 @@ def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
         _rows(spark, name)
         second = dirs(prefix)
         assert len(first) == 1 and first == second, (name, first, second)
-        leftovers = sorted(os.listdir(next(iter(second))))
+        # r10: the base dir holds exactly ONE per-process subdir (ours)
+        base = next(iter(second))
+        subdirs = sorted(os.listdir(base))
+        assert subdirs == [f"pid{os.getpid()}"], (name, subdirs)
+        leftovers = sorted(os.listdir(os.path.join(base, subdirs[0])))
         assert leftovers == [keep], (name, leftovers)
+
+
+def test_replay_work_dirs_are_per_process_and_reap_only_dead(spark):
+    """r9 ADVICE (medium): the shared wipe-on-entry dir let concurrent
+    invocations delete each other's live feed/checkpoint.  Now each
+    process owns a pid subdir; on entry a caller reaps its OWN previous
+    dir and dirs of DEAD pids, and must leave a LIVE foreign process's
+    dir untouched (pid 1 stands in for a live foreign process; a
+    guaranteed-unused huge pid stands in for a dead one)."""
+    import os
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.streaming_q import (
+        _work_dir,
+    )
+
+    sf = SF
+    work = _work_dir("racecheck", sf)
+    base = os.path.dirname(work)
+    live = os.path.join(base, "pid1")  # init: always alive
+    os.makedirs(live, exist_ok=True)
+    open(os.path.join(live, "sentinel"), "w").close()
+    dead = os.path.join(base, "pid999999999")  # beyond pid_max: never alive
+    os.makedirs(dead, exist_ok=True)
+    junk = os.path.join(base, "pidnotanint")
+    os.makedirs(junk, exist_ok=True)
+
+    work2 = _work_dir("racecheck", sf)
+    assert work2 == work  # deterministic per (query, fixture, pid)
+    entries = set(os.listdir(base))
+    assert os.path.basename(live) in entries, entries  # live: untouched
+    assert os.path.exists(os.path.join(live, "sentinel"))
+    assert os.path.basename(dead) not in entries, entries  # dead: reaped
+    assert os.path.basename(junk) in entries, entries  # unparseable: skipped
+
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
