@@ -1,0 +1,151 @@
+"""Auto-routing between plain operators and their skew-safe twins
+(operators/routing.py, r9 verdict #5): the probe + routing rule, pinned
+on the real fixtures — plain chosen on uniform sf0.1, twin chosen on
+sf1_skew's hot keys — plus routed-output equality through BOTH branches.
+The registered driver queries keep calling the explicit forms; these
+tests certify the opt-in ``auto`` mode routes as documented."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+    routing as rt,
+)
+
+UNIFORM = "/root/testdata/sf0.1"
+SKEWED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".localdata",
+    "sf1_skew",
+)
+
+needs_skew = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SKEWED, "events.parquet")),
+    reason="sf1_skew fixture not generated (tools/gen_skew.py)",
+)
+
+
+def _events(spark, sf_dir):
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.registry import (
+        load,
+    )
+
+    return load(spark, sf_dir, "events")
+
+
+def test_probe_one_scan_and_scalars(spark):
+    """The probe is ONE corpus scan (count + optional per-key time span
+    in the same groupBy) reduced to scalars; sanity its numbers on the
+    fixture the router reads."""
+    ev = _events(spark, UNIFORM)
+    p = rt.probe_keys(ev, "event_type", ts_col="ts")
+    assert p.n_keys == 5
+    assert p.total_rows == 100_000
+    assert 0 < p.max_key_rows < 30_000
+    assert p.lo_us is not None and p.hi_us is not None and p.hi_us > p.lo_us
+    # probe without ts: span fields stay None
+    p2 = rt.probe_keys(ev, "user_id")
+    assert p2.lo_us is None and p2.n_keys == 1500
+    # empty frame: all-zero probe, no crash
+    p3 = rt.probe_keys(ev.filter(F.lit(False)), "event_type", ts_col="ts")
+    assert p3 == rt.KeyProbe(0, 0, 0)
+
+
+def test_routing_decision_uniform_sf01_plain(spark):
+    """Uniform sf0.1: max rows/key ~2e4 (event_type) and ~1e2 (user_id)
+    — both sides of the window family route PLAIN, and cusum routes
+    plain by its own budget."""
+    ev = _events(spark, UNIFORM)
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.WINDOW_BUDGET_ROWS
+    )
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "user_id"), rt.WINDOW_BUDGET_ROWS
+    )
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.CUSUM_BUDGET_ROWS
+    )
+
+
+@needs_skew
+def test_routing_decision_sf1_skew_twin(spark):
+    """sf1_skew: the hot user (~5e5 rows) and hot event_type (~6e5)
+    exceed the 1e5 window budget — the twins are chosen; cusum STILL
+    routes plain (the honest negative A/B: plain wins to at least 2e6
+    rows/key)."""
+    ev = _events(spark, SKEWED)
+    assert rt.decide_twin(
+        rt.probe_keys(ev, "user_id"), rt.WINDOW_BUDGET_ROWS
+    )
+    assert rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.WINDOW_BUDGET_ROWS
+    )
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.CUSUM_BUDGET_ROWS
+    )
+
+
+def test_auto_bucket_geometry():
+    p = rt.KeyProbe(5, 1_000_000, 5_000_000)
+    assert rt._auto_buckets(p, 100_000) == 10
+    # floor of 2, cap at MAX_AUTO_BUCKETS
+    assert rt._auto_buckets(rt.KeyProbe(5, 100_001, 200_002), 100_000) == 2
+    assert (
+        rt._auto_buckets(rt.KeyProbe(1, 10**9, 10**9), 100)
+        == rt.MAX_AUTO_BUCKETS
+    )
+
+
+def _zkey(rows):
+    return {(r["event_type"], r["event_id"]): r["zscore"] for r in rows}
+
+
+def test_auto_routes_match_explicit_forms_both_branches(spark):
+    """Routed output == explicit plain output on the tiny fixture for
+    BOTH branches: the natural budget routes plain; a budget of 10 rows
+    forces every key over it, exercising the probe->geometry->twin path
+    end-to-end (the twins' exactness is separately property-pinned)."""
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        stats as st,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        timeseries as tsops,
+    )
+
+    plain_z = _zkey(st.rolling_zscore(ev, 25).collect())
+    assert plain_z == _zkey(rt.rolling_zscore_auto(ev, 25).collect())
+    assert plain_z == _zkey(
+        rt.rolling_zscore_auto(ev, 25, budget_rows=10).collect()
+    )
+
+    def skey(rows):
+        return {r["event_id"]: r["session_seq"] for r in rows}
+
+    plain_s = skey(
+        tsops.sessionize(ev, tiebreak_col="event_id").collect()
+    )
+    assert plain_s == skey(
+        rt.sessionize_auto(ev, tiebreak_col="event_id").collect()
+    )
+    assert plain_s == skey(
+        rt.sessionize_auto(
+            ev, tiebreak_col="event_id", budget_rows=10
+        ).collect()
+    )
+
+    def ckey(rows):
+        return {r["event_id"]: r["cusum"] for r in rows}
+
+    plain_c = ckey(st.cusum_reflected(ev).collect())
+    assert plain_c == ckey(rt.cusum_reflected_auto(ev).collect())
+    assert plain_c == ckey(
+        rt.cusum_reflected_auto(ev, budget_rows=10).collect()
+    )

@@ -42,19 +42,30 @@ QUERIES = [
 LOCAL = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata"
 )
-UNIFORM = os.path.join(LOCAL, "sf1")
-SKEWED = os.path.join(LOCAL, "sf1_skew")
+# r10: parametrized so the decade-skew extensions (sf10_skew,
+# sf30_skew) run through the SAME harness as the sf1 table instead of
+# ad-hoc scripts: SPARK_GRAFT_SKEW_PAIR=sf10:sf10_skew,
+# SPARK_GRAFT_SKEW_QUERIES=a,b,c (comma list overrides the twin table),
+# SPARK_GRAFT_SKEW_REPS=2 (min-of-N; decade protocol uses 2 at sf10+).
+_pair = os.environ.get("SPARK_GRAFT_SKEW_PAIR", "sf1:sf1_skew").split(":")
+UNIFORM = os.path.join(LOCAL, _pair[0])
+SKEWED = os.path.join(LOCAL, _pair[1])
+REPS = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "3"))
 
 
 def main() -> None:
     spark = get_spark("bench_skew")
-    names = [n for pair in QUERIES for n in pair if n]
+    only = os.environ.get("SPARK_GRAFT_SKEW_QUERIES")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+    else:
+        names = [n for pair in QUERIES for n in pair if n]
     for n in names:  # warm-up
         q.QUERIES[n](spark, "/root/testdata/sf0.001").count()
 
     def min3(name, sf_dir):
         ts = []
-        for _ in range(3):
+        for _ in range(REPS):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.2)
