@@ -90,6 +90,36 @@ def test_routing_decision_sf1_skew_twin(spark):
     )
 
 
+DECADE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".localdata",
+    "sf10",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DECADE, "events.parquet")),
+    reason="sf10 decade fixture not generated (tools/gen_sf1.py)",
+)
+def test_routing_decision_sf10_uniform_few_keys_long_history(spark):
+    """The OTHER regime the twins exist for — no hot key, but few keys
+    with decade-long histories (sf10 uniform: 5 event_types x ~2M rows
+    each).  The zscore side must route the TWIN (the chunked path wins
+    4.3x there, BASELINE r7 addendum) while sessionize by user_id (15k
+    keys, ~1e2 rows each) stays PLAIN on the same fixture."""
+    ev = _events(spark, DECADE)
+    assert rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.WINDOW_BUDGET_ROWS
+    )
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "user_id"), rt.WINDOW_BUDGET_ROWS
+    )
+    # cusum: plain even at 2M rows/key — the measured negative A/B
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.CUSUM_BUDGET_ROWS
+    )
+
+
 def test_auto_bucket_geometry():
     p = rt.KeyProbe(5, 1_000_000, 5_000_000)
     assert rt._auto_buckets(p, 100_000) == 10
