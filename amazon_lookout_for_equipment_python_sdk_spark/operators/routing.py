@@ -42,6 +42,11 @@ from the measured A/Bs, not guesses:
   beyond the largest measured plain-wins point — an extrapolation,
   flagged as such here, refined when a bigger fixture exists.
 
+Probe overhead, measured: 0.94 s on the sf10 events fixture (10M rows,
+local[32], warm cache) — under 4% of the cheaper branch of the
+operator it routes (chunked zscore 24.7 s there) and amortized by
+either outcome; the probe's shuffle ships one row per key.
+
 Reference: the reference SDK has no skew machinery at all (its compute
 was remote pandas; src/lookoutequipment/evaluation.py) — this module
 is part of the beyond-reference scale layer.
