@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 
@@ -22,42 +23,52 @@ from .registry import load, register
 
 
 def _work_dir(name: str, sf_dir: str) -> str:
-    """Deterministic per-(query, fixture, process) work root (r8
-    verdict #4; hardened r10 per ADVICE): the returned frame is lazy
-    over the final history/snapshot parquet, so the CURRENT run's dir
-    must outlive this function.  The r9 shape — one shared dir wiped on
-    entry — let CONCURRENT invocations (parallel test runners, a bench
-    run overlapping a driver run) delete each other's live feed/
-    checkpoint mid-use.  Now each process owns a ``pid<N>`` subdir of
-    the deterministic base: live processes never touch each other's
-    dirs, and on entry we reap (a) our own previous subdir (its frames
-    are dead by the documented consume-before-reinvoke contract) and
-    (b) any subdir whose owning pid no longer exists, so TMPDIR residue
-    is bounded at one fixture-sized dir per (query, fixture) per LIVE
-    process, with dead-process residue collected by the next caller."""
+    """Deterministic per-(query, fixture, process, thread) work root
+    (r8 verdict #4; hardened r10 per ADVICE): the returned frame is
+    lazy over the final history/snapshot parquet, so the CURRENT run's
+    dir must outlive this function.  The r9 shape — one shared dir
+    wiped on entry — let CONCURRENT invocations (parallel test
+    runners, a bench run overlapping a driver run) delete each other's
+    live feed/checkpoint mid-use.  Now each (process, thread) owns a
+    ``pid<N>t<M>`` subdir of the deterministic base: live owners never
+    touch each other's dirs, and on entry we reap (a) our own previous
+    subdir (its frames are dead by the documented consume-before-
+    reinvoke contract), (b) any subdir whose owning pid no longer
+    exists, and (c) our own process's subdirs whose owning thread has
+    finished — so TMPDIR residue is bounded at one fixture-sized dir
+    per (query, fixture) per LIVE invoking thread, with dead-owner
+    residue collected by the next caller."""
+    import threading
+
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(), f"sparkgraft_{name}_{digest}"
     )
     os.makedirs(base, exist_ok=True)
     me = os.getpid()
+    my_tid = threading.get_native_id()
+    live_tids = {
+        t.native_id for t in threading.enumerate() if t.native_id
+    }
     for entry in os.listdir(base):
-        if not entry.startswith("pid"):
+        m = re.fullmatch(r"pid(\d+)t(\d+)", entry)
+        if not m:
             continue
-        try:
-            pid = int(entry[3:])
-        except ValueError:
-            continue
+        pid, tid = int(m.group(1)), int(m.group(2))
         if pid != me:
             try:
                 os.kill(pid, 0)  # signal 0: existence probe only
-                continue  # owner alive — leave its dir alone
+                continue  # owner process alive — leave its dir alone
             except ProcessLookupError:
                 pass  # dead owner — stale residue, reap it
             except PermissionError:
                 continue  # exists under another uid — treat as alive
+        elif tid != my_tid and tid in live_tids:
+            continue  # live sibling thread's dir — leave it alone
+        # own previous dir (frames dead by the consume-before-reinvoke
+        # contract), a finished sibling thread's, or a dead process's
         shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    work = os.path.join(base, f"pid{me}")
+    work = os.path.join(base, f"pid{me}t{my_tid}")
     os.makedirs(work)
     return work
 

@@ -65,10 +65,15 @@ def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
         _rows(spark, name)
         second = dirs(prefix)
         assert len(first) == 1 and first == second, (name, first, second)
-        # r10: the base dir holds exactly ONE per-process subdir (ours)
+        # r10: the base dir holds exactly ONE per-(process, thread)
+        # subdir (ours)
+        import threading
+
         base = next(iter(second))
         subdirs = sorted(os.listdir(base))
-        assert subdirs == [f"pid{os.getpid()}"], (name, subdirs)
+        assert subdirs == [
+            f"pid{os.getpid()}t{threading.get_native_id()}"
+        ], (name, subdirs)
         leftovers = sorted(os.listdir(os.path.join(base, subdirs[0])))
         assert leftovers == [keep], (name, leftovers)
 
@@ -76,11 +81,14 @@ def test_replay_rows_do_not_accumulate_tmpdir_state(spark):
 def test_replay_work_dirs_are_per_process_and_reap_only_dead(spark):
     """r9 ADVICE (medium): the shared wipe-on-entry dir let concurrent
     invocations delete each other's live feed/checkpoint.  Now each
-    process owns a pid subdir; on entry a caller reaps its OWN previous
-    dir and dirs of DEAD pids, and must leave a LIVE foreign process's
-    dir untouched (pid 1 stands in for a live foreign process; a
-    guaranteed-unused huge pid stands in for a dead one)."""
+    (process, thread) owns a pid<N>t<M> subdir; on entry a caller reaps
+    its OWN previous dir, dirs of DEAD pids, and its own process's
+    finished-thread dirs — and must leave a LIVE foreign process's dir
+    and a LIVE sibling thread's dir untouched (pid 1 stands in for a
+    live foreign process; a guaranteed-unused huge pid for a dead one;
+    a sleeping helper thread for a live sibling)."""
     import os
+    import threading
 
     from amazon_lookout_for_equipment_python_sdk_spark.plans.streaming_q import (
         _work_dir,
@@ -89,21 +97,44 @@ def test_replay_work_dirs_are_per_process_and_reap_only_dead(spark):
     sf = SF
     work = _work_dir("racecheck", sf)
     base = os.path.dirname(work)
-    live = os.path.join(base, "pid1")  # init: always alive
+    me = os.getpid()
+    live = os.path.join(base, "pid1t1")  # init: always alive
     os.makedirs(live, exist_ok=True)
     open(os.path.join(live, "sentinel"), "w").close()
-    dead = os.path.join(base, "pid999999999")  # beyond pid_max: never alive
+    dead = os.path.join(base, "pid999999999t1")  # beyond pid_max
     os.makedirs(dead, exist_ok=True)
     junk = os.path.join(base, "pidnotanint")
     os.makedirs(junk, exist_ok=True)
+    gone_thread = os.path.join(base, f"pid{me}t999999998")  # finished tid
+    os.makedirs(gone_thread, exist_ok=True)
 
-    work2 = _work_dir("racecheck", sf)
-    assert work2 == work  # deterministic per (query, fixture, pid)
+    release = threading.Event()
+    started = threading.Event()
+    sibling_holder = []
+
+    def hold():
+        sibling_holder.append(threading.get_native_id())
+        started.set()
+        release.wait(30)
+
+    t = threading.Thread(target=hold, daemon=True)
+    t.start()
+    started.wait(10)
+    sibling = os.path.join(base, f"pid{me}t{sibling_holder[0]}")
+    os.makedirs(sibling, exist_ok=True)
+    try:
+        work2 = _work_dir("racecheck", sf)
+    finally:
+        release.set()
+        t.join(10)
+    assert work2 == work  # deterministic per (query, fixture, pid, tid)
     entries = set(os.listdir(base))
-    assert os.path.basename(live) in entries, entries  # live: untouched
+    assert os.path.basename(live) in entries, entries  # live proc: kept
     assert os.path.exists(os.path.join(live, "sentinel"))
+    assert os.path.basename(sibling) in entries, entries  # live thread
     assert os.path.basename(dead) not in entries, entries  # dead: reaped
-    assert os.path.basename(junk) in entries, entries  # unparseable: skipped
+    assert os.path.basename(gone_thread) not in entries, entries
+    assert os.path.basename(junk) in entries, entries  # unparseable: kept
 
     import shutil
 
