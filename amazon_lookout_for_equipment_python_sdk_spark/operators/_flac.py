@@ -399,7 +399,10 @@ def encode_flac(
             bw.write(b, 8)
         bw.write(bs - 1, 16)
         header = bytes(bw.out)
-        assert bw._nbits == 0
+        if bw._nbits != 0:  # survives python -O, unlike assert
+            raise RuntimeError(
+                "FLAC frame header must be byte-aligned before CRC-8"
+            )
         bw.write(_crc8(header), 8)
         for x, sbits in subframes:
             _encode_subframe(bw, x, sbits, use_lpc)
