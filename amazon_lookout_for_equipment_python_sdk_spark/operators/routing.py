@@ -111,12 +111,16 @@ def probe_keys(
     row = agg.agg(*final).first()
     if row["n_keys"] == 0 or row["total_rows"] is None:
         return KeyProbe(0, 0, 0)
+    # all-null ts leaves the span aggregates null — report no span (the
+    # routers then fall back to the plain form: a time-bucketed twin is
+    # meaningless without event time)
+    has_span = ts_col is not None and row["lo"] is not None
     return KeyProbe(
         int(row["n_keys"]),
         int(row["max_key_rows"]),
         int(row["total_rows"]),
-        int(row["lo"]) if ts_col is not None else None,
-        int(row["hi"]) if ts_col is not None else None,
+        int(row["lo"]) if has_span else None,
+        int(row["hi"]) if has_span else None,
     )
 
 
@@ -174,7 +178,7 @@ def rolling_zscore_auto(
     :func:`_auto_buckets` slices, so the hot key lands ~budget_rows per
     (key, bucket) task regardless of the fixture's clock range."""
     probe = probe_keys(df, key_col, ts_col=ts_col)
-    if not decide_twin(probe, budget_rows):
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _stats.rolling_zscore(
             df, window, value_col, ts_col, key_col, tiebreak_col, scale
         )
@@ -207,7 +211,7 @@ def cusum_reflected_auto(
     every measured point; the twin is strictly for histories past a
     task's sort budget)."""
     probe = probe_keys(df, key_col, ts_col=ts_col)
-    if not decide_twin(probe, budget_rows):
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _stats.cusum_reflected(
             df, slack_cents, value_col, ts_col, key_col, tiebreak_col,
             scale,

@@ -54,6 +54,13 @@ def test_probe_one_scan_and_scalars(spark):
     # empty frame: all-zero probe, no crash
     p3 = rt.probe_keys(ev.filter(F.lit(False)), "event_type", ts_col="ts")
     assert p3 == rt.KeyProbe(0, 0, 0)
+    # all-null ts: rows counted but no span; zscore/cusum auto fall
+    # back to plain rather than crash on bucket geometry
+    nullts = ev.limit(200).withColumn("ts", F.lit(None).cast("timestamp"))
+    p4 = rt.probe_keys(nullts, "event_type", ts_col="ts")
+    assert p4.total_rows == 200 and p4.lo_us is None
+    out = rt.rolling_zscore_auto(nullts, 5, budget_rows=10)
+    assert out.count() == 200  # plain branch executed
 
 
 def test_routing_decision_uniform_sf01_plain(spark):
