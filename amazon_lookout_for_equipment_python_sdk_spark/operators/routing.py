@@ -25,22 +25,36 @@ calling the explicit forms — those are the oracle shapes; ``auto`` is
 the deployment convenience.
 
 Routing rule: take the twin iff the probe's ``max_key_rows`` exceeds
-``budget_rows`` — the per-task serialized-sort budget.  Defaults come
-from the measured A/Bs, not guesses:
+``budget_rows`` — the per-task serialized-sort budget.  Defaults are
+DERIVED FROM THE SESSION (r10 verdict #2): a per-key window's cost
+cliff is where one key's history outgrows a task's execution memory
+and the sort spills, so the budget scales linearly with per-task
+execution memory (``heap x spark.memory.fraction / cores``).  The
+measured calibration points anchor the line:
 
-- sessionize / rolling_zscore: ``budget_rows=100_000``.  BASELINE.md
+- sessionize / rolling_zscore: ``100_000`` rows/key at this box's
+  0.3 GiB/task (local[32], 16 GiB heap, fraction 0.6).  BASELINE.md
   brackets the crossing: plain comfortably wins at ~2e4 rows/key
   (sf0.1 uniform), the twin wins from ~2e5 up (zscore chunked 1.9x at
   sf1 uniform's 203k-row hot signal; sessionize twin 1.55x faster than
   plain on sf10_skew's 5M-row hot user, plain paying 6.16x there).
-  1e5 is the bracket midpoint.
-- cusum: ``budget_rows=20_000_000``.  The honest negative A/B
-  (BASELINE.md r9 addendum 4) shows plain winning at EVERY measurable
-  point up to 2M rows/key (an unbounded-prefix fold has no W-row frame
-  work for the twin to amortize); the twin exists for histories past a
-  task's sort budget (the 630M-rows/key shape).  The default sits 10x
-  beyond the largest measured plain-wins point — an extrapolation,
-  flagged as such here, refined when a bigger fixture exists.
+  1e5 is the bracket midpoint.  A 4 GB/core cluster therefore routes
+  at a higher crossover than a 1 GB/core one — pinned in
+  tests/test_routing.py.
+- cusum: ``20_000_000`` rows/key at the same calibration point.  An
+  unbounded-prefix fold has no W-row frame work for the twin to
+  amortize, so plain wins FAR past the window family's cliff (the
+  honest negative A/B, BASELINE.md r9 addendum 4: plain wins every
+  measured point up to 2M rows/key); the twin exists for histories
+  past a task's sort budget (the 630M-rows/key shape).  The default
+  sits 10x beyond the largest measured plain-wins point — an
+  extrapolation, flagged as such here, refined when a bigger fixture
+  exists.
+
+Pass ``budget_rows`` explicitly to pin a decision (tests do); pass a
+precomputed :class:`KeyProbe` via ``probe=`` to amortize the probe
+scan across several routed operators over the same frame (r10 verdict
+#4) — all three autos accept the same probe shape.
 
 Probe overhead, measured: 0.94 s on the sf10 events fixture (10M rows,
 local[32], warm cache) — under 4% of the cheaper branch of the
@@ -54,38 +68,109 @@ is part of the beyond-reference scale layer.
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import stats as _stats
 from . import timeseries as _timeseries
 
 #: per-task serialized-sort budget (rows of ONE key on one task) for the
-#: window-frame family — see module doc for the measured bracket.
+#: window-frame family AT THE CALIBRATION POINT below — see module doc
+#: for the measured bracket.
 WINDOW_BUDGET_ROWS = 100_000
 
 #: cusum's fold has no frame work to amortize; plain wins to at least
 #: 2e6 rows/key (measured) — default is 10x beyond that point.
 CUSUM_BUDGET_ROWS = 20_000_000
 
+#: per-task execution memory where the two constants above were
+#: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
+#: -> 16 GiB * 0.6 / 32 tasks.  Session-derived budgets scale the
+#: constants linearly from this anchor (r10 verdict #2).
+CALIB_PER_TASK_BYTES = int(16 * (1 << 30) * 0.6) // 32
+
+#: floor for derived budgets: below ~10k rows/key the twin's extra
+#: aggregate + broadcast join always costs more than the plain window.
+MIN_BUDGET_ROWS = 10_000
+
 #: twin geometry: aim for ~budget rows of the hot key per (key, bucket)
 #: task, capped so tiny carries stay tiny.
 MAX_AUTO_BUCKETS = 256
+
+_MEM_SUFFIX = {
+    "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+}
+
+
+def _parse_mem(s: str) -> int:
+    """JVM-style memory string -> bytes.  Bare numbers are MiB (Spark's
+    convention for ``spark.{driver,executor}.memory``)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([bkmgt]?)b?\s*", str(s).lower())
+    if not m:
+        raise ValueError(f"unparseable memory string: {s!r}")
+    return int(m.group(1)) * _MEM_SUFFIX.get(m.group(2) or "m", 1 << 20)
+
+
+def per_task_exec_bytes(spark: SparkSession) -> int:
+    """Execution memory one task can use for its sort, from the session
+    conf: ``heap x spark.memory.fraction / concurrent tasks``.  Local
+    masters read the driver heap and the ``local[N]`` core count;
+    cluster masters read ``spark.executor.memory`` / ``.cores``.  Uses
+    the conf as declared — in local mode a ``spark.driver.memory`` set
+    after JVM launch is what the conf reports, same as Spark's own UI."""
+    conf = spark.conf
+    master = conf.get("spark.master", "") or ""
+    if master.startswith("local"):
+        heap = _parse_mem(conf.get("spark.driver.memory", "1g"))
+        m = re.match(r"local\[(\*|\d+)\]", master)
+        if m and m.group(1) != "*":
+            cores = int(m.group(1))
+        else:
+            cores = os.cpu_count() or 1
+    else:
+        heap = _parse_mem(conf.get("spark.executor.memory", "1g"))
+        cores = int(conf.get("spark.executor.cores", "1"))
+    frac = float(conf.get("spark.memory.fraction", "0.6"))
+    return max(int(heap * frac) // max(cores, 1), 1)
+
+
+def derive_budget_rows(
+    base_rows: int, per_task_bytes: int
+) -> int:
+    """Scale a calibration-point budget to this cluster's per-task
+    memory.  Pure so tests pin 4 GB/core vs 16 GB/core routing without
+    building two JVMs."""
+    scaled = base_rows * per_task_bytes // CALIB_PER_TASK_BYTES
+    return max(MIN_BUDGET_ROWS, scaled)
+
+
+def session_budget_rows(
+    spark: SparkSession, base_rows: int = WINDOW_BUDGET_ROWS
+) -> int:
+    """The budget the autos use when the caller passes none."""
+    return derive_budget_rows(base_rows, per_task_exec_bytes(spark))
 
 
 @dataclass(frozen=True)
 class KeyProbe:
     """Scalars the router decides from.  ``lo_us``/``hi_us`` are the
-    event-time span (microseconds) when a ``ts_col`` was probed, else
-    None."""
+    corpus event-time span (microseconds) when a ``ts_col`` was probed,
+    else None; ``hot_lo_us``/``hot_hi_us`` are the HOT KEY'S OWN span —
+    bucket geometry divides that one, not the corpus span, so a hot key
+    concentrated in a narrow slice of a wide corpus still gets the full
+    intended fan-out (r10 ADVICE)."""
 
     n_keys: int
     max_key_rows: int
     total_rows: int
     lo_us: int | None = None
     hi_us: int | None = None
+    hot_lo_us: int | None = None
+    hot_hi_us: int | None = None
 
 
 def probe_keys(
@@ -93,9 +178,10 @@ def probe_keys(
 ) -> KeyProbe:
     """ONE corpus scan: groupBy(key).count() partial-aggregates map-side
     (the shuffle ships one row per key, not per event), then a bounded
-    second-stage agg reduces to four scalars.  With ``ts_col`` the same
-    scan also carries per-key min/max event time, so the twin's bucket
-    geometry needs no second pass over the corpus."""
+    second-stage agg reduces to scalars.  With ``ts_col`` the same scan
+    also carries per-key min/max event time — both the corpus span and
+    the hot key's own span (``max_by`` on the per-key counts) — so the
+    twin's bucket geometry needs no second pass over the corpus."""
     per_key = [F.count(F.lit(1)).alias("_c")]
     if ts_col is not None:
         us = F.unix_micros(F.col(ts_col))
@@ -107,7 +193,11 @@ def probe_keys(
         F.sum("_c").alias("total_rows"),
     ]
     if ts_col is not None:
-        final += [F.min("_lo").alias("lo"), F.max("_hi").alias("hi")]
+        final += [
+            F.min("_lo").alias("lo"),
+            F.max("_hi").alias("hi"),
+            F.max_by(F.struct("_lo", "_hi"), "_c").alias("hot"),
+        ]
     row = agg.agg(*final).first()
     if row["n_keys"] == 0 or row["total_rows"] is None:
         return KeyProbe(0, 0, 0)
@@ -115,12 +205,16 @@ def probe_keys(
     # routers then fall back to the plain form: a time-bucketed twin is
     # meaningless without event time)
     has_span = ts_col is not None and row["lo"] is not None
+    hot = row["hot"] if has_span else None
+    hot_ok = hot is not None and hot["_lo"] is not None
     return KeyProbe(
         int(row["n_keys"]),
         int(row["max_key_rows"]),
         int(row["total_rows"]),
         int(row["lo"]) if has_span else None,
         int(row["hi"]) if has_span else None,
+        int(hot["_lo"]) if hot_ok else None,
+        int(hot["_hi"]) if hot_ok else None,
     )
 
 
@@ -136,18 +230,54 @@ def _auto_buckets(probe: KeyProbe, budget_rows: int) -> int:
     return max(2, min(MAX_AUTO_BUCKETS, want))
 
 
+def _bucket_span_s(probe: KeyProbe, budget_rows: int) -> int:
+    """Seconds per (key, bucket) slice.  Divides the HOT KEY'S span
+    when the probe carried one (a hot key concentrated in a narrow
+    slice of a wide corpus still fans out as intended — r10 ADVICE);
+    falls back to the corpus span for probes built before that field
+    existed or when the hot key's timestamps were all null."""
+    lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
+    hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
+    span_s = max((hi - lo) // 1_000_000, 1)
+    return max(span_s // _auto_buckets(probe, budget_rows), 1)
+
+
+def _resolve(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | None,
+    budget_rows: int | None,
+    base_rows: int,
+    probe: KeyProbe | None,
+) -> tuple[KeyProbe, int]:
+    """Shared entry logic for the three autos: derive the budget from
+    the session when the caller passed none, and run the probe scan
+    only when the caller didn't hand one in (probe reuse across several
+    routed operators over the same frame — one scan, N decisions)."""
+    if budget_rows is None:
+        budget_rows = session_budget_rows(df.sparkSession, base_rows)
+    if probe is None:
+        probe = probe_keys(df, key_col, ts_col=ts_col)
+    return probe, budget_rows
+
+
 def sessionize_auto(
     df: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
     gap_minutes: int = 30,
     tiebreak_col: str | None = None,
-    budget_rows: int = WINDOW_BUDGET_ROWS,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
 ) -> DataFrame:
     """:func:`timeseries.sessionize` with the plain/twin choice made by
     the probe.  Identical output either way (the twin is property-pinned
-    equal); only the physical plan differs."""
-    probe = probe_keys(df, key_col)
+    equal); only the physical plan differs.  ``budget_rows=None`` derives
+    the crossover from the session's per-task memory; ``probe=`` skips
+    the probe scan (share one probe across routed operators)."""
+    probe, budget_rows = _resolve(
+        df, key_col, None, budget_rows, WINDOW_BUDGET_ROWS, probe
+    )
     buckets = (
         _auto_buckets(probe, budget_rows)
         if decide_twin(probe, budget_rows)
@@ -171,23 +301,25 @@ def rolling_zscore_auto(
     key_col: str = "event_type",
     tiebreak_col: str = "event_id",
     scale: int = 100,
-    budget_rows: int = WINDOW_BUDGET_ROWS,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
 ) -> DataFrame:
     """:func:`stats.rolling_zscore` or its chunked twin by probe.  The
-    twin's ``bucket_span_s`` divides the probed event-time span into
-    :func:`_auto_buckets` slices, so the hot key lands ~budget_rows per
-    (key, bucket) task regardless of the fixture's clock range."""
-    probe = probe_keys(df, key_col, ts_col=ts_col)
+    twin's ``bucket_span_s`` divides the hot key's probed event-time
+    span into :func:`_auto_buckets` slices, so the hot key lands
+    ~budget_rows per (key, bucket) task regardless of the fixture's
+    clock range."""
+    probe, budget_rows = _resolve(
+        df, key_col, ts_col, budget_rows, WINDOW_BUDGET_ROWS, probe
+    )
     if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _stats.rolling_zscore(
             df, window, value_col, ts_col, key_col, tiebreak_col, scale
         )
-    span_s = max((probe.hi_us - probe.lo_us) // 1_000_000, 1)
-    bucket_span_s = max(span_s // _auto_buckets(probe, budget_rows), 1)
     return _stats.rolling_zscore_chunked(
         df,
         window,
-        bucket_span_s=bucket_span_s,
+        bucket_span_s=_bucket_span_s(probe, budget_rows),
         value_col=value_col,
         ts_col=ts_col,
         key_col=key_col,
@@ -204,23 +336,24 @@ def cusum_reflected_auto(
     key_col: str = "event_type",
     tiebreak_col: str = "event_id",
     scale: int = 100,
-    budget_rows: int = CUSUM_BUDGET_ROWS,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
 ) -> DataFrame:
     """:func:`stats.cusum_reflected` or its chunked twin by probe — with
     cusum's own much-higher default budget (see module doc: plain wins
     every measured point; the twin is strictly for histories past a
     task's sort budget)."""
-    probe = probe_keys(df, key_col, ts_col=ts_col)
+    probe, budget_rows = _resolve(
+        df, key_col, ts_col, budget_rows, CUSUM_BUDGET_ROWS, probe
+    )
     if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _stats.cusum_reflected(
             df, slack_cents, value_col, ts_col, key_col, tiebreak_col,
             scale,
         )
-    span_s = max((probe.hi_us - probe.lo_us) // 1_000_000, 1)
-    bucket_span_s = max(span_s // _auto_buckets(probe, budget_rows), 1)
     return _stats.cusum_reflected_chunked(
         df,
-        bucket_span_s=bucket_span_s,
+        bucket_span_s=_bucket_span_s(probe, budget_rows),
         slack_cents=slack_cents,
         value_col=value_col,
         ts_col=ts_col,

@@ -138,6 +138,135 @@ def test_auto_bucket_geometry():
     )
 
 
+def test_parse_mem():
+    assert rt._parse_mem("16g") == 16 << 30
+    assert rt._parse_mem("512m") == 512 << 20
+    assert rt._parse_mem("1024") == 1024 << 20  # bare = MiB (JVM conv.)
+    assert rt._parse_mem("2t") == 2 << 40
+    assert rt._parse_mem("64K") == 64 << 10
+    with pytest.raises(ValueError):
+        rt._parse_mem("lots")
+
+
+def test_budget_scales_with_per_task_memory():
+    """r10 verdict #2, the pinned scenario: the SAME corpus routes
+    differently under a 4 GB/core cluster vs a 16 GB/core one.  A
+    1.5M-rows hot key overflows a 4 GB/core task's sort budget (twin)
+    but fits a 16 GB/core task (plain).  Pure — no second JVM."""
+    per_task_4gb = int(4 * (1 << 30) * 0.6)   # 1 core/executor-core
+    per_task_16gb = int(16 * (1 << 30) * 0.6)
+    b4 = rt.derive_budget_rows(rt.WINDOW_BUDGET_ROWS, per_task_4gb)
+    b16 = rt.derive_budget_rows(rt.WINDOW_BUDGET_ROWS, per_task_16gb)
+    assert b4 == 800_000 and b16 == 3_200_000  # linear from the anchor
+    hot = rt.KeyProbe(5, 1_500_000, 3_000_000)
+    assert rt.decide_twin(hot, b4) and not rt.decide_twin(hot, b16)
+    # identity at the calibration point; floor under starved sessions
+    assert (
+        rt.derive_budget_rows(rt.WINDOW_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+        == rt.WINDOW_BUDGET_ROWS
+    )
+    assert rt.derive_budget_rows(rt.WINDOW_BUDGET_ROWS, 1) == rt.MIN_BUDGET_ROWS
+
+
+def test_session_budget_reads_live_conf(spark):
+    """The derivation reads the REAL session conf: the test session is
+    local[8] with a 16 GiB heap -> 1.2 GiB/task, 4x the calibration
+    anchor, so the default window budget is 4e5 here (and explicit
+    budget_rows= still overrides, as every decision pin in this file
+    relies on)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_DRIVER_MEMORY", "16g") != "16g":
+        pytest.skip("budget pin assumes the default 16g test heap")
+    cores = int(spark.conf.get("spark.master").split("[")[1].rstrip("]"))
+    expect = int(16 * (1 << 30) * 0.6) // cores
+    assert rt.per_task_exec_bytes(spark) == expect
+    assert rt.session_budget_rows(spark) == rt.derive_budget_rows(
+        rt.WINDOW_BUDGET_ROWS, expect
+    )
+
+
+def test_shared_probe_skips_the_scan(spark, monkeypatch):
+    """r10 verdict #4: a caller routing several operators over one frame
+    pays the probe once.  (a) With ``probe=`` handed in, probe_keys is
+    never called — pinned by poisoning it; routing decisions from the
+    shared probe match the per-operator ones.  (b) statusTracker job
+    count: the routed call with a shared probe launches exactly as many
+    jobs as the explicit operator — zero extra scans."""
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    shared = rt.probe_keys(ev, "event_type", ts_col="ts")
+    fresh = rt.probe_keys(ev, "event_type", ts_col="ts")
+    assert shared == fresh  # probe is deterministic -> decisions match
+
+    def _poison(*a, **k):
+        raise AssertionError("probe_keys called despite probe=")
+
+    monkeypatch.setattr(rt, "probe_keys", _poison)
+    routed = rt.rolling_zscore_auto(ev, 25, probe=shared)
+    routed2 = rt.cusum_reflected_auto(ev, probe=shared)
+    routed3 = rt.sessionize_auto(
+        ev, key_col="event_type", tiebreak_col="event_id", probe=shared
+    )
+    monkeypatch.undo()
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        stats as st,
+    )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("rt_explicit", "explicit plain zscore")
+    explicit_rows = st.rolling_zscore(ev, 25).collect()
+    sc.setJobGroup("rt_routed", "routed with shared probe")
+    routed_rows = routed.collect()
+    sc.setJobGroup("rt_done", "")
+    n_explicit = len(tracker.getJobIdsForGroup("rt_explicit"))
+    n_routed = len(tracker.getJobIdsForGroup("rt_routed"))
+    assert n_explicit >= 1 and n_routed == n_explicit
+    assert _zkey(explicit_rows) == _zkey(routed_rows)
+    assert routed2.count() == ev.count() and routed3.count() == ev.count()
+
+
+def test_bucket_span_uses_hot_key_span():
+    """r10 ADVICE: a hot key concentrated in a narrow slice of a wide
+    corpus span must get its fan-out from ITS OWN span — a year-wide
+    corpus with a one-hour hot key otherwise collapses every hot row
+    into one bucket."""
+    year_us = 365 * 86_400 * 1_000_000
+    hour_us = 3_600 * 1_000_000
+    p = rt.KeyProbe(
+        5, 1_000_000, 1_200_000,
+        lo_us=0, hi_us=year_us, hot_lo_us=0, hot_hi_us=hour_us,
+    )
+    # 10 buckets over ONE HOUR -> 360 s slices, not 360 s-per-year/10
+    assert rt._auto_buckets(p, 100_000) == 10
+    assert rt._bucket_span_s(p, 100_000) == 360
+    # pre-r11 probes (no hot fields) fall back to the corpus span
+    old = rt.KeyProbe(5, 1_000_000, 1_200_000, lo_us=0, hi_us=year_us)
+    assert rt._bucket_span_s(old, 100_000) == (year_us // 1_000_000) // 10
+
+
+def test_probe_carries_hot_key_span(spark):
+    """The live probe's hot span is the max-count key's own min/max —
+    verified on a crafted frame where the hot key covers one narrow
+    hour of a month-wide corpus."""
+    from datetime import datetime, timezone
+
+    def _ts(day, hour, minute=0):
+        return datetime(2024, 1, day, hour, minute, tzinfo=timezone.utc)
+
+    rows = [("hot", _ts(15, 12, m)) for m in range(50)]  # one hour slice
+    rows += [("cold", _ts(1, 0)), ("cold", _ts(30, 0))]  # month-wide
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    p = rt.probe_keys(df, "k", ts_col="ts")
+    assert p.max_key_rows == 50
+    span_us = p.hot_hi_us - p.hot_lo_us
+    assert span_us == 49 * 60 * 1_000_000  # the hot hour, not the month
+    assert p.hi_us - p.lo_us > 20 * 86_400 * 1_000_000
+
+
 def _zkey(rows):
     return {(r["event_type"], r["event_id"]): r["zscore"] for r in rows}
 
