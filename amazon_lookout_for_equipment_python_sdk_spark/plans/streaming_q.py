@@ -37,7 +37,20 @@ def _work_dir(name: str, sf_dir: str) -> str:
     exists, and (c) our own process's subdirs whose owning thread has
     finished — so TMPDIR residue is bounded at one fixture-sized dir
     per (query, fixture) per LIVE invoking thread, with dead-owner
-    residue collected by the next caller."""
+    residue collected by the next caller.
+
+    Two scope notes (r10 ADVICE).  The consume-before-reinvoke contract
+    binds the WHOLE PROCESS, not the invoking thread: the reaper treats
+    a finished producer thread's dir as dead even if another thread
+    still holds that invocation's un-consumed lazy frame (thread
+    liveness comes from ``threading.enumerate()``, which only sees
+    threading-managed threads anyway) — consume the frame before ANY
+    thread of the process re-invokes the same (query, fixture).  And
+    the cross-process existence probe (``os.kill(pid, 0)``) is
+    POSIX-only — on other platforms ``os.kill`` can TERMINATE the
+    probed process, so foreign-pid reaping is skipped there entirely
+    (dead foreign dirs then persist until a POSIX caller or TMPDIR
+    cleaning collects them; this engine's test/bench hosts are POSIX)."""
     import threading
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
@@ -56,6 +69,8 @@ def _work_dir(name: str, sf_dir: str) -> str:
             continue
         pid, tid = int(m.group(1)), int(m.group(2))
         if pid != me:
+            if os.name != "posix":
+                continue  # kill(0) is not an existence probe elsewhere
             try:
                 os.kill(pid, 0)  # signal 0: existence probe only
                 continue  # owner process alive — leave its dir alone

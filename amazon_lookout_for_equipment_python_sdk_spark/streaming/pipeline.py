@@ -169,10 +169,15 @@ def foreach_batch_apply(
                 warnings.warn(
                     f"foreach_batch_apply epoch {_epoch}: persistent-RDD "
                     f"count grew {before} -> {after} but the persist "
-                    f"probe recorded no frames — the batch fn persists "
-                    f"through a path the probe cannot see (Connect "
-                    f"frame / raw rdd.persist); those caches will "
-                    f"accumulate one per epoch",
+                    f"probe recorded no frames — the batch fn may "
+                    f"persist through a path the probe cannot see "
+                    f"(Connect frame / raw rdd.persist); those caches "
+                    f"would accumulate one per epoch.  ADVISORY ONLY — "
+                    f"the count is session-global, so a CONCURRENT "
+                    f"stream or job persisting in the same session "
+                    f"during this batch produces the same signature "
+                    f"(false positive), and a concurrent unpersist can "
+                    f"mask a true leak",
                     RuntimeWarning,
                     stacklevel=2,
                 )

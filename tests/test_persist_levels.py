@@ -72,13 +72,23 @@ def _persist_sites():
     """Yield (relpath, line_no, enclosing_def, level_literal) for every
     DataFrame .persist( call in the package.  level_literal is the
     StorageLevel.* token inside the call parens (joined across lines up
-    to the closing paren) or 'DEFAULT' for a bare .persist()."""
+    to the closing paren), 'DEFAULT' for a bare .persist(), or
+    'UNKNOWN:<arg>' for any other argument shape — a variable holding a
+    level is opaque to a static contract (r10 ADVICE: the old extractor
+    classified ``.persist(level)`` as DEFAULT, silently passing an
+    ITER_DESER entry even if the variable held a serialized memory
+    level), so UNKNOWN always fails with classification instructions.
+    Occurrences after a ``#`` are comments, not sites."""
     sites = []
     for p in sorted(PKG.rglob("*.py")):
         lines = p.read_text().splitlines()
         for i, ln in enumerate(lines):
-            if ".persist(" not in ln:
+            pos = ln.find(".persist(")
+            if pos < 0:
                 continue
+            hash_pos = ln.find("#")
+            if 0 <= hash_pos < pos:
+                continue  # commented-out mention, not a call site
             func = "<module>"
             for j in range(i, -1, -1):
                 m = re.match(r"\s*def\s+(\w+)", lines[j])
@@ -86,13 +96,19 @@ def _persist_sites():
                     func = m.group(1)
                     break
             # join forward until the persist call's paren closes
-            blob = ln[ln.index(".persist(") :]
+            blob = ln[pos:]
             k = i
             while blob.count("(") > blob.count(")") and k + 1 < len(lines):
                 k += 1
                 blob += " " + lines[k].strip()
-            m = re.search(r"\.persist\(\s*(StorageLevel\.\w+)?\s*\)", blob)
-            level = m.group(1) if m and m.group(1) else "DEFAULT"
+            arg_m = re.search(r"\.persist\(([^)]*)\)", blob)
+            arg = (arg_m.group(1) if arg_m else "").strip()
+            if arg == "":
+                level = "DEFAULT"
+            elif re.fullmatch(r"StorageLevel\.\w+", arg):
+                level = arg
+            else:
+                level = f"UNKNOWN:{arg}"
             sites.append(
                 (str(p.relative_to(PKG)), i + 1, func, level)
             )
@@ -109,7 +125,15 @@ def test_every_persist_site_classified_and_leveled():
         seen.add(key)
         cls = REGISTRY.get(key)
         where = f"{rel}:{line_no} ({func})"
-        if cls is None:
+        if level.startswith("UNKNOWN:"):
+            problems.append(
+                f"{where}: persist argument {level[8:]!r} is not a "
+                f"StorageLevel literal — a static contract cannot see "
+                f"through a variable.  Inline the StorageLevel.* "
+                f"literal at the call site (or make it a bare "
+                f".persist()) so the classification is checkable."
+            )
+        elif cls is None:
             problems.append(
                 f"UNCLASSIFIED persist site {where} [{level}] — add it "
                 f"to tests/test_persist_levels.py REGISTRY as CORPUS "
