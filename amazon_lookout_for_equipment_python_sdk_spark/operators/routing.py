@@ -12,7 +12,7 @@ plain                     twin                            crossover
 ========================  ==============================  ==========
 timeseries.sessionize     sessionize(skew_buckets=N)      ~1e5 rows/key
 stats.rolling_zscore      stats.rolling_zscore_chunked    ~1e5 rows/key
-stats.cusum_reflected     stats.cusum_reflected_chunked   >2e6 rows/key
+stats.cusum_reflected     stats.cusum_reflected_chunked   ~1.5e5 rows/key
 ========================  ==============================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -41,15 +41,21 @@ measured calibration points anchor the line:
   1e5 is the bracket midpoint.  A 4 GB/core cluster therefore routes
   at a higher crossover than a 1 GB/core one — pinned in
   tests/test_routing.py.
-- cusum: ``20_000_000`` rows/key at the same calibration point.  An
-  unbounded-prefix fold has no W-row frame work for the twin to
-  amortize, so plain wins FAR past the window family's cliff (the
-  honest negative A/B, BASELINE.md r9 addendum 4: plain wins every
-  measured point up to 2M rows/key); the twin exists for histories
-  past a task's sort budget (the 630M-rows/key shape).  The default
-  sits 10x beyond the largest measured plain-wins point — an
-  extrapolation, flagged as such here, refined when a bigger fixture
-  exists.
+- cusum: ``150_000`` rows/key at the same calibration point.  The r9
+  "plain wins every measured point to 2M" claim (and the 2e7
+  extrapolated default it anchored) was a MEASUREMENT ARTIFACT: the
+  old ``.count()`` bench drain let Catalyst prune the rollup's
+  aggregate expressions and elide the entire window pipeline — the
+  plain side was timing a bare ``distinct`` (BASELINE.md r11
+  addendum; tools/drain_audit.py now makes the hazard visible).  The
+  r11 re-measurement with an un-prunable drain (max over the cusum
+  column) on hot-key-dominant fixtures (tools/gen_cusum_xl.py, 100k
+  to 50M rows/key at 0.9 GiB/task) brackets the true crossover at
+  300k-600k rows/key there — plain 1.6x faster at 100k-300k, the
+  twin 1.25x at 600k growing to 12.7x at 50M — i.e. the same
+  serialized-sort cliff as the window family, just shifted ~3x
+  higher by cusum's lighter per-row frame work.  450k at 0.9
+  GiB/task maps to 150k at the 0.3 GiB/task anchor.
 
 Pass ``budget_rows`` explicitly to pin a decision (tests do); pass a
 precomputed :class:`KeyProbe` via ``probe=`` to amortize the probe
@@ -83,9 +89,11 @@ from . import timeseries as _timeseries
 #: for the measured bracket.
 WINDOW_BUDGET_ROWS = 100_000
 
-#: cusum's fold has no frame work to amortize; plain wins to at least
-#: 2e6 rows/key (measured) — default is 10x beyond that point.
-CUSUM_BUDGET_ROWS = 20_000_000
+#: cusum's crossover, r11-measured on hot-key-dominant fixtures with an
+#: un-prunable drain (see module doc: the r9 2e7 figure came from an
+#: elided-plan measurement): bracket 300k-600k rows/key at 0.9
+#: GiB/task -> 150k at the calibration anchor.
+CUSUM_BUDGET_ROWS = 150_000
 
 #: per-task execution memory where the two constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
@@ -184,7 +192,10 @@ def probe_keys(
     twin's bucket geometry needs no second pass over the corpus."""
     per_key = [F.count(F.lit(1)).alias("_c")]
     if ts_col is not None:
-        us = F.unix_micros(F.col(ts_col))
+        # cast: unix_micros rejects TIMESTAMP_NTZ (the decade fixtures
+        # ship NTZ); the engine session runs UTC so the cast is
+        # value-preserving, and the span only feeds bucket geometry
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         per_key += [F.min(us).alias("_lo"), F.max(us).alias("_hi")]
     agg = df.groupBy(key_col).agg(*per_key)
     final = [
@@ -340,9 +351,9 @@ def cusum_reflected_auto(
     probe: KeyProbe | None = None,
 ) -> DataFrame:
     """:func:`stats.cusum_reflected` or its chunked twin by probe — with
-    cusum's own much-higher default budget (see module doc: plain wins
-    every measured point; the twin is strictly for histories past a
-    task's sort budget)."""
+    cusum's own slightly-higher default budget (see module doc: the
+    crossover sits ~1.5x the window family's, r11-measured from 100k to
+    50M rows/key after the r9 elided-drain artifact was found)."""
     probe, budget_rows = _resolve(
         df, key_col, ts_col, budget_rows, CUSUM_BUDGET_ROWS, probe
     )

@@ -132,19 +132,24 @@ def cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE (r9): cusum_reflected_chunked (operators/stats.py) — the
-# two-level-scan twin of the plain row above — is deliberately NOT
-# registered.  The registry headroom test rejected the registration
-# (131 queries + 10 forced entries -> a 4-round staleness cycle), and
-# the measurements say the slot isn't earned: the PLAIN form wins at
-# every locally measurable SF (sf10 0.61s vs 3.22s — an unbounded-
-# prefix fold has no W-row frame cost for chunking to amortize, unlike
-# rolling_zscore whose twin wins from sf1 up).  The chunked path is the
-# insurance for per-key histories past one task's sort budget, and is
+# NOTE (r9, corrected r11): cusum_reflected_chunked (operators/
+# stats.py) — the two-level-scan twin of the plain row above — is
+# deliberately NOT registered (the registry headroom test rejected a
+# 131st query; this plain row stays the oracle pin).  The r9 claim
+# that "the PLAIN form wins at every locally measurable SF (sf10
+# 0.61s vs 3.22s)" was a MEASUREMENT ARTIFACT: the old .count() bench
+# drain let Catalyst prune this rollup's aggregate expressions and
+# elide all five windows — the plain side timed a bare distinct
+# (tools/drain_audit.py).  The r11 re-measurement with an un-prunable
+# drain (BASELINE.md r11 addendum) puts the true crossover at
+# 300k-600k rows/key (0.9 GiB/task): the twin wins 1.8x at sf10's 2M
+# rows/key and 12.7x at 50M.  The auto router (operators/routing.py
+# cusum_reflected_auto) now routes accordingly; this registered row
+# keeps the plain shape as the oracle pin, not the production path —
+# the rolling_zscore_anomalies precedent.  The chunked path remains
 # certified TRANSITIVELY: the randomized equality property test
 # (tests/test_stats.py) pins it row-for-row to cusum_reflected, whose
-# rollup is this oracle-green driver row.  BASELINE.md r9 addendum 4
-# has the full crossover statement.
+# rollup is this oracle-green driver row.
 
 
 _RHO_EXPR = (

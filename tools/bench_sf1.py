@@ -52,8 +52,16 @@ SF1 = os.path.join(
 
 def main() -> None:
     spark = get_spark("bench_sf1")
+    def _drain(df):
+        # noop sink, NOT .count() (r11): count lets Catalyst prune
+        # aggregate expressions and elide upstream operators (see
+        # tools/drain_audit.py — bigram_lm_perplexity, corpus_pipeline
+        # and wasserstein_raw_rank in THIS list were partially elided
+        # under the old drain; same fix bench.py got in r6).
+        df.write.format("noop").mode("overwrite").save()
+
     for n in QUERIES:  # warm-up
-        q.QUERIES[n](spark, "/root/testdata/sf0.001").count()
+        _drain(q.QUERIES[n](spark, "/root/testdata/sf0.001"))
 
     def best3(name, sf_dir):
         ts = []
@@ -63,7 +71,7 @@ def main() -> None:
             time.sleep(0.2)
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
-            q.QUERIES[name](spark, sf_dir).count()
+            _drain(q.QUERIES[name](spark, sf_dir))
             ts.append(time.time() - t0)
         return round(min(ts), 3)
 

@@ -53,6 +53,15 @@ SKEWED = os.path.join(LOCAL, _pair[1])
 REPS = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "3"))
 
 
+def _drain(df) -> None:
+    # noop sink, NOT .count() (r11): count lets Catalyst prune aggregate
+    # expressions and elide upstream operators — the r9 cusum A/B's
+    # plain side compiled to a bare distinct (tools/drain_audit.py; the
+    # same fix bench.py got in r6).  The noop write materializes every
+    # output column.
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("bench_skew")
     only = os.environ.get("SPARK_GRAFT_SKEW_QUERIES")
@@ -61,7 +70,7 @@ def main() -> None:
     else:
         names = [n for pair in QUERIES for n in pair if n]
     for n in names:  # warm-up
-        q.QUERIES[n](spark, "/root/testdata/sf0.001").count()
+        _drain(q.QUERIES[n](spark, "/root/testdata/sf0.001"))
 
     def min3(name, sf_dir):
         ts = []
@@ -71,7 +80,7 @@ def main() -> None:
             time.sleep(0.2)
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
-            q.QUERIES[name](spark, sf_dir).count()
+            _drain(q.QUERIES[name](spark, sf_dir))
             ts.append(time.time() - t0)
         return round(min(ts), 3)
 
