@@ -38,6 +38,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark  # noqa: E402
 from amazon_lookout_for_equipment_python_sdk_spark.streaming.stateful import (  # noqa: E402
     sessionize_stream,
@@ -77,6 +79,9 @@ def _drain(spark, op_name, sf_dir):
             .option("maxFilesPerTrigger", per_trigger)
             .parquet(src)
         )
+        # decade fixtures ship ts as TIMESTAMP_NTZ; watermarks need
+        # TIMESTAMP and the session runs UTC so the cast is value-safe
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         t0 = time.time()
         q = (
             OPERATORS[op_name](stream)
