@@ -1,0 +1,64 @@
+"""Bench-drain contract (r11).
+
+The `.count()` drain lets Catalyst prune aggregate expressions and
+elide upstream operators — the r9 cusum A/B's plain side compiled to a
+bare distinct and published a wrong crossover (BASELINE.md r11
+addendum; tools/drain_audit.py).  bench.py was fixed in r6; the other
+harnesses in r11.  These pins keep the class from coming back:
+
+1. every bench harness's TIMED path drains through the noop sink;
+2. the audit tool itself keeps flagging a known-elidable query, so a
+   future "the audit says everything is fine" is trustworthy.
+"""
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+HARNESSES = [
+    "bench.py",
+    "tools/bench_sf1.py",
+    "tools/bench_skew.py",
+    "tools/bench_cusum_xl.py",
+    "tools/bench_stream_skew.py",
+]
+
+
+def test_no_count_drain_in_timed_loops():
+    """No bench harness may time a `.count()` — the timed body must go
+    through the noop sink (or an explicit un-prunable drain: the cusum
+    harness collects max(cusum); the streaming one writes parquet).
+    Flags any QUERIES[...]...count() or df.count() inside a harness."""
+    offenders = []
+    for rel in HARNESSES:
+        src = (ROOT / rel).read_text()
+        for i, ln in enumerate(src.splitlines(), 1):
+            code = ln.split("#")[0]
+            if re.search(r"\.count\(\)", code):
+                offenders.append(f"{rel}:{i}: {ln.strip()}")
+    assert not offenders, (
+        "count() drain in a bench harness — Catalyst prunes aggregate "
+        "expressions under a row-count and elides upstream operators "
+        "(the r9 cusum artifact, BASELINE.md r11 addendum).  Drain "
+        "through df.write.format('noop') instead:\n" + "\n".join(offenders)
+    )
+
+
+def test_drain_audit_flags_known_elidable_query(spark):
+    """cusum_drift_flags is the canonical fully-elidable query (its
+    rollup's aggregate expressions prune to a distinct).  The audit
+    logic must keep flagging it — if Spark's optimizer ever stops
+    pruning here this test tells us the hazard class closed upstream."""
+    import re as _re
+
+    from amazon_lookout_for_equipment_python_sdk_spark.plans import (
+        queries as q,
+    )
+
+    def counts(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(_re.findall(r"\bWindow", plan))
+
+    df = q.QUERIES["cusum_drift_flags"](spark, "/root/testdata/sf0.001")
+    assert counts(df) == 5  # the full five-window pipeline
+    assert counts(df.groupBy().count()) == 0  # all elided under count
