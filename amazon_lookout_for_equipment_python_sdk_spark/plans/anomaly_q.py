@@ -132,24 +132,29 @@ def cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE (r9, corrected r11): cusum_reflected_chunked (operators/
-# stats.py) — the two-level-scan twin of the plain row above — is
-# deliberately NOT registered (the registry headroom test rejected a
-# 131st query; this plain row stays the oracle pin).  The r9 claim
-# that "the PLAIN form wins at every locally measurable SF (sf10
-# 0.61s vs 3.22s)" was a MEASUREMENT ARTIFACT: the old .count() bench
-# drain let Catalyst prune this rollup's aggregate expressions and
-# elide all five windows — the plain side timed a bare distinct
-# (tools/drain_audit.py).  The r11 re-measurement with an un-prunable
-# drain (BASELINE.md r11 addendum) puts the true crossover at
-# 300k-600k rows/key (0.9 GiB/task): the twin wins 1.8x at sf10's 2M
-# rows/key and 12.7x at 50M.  The auto router (operators/routing.py
-# cusum_reflected_auto) now routes accordingly; this registered row
-# keeps the plain shape as the oracle pin, not the production path —
-# the rolling_zscore_anomalies precedent.  The chunked path remains
-# certified TRANSITIVELY: the randomized equality property test
-# (tests/test_stats.py) pins it row-for-row to cusum_reflected, whose
-# rollup is this oracle-green driver row.
+@register("cusum_drift_flags_chunked", _CUSUM_SQL)
+def cusum_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``cusum_drift_flags`` (identical rows,
+    same oracle — the rolling_zscore_anomalies_chunked precedent): the
+    reflected walk decomposed into local (key, time-bucket) scans plus
+    a tiny carry table (operators/stats.py cusum_reflected_chunked).
+
+    Registered in r11, when the honest-drain re-measurement showed this
+    IS the production path at scale: the r9 "plain wins everywhere"
+    crossover table was a count-drain elision artifact (BASELINE.md r11
+    addendum) — the true crossover is 300k-600k rows/key at 0.9
+    GiB/task, the twin winning 1.8x at sf10's 2M rows/key and 12.7x at
+    50M.  The plain row above stays registered as the small-key fast
+    path the auto router (operators/routing.py cusum_reflected_auto)
+    picks below ~150k rows/key; the randomized property test
+    (tests/test_stats.py) additionally pins the two forms row-for-row
+    equal."""
+    events = load(spark, sf_dir, "events")
+    cus = st.cusum_reflected_chunked(events, bucket_span_s=6 * 3600)
+    return cus.groupBy("event_type").agg(
+        F.count(F.when(F.col("cusum") > F.lit(_CUSUM_H), 1)).alias("n_over"),
+        qfloor(F.max("cusum")).alias("max_cusum"),
+    )
 
 
 _RHO_EXPR = (
