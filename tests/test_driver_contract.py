@@ -116,6 +116,65 @@ def test_rotation_is_oldest_first():
     assert not unknown, f"_FORCE_VERIFY references unknown queries: {unknown}"
 
 
+import re as _re
+
+_DRIVER_ARTIFACT = _re.compile(
+    r"^(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|VERDICT\.md|ADVICE\.md)$"
+)
+
+
+def _is_driver_artifact(name: str) -> bool:
+    """Repo-root files the DRIVER/JUDGE commit after the builder's final
+    commit each round ('round N: verdict/advice/correctness/bench')."""
+    return bool(_DRIVER_ARTIFACT.match(name))
+
+
+def _only_driver_commits_after(round_no: int, root: str | None = None) -> bool:
+    """True iff every commit after the one that last touched
+    CORRECTNESS_r{round_no}.json changed ONLY driver/judge artifacts —
+    i.e. the builder has not committed since that artifact landed.
+
+    This is the judge-time window (r10 verdict 'What's wrong' #1): the
+    driver writes the round's CORRECTNESS artifact AFTER the builder's
+    final commit, so a _FORCE_VERIFY entry whose green row is in that
+    artifact is stale by the artifact's clock but the builder never had
+    a chance to delete it.  Tolerating exactly this window keeps the
+    judge's pytest green; the builder's FIRST commit of the next round
+    (any file outside the driver set) re-arms the failure, so the
+    forcing function survives.  No git / no artifact commit → no
+    tolerance (conservative)."""
+    import glob
+    import os
+    import subprocess
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    matches = [
+        f
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if _re.search(r"r0*(\d+)\.json$", f).group(1) == str(round_no)
+    ]
+    if len(matches) != 1:
+        return False
+    rel = os.path.relpath(matches[0], root)
+    try:
+        art = subprocess.run(
+            ["git", "-C", root, "log", "-1", "--format=%H", "--", rel],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if not art:
+            return False  # artifact not committed yet
+        after = subprocess.run(
+            ["git", "-C", root, "log", "--name-only", "--format=",
+             f"{art}..HEAD"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return False
+    touched = {ln.strip() for ln in after.splitlines() if ln.strip()}
+    return all(_is_driver_artifact(f) for f in touched)
+
+
 def test_force_verify_entries_not_stale():
     """The self-enforcing clear (r8 verdict #1, the #1 hygiene item two
     rounds running): a _FORCE_VERIFY entry exists to push a changed query
@@ -126,7 +185,12 @@ def test_force_verify_entries_not_stale():
     remembered chore into a forcing function like the rest of the
     rotation.  The >= comparison (not 'exists in newest artifact') keeps
     a query verified in round N-1 and re-changed in round N forceable
-    without tripping on its pre-change row."""
+    without tripping on its pre-change row.
+
+    Judge-time exemption (r10 verdict): a green row that lives only in
+    an artifact committed AFTER the builder's last commit is tolerated —
+    the builder could not have cleared it yet.  The tolerance dies with
+    the next builder commit (_only_driver_commits_after)."""
     from amazon_lookout_for_equipment_python_sdk_spark.plans.queries import (
         _FORCE_VERIFY,
         _load_last_green,
@@ -138,6 +202,7 @@ def test_force_verify_entries_not_stale():
         n: (forced_rnd, last.get(n, 0))
         for n, forced_rnd in _FORCE_VERIFY.items()
         if last.get(n, 0) >= forced_rnd
+        and not _only_driver_commits_after(last.get(n, 0))
     }
     assert not stale, (
         f"_FORCE_VERIFY entries whose post-change green row already "
@@ -152,6 +217,75 @@ def test_force_verify_entries_not_stale():
         f"_FORCE_VERIFY rounds in the future (current round {rnd}): "
         f"{premature}"
     )
+
+
+def test_driver_artifact_filename_filter():
+    """Pin the file set the judge-time exemption treats as 'driver
+    commit' — widen deliberately, never by accident."""
+    for good in ("CORRECTNESS_r10.json", "BENCH_r07.json", "VERDICT.md",
+                 "ADVICE.md", "CORRECTNESS_r123.json"):
+        assert _is_driver_artifact(good), good
+    for bad in ("bench.py", "__spark_entry__.py", "BASELINE.md",
+                "BASELINE.json", "PROGRESS.jsonl", "docs/R11_NOTES.md",
+                "amazon_lookout_for_equipment_python_sdk_spark/plans/queries.py",
+                "tests/test_driver_contract.py", "CORRECTNESS_rX.json",
+                "xCORRECTNESS_r10.json"):
+        assert not _is_driver_artifact(bad), bad
+
+
+def test_judge_time_exemption_armed_at_builder_time():
+    """At builder time (now — builder commits exist after the newest
+    CORRECTNESS artifact) the exemption must be OFF, or the forcing
+    function would be dead: a stale _FORCE_VERIFY entry would never
+    fail."""
+    newest = _current_round() - 1
+    assert not _only_driver_commits_after(newest), (
+        "exemption active despite builder commits after the newest "
+        "artifact — the _FORCE_VERIFY forcing function is disarmed"
+    )
+
+
+def test_judge_time_exemption_lifecycle(tmp_path):
+    """Scratch-repo replay of the artifact cycle: builder commit →
+    driver artifact commit (exemption ON: judge's pytest stays green) →
+    next builder commit (exemption OFF: the clear is forced again)."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True, capture_output=True,
+            env={"PATH": "/usr/bin:/bin", "HOME": str(tmp_path),
+                 "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    (tmp_path / "engine.py").write_text("x = 1\n")
+    git("add", "engine.py")
+    git("commit", "-qm", "builder: engine change")
+    # uncommitted artifact → no tolerance
+    (tmp_path / "CORRECTNESS_r5.json").write_text("{}")
+    assert not _only_driver_commits_after(5, str(tmp_path))
+    # driver commits the round artifacts after the builder's last commit
+    (tmp_path / "VERDICT.md").write_text("v")
+    git("add", "CORRECTNESS_r5.json", "VERDICT.md")
+    git("commit", "-qm", "round 5: verdict/correctness")
+    assert _only_driver_commits_after(5, str(tmp_path))  # judge time
+    # first builder commit of the next round re-arms the failure
+    (tmp_path / "engine.py").write_text("x = 2\n")
+    git("add", "engine.py")
+    git("commit", "-qm", "builder: next round work")
+    assert not _only_driver_commits_after(5, str(tmp_path))
+    # a later DRIVER-ONLY commit must not resurrect the tolerance for
+    # the OLD round either: round-6 artifact lands, r5's entry stays due
+    (tmp_path / "CORRECTNESS_r6.json").write_text("{}")
+    git("add", "CORRECTNESS_r6.json")
+    git("commit", "-qm", "round 6: correctness")
+    assert not _only_driver_commits_after(5, str(tmp_path))
+    assert _only_driver_commits_after(6, str(tmp_path))
+    # unknown round → conservative
+    assert not _only_driver_commits_after(7, str(tmp_path))
 
 
 def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
