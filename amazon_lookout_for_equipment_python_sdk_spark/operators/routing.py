@@ -60,7 +60,11 @@ measured calibration points anchor the line:
 Pass ``budget_rows`` explicitly to pin a decision (tests do); pass a
 precomputed :class:`KeyProbe` via ``probe=`` to amortize the probe
 scan across several routed operators over the same frame (r10 verdict
-#4) — all three autos accept the same probe shape.
+#4) — all three autos accept the same probe shape.  Build a SHARED
+probe with ``ts_col=`` set: sessionize ignores the span fields, but
+the window-family autos fall back to the plain form when the probe
+carries no event-time span (a time-bucketed twin is meaningless
+without one).
 
 Probe overhead, measured: 0.94 s on the sf10 events fixture (10M rows,
 local[32], warm cache) — under 4% of the cheaper branch of the
@@ -132,11 +136,16 @@ def per_task_exec_bytes(spark: SparkSession) -> int:
     after JVM launch is what the conf reports, same as Spark's own UI."""
     conf = spark.conf
     master = conf.get("spark.master", "") or ""
-    if master.startswith("local"):
+    # NB: local-cluster[...] deliberately takes the cluster branch — its
+    # executors size from spark.executor.memory, not the driver heap
+    if master == "local" or master.startswith("local["):
         heap = _parse_mem(conf.get("spark.driver.memory", "1g"))
-        m = re.match(r"local\[(\*|\d+)\]", master)
+        # local[N], local[N,maxFailures], local[*], local[*,F], bare local
+        m = re.match(r"local\[(\*|\d+)(?:,\d+)?\]", master)
         if m and m.group(1) != "*":
             cores = int(m.group(1))
+        elif master == "local":
+            cores = 1
         else:
             cores = os.cpu_count() or 1
     else:

@@ -172,6 +172,44 @@ def test_budget_scales_with_per_task_memory():
     assert rt.derive_budget_rows(rt.WINDOW_BUDGET_ROWS, 1) == rt.MIN_BUDGET_ROWS
 
 
+def test_per_task_exec_bytes_master_forms():
+    """Master-string coverage beyond the live session: local[N,F]
+    (maxFailures variant) must read N, bare ``local`` is one task, and
+    local-cluster[...] sizes from the EXECUTOR conf (its executors do
+    not share the driver heap)."""
+
+    class _FakeSpark:
+        def __init__(self, d):
+            self.conf = type(
+                "C", (), {"get": staticmethod(lambda k, default=None: d.get(k, default))}
+            )()
+
+    gib = 1 << 30
+    frac = lambda h, c: int(h * 0.6) // c  # noqa: E731
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({"spark.master": "local[4,2]", "spark.driver.memory": "8g"})
+    ) == frac(8 * gib, 4)
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({"spark.master": "local", "spark.driver.memory": "2g"})
+    ) == frac(2 * gib, 1)
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({
+            "spark.master": "local-cluster[2,3,4096]",
+            "spark.driver.memory": "64g",  # must NOT be read
+            "spark.executor.memory": "4g",
+            "spark.executor.cores": "3",
+        })
+    ) == frac(4 * gib, 3)
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({
+            "spark.master": "spark://host:7077",
+            "spark.executor.memory": "12g",
+            "spark.executor.cores": "4",
+            "spark.memory.fraction": "0.5",
+        })
+    ) == int(12 * gib * 0.5) // 4
+
+
 def test_session_budget_reads_live_conf(spark):
     """The derivation reads the REAL session conf: the test session is
     local[8] with a 16 GiB heap -> 1.2 GiB/task, 4x the calibration
