@@ -164,15 +164,21 @@ def _only_driver_commits_after(round_no: int, root: str | None = None) -> bool:
         ).stdout.strip()
         if not art:
             return False  # artifact not committed yet
+        # NUL sentinel per commit so a FILE-LESS commit (merge under
+        # --name-only, --allow-empty) is visible — those count as
+        # builder commits (conservative), not as driver artifacts
         after = subprocess.run(
-            ["git", "-C", root, "log", "--name-only", "--format=",
+            ["git", "-C", root, "log", "--name-only", "--format=%x00",
              f"{art}..HEAD"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout
     except (OSError, subprocess.SubprocessError):
         return False
-    touched = {ln.strip() for ln in after.splitlines() if ln.strip()}
-    return all(_is_driver_artifact(f) for f in touched)
+    for section in after.split("\x00")[1:]:  # one per commit after art
+        files = [ln.strip() for ln in section.splitlines() if ln.strip()]
+        if not files or not all(_is_driver_artifact(f) for f in files):
+            return False
+    return True
 
 
 def test_force_verify_entries_not_stale():
@@ -286,6 +292,10 @@ def test_judge_time_exemption_lifecycle(tmp_path):
     assert _only_driver_commits_after(6, str(tmp_path))
     # unknown round → conservative
     assert not _only_driver_commits_after(7, str(tmp_path))
+    # a FILE-LESS builder commit (--allow-empty; merges read the same
+    # under --name-only) counts as a builder commit, not a driver one
+    git("commit", "-qm", "builder: empty marker", "--allow-empty")
+    assert not _only_driver_commits_after(6, str(tmp_path))
 
 
 def test_all_query_outputs_have_atomic_columns(spark, sf_dir):
