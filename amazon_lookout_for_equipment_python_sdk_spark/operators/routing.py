@@ -133,8 +133,16 @@ def per_task_exec_bytes(spark: SparkSession) -> int:
     masters read the driver heap and the ``local[N]`` core count;
     cluster masters read ``spark.executor.memory`` / ``.cores``.  Uses
     the conf as declared — in local mode a ``spark.driver.memory`` set
-    after JVM launch is what the conf reports, same as Spark's own UI."""
+    after JVM launch is what the conf reports, same as Spark's own UI.
+
+    ``spark.sparkgraft.routing.perTaskExecBytes`` overrides the whole
+    derivation (JVM memory string; bare numbers are MiB) — the seam for
+    deployments where heap/cores conf does not reflect reality (off-heap
+    execution memory, container memory limits, dynamic allocation)."""
     conf = spark.conf
+    override = conf.get("spark.sparkgraft.routing.perTaskExecBytes", None)
+    if override:
+        return max(_parse_mem(override), 1)
     master = conf.get("spark.master", "") or ""
     # NB: local-cluster[...] deliberately takes the cluster branch — its
     # executors size from spark.executor.memory, not the driver heap

@@ -208,6 +208,22 @@ def test_per_task_exec_bytes_master_forms():
             "spark.memory.fraction": "0.5",
         })
     ) == int(12 * gib * 0.5) // 4
+    # explicit override wins over any derivation (the deployment seam
+    # for off-heap/container-limit setups); JVM string, bare = MiB
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({
+            "spark.master": "spark://host:7077",
+            "spark.executor.memory": "12g",
+            "spark.executor.cores": "4",
+            "spark.sparkgraft.routing.perTaskExecBytes": "2g",
+        })
+    ) == 2 * gib
+    assert rt.per_task_exec_bytes(
+        _FakeSpark({
+            "spark.master": "local[4]",
+            "spark.sparkgraft.routing.perTaskExecBytes": "512",
+        })
+    ) == 512 << 20
 
 
 def test_session_budget_reads_live_conf(spark):
