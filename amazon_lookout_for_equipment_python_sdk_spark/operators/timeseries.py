@@ -396,6 +396,13 @@ def asof_join(
     every left row then carries the nearest preceding right payload, ties
     at equal ``ts`` resolved right-row-first so the match is inclusive.
 
+    The fill runs over ONE STRUCT of (match ts, payload...), never the
+    payload columns independently: a struct built from a right row is
+    non-null AS A STRUCT even when payload values inside it are NULL, so
+    the matched row's own nulls survive — per-column ``ignorenulls``
+    fills would skip past them to an OLDER right row's value, silently
+    diverging from merge_asof/ASOF JOIN (r11 fix; DuckDB-pinned).
+
     Scale: ONE shuffle (the union windows over ``key_col``) regardless of
     table sizes — no join, no per-row range probing; a range join here
     would be O(left x right) per key without interval bucketing.  Right
@@ -414,23 +421,22 @@ def asof_join(
     if clash:
         raise ValueError(f"payload columns already in left: {clash}")
     left_cols = list(left.columns)
+    match_struct = F.struct(
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+    )
     r = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        F.col(ts_col).alias("_rts"),
-        *[F.col(c) for c in payload_cols],
+        match_struct.alias("_m"),
         *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
     )
     l = left.select(  # noqa: E741
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_rts"].dataType).alias("_rts"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in payload_cols
-        ],
+        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
         *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
     )
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
@@ -442,28 +448,26 @@ def asof_join(
     filled = r.unionByName(l).select(
         *[
             F.last(c, ignorenulls=True).over(w).alias(c)
-            if c in payload_cols or c == "_rts"
+            if c == "_m"
             else F.col(c)
             for c in r.columns
         ]
     )
     out = filled.filter(F.col("_side") == 1)
+    matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts"))
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col("_m").getField("_rts"))
         )
-        within = F.col("_rts").isNotNull() & (
-            gap <= int(tolerance_seconds * 1_000_000)
-        )
-        out = out.select(
-            *[
-                F.when(within, F.col(c)).alias(c)
-                if c in payload_cols
-                else F.col(c)
-                for c in out.columns
-            ]
-        )
-    return out.select(*left_cols, *payload_cols)
+        matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
+    return out.select(
+        *left_cols,
+        *[
+            F.when(matched, F.col("_m").getField(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
 
 
 def funnel_steps(

@@ -375,6 +375,45 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             )
 
 
+def test_asof_join_preserves_matched_null_payload(spark):
+    """r11 fix: a matched right row whose payload VALUE is NULL must
+    yield NULL — per-column ignorenulls fills used to skip past it to an
+    OLDER right row's value (100 here), silently diverging from
+    merge_asof / DuckDB ASOF JOIN.  The struct fill preserves it.  NaN
+    is NOT null in Spark, so the hazard needs a true SQL NULL to show."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+    )
+
+    left = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 00:00:05', 1),"
+        " ('a', timestamp'2024-01-01 00:00:10', 2) t(tag, ts, lval)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 00:00:01', 100),"
+        " ('a', timestamp'2024-01-01 00:00:08', CAST(NULL AS INT))"
+        " t(tag, ts, price)"
+    )
+    got = {
+        r["lval"]: r["price"]
+        for r in asof_join(
+            left, right, key_col="tag", payload_cols=["price"]
+        ).collect()
+    }
+    assert got == {1: 100, 2: None}
+    # forward direction: left ts=5 matches right ts=8 (NULL), not ts=1
+    fwd = {
+        r["lval"]: r["price"]
+        for r in asof_join(
+            left, right, key_col="tag", payload_cols=["price"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: None, 2: None}  # lval=2 has no right row >= ts=10
+
+
 def test_asof_join_rejects_payload_clash(spark):
     from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
         asof_join,
