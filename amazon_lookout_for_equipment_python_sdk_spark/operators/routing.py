@@ -13,6 +13,7 @@ plain                     twin                            crossover
 timeseries.sessionize     sessionize(skew_buckets=N)      ~1e5 rows/key
 stats.rolling_zscore      stats.rolling_zscore_chunked    ~1e5 rows/key
 stats.cusum_reflected     stats.cusum_reflected_chunked   ~1.5e5 rows/key
+timeseries.asof_join      timeseries.asof_join_chunked    ~1e5 rows/key (union of both tables — r11)
 ========================  ==============================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -353,6 +354,44 @@ def rolling_zscore_auto(
         key_col=key_col,
         tiebreak_col=tiebreak_col,
         scale=scale,
+    )
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    payload_cols: "list[str] | None" = None,
+    direction: str = "backward",
+    tolerance_seconds: "float | None" = None,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`timeseries.asof_join` or its chunked twin by probe (r11 —
+    the fourth routed family).  The serialized cost is the per-key sort
+    of BOTH tables' rows, so the probe runs over their (key, ts) union
+    and the window family's budget applies.  A shared ``probe=`` must
+    have been built over the same union to mean anything."""
+    if budget_rows is None:
+        budget_rows = session_budget_rows(
+            left.sparkSession, WINDOW_BUDGET_ROWS
+        )
+    if probe is None:
+        u = left.select(
+            F.col(key_col), F.col(ts_col)
+        ).unionByName(right.select(F.col(key_col), F.col(ts_col)))
+        probe = probe_keys(u, key_col, ts_col=ts_col)
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
+        return _timeseries.asof_join(
+            left, right, ts_col=ts_col, key_col=key_col,
+            payload_cols=payload_cols, direction=direction,
+            tolerance_seconds=tolerance_seconds,
+        )
+    return _timeseries.asof_join_chunked(
+        left, right, _bucket_span_s(probe, budget_rows),
+        ts_col=ts_col, key_col=key_col, payload_cols=payload_cols,
+        direction=direction, tolerance_seconds=tolerance_seconds,
     )
 
 

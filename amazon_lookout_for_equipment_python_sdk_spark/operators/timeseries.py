@@ -470,6 +470,127 @@ def asof_join(
     )
 
 
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_span_s: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`asof_join`: identical output (property-tested),
+    with the per-key fill parallel across (key, time-bucket) tasks — the
+    scale path when one hot key (the heavily-traded symbol, the dominant
+    sensor) would otherwise serialize BOTH tables' history onto one
+    task's sort.
+
+    The forward-fill of the match struct is a prefix ``last non-null`` —
+    associative, so it decomposes exactly like the zscore/cusum twins
+    (operators/stats.py): a bucket-LOCAL fill (window over (key, bucket)
+    partitions — parallel), plus a tiny carry table holding each
+    bucket's LAST right row, whose own exclusive prefix fill yields
+    "latest right row in any earlier bucket"; a left row whose bucket
+    saw no preceding right row takes the carry (struct-level coalesce —
+    matched NULL payload values still survive).  ``direction='forward'``
+    negates the time axis so the same ascending machinery serves both
+    directions.
+
+    Cost: the union shuffles once on (key, bucket) (the local window),
+    the carry table is one row per non-empty bucket (window over it is
+    bucket-count-sized), joined back BROADCAST.  One extra corpus
+    exchange vs the plain form's single per-key window — worth it when
+    ``max_key_rows`` exceeds the per-task sort budget (see
+    operators/routing.py ``asof_join_auto``); use the plain form when
+    keys >> cores."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction {direction!r}")
+    if bucket_span_s <= 0:
+        raise ValueError(f"bucket_span_s must be positive: {bucket_span_s}")
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in right.columns if c not in (ts_col, key_col)]
+    )
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"payload columns already in left: {clash}")
+    left_cols = list(left.columns)
+    match_struct = F.struct(
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        match_struct.alias("_m"),
+        *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
+        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    # monotone order axis: negate for forward so ascending machinery
+    # (local fill + exclusive bucket prefix) serves both directions
+    sign = 1 if direction == "backward" else -1
+    ord_us = F.unix_micros(F.col(ts_col)) * F.lit(sign)
+    span_us = int(bucket_span_s) * 1_000_000
+    u = r.unionByName(l).withColumn(
+        "_b", F.floor(ord_us / F.lit(span_us))
+    ).withColumn("_ord", ord_us)
+    # 1. bucket-LOCAL fill — windows over (key, bucket): parallel
+    w_local = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy(F.col("_ord").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_lm", F.last("_m", ignorenulls=True).over(w_local))
+    # 2. tiny carry table: each bucket's LAST right row (right rows are
+    # unique per (key, ts) — the asof contract — so _ord alone orders
+    # them), then "latest right row in any EARLIER bucket" by exclusive
+    # prefix fill over the bucket-count-sized table
+    bucket_last = filled.groupBy(key_col, "_b").agg(
+        F.max_by(
+            F.col("_m"), F.when(F.col("_side") == 0, F.col("_ord"))
+        ).alias("_bl")
+    )
+    w_carry = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = bucket_last.select(
+        F.col(key_col),
+        F.col("_b"),
+        F.last("_bl", ignorenulls=True).over(w_carry).alias("_carry"),
+    )
+    # 3. row-local combine: local fill, else the bucket's carry
+    combined = (
+        filled.filter(F.col("_side") == 1)
+        .join(F.broadcast(carries), on=[key_col, "_b"], how="left")
+        .withColumn("_m", F.coalesce(F.col("_lm"), F.col("_carry")))
+    )
+    matched = F.col("_m").isNotNull()
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col("_m").getField("_rts"))
+        )
+        matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
+    return combined.select(
+        *left_cols,
+        *[
+            F.when(matched, F.col("_m").getField(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],

@@ -714,6 +714,31 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "purchase_value")
 
 
+@register("asof_join_purchases_chunked", _ASOF_SQL)
+def asof_join_purchases_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe twin of ``asof_join_purchases`` (identical rows,
+    same oracle — the rolling_zscore/cusum chunked-row precedent): the
+    per-key forward fill decomposed into (key, time-bucket) local fills
+    plus a bucket-count-sized carry table
+    (operators/timeseries.py asof_join_chunked, r11).  Registered so the
+    driver certifies the twin's lineage every rotation — it is the form
+    ``asof_join_auto`` routes to when one hot key (the heavily-traded
+    symbol) would serialize both tables' history onto one task."""
+    events = load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return ts_ops.asof_join_chunked(
+        left, right, 24 * 3600, ts_col="ts", key_col="user_id",
+        payload_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Interval x interval overlap join (J1 extended)
 # ---------------------------------------------------------------------------

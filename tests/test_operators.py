@@ -414,6 +414,129 @@ def test_asof_join_preserves_matched_null_payload(spark):
     assert fwd == {1: None, 2: None}  # lval=2 has no right row >= ts=10
 
 
+def test_asof_join_chunked_equals_plain(spark):
+    """The skew-safe twin is row-for-row equal to asof_join across
+    directions, tolerance, and bucket geometries — including spans that
+    leave buckets with only-left rows (carry must bridge them), only-
+    right rows, and multi-bucket gaps; one giant bucket degenerates to
+    the plain shape."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 300),
+            "ts": base + pd.to_timedelta(rng.integers(0, 50_000, 300), "s"),
+            "lid": np.arange(300),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 60),  # sparse: long right gaps
+                "ts": base
+                + pd.to_timedelta(rng.integers(0, 50_000, 60), "s"),
+                "pay": rng.normal(size=60).round(3),
+            }
+        )
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    def key(df):
+        return sorted(
+            (r["lid"], r["pay"]) for r in df.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 600):
+            plain = key(
+                asof_join(
+                    left, right, ts_col="ts", key_col="k",
+                    direction=direction, tolerance_seconds=tol,
+                )
+            )
+            for span in (60, 3_600, 10_000_000):  # many/medium/one bucket
+                got = key(
+                    asof_join_chunked(
+                        left, right, span, ts_col="ts", key_col="k",
+                        direction=direction, tolerance_seconds=tol,
+                    )
+                )
+                assert got == plain, (direction, tol, span)
+
+
+def test_asof_join_chunked_preserves_matched_null_payload(spark):
+    """The struct-level coalesce keeps the r11 null-payload fix through
+    the carry path: the matched right row's NULL survives even when the
+    carry bridges buckets."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join_chunked,
+    )
+
+    left = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 02:00:00', 1),"
+        " ('a', timestamp'2024-01-01 05:00:00', 2) t(tag, ts, lval)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 00:00:01', 100),"
+        " ('a', timestamp'2024-01-01 03:00:00', CAST(NULL AS INT))"
+        " t(tag, ts, price)"
+    )
+    got = {
+        r["lval"]: r["price"]
+        for r in asof_join_chunked(
+            left, right, 3600, key_col="tag", payload_cols=["price"]
+        ).collect()
+    }
+    # lval=1's bucket has no right row -> carry bridges to ts=00:00:01;
+    # lval=2 matches the NULL-payload row via carry from an earlier
+    # bucket — the NULL must survive, not fall through to 100
+    assert got == {1: 100, 2: None}
+
+
+def test_asof_join_chunked_no_per_key_corpus_window(spark):
+    """Plan shape: every corpus-sized Window partitions by (key, bucket)
+    — the twin's reason to exist; only the bucket-count-sized carry
+    table windows by bare key, and the carry join is broadcast."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join_chunked,
+    )
+
+    left = spark.range(100).select(
+        F.lit("a").alias("tag"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(20).select(
+        F.lit("a").alias("tag"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 300).alias("ts"),
+        (F.col("id") * 2).alias("price"),
+    )
+    plan = (
+        asof_join_chunked(left, right, 3600, key_col="tag")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan  # carry join never shuffles
+    # the corpus-side fill window must partition by (key, bucket) — a
+    # bare-key corpus window would re-serialize the hot key
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert any("_b" in s for s in specs), plan  # local fill keyed (k,_b)
+
+
 def test_asof_join_rejects_payload_clash(spark):
     from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
         asof_join,

@@ -287,6 +287,67 @@ def test_shared_probe_skips_the_scan(spark, monkeypatch):
     assert routed2.count() == ev.count() and routed3.count() == ev.count()
 
 
+def test_asof_join_auto_routes_and_matches(spark):
+    """The fourth routed family (r11): auto routes PLAIN below the
+    budget and CHUNKED above it, with identical rows either way; a
+    shared probe (over the union) skips the probe scan."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+    )
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "tag": rng.integers(0, 3, 200).astype(str),
+            "ts": base + pd.to_timedelta(rng.integers(0, 20_000, 200), "s"),
+            "lid": np.arange(200),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "tag": rng.integers(0, 3, 50).astype(str),
+                "ts": base
+                + pd.to_timedelta(rng.integers(0, 20_000, 50), "s"),
+                "pay": rng.normal(size=50).round(3),
+            }
+        )
+        .drop_duplicates(["tag", "ts"])
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    plain = sorted(
+        (r["lid"], r["pay"]) for r in asof_join(left, right).collect()
+    )
+    # budget far above max key rows -> plain; far below -> chunked;
+    # both must equal the explicit plain answer
+    for budget in (10**9, 10):
+        got = sorted(
+            (r["lid"], r["pay"])
+            for r in rt.asof_join_auto(
+                left, right, budget_rows=budget
+            ).collect()
+        )
+        assert got == plain, budget
+    # shared probe over the union skips the scan (poisoned probe_keys)
+    u = left.select("tag", "ts").unionByName(right.select("tag", "ts"))
+    shared = rt.probe_keys(u, "tag", ts_col="ts")
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        routed = rt.asof_join_auto(left, right, probe=shared, budget_rows=10)
+    finally:
+        rt.probe_keys = orig
+    assert sorted((r["lid"], r["pay"]) for r in routed.collect()) == plain
+
+
 def test_bucket_span_uses_hot_key_span():
     """r10 ADVICE: a hot key concentrated in a narrow slice of a wide
     corpus span must get its fan-out from ITS OWN span — a year-wide
