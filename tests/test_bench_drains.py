@@ -21,6 +21,7 @@ HARNESSES = [
     "tools/bench_skew.py",
     "tools/bench_cusum_xl.py",
     "tools/bench_stream_skew.py",
+    "tools/bench_asof_ab.py",
 ]
 
 

@@ -4,9 +4,10 @@
 
 Protocol: BASELINE.md decade protocol — clearCache + double GC between
 reps, min-of-N (SPARK_GRAFT_CUSUM_REPS, default 2 at this volume),
-count drain, 48g heap recommended at 50M rows/key so the plain side's
-one-task sort reflects cluster per-task memory rather than local spill
-artifacts (the r9 duplicate_spans lesson):
+un-prunable max(cusum) drain (NOT count — the r9 elision artifact this
+tool exists to correct), 48g heap recommended at 50M rows/key so the
+plain side's one-task sort reflects cluster per-task memory rather than
+local spill artifacts (the r9 duplicate_spans lesson):
 
     SPARK_DRIVER_MEMORY=48g python tools/bench_cusum_xl.py
     SPARK_GRAFT_CUSUM_NAME=cusum_20m python tools/bench_cusum_xl.py
