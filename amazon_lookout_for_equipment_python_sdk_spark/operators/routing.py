@@ -13,7 +13,7 @@ plain                     twin                            crossover
 timeseries.sessionize     sessionize(skew_buckets=N)      ~1e5 rows/key
 stats.rolling_zscore      stats.rolling_zscore_chunked    ~1e5 rows/key
 stats.cusum_reflected     stats.cusum_reflected_chunked   ~1.5e5 rows/key
-timeseries.asof_join      timeseries.asof_join_chunked    ~1e5 rows/key (union of both tables — r11)
+timeseries.asof_join      timeseries.asof_join_chunked    ~1.5e6 rows/key (union of both tables — r11)
 ========================  ==============================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -99,6 +99,17 @@ WINDOW_BUDGET_ROWS = 100_000
 #: elided-plan measurement): bracket 300k-600k rows/key at 0.9
 #: GiB/task -> 150k at the calibration anchor.
 CUSUM_BUDGET_ROWS = 150_000
+
+#: as-of join's crossover, r11-measured AT the calibration anchor on
+#: the gen_cusum_xl fixture family (tools/bench_asof_ab.py, noop
+#: drain, BASELINE.md r11 addendum 4): plain 1.3x faster at 100k-315k
+#: rows/key, a TIE at 1.05M (ratio 1.06), twin 1.7x at 5.25M and 3.2x
+#: at 21M.  The constant sits just above the tie so borderline keys
+#: take the twin's flat path (<=6% mis-route cost near the tie, vs the
+#: plain sort's super-linear blowup above).  ~15x the window family's
+#: budget — the as-of fill does far less per-row frame work than a
+#: rolling aggregate, so the serialized sort dominates much later.
+ASOF_BUDGET_ROWS = 1_500_000
 
 #: per-task execution memory where the two constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
@@ -370,12 +381,14 @@ def asof_join_auto(
 ) -> DataFrame:
     """:func:`timeseries.asof_join` or its chunked twin by probe (r11 —
     the fourth routed family).  The serialized cost is the per-key sort
-    of BOTH tables' rows, so the probe runs over their (key, ts) union
-    and the window family's budget applies.  A shared ``probe=`` must
-    have been built over the same union to mean anything."""
+    of BOTH tables' rows, so the probe runs over their (key, ts) union,
+    under the family's own measured budget (``ASOF_BUDGET_ROWS`` — the
+    crossover sits ~15x the window family's; see the constant's doc).
+    A shared ``probe=`` must have been built over the same union to
+    mean anything."""
     if budget_rows is None:
         budget_rows = session_budget_rows(
-            left.sparkSession, WINDOW_BUDGET_ROWS
+            left.sparkSession, ASOF_BUDGET_ROWS
         )
     if probe is None:
         u = left.select(
@@ -388,8 +401,14 @@ def asof_join_auto(
             payload_cols=payload_cols, direction=direction,
             tolerance_seconds=tolerance_seconds,
         )
+    # DECISION by the family crossover above; bucket GEOMETRY by the
+    # per-task sort budget — the twin's slices should stay task-sized
+    # for parallel sorts (the measured series' shape: ~1e5-row slices,
+    # ~220 buckets at 21M rows/key).  Dividing by the 1.5e6 crossover
+    # instead would under-fan a 21M-row key to 14 tasks.
+    geom = session_budget_rows(left.sparkSession, WINDOW_BUDGET_ROWS)
     return _timeseries.asof_join_chunked(
-        left, right, _bucket_span_s(probe, budget_rows),
+        left, right, _bucket_span_s(probe, geom),
         ts_col=ts_col, key_col=key_col, payload_cols=payload_cols,
         direction=direction, tolerance_seconds=tolerance_seconds,
     )

@@ -287,6 +287,21 @@ def test_shared_probe_skips_the_scan(spark, monkeypatch):
     assert routed2.count() == ev.count() and routed3.count() == ev.count()
 
 
+def test_asof_budget_calibration():
+    """The as-of family's measured crossover (BASELINE r11 addendum 4,
+    AT the anchor): tie at 1.05M rows/key, twin clearly ahead at 5.25M.
+    The 1.5e6 constant must route 1.05M plain and 5.25M twin at the
+    anchor, and scale with memory like the other budgets."""
+    b = rt.derive_budget_rows(rt.ASOF_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+    assert b == rt.ASOF_BUDGET_ROWS == 1_500_000
+    assert not rt.decide_twin(rt.KeyProbe(3, 1_050_000, 1_500_000), b)
+    assert rt.decide_twin(rt.KeyProbe(3, 5_250_000, 7_000_000), b)
+    # 4x the anchor memory -> 4x the crossover (linear model)
+    assert rt.derive_budget_rows(
+        rt.ASOF_BUDGET_ROWS, 4 * rt.CALIB_PER_TASK_BYTES
+    ) == 6_000_000
+
+
 def test_asof_join_auto_routes_and_matches(spark):
     """The fourth routed family (r11): auto routes PLAIN below the
     budget and CHUNKED above it, with identical rows either way; a
