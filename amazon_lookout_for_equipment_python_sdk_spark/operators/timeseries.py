@@ -457,8 +457,8 @@ def asof_join(
     matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_micros(F.col(ts_col))
-            - F.unix_micros(F.col("_m").getField("_rts"))
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("_m").getField("_rts").cast("timestamp"))
         )
         matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
     return out.select(
@@ -538,7 +538,9 @@ def asof_join_chunked(
     # monotone order axis: negate for forward so ascending machinery
     # (local fill + exclusive bucket prefix) serves both directions
     sign = 1 if direction == "backward" else -1
-    ord_us = F.unix_micros(F.col(ts_col)) * F.lit(sign)
+    # cast: unix_micros rejects TIMESTAMP_NTZ (decade fixtures ship it);
+    # the session runs UTC so the cast is value-preserving
+    ord_us = F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(sign)
     span_us = int(bucket_span_s) * 1_000_000
     u = r.unionByName(l).withColumn(
         "_b", F.floor(ord_us / F.lit(span_us))
@@ -578,8 +580,8 @@ def asof_join_chunked(
     matched = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_micros(F.col(ts_col))
-            - F.unix_micros(F.col("_m").getField("_rts"))
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("_m").getField("_rts").cast("timestamp"))
         )
         matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
     return combined.select(
