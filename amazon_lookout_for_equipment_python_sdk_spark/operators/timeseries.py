@@ -556,7 +556,7 @@ def asof_join_chunked(
     # unique per (key, ts) — the asof contract — so _ord alone orders
     # them), then "latest right row in any EARLIER bucket" by exclusive
     # prefix fill over the bucket-count-sized table
-    bucket_last = filled.groupBy(key_col, "_b").agg(
+    bucket_last = u.groupBy(key_col, "_b").agg(
         F.max_by(
             F.col("_m"), F.when(F.col("_side") == 0, F.col("_ord"))
         ).alias("_bl")
