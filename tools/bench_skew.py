@@ -35,6 +35,8 @@ QUERIES = [
     # (plain, skew-safe twin) — None = no twin, measured for degradation
     ("sessionize_events", "sessionize_events_skew"),
     ("rolling_zscore_anomalies", "rolling_zscore_anomalies_chunked"),
+    ("cusum_drift_flags", "cusum_drift_flags_chunked"),
+    ("asof_join_purchases", "asof_join_purchases_chunked"),
     ("tfidf_top_terms", None),
     ("ngram_jaccard_lsh", None),
 ]
