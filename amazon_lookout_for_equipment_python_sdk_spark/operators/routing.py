@@ -125,6 +125,17 @@ MIN_BUDGET_ROWS = 10_000
 #: task, capped so tiny carries stay tiny.
 MAX_AUTO_BUCKETS = 256
 
+#: worst-case rows in the twins' carry/offset tables (one per non-empty
+#: (key, bucket)) — those tables are BROADCAST, so the bucket span may
+#: never be so fine that n_keys x corpus-span-buckets exceeds this.
+#: Guards the r10 hot-key-span geometry: a hot key concentrated in one
+#: hour of a year-wide corpus wants 360s buckets, but at 360s every
+#: COLD key spanning the year could contribute ~87k carry rows; the
+#: span floor below trades the narrow hot slice's fan-out away exactly
+#: when the key count makes the carry broadcast dangerous (correctness
+#: never depends on the span).
+CARRY_BUDGET_ROWS = 1_000_000
+
 _MEM_SUFFIX = {
     "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
 }
@@ -275,11 +286,22 @@ def _bucket_span_s(probe: KeyProbe, budget_rows: int) -> int:
     when the probe carried one (a hot key concentrated in a narrow
     slice of a wide corpus still fans out as intended — r10 ADVICE);
     falls back to the corpus span for probes built before that field
-    existed or when the hot key's timestamps were all null."""
+    existed or when the hot key's timestamps were all null.
+
+    FLOORED so the carry/offset tables stay broadcastable (r11): the
+    worst-case carry size is n_keys x (corpus_span / span), bounded to
+    ``CARRY_BUDGET_ROWS``.  With few keys (the twins' home regime) the
+    floor is far below the hot-span geometry and never binds; with very
+    many keys it coarsens the buckets — the hot key loses fan-out
+    before the carry broadcast can OOM."""
     lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
     hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
     span_s = max((hi - lo) // 1_000_000, 1)
-    return max(span_s // _auto_buckets(probe, budget_rows), 1)
+    want = max(span_s // _auto_buckets(probe, budget_rows), 1)
+    corpus_span_s = max((probe.hi_us - probe.lo_us) // 1_000_000, 1)
+    allowed_per_key = max(CARRY_BUDGET_ROWS // max(probe.n_keys, 1), 1)
+    floor = corpus_span_s // allowed_per_key
+    return max(want, floor, 1)
 
 
 def _resolve(

@@ -371,6 +371,73 @@ def sessionize(
 # --- as-of join (pandas merge_asof / trades-and-quotes) ---------------------
 
 
+def _asof_prepare(left, right, ts_col, key_col, payload_cols, direction):
+    """Shared front half of the two as-of forms: validation, the match
+    STRUCT, and the tagged side frames.  Factored out so semantics
+    changes (the r11 null-payload fix, null-timestamp handling) land in
+    BOTH forms by construction — the twins are property-pinned equal.
+
+    NULL-timestamp contract (DuckDB ASOF semantics; pandas merge_asof
+    simply raises): a right row with NULL ts can never satisfy the ASOF
+    inequality and is DROPPED from the match side; a left row with NULL
+    ts emits with null payloads (_asof_finish gates on left ts).  This
+    also removes the one place the two forms could diverge — plain's
+    window null placement flips with direction (asc nulls-first vs desc
+    nulls-last) while the twin's bucket axis does not."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction {direction!r}")
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in right.columns if c not in (ts_col, key_col)]
+    )
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"payload columns already in left: {clash}")
+    left_cols = list(left.columns)
+    match_struct = F.struct(
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    r = right.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        match_struct.alias("_m"),
+        *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
+        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+    )
+    return r, l, left_cols, payload_cols
+
+
+def _asof_finish(df, ts_col, left_cols, payload_cols, tolerance_seconds):
+    """Shared back half: the match gate (struct present, left ts
+    non-null, within tolerance) and the payload unpack.  ``df`` is the
+    left-side rows with the filled ``_m`` struct."""
+    matched = F.col("_m").isNotNull() & F.col(ts_col).isNotNull()
+    if tolerance_seconds is not None:
+        # cast: unix_micros rejects TIMESTAMP_NTZ (decade fixtures ship
+        # it); the session runs UTC so the cast is value-preserving
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("_m").getField("_rts").cast("timestamp"))
+        )
+        matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
+    return df.select(
+        *left_cols,
+        *[
+            F.when(matched, F.col("_m").getField(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -403,6 +470,10 @@ def asof_join(
     fills would skip past them to an OLDER right row's value, silently
     diverging from merge_asof/ASOF JOIN (r11 fix; DuckDB-pinned).
 
+    NULL timestamps follow DuckDB ASOF semantics (see
+    :func:`_asof_prepare`): null-ts right rows never match, null-ts left
+    rows emit with null payloads.
+
     Scale: ONE shuffle (the union windows over ``key_col``) regardless of
     table sizes — no join, no per-row range probing; a range join here
     would be O(left x right) per key without interval bucketing.  Right
@@ -410,34 +481,8 @@ def asof_join(
     (pre-aggregate duplicates upstream — same contract as merge_asof's
     stable sort).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"bad direction {direction!r}")
-    payload_cols = list(
-        payload_cols
-        if payload_cols is not None
-        else [c for c in right.columns if c not in (ts_col, key_col)]
-    )
-    clash = [c for c in payload_cols if c in left.columns]
-    if clash:
-        raise ValueError(f"payload columns already in left: {clash}")
-    left_cols = list(left.columns)
-    match_struct = F.struct(
-        F.col(ts_col).alias("_rts"),
-        *[F.col(c) for c in payload_cols],
-    )
-    r = right.select(
-        F.col(key_col),
-        F.col(ts_col),
-        F.lit(0).alias("_side"),
-        match_struct.alias("_m"),
-        *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
-    )
-    l = left.select(  # noqa: E741
-        F.col(key_col),
-        F.col(ts_col),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
-        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+    r, l, left_cols, payload_cols = _asof_prepare(
+        left, right, ts_col, key_col, payload_cols, direction
     )
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
@@ -454,20 +499,7 @@ def asof_join(
         ]
     )
     out = filled.filter(F.col("_side") == 1)
-    matched = F.col("_m").isNotNull()
-    if tolerance_seconds is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(ts_col).cast("timestamp"))
-            - F.unix_micros(F.col("_m").getField("_rts").cast("timestamp"))
-        )
-        matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
-    return out.select(
-        *left_cols,
-        *[
-            F.when(matched, F.col("_m").getField(c)).alias(c)
-            for c in payload_cols
-        ],
-    )
+    return _asof_finish(out, ts_col, left_cols, payload_cols, tolerance_seconds)
 
 
 def asof_join_chunked(
@@ -484,7 +516,8 @@ def asof_join_chunked(
     with the per-key fill parallel across (key, time-bucket) tasks — the
     scale path when one hot key (the heavily-traded symbol, the dominant
     sensor) would otherwise serialize BOTH tables' history onto one
-    task's sort.
+    task's sort.  Measured: 7.2x plain skew penalty at sf10_skew's 5M-row
+    hot key vs 0.99x for this form (BASELINE.md r11 addendum 4).
 
     The forward-fill of the match struct is a prefix ``last non-null`` —
     associative, so it decomposes exactly like the zscore/cusum twins
@@ -495,7 +528,9 @@ def asof_join_chunked(
     saw no preceding right row takes the carry (struct-level coalesce —
     matched NULL payload values still survive).  ``direction='forward'``
     negates the time axis so the same ascending machinery serves both
-    directions.
+    directions.  Null-timestamp rows follow the shared contract
+    (:func:`_asof_prepare`) — with null-ts right rows dropped there, the
+    null bucket holds only left rows and can never pollute the carry.
 
     Cost: the union shuffles once on (key, bucket) (the local window),
     the carry table is one row per non-empty bucket (window over it is
@@ -504,36 +539,10 @@ def asof_join_chunked(
     ``max_key_rows`` exceeds the per-task sort budget (see
     operators/routing.py ``asof_join_auto``); use the plain form when
     keys >> cores."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"bad direction {direction!r}")
     if bucket_span_s <= 0:
         raise ValueError(f"bucket_span_s must be positive: {bucket_span_s}")
-    payload_cols = list(
-        payload_cols
-        if payload_cols is not None
-        else [c for c in right.columns if c not in (ts_col, key_col)]
-    )
-    clash = [c for c in payload_cols if c in left.columns]
-    if clash:
-        raise ValueError(f"payload columns already in left: {clash}")
-    left_cols = list(left.columns)
-    match_struct = F.struct(
-        F.col(ts_col).alias("_rts"),
-        *[F.col(c) for c in payload_cols],
-    )
-    r = right.select(
-        F.col(key_col),
-        F.col(ts_col),
-        F.lit(0).alias("_side"),
-        match_struct.alias("_m"),
-        *[F.lit(None).alias(c) for c in left_cols if c not in (key_col, ts_col)],
-    )
-    l = left.select(  # noqa: E741
-        F.col(key_col),
-        F.col(ts_col),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
-        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+    r, l, left_cols, payload_cols = _asof_prepare(
+        left, right, ts_col, key_col, payload_cols, direction
     )
     # monotone order axis: negate for forward so ascending machinery
     # (local fill + exclusive bucket prefix) serves both directions
@@ -577,19 +586,8 @@ def asof_join_chunked(
         .join(F.broadcast(carries), on=[key_col, "_b"], how="left")
         .withColumn("_m", F.coalesce(F.col("_lm"), F.col("_carry")))
     )
-    matched = F.col("_m").isNotNull()
-    if tolerance_seconds is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(ts_col).cast("timestamp"))
-            - F.unix_micros(F.col("_m").getField("_rts").cast("timestamp"))
-        )
-        matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
-    return combined.select(
-        *left_cols,
-        *[
-            F.when(matched, F.col("_m").getField(c)).alias(c)
-            for c in payload_cols
-        ],
+    return _asof_finish(
+        combined, ts_col, left_cols, payload_cols, tolerance_seconds
     )
 
 

@@ -537,6 +537,50 @@ def test_asof_join_chunked_no_per_key_corpus_window(spark):
     assert any("_b" in s for s in specs), plan  # local fill keyed (k,_b)
 
 
+def test_asof_join_null_timestamp_semantics(spark):
+    """DuckDB ASOF contract for NULL timestamps, pinned on BOTH forms
+    and BOTH directions: a right row with NULL ts never matches (the
+    inequality is NULL), a left row with NULL ts emits with null
+    payloads (LEFT join).  Before the shared _asof_prepare/_asof_finish
+    this diverged between the twins — plain's window null placement
+    flips with direction (asc nulls-first vs desc nulls-last) while the
+    chunked bucket axis does not, so a null-ts right row could become
+    every bucket's carry in forward mode."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    left = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 02:00:00', 1),"
+        " ('a', CAST(NULL AS TIMESTAMP), 2) t(tag, ts, lval)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', timestamp'2024-01-01 01:00:00', 100),"
+        " ('a', CAST(NULL AS TIMESTAMP), 999) t(tag, ts, price)"
+    )
+    for direction, want in (
+        ("backward", {1: 100, 2: None}),  # lval=1 matches ts=01:00
+        ("forward", {1: None, 2: None}),  # no right row >= 02:00
+    ):
+        for fn in (
+            lambda l, r, d: asof_join(
+                l, r, key_col="tag", payload_cols=["price"], direction=d
+            ),
+            lambda l, r, d: asof_join_chunked(
+                l, r, 3600, key_col="tag", payload_cols=["price"],
+                direction=d,
+            ),
+        ):
+            got = {
+                row["lval"]: row["price"]
+                for row in fn(left, right, direction).collect()
+            }
+            assert got == want, (direction, got)
+
+
 def test_asof_join_rejects_payload_clash(spark):
     from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
         asof_join,

@@ -377,6 +377,33 @@ def test_bucket_span_uses_hot_key_span():
     # 10 buckets over ONE HOUR -> 360 s slices, not 360 s-per-year/10
     assert rt._auto_buckets(p, 100_000) == 10
     assert rt._bucket_span_s(p, 100_000) == 360
+
+
+def test_bucket_span_floor_bounds_carry_broadcast():
+    """r11 review finding: the narrow-hot-slice geometry must not hand
+    every COLD key corpus_span/span buckets — the carry tables are
+    broadcast.  The floor binds exactly when n_keys makes the worst
+    case exceed CARRY_BUDGET_ROWS, and never in the few-keys regime."""
+    year_us = 365 * 86_400 * 1_000_000
+    hour_us = 3_600 * 1_000_000
+    # few keys (the twins' home regime): floor far below the hot span
+    few = rt.KeyProbe(
+        5, 1_000_000, 1_200_000,
+        lo_us=0, hi_us=year_us, hot_lo_us=0, hot_hi_us=hour_us,
+    )
+    assert rt._bucket_span_s(few, 100_000) == 360  # unchanged
+    # 200k keys: worst-case carry at 360s spans would be
+    # 200k x 87.6k buckets — the floor coarsens the span so
+    # n_keys x (corpus_span/span) <= CARRY_BUDGET_ROWS
+    many = rt.KeyProbe(
+        200_000, 1_000_000, 50_000_000,
+        lo_us=0, hi_us=year_us, hot_lo_us=0, hot_hi_us=hour_us,
+    )
+    span = rt._bucket_span_s(many, 100_000)
+    corpus_span_s = year_us // 1_000_000
+    worst_carry = many.n_keys * -(-corpus_span_s // span)
+    assert worst_carry <= rt.CARRY_BUDGET_ROWS + many.n_keys  # ceil slack
+    assert span > 360  # the hot slice's fan-out was traded away
     # pre-r11 probes (no hot fields) fall back to the corpus span
     old = rt.KeyProbe(5, 1_000_000, 1_200_000, lo_us=0, hi_us=year_us)
     assert rt._bucket_span_s(old, 100_000) == (year_us // 1_000_000) // 10

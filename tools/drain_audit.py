@@ -22,10 +22,11 @@ every published number measured through that drain under-measured it.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from amazon_lookout_for_equipment_python_sdk_spark.plans import queries as q  # noqa: E402
 from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark  # noqa: E402
