@@ -129,6 +129,40 @@ def test_routing_decision_sf10_uniform_few_keys_long_history(spark):
     assert rt.decide_twin(
         rt.probe_keys(ev, "event_type"), rt.CUSUM_BUDGET_ROWS
     )
+    # as-of stays PLAIN at 2M rows/key — its measured crossover is
+    # 1.5e6 per probed UNION rows (left + right), and the registered
+    # query's union is well under that here... but event_type at 2M
+    # exceeds it, so a full-corpus asof BY event_type routes twin
+    assert rt.decide_twin(
+        rt.probe_keys(ev, "event_type"), rt.ASOF_BUDGET_ROWS
+    )
+    assert not rt.decide_twin(
+        rt.probe_keys(ev, "user_id"), rt.ASOF_BUDGET_ROWS
+    )
+
+
+SKEW_DECADE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".localdata",
+    "sf10_skew",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SKEW_DECADE, "events.parquet")),
+    reason="sf10_skew fixture not generated (tools/gen_skew.py over sf10)",
+)
+def test_routing_decision_sf10_skew_asof_twin(spark):
+    """The measured flip point (BASELINE r11 addendum 4 decade rows):
+    sf10_skew's hot user holds ~5M rows — 3.3x past the as-of
+    crossover, where the plain form pays 7.2x under skew and the twin
+    is flat.  The router must pick the twin here at the anchor budget
+    (and the hot-key probe span must be present to build its
+    geometry)."""
+    ev = _events(spark, SKEW_DECADE)
+    p = rt.probe_keys(ev, "user_id", ts_col="ts")
+    assert rt.decide_twin(p, rt.ASOF_BUDGET_ROWS)
+    assert p.hot_lo_us is not None and p.hot_hi_us > p.hot_lo_us
 
 
 def test_auto_bucket_geometry():
