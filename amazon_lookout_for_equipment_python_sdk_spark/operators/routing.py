@@ -270,8 +270,19 @@ def probe_keys(
 
 
 def decide_twin(probe: KeyProbe, budget_rows: int) -> bool:
-    """The routing rule, isolated so tests pin it on the fixtures."""
-    return probe.max_key_rows > budget_rows
+    """The routing rule, isolated so tests pin it on the fixtures.
+
+    The key-count guard (r11 review): with more keys than
+    ``CARRY_BUDGET_ROWS`` even ONE bucket per key makes the twins'
+    broadcast carry/offset tables exceed the budget — no span can save
+    it — so a hot key among millions of keys routes PLAIN (the hot
+    key's one-task sort is slow but bounded; an OOM'd carry broadcast
+    is neither).  That regime is the module doc's "keys >> cores"
+    plain case taken to its limit."""
+    return (
+        probe.max_key_rows > budget_rows
+        and probe.n_keys <= CARRY_BUDGET_ROWS
+    )
 
 
 def _auto_buckets(probe: KeyProbe, budget_rows: int) -> int:
@@ -300,7 +311,10 @@ def _bucket_span_s(probe: KeyProbe, budget_rows: int) -> int:
     want = max(span_s // _auto_buckets(probe, budget_rows), 1)
     corpus_span_s = max((probe.hi_us - probe.lo_us) // 1_000_000, 1)
     allowed_per_key = max(CARRY_BUDGET_ROWS // max(probe.n_keys, 1), 1)
-    floor = corpus_span_s // allowed_per_key
+    # CEILING division (review fix): floor division under-sized the
+    # span by up to 2x, letting the worst-case carry overshoot the
+    # budget by the same factor
+    floor = -(-corpus_span_s // allowed_per_key)
     return max(want, floor, 1)
 
 

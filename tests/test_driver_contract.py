@@ -34,16 +34,19 @@ DRIVER_WINDOW = 50  # the driver's correctness harness checks this many
 
 
 def _current_round() -> int:
-    """The round about to run = latest committed CORRECTNESS round + 1."""
+    """The round about to run = latest committed CORRECTNESS round + 1.
+    Non-numeric strays (CORRECTNESS_rX.json) are skipped, not crashed on
+    — same contract as _only_driver_commits_after."""
     import glob
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = [
-        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    ]
+    rounds = []
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(f))
+        if m:
+            rounds.append(int(m.group(1)))
     return max(rounds) + 1
 
 
@@ -163,11 +166,19 @@ def _only_driver_commits_after(round_no: int, root: str | None = None) -> bool:
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.strip()
         if not art:
-            # the artifact exists on disk but has never been committed:
-            # the driver just wrote it (it commits artifacts itself), so
-            # the builder cannot have cleared the entry yet — same
-            # judge-time window, the other write-then-test ordering
-            return True
+            # the artifact exists on disk but has never been committed —
+            # the driver's write-then-test ordering.  Tolerate ONLY if
+            # the file postdates the builder's last commit: a stale
+            # untracked artifact must not disarm the forcing function
+            # across later builder commits (review finding), so HEAD
+            # moving past the file's mtime re-arms it.
+            head_ct = subprocess.run(
+                ["git", "-C", root, "log", "-1", "--format=%ct"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout.strip()
+            return bool(head_ct) and os.path.getmtime(
+                matches[0]
+            ) > int(head_ct)
         # NUL sentinel per commit so a FILE-LESS commit (merge under
         # --name-only, --allow-empty) is visible — those count as
         # builder commits (conservative), not as driver artifacts
@@ -244,19 +255,48 @@ def test_driver_artifact_filename_filter():
 
 
 def test_judge_time_exemption_live_wiring():
-    """The helper must RUN against the real repo (git present, artifact
-    filenames parse — including non-numeric strays, which are skipped
-    rather than crashing the comprehension).  Its armed/disarmed
-    SEMANTICS are pinned by the scratch-repo lifecycle test below and
-    deliberately NOT asserted here: the live repo is legitimately in
-    either state (builder time: builder commits after the artifact;
-    judge time: the driver's artifact commit is HEAD and the exemption
-    is rightly active — asserting 'armed' here would be red at judge
-    time, recreating the exact failure the exemption exists to fix)."""
+    """Live-repo pin that stays green in BOTH legitimate states: an
+    INDEPENDENT git query decides whether builder commits (any commit
+    touching a non-driver file) exist after the newest artifact commit;
+    when they do, the exemption must be OFF — asserting that
+    unconditionally would be red at judge time (the driver's artifact
+    commit is HEAD and the exemption is rightly active), the exact
+    failure the exemption exists to fix.  Full arm/disarm semantics are
+    pinned by the scratch-repo lifecycle test below."""
+    import os
+    import subprocess
+
     newest = _current_round() - 1
-    assert _only_driver_commits_after(newest) in (True, False)
     # unknown rounds and unparseable names are conservatively False
     assert not _only_driver_commits_after(newest + 1000)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = subprocess.run(
+        ["git", "-C", root, "log", "-1", "--format=%H", "--",
+         f"CORRECTNESS_r{newest:02d}.json"],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip() or subprocess.run(
+        ["git", "-C", root, "log", "-1", "--format=%H", "--",
+         f"CORRECTNESS_r{newest}.json"],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    if not art:
+        import pytest as _pytest
+
+        _pytest.skip("newest artifact not committed — driver mid-write")
+    after = subprocess.run(
+        ["git", "-C", root, "log", "--name-only", "--format=", f"{art}..HEAD"],
+        capture_output=True, text=True, timeout=30,
+    ).stdout
+    builder_commits_exist = any(
+        ln.strip() and not _is_driver_artifact(ln.strip())
+        for ln in after.splitlines()
+    )
+    if builder_commits_exist:
+        assert not _only_driver_commits_after(newest), (
+            "builder commits exist after the newest artifact but the "
+            "exemption is still active — the forcing function is disarmed"
+        )
 
 
 def test_judge_time_exemption_lifecycle(tmp_path):
@@ -279,10 +319,20 @@ def test_judge_time_exemption_lifecycle(tmp_path):
     git("add", "engine.py")
     git("commit", "-qm", "builder: engine change")
     # artifact on disk but not yet committed = the driver's
-    # write-then-test ordering — also judge-time, also tolerated (the
-    # builder cannot have seen the green row before it existed)
-    (tmp_path / "CORRECTNESS_r5.json").write_text("{}")
+    # write-then-test ordering — tolerated ONLY while the file postdates
+    # the builder's last commit (mtime rule): a stale untracked artifact
+    # must not disarm the forcing function forever
+    import os as _os
+    import time as _time
+
+    art = tmp_path / "CORRECTNESS_r5.json"
+    art.write_text("{}")
+    now = _time.time()
+    _os.utime(art, (now + 100, now + 100))  # fresher than HEAD
     assert _only_driver_commits_after(5, str(tmp_path))
+    _os.utime(art, (now - 10_000, now - 10_000))  # staler than HEAD
+    assert not _only_driver_commits_after(5, str(tmp_path))
+    _os.utime(art, (now + 100, now + 100))
     # driver commits the round artifacts after the builder's last commit
     (tmp_path / "VERDICT.md").write_text("v")
     git("add", "CORRECTNESS_r5.json", "VERDICT.md")

@@ -129,10 +129,9 @@ def test_routing_decision_sf10_uniform_few_keys_long_history(spark):
     assert rt.decide_twin(
         rt.probe_keys(ev, "event_type"), rt.CUSUM_BUDGET_ROWS
     )
-    # as-of stays PLAIN at 2M rows/key — its measured crossover is
-    # 1.5e6 per probed UNION rows (left + right), and the registered
-    # query's union is well under that here... but event_type at 2M
-    # exceeds it, so a full-corpus asof BY event_type routes twin
+    # as-of budget (1.5e6): a full-corpus as-of keyed by event_type
+    # (2M rows/key — past the crossover) routes TWIN; keyed by user_id
+    # (~1e2 rows/key) it routes PLAIN
     assert rt.decide_twin(
         rt.probe_keys(ev, "event_type"), rt.ASOF_BUDGET_ROWS
     )
@@ -436,8 +435,24 @@ def test_bucket_span_floor_bounds_carry_broadcast():
     span = rt._bucket_span_s(many, 100_000)
     corpus_span_s = year_us // 1_000_000
     worst_carry = many.n_keys * -(-corpus_span_s // span)
-    assert worst_carry <= rt.CARRY_BUDGET_ROWS + many.n_keys  # ceil slack
+    assert worst_carry <= rt.CARRY_BUDGET_ROWS + many.n_keys  # bucket-0 edge
     assert span > 360  # the hot slice's fan-out was traded away
+    # review counter-example: floor division under-sized the span 2x
+    # (corpus 19,999s, 100 keys -> allowed 10,000/key; span must be 2)
+    awkward = rt.KeyProbe(
+        100, 1_000_000, 2_000_000,
+        lo_us=0, hi_us=19_999 * 1_000_000, hot_lo_us=0,
+        hot_hi_us=60 * 1_000_000,
+    )
+    s2 = rt._bucket_span_s(awkward, 1_000)  # want=1s from the hot slice
+    assert awkward.n_keys * -(-19_999 // s2) <= rt.CARRY_BUDGET_ROWS
+    # key-count guard: past CARRY_BUDGET_ROWS keys no span can bound the
+    # carry broadcast — the router must stay PLAIN even with a hot key
+    huge = rt.KeyProbe(rt.CARRY_BUDGET_ROWS + 1, 5_000_000, 10**9)
+    assert not rt.decide_twin(huge, 100_000)
+    assert rt.decide_twin(
+        rt.KeyProbe(rt.CARRY_BUDGET_ROWS, 5_000_000, 10**9), 100_000
+    )
     # pre-r11 probes (no hot fields) fall back to the corpus span
     old = rt.KeyProbe(5, 1_000_000, 1_200_000, lo_us=0, hi_us=year_us)
     assert rt._bucket_span_s(old, 100_000) == (year_us // 1_000_000) // 10
