@@ -1,20 +1,22 @@
 """Auto-routing between plain operators and their skew-safe twins
 (r9 verdict #5).
 
-Three operator families ship both a PLAIN form (one per-key window —
+Six operator families ship both a PLAIN form (one per-key window —
 minimal overhead, but a key's whole history serializes onto one task)
 and a SKEW-SAFE twin (a (key, time-bucket) pre-split with exact
 boundary/carry merge — parallel under hot keys and long histories, at
 the cost of an extra tiny aggregate + broadcast join):
 
-========================  ==============================  ==========
-plain                     twin                            crossover
-========================  ==============================  ==========
-timeseries.sessionize     sessionize(skew_buckets=N)      ~1e5 rows/key
-stats.rolling_zscore      stats.rolling_zscore_chunked    ~1e5 rows/key
-stats.cusum_reflected     stats.cusum_reflected_chunked   ~1.5e5 rows/key
-timeseries.asof_join      timeseries.asof_join_chunked    ~1.5e6 rows/key (union of both tables — r11)
-========================  ==============================  ==========
+==============================  ====================================  ==========
+plain                           twin                                  crossover
+==============================  ====================================  ==========
+timeseries.sessionize           sessionize(skew_buckets=N)            ~1e5 rows/key
+stats.rolling_zscore            stats.rolling_zscore_chunked          ~1e5 rows/key
+stats.cusum_reflected           stats.cusum_reflected_chunked         ~1.5e5 rows/key
+timeseries.asof_join            timeseries.asof_join_chunked          ~1.5e6 rows/key (union of both tables — r11)
+timeseries.lead_pairs           timeseries.lead_pairs_chunked         ~4e6 rows/key (r11)
+timeseries.restamp_positional   timeseries.restamp_positional_chunked ~6e5 rows/key (r11)
+==============================  ====================================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
 keys >> cores, chunked when histories >> task sort budget") — a 100-TB
@@ -111,7 +113,29 @@ CUSUM_BUDGET_ROWS = 150_000
 #: rolling aggregate, so the serialized sort dominates much later.
 ASOF_BUDGET_ROWS = 1_500_000
 
-#: per-task execution memory where the two constants above were
+#: lead_pairs' crossover (one ``lead`` over the per-key sort — no
+#: frame aggregate, no second table), r11-measured AT the calibration
+#: anchor on the gen_cusum_xl fixtures (tools/bench_lead_ab.py, noop
+#: drain, BASELINE.md r11 addendum 5): plain ahead through 3M rows/key
+#: (twin 1.26x slower there), the twin ahead from 5M (1.84x faster)
+#: widening to 3.4x at both 10M and 30M.  4e6 is the 3M-5M bracket
+#: midpoint.  ~2.7x the as-of budget: this sorts ONE narrow table
+#: where as-of sorts both sides' union with a struct payload, so far
+#: more rows fit the same task memory before the sort spills.
+LEAD_BUDGET_ROWS = 4_000_000
+
+#: restamp_positional's crossover (one ``row_number`` over the same
+#: sort), from the same r11 series: plain ahead at 300k (twin 1.68x
+#: slower), the twin already ahead at 1M (0.88x) and 3M (0.85x),
+#: decisively from 5M (2.3x) to 30M (5.5x).  600k is the 300k-1M
+#: bracket's geometric midpoint.  Lower than lead's because the twin
+#: side is CHEAPER here, not the plain side dearer: the offset table
+#: is a count aggregate (map-side combined) where lead's boundary
+#: table aggregates min timestamps, and the restamp twin's output
+#: column is pure arithmetic off the local rank.
+RESTAMP_BUDGET_ROWS = 600_000
+
+#: per-task execution memory where the constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
 #: -> 16 GiB * 0.6 / 32 tasks.  Session-derived budgets scale the
 #: constants linearly from this anchor (r10 verdict #2).
@@ -447,6 +471,85 @@ def asof_join_auto(
         left, right, _bucket_span_s(probe, geom),
         ts_col=ts_col, key_col=key_col, payload_cols=payload_cols,
         direction=direction, tolerance_seconds=tolerance_seconds,
+    )
+
+
+def _probe_maybe_keyless(
+    df: DataFrame, key_col: str | None, ts_col: str
+) -> KeyProbe:
+    """Probe for autos whose plain form allows ``key_col=None`` (a
+    single-partition GLOBAL sort): the keyless frame is probed as one
+    key — ``max_key_rows`` = the whole frame, which is exactly the
+    serialized cost the twin would remove."""
+    if key_col is not None:
+        return probe_keys(df, key_col, ts_col=ts_col)
+    return probe_keys(
+        df.withColumn("_k", F.lit(1)), "_k", ts_col=ts_col
+    )
+
+
+def lead_pairs_auto(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`timeseries.lead_pairs` or its chunked twin by probe (r11 —
+    the fifth routed family, with :func:`restamp_positional_auto` as the
+    sixth; each has its own measured budget, see ``LEAD_BUDGET_ROWS`` /
+    ``RESTAMP_BUDGET_ROWS``).  ``key_col=None`` probes the frame as ONE
+    key — the plain form's global sort is the serialized cost in that
+    shape."""
+    if budget_rows is None:
+        budget_rows = session_budget_rows(df.sparkSession, LEAD_BUDGET_ROWS)
+    if probe is None:
+        probe = _probe_maybe_keyless(df, key_col, ts_col)
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
+        return _timeseries.lead_pairs(df, ts_col=ts_col, key_col=key_col)
+    # decision by the family crossover; bucket GEOMETRY task-sized (the
+    # asof_join_auto precedent — dividing by the 4e6 crossover would
+    # under-fan a 30M-row key to 8 tasks)
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _timeseries.lead_pairs_chunked(
+        df, _bucket_span_s(probe, geom), ts_col=ts_col, key_col=key_col
+    )
+
+
+def restamp_positional_auto(
+    df: DataFrame,
+    new_start: str,
+    step_seconds: int,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    tiebreak_col: str | None = None,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`timeseries.restamp_positional` or its chunked twin by
+    probe — the sixth routed family.  Its measured crossover sits ~7x
+    BELOW :func:`lead_pairs_auto`'s despite the near-identical plain
+    form (one rank over the same per-key sort): the restamp twin's
+    boundary table is a count aggregate and its output pure arithmetic,
+    so the twin side is cheaper (``RESTAMP_BUDGET_ROWS``; BASELINE.md
+    r11 addendum 5).  ``key_col=None`` probes the frame as one key (the
+    plain form's documented single-partition global-sort hazard — the
+    twin is the scale answer to exactly that warning)."""
+    if budget_rows is None:
+        budget_rows = session_budget_rows(
+            df.sparkSession, RESTAMP_BUDGET_ROWS
+        )
+    if probe is None:
+        probe = _probe_maybe_keyless(df, key_col, ts_col)
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
+        return _timeseries.restamp_positional(
+            df, new_start, step_seconds, ts_col=ts_col, key_col=key_col,
+            tiebreak_col=tiebreak_col,
+        )
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _timeseries.restamp_positional_chunked(
+        df, new_start, step_seconds, _bucket_span_s(probe, geom),
+        ts_col=ts_col, key_col=key_col, tiebreak_col=tiebreak_col,
     )
 
 

@@ -217,6 +217,89 @@ def lead_pairs(
     return out.withColumnRenamed(ts_col, "start_ts")
 
 
+#: bucket id for null-timestamp rows in the chunked twins below — far
+#: below any real ``floor(unix_micros/span)`` (|micros| < 2^63, span >=
+#: 1e6 us, so real buckets are within +-2^43), and SMALLER than all of
+#: them, which reproduces the plain forms' ascending nulls-FIRST window
+#: order on the bucket axis.
+_NULL_TS_BUCKET = -(1 << 62)
+
+
+def _ts_bucket(ts_col: str, bucket_span_s: int) -> Column:
+    """(key, time-bucket) split axis shared by the chunked twins: floor
+    of event-time micros over the span, null timestamps parked in a
+    dedicated smallest bucket (see ``_NULL_TS_BUCKET``).  The cast keeps
+    TIMESTAMP_NTZ inputs working (``unix_micros`` rejects NTZ; the
+    engine session runs UTC so the cast is value-preserving, and the
+    bucket id only partitions — values never surface)."""
+    if bucket_span_s <= 0:
+        raise ValueError(f"bucket_span_s must be positive: {bucket_span_s}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span_us = int(bucket_span_s) * 1_000_000
+    return F.coalesce(
+        F.floor(us / F.lit(span_us)), F.lit(_NULL_TS_BUCKET)
+    )
+
+
+def lead_pairs_chunked(
+    df: DataFrame,
+    bucket_span_s: int,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`lead_pairs`: identical output (property-tested,
+    null timestamps included), with the per-key sort parallel across
+    (key, time-bucket) tasks — the scale path when one hot key's split
+    history would otherwise serialize onto a single task's window sort.
+    With ``key_col=None`` it also replaces the plain form's
+    single-partition GLOBAL sort with a bucket-parallel one.
+
+    ``lead`` only looks ONE row ahead, so the decomposition needs no
+    running carry like the zscore/cusum twins: rows pair bucket-locally,
+    and only each bucket's LAST row reaches across the boundary — to the
+    first timestamp of the key's next non-empty bucket, read from a tiny
+    per-(key, bucket) min-aggregate (keys x buckets rows; its own lead
+    window is bucket-count-sized) joined back BROADCAST.  "Is this the
+    bucket's last row" is decided by ``lead(1)`` existence, NOT by
+    ``lead(ts)`` nullness — a null next timestamp (possible in the
+    nulls-first block) must stay a dropped pair, not fall through to the
+    next bucket's first.
+
+    Cost: one (key, bucket) corpus exchange + the tiny aggregate and its
+    broadcast — one extra exchange vs the plain form's single per-key
+    window.  Worth it once the hot key's rows exceed the per-task sort
+    budget (``operators.routing.lead_pairs_auto`` routes on a probe);
+    use the plain form when keys >> cores."""
+    keys = [key_col] if key_col else []
+    rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
+    wb = Window.partitionBy(*keys, "_b").orderBy(ts_col)
+    local = rows.withColumn("_lead", F.lead(ts_col).over(wb)).withColumn(
+        "_has_next", F.lead(F.lit(1)).over(wb)
+    )
+    firsts = rows.groupBy(*keys, "_b").agg(F.min(ts_col).alias("_first"))
+    wk = Window.partitionBy(*keys).orderBy("_b")
+    nxt = firsts.select(
+        *keys, "_b", F.lead("_first").over(wk).alias("_next_first")
+    )
+    out = (
+        local.join(F.broadcast(nxt), on=keys + ["_b"], how="left")
+        .withColumn(
+            "end_ts",
+            F.when(
+                F.col("_has_next").isNotNull(), F.col("_lead")
+            ).otherwise(F.col("_next_first")),
+        )
+        .filter(F.col("end_ts").isNotNull())
+    )
+    return out.select(
+        *[
+            F.col(c).alias("start_ts") if c == ts_col else F.col(c)
+            for c in df.columns
+        ],
+        "end_ts",
+    )
+
+
 # --- J6: restamping ----------------------------------------------------------
 
 
@@ -257,6 +340,66 @@ def restamp_positional(
         F.to_timestamp(F.lit(new_start))
         + F.make_interval(secs=F.col("_rn") * step_seconds),
     ).drop("_rn")
+
+
+def restamp_positional_chunked(
+    df: DataFrame,
+    new_start: str,
+    step_seconds: int,
+    bucket_span_s: int,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`restamp_positional`: identical output
+    (property-tested, null timestamps and tied timestamps included),
+    with the per-key ``row_number`` sort parallel across (key,
+    time-bucket) tasks.  Also the fix for the plain form's keyless
+    single-partition global sort — pass ``key_col=None`` here and the
+    rank still distributes.
+
+    ``row_number`` is a prefix COUNT — associative, so it decomposes
+    exactly like the zscore/cusum twins (operators/stats.py): a
+    bucket-local rank (window over (key, bucket) — parallel) plus each
+    bucket's row-count offset by exclusive prefix sum over a tiny
+    per-(key, bucket) aggregate (keys x buckets rows), joined back
+    BROADCAST.  The bucket axis is ``floor(event-time)`` — the same
+    axis the plain window sorts — so bucket order IS timestamp order,
+    with null timestamps parked in the smallest bucket to reproduce the
+    plain ascending window's nulls-FIRST placement
+    (``_NULL_TS_BUCKET``).  Ties: same contract as the plain form —
+    pass ``tiebreak_col`` for deterministic stamps; tied rows always
+    share a bucket (equal timestamps bucket together), so the tiebreak
+    never has to reach across tasks.
+
+    Cost: one (key, bucket) corpus exchange + the tiny count aggregate
+    and its broadcast; worth it once the hot key's rows exceed the
+    per-task sort budget (``operators.routing.restamp_positional_auto``
+    routes on a probe)."""
+    keys = [key_col] if key_col else []
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
+    wb = Window.partitionBy(*keys, "_b").orderBy(*order)
+    local = rows.withColumn("_rn", F.row_number().over(wb) - 1)
+    counts = rows.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wk = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *keys,
+        "_b",
+        F.coalesce(F.sum("_n").over(wk), F.lit(0)).alias("_off"),
+    )
+    out = local.join(F.broadcast(offs), on=keys + ["_b"]).withColumn(
+        ts_col,
+        F.to_timestamp(F.lit(new_start))
+        + F.make_interval(
+            secs=(F.col("_rn") + F.col("_off")) * step_seconds
+        ),
+    )
+    return out.select(*df.columns)
 
 
 # --- sessionization ---------------------------------------------------------

@@ -574,9 +574,7 @@ def floor_slot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "lead_pairs_chunks",
-    """
+_LEAD_SQL = """
 SELECT event_type, start_ts, end_ts FROM (
   SELECT event_type, bucket_ts AS start_ts,
          lead(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS end_ts
@@ -584,17 +582,43 @@ SELECT event_type, start_ts, end_ts FROM (
                CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket_ts
         FROM events) t) x
 WHERE end_ts IS NOT NULL
-""",
-)
-def lead_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 — zip(splits[:-1], splits[1:]) chunking (reference dataset.py:527-531)."""
+"""
+
+
+def _hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    hours = events.select(
+    return events.select(
         "event_type", ts_ops.bucket(F.col("ts"), 3600).alias("bucket_ts")
     ).distinct()
-    return ts_ops.lead_pairs(hours, ts_col="bucket_ts", key_col="event_type").select(
-        "event_type", "start_ts", "end_ts"
-    )
+
+
+@register("lead_pairs_chunks", _LEAD_SQL)
+def lead_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — zip(splits[:-1], splits[1:]) chunking (reference dataset.py:527-531)."""
+    return ts_ops.lead_pairs(
+        _hourly_buckets(spark, sf_dir), ts_col="bucket_ts", key_col="event_type"
+    ).select("event_type", "start_ts", "end_ts")
+
+
+@register("lead_pairs_chunks_chunked", _LEAD_SQL)
+def lead_pairs_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``lead_pairs_chunks`` (identical rows,
+    same oracle — the rolling_zscore_anomalies_chunked precedent): the
+    per-key lead window decomposed into (key, time-bucket) local pairs
+    plus a tiny next-bucket-first boundary table joined back broadcast
+    (operators/timeseries.py lead_pairs_chunked) — the shape that
+    survives one hot key's split history, where the plain per-key
+    window serializes it onto one task's sort.  Registered r11 with the
+    fifth routed family (operators/routing.py lead_pairs_auto; measured
+    crossover in BASELINE.md r11 addendum 5); the randomized property
+    test (tests/test_operators.py) additionally pins the two forms
+    multiset-equal, null timestamps included."""
+    return ts_ops.lead_pairs_chunked(
+        _hourly_buckets(spark, sf_dir),
+        6 * 3600,
+        ts_col="bucket_ts",
+        key_col="event_type",
+    ).select("event_type", "start_ts", "end_ts")
 
 
 # ---------------------------------------------------------------------------
@@ -617,17 +641,17 @@ def shift_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "positional_restamp",
-    """
+_RESTAMP_SQL = """
 SELECT event_id, event_type,
        TIMESTAMP '2025-01-01 00:00:00'
          + (row_number() OVER (PARTITION BY event_type
                                ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1)
            * INTERVAL 60 SECOND AS new_ts
 FROM events
-""",
-)
+"""
+
+
+@register("positional_restamp", _RESTAMP_SQL)
 def positional_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6b — replace timestamps with a synthetic equal-length date_range
     (reference dataset.py:316-323): i-th row by ts order -> start + i*step.
@@ -639,6 +663,31 @@ def positional_restamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_id", "event_type", "ts"),
         "2025-01-01 00:00:00",
         60,
+        ts_col="ts",
+        key_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "event_type", F.col("ts").alias("new_ts"))
+
+
+@register("positional_restamp_chunked", _RESTAMP_SQL)
+def positional_restamp_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``positional_restamp`` (identical rows,
+    same oracle): the per-key row_number decomposed into (key,
+    time-bucket) local ranks plus a tiny exclusive-prefix-count offset
+    table joined back broadcast (operators/timeseries.py
+    restamp_positional_chunked) — the sixth routed family
+    (operators/routing.py restamp_positional_auto; measured crossover
+    shared with lead_pairs, BASELINE.md r11 addendum 5).  Also the
+    distributed answer to the plain form's documented keyless
+    single-partition global sort.  Row-for-row equality (ties, null
+    timestamps, keyless) pinned in tests/test_operators.py."""
+    events = load(spark, sf_dir, "events")
+    out = ts_ops.restamp_positional_chunked(
+        events.select("event_id", "event_type", "ts"),
+        "2025-01-01 00:00:00",
+        60,
+        6 * 3600,
         ts_col="ts",
         key_col="event_type",
         tiebreak_col="event_id",

@@ -22,6 +22,7 @@ HARNESSES = [
     "tools/bench_cusum_xl.py",
     "tools/bench_stream_skew.py",
     "tools/bench_asof_ab.py",
+    "tools/bench_lead_ab.py",
 ]
 
 

@@ -595,6 +595,114 @@ def test_asof_join_rejects_payload_clash(spark):
         asof_join(df, df, ts_col="ts", key_col="k", payload_cols=["pay"])
 
 
+def _pairs_key(df):
+    """Multiset view of a lead_pairs result: (key, start, end) as strings
+    so null start_ts (the nulls-first block's bridge row) sorts too."""
+    return sorted(
+        (r["k"] if "k" in df.columns else None, str(r["start_ts"]), str(r["end_ts"]))
+        for r in df.collect()
+    )
+
+
+def test_lead_pairs_chunked_equals_plain(spark):
+    """The skew-safe twin is multiset-equal to lead_pairs across bucket
+    geometries — spans leaving multi-bucket per-key gaps (the boundary
+    bridge must reach the next NON-EMPTY bucket), duplicate timestamps
+    (tie pairs are order-free as a multiset since tied start_ts are
+    equal), null timestamps (the nulls-first block emits exactly one
+    bridge row in both forms), and one giant bucket degenerating to the
+    plain shape.  Keyed and keyless."""
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 400),
+            # coarse grid → plenty of exact ties within and across keys
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 2_000, 400) * 60, "s"),
+        }
+    )
+    pdf.loc[rng.choice(400, 7, replace=False), "ts"] = pd.NaT
+    df = spark.createDataFrame(pdf)
+
+    plain = _pairs_key(ts_ops.lead_pairs(df, ts_col="ts", key_col="k"))
+    keyless_src = df.drop("k").limit(120)
+    plain_keyless = _pairs_key(ts_ops.lead_pairs(keyless_src, ts_col="ts"))
+    for span in (300, 7_200, 100_000_000):
+        got = _pairs_key(
+            ts_ops.lead_pairs_chunked(df, span, ts_col="ts", key_col="k")
+        )
+        assert got == plain, span
+        got_kl = _pairs_key(
+            ts_ops.lead_pairs_chunked(keyless_src, span, ts_col="ts")
+        )
+        assert got_kl == plain_keyless, span
+
+
+def test_restamp_positional_chunked_equals_plain(spark):
+    """The skew-safe twin is row-for-row equal to restamp_positional
+    (joined on the tiebreak id) across bucket geometries — ties inside
+    and across bucket boundaries (equal timestamps always share a
+    bucket), null timestamps (both forms rank them first), keyed and
+    keyless, and a giant single bucket."""
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 300),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 500, 300) * 3_600, "s"),
+            "eid": np.arange(300),
+        }
+    )
+    pdf.loc[rng.choice(300, 5, replace=False), "ts"] = pd.NaT
+    df = spark.createDataFrame(pdf)
+
+    def stamps(out):
+        return {r["eid"]: str(r["ts"]) for r in out.collect()}
+
+    for key in ("k", None):
+        plain = stamps(
+            ts_ops.restamp_positional(
+                df, "2025-01-01 00:00:00", 60, ts_col="ts",
+                key_col=key, tiebreak_col="eid",
+            )
+        )
+        for span in (3_600, 86_400, 10_000_000_000):
+            got = stamps(
+                ts_ops.restamp_positional_chunked(
+                    df, "2025-01-01 00:00:00", 60, span, ts_col="ts",
+                    key_col=key, tiebreak_col="eid",
+                )
+            )
+            assert got == plain, (key, span)
+
+
+def test_lead_restamp_chunked_plan_shapes(spark):
+    """Both twins' corpus-sized windows partition by (key, bucket) — the
+    reason they exist — and the tiny boundary tables join back broadcast
+    (same contract as the asof/zscore twins)."""
+    import re as _re
+
+    df = spark.range(200).select(
+        F.lit("a").alias("k"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("eid"),
+    )
+    for out in (
+        ts_ops.lead_pairs_chunked(df, 3_600, ts_col="ts", key_col="k"),
+        ts_ops.restamp_positional_chunked(
+            df, "2025-01-01 00:00:00", 60, 3_600, ts_col="ts",
+            key_col="k", tiebreak_col="eid",
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        assert any("_b" in s for s in specs), plan
+
+
 def test_interval_overlap_join_matches_naive(spark):
     """Block-bucketed interval-overlap join == the naive theta join, on
     intervals spanning multiple blocks, touching boundaries, and nested."""

@@ -138,6 +138,12 @@ def test_routing_decision_sf10_uniform_few_keys_long_history(spark):
     assert not rt.decide_twin(
         rt.probe_keys(ev, "user_id"), rt.ASOF_BUDGET_ROWS
     )
+    # the light-rank pair SPLITS on this fixture (r11 addendum 5):
+    # 2M rows/key sits past restamp's 6e5 crossover (twin) but short
+    # of lead's 4e6 (plain) — the reason they carry separate budgets
+    p_et = rt.probe_keys(ev, "event_type")
+    assert rt.decide_twin(p_et, rt.RESTAMP_BUDGET_ROWS)
+    assert not rt.decide_twin(p_et, rt.LEAD_BUDGET_ROWS)
 
 
 SKEW_DECADE = os.path.join(
@@ -162,6 +168,11 @@ def test_routing_decision_sf10_skew_asof_twin(spark):
     p = rt.probe_keys(ev, "user_id", ts_col="ts")
     assert rt.decide_twin(p, rt.ASOF_BUDGET_ROWS)
     assert p.hot_lo_us is not None and p.hot_hi_us > p.hot_lo_us
+    # ~5M-row hot key clears BOTH light-rank crossovers (lead's 4e6
+    # only just — the regime its 5M A/B point measured the twin 1.84x
+    # ahead in)
+    assert rt.decide_twin(p, rt.LEAD_BUDGET_ROWS)
+    assert rt.decide_twin(p, rt.RESTAMP_BUDGET_ROWS)
 
 
 def test_auto_bucket_geometry():
@@ -475,6 +486,100 @@ def test_probe_carries_hot_key_span(spark):
     span_us = p.hot_hi_us - p.hot_lo_us
     assert span_us == 49 * 60 * 1_000_000  # the hot hour, not the month
     assert p.hi_us - p.lo_us > 20 * 86_400 * 1_000_000
+
+
+def test_lead_restamp_budget_calibration():
+    """The two light-rank crossovers (BASELINE r11 addendum 5, measured
+    AT the anchor): lead plain still ahead at 3M rows/key and its twin
+    ahead from 5M — the 4e6 constant must route 3M plain and 5M twin;
+    restamp's twin is already ahead at 1M while plain wins at 300k —
+    the 6e5 constant must route 300k plain and 1M twin.  Both scale
+    with memory like the other budgets."""
+    bl = rt.derive_budget_rows(rt.LEAD_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+    assert bl == rt.LEAD_BUDGET_ROWS == 4_000_000
+    assert not rt.decide_twin(rt.KeyProbe(3, 3_000_000, 4_200_000), bl)
+    assert rt.decide_twin(rt.KeyProbe(3, 5_000_000, 7_000_000), bl)
+    br = rt.derive_budget_rows(
+        rt.RESTAMP_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES
+    )
+    assert br == rt.RESTAMP_BUDGET_ROWS == 600_000
+    assert not rt.decide_twin(rt.KeyProbe(3, 300_000, 420_000), br)
+    assert rt.decide_twin(rt.KeyProbe(3, 1_000_000, 1_400_000), br)
+    assert rt.derive_budget_rows(
+        rt.LEAD_BUDGET_ROWS, 4 * rt.CALIB_PER_TASK_BYTES
+    ) == 16_000_000
+
+
+def test_lead_restamp_auto_routes_and_matches(spark):
+    """The fifth/sixth routed families (r11): both autos route PLAIN
+    below the budget and CHUNKED above it with identical rows either
+    way — keyed AND keyless (keyless probes the frame as one key: the
+    plain form's single-partition global sort is the hazard there); a
+    shared probe skips the probe scan (poisoned probe_keys)."""
+    ev = (
+        _events(spark, "/root/testdata/sf0.001")
+        .select("event_type", "event_id", "ts")
+        .limit(500)
+    )
+
+    def pkey(df):
+        return sorted(
+            (str(r["start_ts"]), str(r["end_ts"])) for r in df.collect()
+        )
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        timeseries as tsops,
+    )
+
+    for key in ("event_type", None):
+        plain = pkey(tsops.lead_pairs(ev, ts_col="ts", key_col=key))
+        for budget in (10**9, 10):
+            got = pkey(
+                rt.lead_pairs_auto(
+                    ev, ts_col="ts", key_col=key, budget_rows=budget
+                )
+            )
+            assert got == plain, (key, budget)
+
+    def stamps(df):
+        return {r["event_id"]: str(r["ts"]) for r in df.collect()}
+
+    for key in ("event_type", None):
+        plain = stamps(
+            tsops.restamp_positional(
+                ev, "2025-06-01 00:00:00", 30, ts_col="ts", key_col=key,
+                tiebreak_col="event_id",
+            )
+        )
+        for budget in (10**9, 10):
+            got = stamps(
+                rt.restamp_positional_auto(
+                    ev, "2025-06-01 00:00:00", 30, ts_col="ts",
+                    key_col=key, tiebreak_col="event_id",
+                    budget_rows=budget,
+                )
+            )
+            assert got == plain, (key, budget)
+
+    # shared probe skips the scan for both autos
+    shared = rt.probe_keys(ev, "event_type", ts_col="ts")
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        a = rt.lead_pairs_auto(
+            ev, ts_col="ts", key_col="event_type", probe=shared,
+            budget_rows=10,
+        )
+        b = rt.restamp_positional_auto(
+            ev, "2025-06-01 00:00:00", 30, ts_col="ts",
+            key_col="event_type", tiebreak_col="event_id", probe=shared,
+            budget_rows=10,
+        )
+    finally:
+        rt.probe_keys = orig
+    assert a.count() > 0 and b.count() == ev.count()
 
 
 def _zkey(rows):
