@@ -37,6 +37,11 @@ QUERIES = [
     ("rolling_zscore_anomalies", "rolling_zscore_anomalies_chunked"),
     ("cusum_drift_flags", "cusum_drift_flags_chunked"),
     ("asof_join_purchases", "asof_join_purchases_chunked"),
+    # r11: the light-rank pair (lead_pairs_chunks operates on deduped
+    # hourly buckets — aggregate-sized, skew-insensitive by
+    # construction — so the restamp row carries the family's skew
+    # evidence)
+    ("positional_restamp", "positional_restamp_chunked"),
     ("tfidf_top_terms", None),
     ("ngram_jaccard_lsh", None),
 ]
