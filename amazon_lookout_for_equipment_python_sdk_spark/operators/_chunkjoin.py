@@ -1,0 +1,54 @@
+"""Null-safe boundary-table joins for the skew-safe chunked twins.
+
+Every chunked twin decomposes a per-key window into (key, time-bucket)
+local work plus a tiny boundary/carry/offset table joined back on the
+key (+ bucket).  Spark's window ``partitionBy`` treats a NULL key as a
+regular partition value — the plain forms restamp/pair/fill/score
+NULL-key rows as one ordinary group — but a standard equi-join drops
+NULL keys, so a twin joining its boundary table with plain equality
+silently loses those rows (inner joins) or orphans them from their
+cross-bucket carry (left joins), breaking the twins' identical-output
+contract exactly and only on NULL-key groups (r11 review finding).
+
+:func:`join_boundary` joins with null-safe equality (``eqNullSafe``)
+on the KEY columns and plain equality on the rest (bucket ids — never
+null where a twin has a null-timestamp contract of its own, e.g. the
+lead/restamp sentinel bucket).  ``EqualNullSafe`` is a hash-joinable
+predicate, so the broadcast plan shape is unchanged (plan-pinned in
+tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_boundary(
+    left: DataFrame,
+    right: DataFrame,
+    ns_cols: "list[str]",
+    eq_cols: "list[str]",
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Join ``left`` to the (tiny) ``right`` boundary table: null-safe
+    on ``ns_cols`` (the window keys), plain equality on ``eq_cols``
+    (bucket ids).  Right-side join columns are dropped after the join,
+    so the result carries exactly left's columns plus right's payload —
+    the same shape as ``left.join(right, on=[...])``."""
+    renamed = right
+    conds = []
+    for c in ns_cols:
+        renamed = renamed.withColumnRenamed(c, f"_nsj_{c}")
+        conds.append(F.col(c).eqNullSafe(F.col(f"_nsj_{c}")))
+    for c in eq_cols:
+        renamed = renamed.withColumnRenamed(c, f"_nsj_{c}")
+        conds.append(F.col(c) == F.col(f"_nsj_{c}"))
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = left.join(renamed, on=cond, how=how)
+    return out.drop(*[f"_nsj_{c}" for c in ns_cols + eq_cols])

@@ -63,10 +63,12 @@ measured calibration points anchor the line:
 Pass ``budget_rows`` explicitly to pin a decision (tests do); pass a
 precomputed :class:`KeyProbe` via ``probe=`` to amortize the probe
 scan across several routed operators over the same frame (r10 verdict
-#4) — all three autos accept the same probe shape.  Build a SHARED
-probe with ``ts_col=`` set: sessionize ignores the span fields, but
-the window-family autos fall back to the plain form when the probe
-carries no event-time span (a time-bucketed twin is meaningless
+#4) — ALL the autos accept the same probe shape (as-of wants one
+built over the two tables' union; a keyless lead/restamp probe is the
+whole frame as one key, see :func:`_probe_maybe_keyless`).  Build a
+SHARED probe with ``ts_col=`` set: sessionize ignores the span
+fields, but every other auto falls back to the plain form when the
+probe carries no event-time span (a time-bucketed twin is meaningless
 without one).
 
 Probe overhead, measured: 0.94 s on the sf10 events fixture (10M rows,
@@ -344,20 +346,22 @@ def _bucket_span_s(probe: KeyProbe, budget_rows: int) -> int:
 
 def _resolve(
     df: DataFrame,
-    key_col: str,
+    key_col: "str | None",
     ts_col: str | None,
     budget_rows: int | None,
     base_rows: int,
     probe: KeyProbe | None,
 ) -> tuple[KeyProbe, int]:
-    """Shared entry logic for the three autos: derive the budget from
-    the session when the caller passed none, and run the probe scan
-    only when the caller didn't hand one in (probe reuse across several
-    routed operators over the same frame — one scan, N decisions)."""
+    """Shared entry logic for the single-frame autos: derive the budget
+    from the session when the caller passed none, and run the probe
+    scan only when the caller didn't hand one in (probe reuse across
+    several routed operators over the same frame — one scan, N
+    decisions).  ``key_col=None`` (the lead/restamp keyless shapes)
+    probes the frame as one key via :func:`_probe_maybe_keyless`."""
     if budget_rows is None:
         budget_rows = session_budget_rows(df.sparkSession, base_rows)
     if probe is None:
-        probe = probe_keys(df, key_col, ts_col=ts_col)
+        probe = _probe_maybe_keyless(df, key_col, ts_col)
     return probe, budget_rows
 
 
@@ -475,7 +479,7 @@ def asof_join_auto(
 
 
 def _probe_maybe_keyless(
-    df: DataFrame, key_col: str | None, ts_col: str
+    df: DataFrame, key_col: str | None, ts_col: str | None
 ) -> KeyProbe:
     """Probe for autos whose plain form allows ``key_col=None`` (a
     single-partition GLOBAL sort): the keyless frame is probed as one
@@ -501,10 +505,9 @@ def lead_pairs_auto(
     ``RESTAMP_BUDGET_ROWS``).  ``key_col=None`` probes the frame as ONE
     key — the plain form's global sort is the serialized cost in that
     shape."""
-    if budget_rows is None:
-        budget_rows = session_budget_rows(df.sparkSession, LEAD_BUDGET_ROWS)
-    if probe is None:
-        probe = _probe_maybe_keyless(df, key_col, ts_col)
+    probe, budget_rows = _resolve(
+        df, key_col, ts_col, budget_rows, LEAD_BUDGET_ROWS, probe
+    )
     if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _timeseries.lead_pairs(df, ts_col=ts_col, key_col=key_col)
     # decision by the family crossover; bucket GEOMETRY task-sized (the
@@ -535,12 +538,9 @@ def restamp_positional_auto(
     r11 addendum 5).  ``key_col=None`` probes the frame as one key (the
     plain form's documented single-partition global-sort hazard — the
     twin is the scale answer to exactly that warning)."""
-    if budget_rows is None:
-        budget_rows = session_budget_rows(
-            df.sparkSession, RESTAMP_BUDGET_ROWS
-        )
-    if probe is None:
-        probe = _probe_maybe_keyless(df, key_col, ts_col)
+    probe, budget_rows = _resolve(
+        df, key_col, ts_col, budget_rows, RESTAMP_BUDGET_ROWS, probe
+    )
     if not decide_twin(probe, budget_rows) or probe.lo_us is None:
         return _timeseries.restamp_positional(
             df, new_start, step_seconds, ts_col=ts_col, key_col=key_col,

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._chunkjoin import join_boundary
+
 
 def _cents(c: Column, scale: int) -> Column:
     # exact scaled-integer of fixed-decimal source data (registry.cents)
@@ -114,11 +116,14 @@ def rolling_zscore_chunked(
         "_bstart", F.coalesce(F.sum("_c").over(wb), F.lit(0).cast("long"))
     ).select(key_col, F.col("_bkt").alias("_tbkt"), "_bstart")
     wl = Window.partitionBy(key_col, "_bkt").orderBy(ts_col, tiebreak_col)
+    # null-safe on the key (r11, _chunkjoin): the plain window scores a
+    # NULL-key group like any other partition; the offset join must too
     g = (
-        rows.withColumn("_lr", (F.row_number().over(wl) - 1).cast("long"))
-        .join(
-            F.broadcast(offsets.withColumnRenamed("_tbkt", "_bkt")),
-            [key_col, "_bkt"],
+        join_boundary(
+            rows.withColumn("_lr", (F.row_number().over(wl) - 1).cast("long")),
+            offsets.withColumnRenamed("_tbkt", "_bkt"),
+            [key_col],
+            ["_bkt"],
         )
         .withColumn("_g", F.col("_bstart") + F.col("_lr"))
         .drop("_bstart", "_lr")
@@ -128,7 +133,7 @@ def rolling_zscore_chunked(
         g.alias("r")
         .join(
             F.broadcast(offsets).alias("o"),
-            (F.col(f"r.{key_col}") == F.col(f"o.{key_col}"))
+            (F.col(f"r.{key_col}").eqNullSafe(F.col(f"o.{key_col}")))
             & (F.col("o._tbkt") >= F.col("r._bkt"))
             & (F.col("o._bstart") <= F.col("r._g") + F.lit(window - 1)),
         )
@@ -301,9 +306,10 @@ def cusum_reflected_chunked(
         .filter((F.col("_cum") >= rank) & (F.col("_cum") - F.col("_c") < rank))
         .select(key_col, F.col("_xc").alias("_med"))
     )
+    # null-safe on the key (r11, _chunkjoin): NULL-key rows keep their
+    # median — the plain form's per-key windows include that group
     rows = (
-        df.withColumn("_xc", x)
-        .join(F.broadcast(med), key_col)
+        join_boundary(df.withColumn("_xc", x), med, [key_col], [])
         .withColumn(
             "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s)
         )
@@ -345,7 +351,7 @@ def cusum_reflected_chunked(
     )
     # 3. row-local combine
     out = (
-        local.join(F.broadcast(carries), [key_col, "_bkt"])
+        join_boundary(local, carries, [key_col], ["_bkt"])
         .withColumn("_cum", F.col("_off") + F.col("_lc"))
         .withColumn(
             "_pmin",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._chunkjoin import join_boundary
+
 # --- A1/A2: tumbling-window resample ---------------------------------------
 
 
@@ -281,8 +283,10 @@ def lead_pairs_chunked(
     nxt = firsts.select(
         *keys, "_b", F.lead("_first").over(wk).alias("_next_first")
     )
+    # null-safe on the key: the plain window pairs a NULL-key group like
+    # any other partition, so the boundary join must too (_chunkjoin)
     out = (
-        local.join(F.broadcast(nxt), on=keys + ["_b"], how="left")
+        join_boundary(local, nxt, keys, ["_b"], how="left")
         .withColumn(
             "end_ts",
             F.when(
@@ -392,7 +396,9 @@ def restamp_positional_chunked(
         "_b",
         F.coalesce(F.sum("_n").over(wk), F.lit(0)).alias("_off"),
     )
-    out = local.join(F.broadcast(offs), on=keys + ["_b"]).withColumn(
+    # null-safe on the key: a NULL-key group must keep its offset rows
+    # (a plain equi-join would silently drop it — _chunkjoin)
+    out = join_boundary(local, offs, keys, ["_b"]).withColumn(
         ts_col,
         F.to_timestamp(F.lit(new_start))
         + F.make_interval(
@@ -503,8 +509,12 @@ def sessionize(
             ),
         )
     )
-    out = rows.join(
-        summ.select(key_col, "_bkt", "_adj", "_off"), [key_col, "_bkt"]
+    # null-safe on the key (r11): a NULL-key group sessionizes like any
+    # other partition in the plain window — the summary join must not
+    # drop it
+    out = join_boundary(
+        rows, summ.select(key_col, "_bkt", "_adj", "_off"),
+        [key_col], ["_bkt"], broadcast=False,
     )
     return out.withColumn(
         "session_seq", F.col("_off") + F.col("_wseq") - F.col("_adj")
@@ -724,11 +734,12 @@ def asof_join_chunked(
         F.last("_bl", ignorenulls=True).over(w_carry).alias("_carry"),
     )
     # 3. row-local combine: local fill, else the bucket's carry
-    combined = (
-        filled.filter(F.col("_side") == 1)
-        .join(F.broadcast(carries), on=[key_col, "_b"], how="left")
-        .withColumn("_m", F.coalesce(F.col("_lm"), F.col("_carry")))
-    )
+    # null-safe on the key (r11): plain asof fills a NULL-key partition
+    # like any other, so the twin's cross-bucket carry must reach it too
+    combined = join_boundary(
+        filled.filter(F.col("_side") == 1), carries,
+        [key_col], ["_b"], how="left",
+    ).withColumn("_m", F.coalesce(F.col("_lm"), F.col("_carry")))
     return _asof_finish(
         combined, ts_col, left_cols, payload_cols, tolerance_seconds
     )
