@@ -23,6 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: bucket id for NULL-timestamp rows in the chunked twins — far below
+#: any real ``floor(event-time / span)`` (|unix micros| < 2^63 over a
+#: >=1e6-us span keeps real buckets within +-2^43; second-granularity
+#: buckets are smaller still) and SMALLER than all of them, which
+#: reproduces the plain forms' ascending nulls-FIRST window order on
+#: the bucket axis: null-ts rows land in the front bucket, take the
+#: front offsets/carries, and the boundary joins (plain equality on
+#: the bucket id) match them like any other bucket.  Without the
+#: sentinel a NULL bucket id fails the equi-join and the twins drop
+#: rows their plain forms keep — the null-TIMESTAMP sibling of the
+#: null-key class bug (r11 review).
+NULL_TS_BUCKET = -(1 << 62)
+
 
 def join_boundary(
     left: DataFrame,

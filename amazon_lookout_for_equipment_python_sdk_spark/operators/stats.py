@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._chunkjoin import NULL_TS_BUCKET as _NULL_TS_BUCKET
 from ._chunkjoin import join_boundary
 
 
@@ -103,8 +104,16 @@ def rolling_zscore_chunked(
     Cost: one extra tiny aggregation + a broadcast join, vs. per-key
     serialization.  Use the plain form when keys >> cores."""
     x = _cents(F.col(value_col), scale)
+    # null-ts rows take the sentinel FRONT bucket: the plain window
+    # orders them nulls-first and scores them; a NULL bucket id would
+    # fail the offset equi-join and silently drop them (r11 review —
+    # the null-timestamp sibling of the null-key class fix)
     rows = df.withColumn(
-        "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s)
+        "_bkt",
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s),
+            F.lit(_NULL_TS_BUCKET),
+        ),
     )
     counts = rows.groupBy(key_col, "_bkt").agg(F.count("*").alias("_c"))
     wb = (
@@ -311,7 +320,14 @@ def cusum_reflected_chunked(
     rows = (
         join_boundary(df.withColumn("_xc", x), med, [key_col], [])
         .withColumn(
-            "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s)
+            # sentinel front bucket for null-ts rows — same contract as
+            # the zscore twin above: the plain prefix walk includes
+            # them nulls-first, so the carry join must too
+            "_bkt",
+            F.coalesce(
+                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s),
+                F.lit(_NULL_TS_BUCKET),
+            ),
         )
         .withColumn(
             "_d", F.col("_xc") - F.col("_med") - F.lit(int(slack_cents))

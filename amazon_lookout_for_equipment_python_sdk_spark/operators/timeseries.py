@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._chunkjoin import NULL_TS_BUCKET as _NULL_TS_BUCKET
 from ._chunkjoin import join_boundary
 
 # --- A1/A2: tumbling-window resample ---------------------------------------
@@ -217,14 +218,6 @@ def lead_pairs(
         F.col("end_ts").isNotNull()
     )
     return out.withColumnRenamed(ts_col, "start_ts")
-
-
-#: bucket id for null-timestamp rows in the chunked twins below — far
-#: below any real ``floor(unix_micros/span)`` (|micros| < 2^63, span >=
-#: 1e6 us, so real buckets are within +-2^43), and SMALLER than all of
-#: them, which reproduces the plain forms' ascending nulls-FIRST window
-#: order on the bucket axis.
-_NULL_TS_BUCKET = -(1 << 62)
 
 
 def _ts_bucket(ts_col: str, bucket_span_s: int) -> Column:
@@ -461,9 +454,19 @@ def sessionize(
     # driver read, off the row path).
     lo, hi = df.select(F.min(us), F.max(us)).first()
     if lo is None:
-        return df.withColumn("session_seq", F.lit(None).cast("long"))
-    width = max((hi - lo) // skew_buckets + 1, 1)
-    bkt = F.floor((us - F.lit(lo)) / F.lit(width))
+        # all timestamps null: every row lands in the sentinel bucket
+        # below and the per-(key, bucket) window reproduces the plain
+        # path's nulls-first walk (each null-ts row opens a session,
+        # exactly like the plain lag's null prev)
+        lo, width = 0, 1
+    else:
+        width = max((hi - lo) // skew_buckets + 1, 1)
+    # null-ts rows go to the sentinel FRONT bucket (r11 review: a NULL
+    # bucket id would fail the summary equi-join and drop rows the
+    # plain window keeps nulls-first)
+    bkt = F.coalesce(
+        F.floor((us - F.lit(lo)) / F.lit(width)), F.lit(_NULL_TS_BUCKET)
+    )
     wb = Window.partitionBy(key_col, "_bkt").orderBy(*order)
     prev = F.lag(F.col("_us")).over(wb)
     new_flag = (

@@ -141,6 +141,110 @@ def test_zscore_chunked_null_key_group(spark, nullkey_df):
     assert got == plain and len(got) == 160
 
 
+# --- null TIMESTAMPS (the sibling class, second r11 review pass) -----------
+# The plain windows order null-ts rows nulls-first and process them;
+# the twins' bucket ids must therefore be the sentinel FRONT bucket
+# (NULL_TS_BUCKET), not NULL — a NULL bucket id fails the plain-equality
+# bucket join and drops the rows.  lead/restamp had the sentinel from
+# birth (their tests cover nulls); these pin zscore/cusum/sessionize.
+
+
+@pytest.fixture(scope="module")
+def nullts_df(spark, nullkey_df):
+    """nullkey_df with ~10% of timestamps nulled (on top of the NULL
+    key group) — both null axes at once."""
+    return nullkey_df.withColumn(
+        "ts", F.when(F.col("eid") % 11 == 0, None).otherwise(F.col("ts"))
+    )
+
+
+def test_zscore_chunked_null_ts_rows(spark, nullts_df):
+    def zkey(df):
+        return {r["eid"]: r["zscore"] for r in df.collect()}
+
+    plain = zkey(
+        st.rolling_zscore(
+            nullts_df, 7, value_col="value", ts_col="ts", key_col="k",
+            tiebreak_col="eid",
+        )
+    )
+    got = zkey(
+        st.rolling_zscore_chunked(
+            nullts_df, 7, bucket_span_s=3_600, value_col="value",
+            ts_col="ts", key_col="k", tiebreak_col="eid",
+        )
+    )
+    assert got == plain and len(got) == 160
+
+
+def test_cusum_chunked_null_ts_rows(spark, nullts_df):
+    def ckey(df):
+        return {r["eid"]: r["cusum"] for r in df.collect()}
+
+    plain = ckey(
+        st.cusum_reflected(
+            nullts_df, value_col="value", ts_col="ts", key_col="k",
+            tiebreak_col="eid",
+        )
+    )
+    got = ckey(
+        st.cusum_reflected_chunked(
+            nullts_df, bucket_span_s=3_600, value_col="value",
+            ts_col="ts", key_col="k", tiebreak_col="eid",
+        )
+    )
+    assert got == plain and len(got) == 160
+
+
+def test_sessionize_skew_null_ts_rows(spark, nullts_df):
+    def seqs(df):
+        return {r["eid"]: r["session_seq"] for r in df.collect()}
+
+    plain = seqs(
+        ts_ops.sessionize(
+            nullts_df, ts_col="ts", key_col="k", gap_minutes=30,
+            tiebreak_col="eid",
+        )
+    )
+    got = seqs(
+        ts_ops.sessionize(
+            nullts_df, ts_col="ts", key_col="k", gap_minutes=30,
+            tiebreak_col="eid", skew_buckets=12,
+        )
+    )
+    assert got == plain and len(got) == 160
+    # null-ts rows each open a session (the plain lag's null prev) —
+    # assert they're present, not just that the maps agree
+    nulls = [r["eid"] for r in nullts_df.filter(F.col("ts").isNull()).collect()]
+    assert nulls and all(plain[e] is not None for e in nulls)
+
+
+def test_sessionize_skew_all_null_ts(spark):
+    """All-null-ts frame: the skew path used to return NULL session_seq
+    where the plain path numbers each row as its own session — the
+    sentinel bucket now reproduces the plain walk."""
+    df = spark.createDataFrame(
+        [("a", None, i) for i in range(6)] + [("b", None, 6)],
+        "k string, ts timestamp, eid long",
+    )
+
+    def seqs(out):
+        return {r["eid"]: r["session_seq"] for r in out.collect()}
+
+    plain = seqs(
+        ts_ops.sessionize(
+            df, ts_col="ts", key_col="k", tiebreak_col="eid"
+        )
+    )
+    got = seqs(
+        ts_ops.sessionize(
+            df, ts_col="ts", key_col="k", tiebreak_col="eid",
+            skew_buckets=4,
+        )
+    )
+    assert got == plain == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5, 5: 6, 6: 1}
+
+
 def test_cusum_chunked_null_key_group(spark, nullkey_df):
     def ckey(df):
         return {r["eid"]: r["cusum"] for r in df.collect()}
