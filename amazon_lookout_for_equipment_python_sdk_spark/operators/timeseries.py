@@ -628,7 +628,14 @@ def asof_join(
 
     NULL timestamps follow DuckDB ASOF semantics (see
     :func:`_asof_prepare`): null-ts right rows never match, null-ts left
-    rows emit with null payloads.
+    rows emit with null payloads.  NULL KEYS follow Spark window
+    semantics — one ordinary partition, so null-key left rows fill from
+    null-key right rows (both forms, r11 null-key pin).  This is a
+    deliberate divergence from pandas ``merge_asof``/SQL equality,
+    where NaN/NULL by-keys never match: the engine's other per-key
+    operators (sessionize, zscore, restamp) all treat NULL as a group,
+    and the as-of forms keep that one consistent rule; filter null-key
+    rows upstream for strict merge_asof behavior.
 
     Scale: ONE shuffle (the union windows over ``key_col``) regardless of
     table sizes — no join, no per-row range probing; a range join here

@@ -1186,6 +1186,99 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_sessionize_stream_null_key_matches_batch(spark, tmp_path):
+    """NULL-key contract through the STREAMING twin (r11): batch
+    sessionize treats a NULL key as one ordinary group (window
+    partitionBy semantics — the r11 null-key class fix pins the chunked
+    twin to that), and the streaming form must agree: groupBy(null)
+    reaches the state kernel like any key.  Replay a fixture where one
+    'user' is NULL and compare closed sessions to batch."""
+    import datetime as dt
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.timeseries import (
+        sessionize,
+    )
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming import (
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    for uid, gaps in (
+        ("A", [0, 5, 95, 1, 40]),
+        (None, [0, 10, 31, 2, 60, 1]),
+    ):
+        t = t0
+        for g in gaps:
+            t = t + dt.timedelta(minutes=g)
+            rows.append((uid, t))
+    rows.sort(key=lambda r: r[1])
+
+    indir = tmp_path / "nk_in"
+    outdir = tmp_path / "nk_out"
+    ckpt = str(tmp_path / "nk_ckpt")
+    indir.mkdir()
+    outdir.mkdir()
+
+    def write_batch(name, batch):
+        with open(indir / name, "w") as f:
+            f.write("user_id,ts\n")
+            for uid, ts in batch:
+                f.write(f"{uid if uid is not None else ''},{ts}\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("header", True)
+            .csv(str(indir / "*.csv"))
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(outdir / "data"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n = len(rows)
+    write_batch("b1.csv", rows[: n // 2])
+    run_once()
+    write_batch("b2.csv", rows[n // 2 :])
+    run_once()
+    far = max(r[1] for r in rows) + dt.timedelta(days=2)
+    write_batch("b3.csv", [("ZZ", far)])
+    run_once()
+    write_batch("b4.csv", [("ZZ", far + dt.timedelta(minutes=1))])
+    run_once()
+
+    streamed = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.schema(
+            "key string, session_start timestamp, session_end timestamp, "
+            "n_events long"
+        )
+        .parquet(str(outdir / "data"))
+        .collect()
+        if r["key"] != "ZZ"
+    }
+    batch_df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, key_col="user_id", gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+    assert any(k is None for k, *_ in streamed)  # the NULL group closed
+
+
 def test_stateless_text_ops_compose_with_streams(spark, tmp_path):
     """The corpus text operators are stateless projections/filters, so the
     SAME functions run unchanged on a readStream plan — streamed output
