@@ -1,7 +1,7 @@
 """Auto-routing between plain operators and their skew-safe twins
 (r9 verdict #5).
 
-Six operator families ship both a PLAIN form (one per-key window —
+Seven operator families ship both a PLAIN form (one per-key window —
 minimal overhead, but a key's whole history serializes onto one task)
 and a SKEW-SAFE twin (a (key, time-bucket) pre-split with exact
 boundary/carry merge — parallel under hot keys and long histories, at
@@ -16,6 +16,7 @@ stats.cusum_reflected           stats.cusum_reflected_chunked         ~1.5e5 row
 timeseries.asof_join            timeseries.asof_join_chunked          ~1.5e6 rows/key (union of both tables — r11)
 timeseries.lead_pairs           timeseries.lead_pairs_chunked         ~4e6 rows/key (r11)
 timeseries.restamp_positional   timeseries.restamp_positional_chunked ~6e5 rows/key (r11)
+timeseries.ffill                timeseries.ffill_chunked              ~2e6 rows/key (r11; flagship fill)
 ==============================  ====================================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -136,6 +137,17 @@ LEAD_BUDGET_ROWS = 4_000_000
 #: table aggregates min timestamps, and the restamp twin's output
 #: column is pure arithmetic off the local rank.
 RESTAMP_BUDGET_ROWS = 600_000
+
+#: forward-fill's crossover (one ``last ignorenulls`` over the per-key
+#: sort — the fill inside the flagship resample_ffill idiom), from the
+#: same r11 fixture series (tools/bench_ffill_ab.py, sparse 1-in-20
+#: non-null values, BASELINE.md r11 addendum 6): plain ahead at 300k
+#: (2.0x) and 1M (1.26x), the twin ahead from 3M (1.35x) through 30M
+#: (3.6x).  2e6 is the 1M-3M bracket midpoint — between restamp's and
+#: lead's, consistent with a twin whose carry is a max_by aggregate
+#: (cheaper than lead's min-timestamp boundary + left join, dearer
+#: than restamp's bare count).
+FFILL_BUDGET_ROWS = 2_000_000
 
 #: per-task execution memory where the constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
@@ -550,6 +562,35 @@ def restamp_positional_auto(
     return _timeseries.restamp_positional_chunked(
         df, new_start, step_seconds, _bucket_span_s(probe, geom),
         ts_col=ts_col, key_col=key_col, tiebreak_col=tiebreak_col,
+    )
+
+
+def ffill_auto(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "bucket_ts",
+    key_col: str = "tag",
+    out_col: str | None = None,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`timeseries.ffill` or its chunked twin by probe (r11 — the
+    seventh routed family; the fill inside the flagship resample_ffill
+    idiom, where rows-per-key is SPAN-bounded — a decade of 1-minute
+    slots is ~5M rows per key regardless of event volume, past this
+    budget on its own).  Budget ``FFILL_BUDGET_ROWS`` (measured; see
+    the constant's doc)."""
+    probe, budget_rows = _resolve(
+        df, key_col, ts_col, budget_rows, FFILL_BUDGET_ROWS, probe
+    )
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
+        return _timeseries.ffill(
+            df, value_col, ts_col=ts_col, key_col=key_col, out_col=out_col
+        )
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _timeseries.ffill_chunked(
+        df, value_col, _bucket_span_s(probe, geom),
+        ts_col=ts_col, key_col=key_col, out_col=out_col,
     )
 
 

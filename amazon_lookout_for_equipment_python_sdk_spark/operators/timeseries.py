@@ -135,22 +135,107 @@ def ffill(
     )
 
 
+def ffill_chunked(
+    df: DataFrame,
+    value_col: str,
+    bucket_span_s: int,
+    ts_col: str = "bucket_ts",
+    key_col: str = "tag",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`ffill`: identical output (property-tested, null
+    keys and null timestamps included), with the per-key fill parallel
+    across (key, time-bucket) tasks — the scale path when one series'
+    grid is decades long (a year of 1-minute slots is ~0.5M rows per
+    key; the plain form sorts each key's whole grid on one task).
+
+    The prefix ``last non-null`` decomposes exactly like the as-of
+    twin's fill (:func:`asof_join_chunked`): a bucket-LOCAL fill
+    (window over (key, bucket) — parallel), plus a tiny carry table of
+    each bucket's last non-null value (``max_by`` on the non-null
+    timestamps), whose own exclusive prefix fill yields "latest
+    non-null in any earlier bucket"; a row whose bucket has no earlier
+    non-null takes the carry.  Unlike as-of there is no null-payload
+    subtlety — a null value IS the thing being filled, so the
+    row-local ``coalesce`` is exact by construction.  Null timestamps
+    ride the sentinel front bucket (:func:`_ts_bucket` — the plain
+    window's nulls-first order); null keys are one ordinary group
+    (``_chunkjoin`` null-safe join, the engine-wide convention).
+
+    Cost: one (key, bucket) corpus exchange + the tiny aggregate and
+    its broadcast; worth it once a key's grid exceeds the per-task
+    sort budget (``operators.routing.ffill_auto`` routes on a probe).
+    Ties on (key, ts): same nondeterminism contract as the plain form
+    (the grid shapes this serves are unique per (key, slot))."""
+    out_name = out_col or value_col
+    rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
+    wl = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rows.withColumn(
+        "_lf", F.last(value_col, ignorenulls=True).over(wl)
+    )
+    # the carry's order key must mirror the window order (ts ascending
+    # NULLS FIRST): a null-ts row's non-null value flows forward in the
+    # plain form, so it must enter the carry too — bare ts as the
+    # max_by key would silently skip it (null ordering keys are
+    # ignored).  Same sentinel the bucket axis uses.
+    ordk = F.coalesce(
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.lit(_NULL_TS_BUCKET),
+    )
+    bucket_last = rows.groupBy(key_col, "_b").agg(
+        F.max_by(
+            F.col(value_col),
+            F.when(F.col(value_col).isNotNull(), ordk),
+        ).alias("_bl")
+    )
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = bucket_last.select(
+        key_col,
+        "_b",
+        F.last("_bl", ignorenulls=True).over(wc).alias("_carry"),
+    )
+    combined = join_boundary(
+        local, carries, [key_col], ["_b"], how="left"
+    ).withColumn(out_name, F.coalesce(F.col("_lf"), F.col("_carry")))
+    keep = list(df.columns) + (
+        [out_name] if out_name not in df.columns else []
+    )
+    return combined.select(*keep)
+
+
 def resample_ffill(
     df: DataFrame,
     rate_seconds: int,
     ts_col: str = "ts",
     key_col: str = "tag",
     value_col: str = "value",
+    fill_span_s: int | None = None,
 ) -> DataFrame:
     """``resample(rule).mean()`` onto a complete grid, then forward-fill —
     the reference's slot-alignment idiom (dataset.py:524, plot.py:250-251).
 
     Returns ``(key_col, bucket_ts, value)`` with no interior nulls (leading
     buckets before a series' first observation keep null, as pandas does).
-    """
+
+    ``fill_span_s`` switches the fill to :func:`ffill_chunked` with that
+    bucket span — the skew-safe path when few tags carry decade-long
+    grids (identical rows, property-pinned)."""
     agg = resample_mean(df, rate_seconds, ts_col, key_col, value_col)
     grid = time_grid(df, rate_seconds, ts_col, key_col)
     joined = grid.join(agg, [key_col, "bucket_ts"], "left")
+    if fill_span_s:
+        return ffill_chunked(
+            joined, "avg_value", fill_span_s, "bucket_ts", key_col,
+            out_col="value",
+        ).drop("avg_value")
     return ffill(joined, "avg_value", "bucket_ts", key_col, out_col="value").drop(
         "avg_value"
     )

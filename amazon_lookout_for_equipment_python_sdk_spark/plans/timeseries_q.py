@@ -79,6 +79,45 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("flagship_ffill_chunked", _FLAGSHIP_SQL)
+def flagship_ffill_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship spine with the skew-safe FILL (identical rows, same
+    oracle — the chunked-row precedent): ``ffill_chunked`` decomposes
+    the per-key last-non-null into (key, time-bucket) local fills plus
+    a broadcast last-non-null carry table (operators/timeseries.py) —
+    the seventh routed family (operators/routing.py ``ffill_auto``;
+    measured crossover in BASELINE.md r11 addendum 6).  The grid the
+    fill runs over is span-bounded, not event-bounded — a decade of
+    5-min slots is ~1M rows PER KEY regardless of event volume, which
+    is exactly the few-keys-long-history shape the twins exist for.
+    Property equality (sparse gaps, all-null keys, null keys/ts) pinned
+    in tests/test_operators.py.  Built exactly like the plain flagship
+    (det_avg resample, not the operator's plain F.avg — the oracle's
+    float determinism contract) with only the fill swapped."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", ts_ops.bucket(F.col("ts"), RATE).alias("bucket_ts")
+    ).agg(det_avg(F.col("value")).alias("avg_value"))
+    grid = ts_ops.time_grid(events, RATE, ts_col="ts", key_col="event_type")
+    filled = ts_ops.ffill_chunked(
+        grid.join(agg, ["event_type", "bucket_ts"], "left"),
+        "avg_value",
+        6 * 3600,
+        "bucket_ts",
+        "event_type",
+        out_col="value",
+    ).drop("avg_value")
+    rolled = ts_ops.rolling_mean(
+        filled, ROLL, "value", ts_col="bucket_ts", key_col="event_type"
+    )
+    return rolled.select(
+        "event_type",
+        "bucket_ts",
+        "value",
+        qfloor(F.col("rolling_avg")).alias("rolling_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1: resample mean (standalone)
 # ---------------------------------------------------------------------------

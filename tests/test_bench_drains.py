@@ -23,6 +23,7 @@ HARNESSES = [
     "tools/bench_stream_skew.py",
     "tools/bench_asof_ab.py",
     "tools/bench_lead_ab.py",
+    "tools/bench_ffill_ab.py",
 ]
 
 

@@ -678,6 +678,76 @@ def test_restamp_positional_chunked_equals_plain(spark):
             assert got == plain, (key, span)
 
 
+def test_ffill_chunked_equals_plain(spark):
+    """The skew-safe fill is row-for-row equal to ffill across bucket
+    geometries — sparse non-null values leaving multi-bucket gaps (the
+    carry must bridge them), all-null keys (leading nulls stay null,
+    pandas semantics), null timestamps (nulls-first sentinel bucket),
+    a NULL key group, and a giant single bucket."""
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "tag": [None, "a", "b", "c"] * 100,
+            "bucket_ts": base
+            + pd.to_timedelta(rng.integers(0, 3_000, 400) * 60, "s"),
+            "v": rng.normal(size=400).round(3),
+            "eid": np.arange(400),
+        }
+    )
+    pdf = pdf.drop_duplicates(["tag", "bucket_ts"]).reset_index(drop=True)
+    # sparse: ~90% of values null; one key entirely null
+    pdf.loc[rng.random(len(pdf)) < 0.9, "v"] = None
+    pdf.loc[pdf["tag"] == "c", "v"] = None
+    # exactly ONE null-ts row per key (plain ffill has no tiebreak, so
+    # several tied null-ts rows order nondeterministically); the NULL
+    # key's and 'a''s carry a NON-null value — the nulls-first case
+    # whose value must flow into every later bucket of the key
+    for tag, val in ((None, 9.5), ("a", 7.5), ("b", None), ("c", None)):
+        i = pdf.index[pdf["tag"].isna() if tag is None else (pdf["tag"] == tag)][0]
+        pdf.loc[i, "bucket_ts"] = pd.NaT
+        pdf.loc[i, "v"] = val
+    df = spark.createDataFrame(pdf)
+
+    def vals(out):
+        return {r["eid"]: r["filled"] for r in out.collect()}
+
+    plain = vals(
+        ts_ops.ffill(df, "v", ts_col="bucket_ts", key_col="tag",
+                     out_col="filled")
+    )
+    for span in (3_600, 36_000, 10_000_000_000):
+        got = vals(
+            ts_ops.ffill_chunked(
+                df, "v", span, ts_col="bucket_ts", key_col="tag",
+                out_col="filled",
+            )
+        )
+        assert got == plain, span
+    # in-place fill keeps the schema of the plain form
+    a = ts_ops.ffill(df, "v", ts_col="bucket_ts", key_col="tag")
+    b = ts_ops.ffill_chunked(df, "v", 3_600, ts_col="bucket_ts", key_col="tag")
+    assert a.columns == b.columns
+
+
+def test_resample_ffill_chunked_matches_plain(spark, events):
+    """resample_ffill(fill_span_s=...) — the flagship idiom with the
+    skew-safe fill — returns exactly the plain rows on the fixture."""
+    plain = {
+        (r["event_type"], str(r["bucket_ts"])): r["value"]
+        for r in ts_ops.resample_ffill(
+            events, 300, key_col="event_type"
+        ).collect()
+    }
+    got = {
+        (r["event_type"], str(r["bucket_ts"])): r["value"]
+        for r in ts_ops.resample_ffill(
+            events, 300, key_col="event_type", fill_span_s=6 * 3600
+        ).collect()
+    }
+    assert got == plain
+
+
 def test_lead_restamp_chunked_plan_shapes(spark):
     """Both twins' corpus-sized windows partition by (key, bucket) — the
     reason they exist — and the tiny boundary tables join back broadcast
@@ -694,6 +764,10 @@ def test_lead_restamp_chunked_plan_shapes(spark):
         ts_ops.restamp_positional_chunked(
             df, "2025-01-01 00:00:00", 60, 3_600, ts_col="ts",
             key_col="k", tiebreak_col="eid",
+        ),
+        ts_ops.ffill_chunked(
+            df.withColumn("v", F.when(F.col("eid") % 7 == 0, F.col("eid"))),
+            "v", 3_600, ts_col="ts", key_col="k",
         ),
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()

@@ -582,6 +582,68 @@ def test_lead_restamp_auto_routes_and_matches(spark):
     assert a.count() > 0 and b.count() == ev.count()
 
 
+def test_ffill_budget_calibration():
+    """The fill family's measured crossover (BASELINE r11 addendum 6,
+    AT the anchor): plain still ahead at 1M rows/key, the twin ahead
+    from 3M.  The 2e6 constant must route 1M plain and 3M twin, and
+    scale with memory like the other budgets."""
+    b = rt.derive_budget_rows(rt.FFILL_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+    assert b == rt.FFILL_BUDGET_ROWS == 2_000_000
+    assert not rt.decide_twin(rt.KeyProbe(3, 1_000_000, 1_400_000), b)
+    assert rt.decide_twin(rt.KeyProbe(3, 3_000_000, 4_200_000), b)
+    assert rt.derive_budget_rows(
+        rt.FFILL_BUDGET_ROWS, 4 * rt.CALIB_PER_TASK_BYTES
+    ) == 8_000_000
+
+
+def test_ffill_auto_routes_and_matches(spark):
+    """The seventh routed family: both branches equal the explicit
+    plain fill; a shared probe skips the probe scan."""
+    ev = (
+        _events(spark, "/root/testdata/sf0.001")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.when(F.col("event_id") % 9 == 0, F.col("value")).alias("v"),
+        )
+        .limit(400)
+    )
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        timeseries as tsops,
+    )
+
+    def vals(df):
+        return {r["event_id"]: r["filled"] for r in df.collect()}
+
+    plain = vals(
+        tsops.ffill(ev, "v", ts_col="ts", key_col="event_type",
+                    out_col="filled")
+    )
+    for budget in (10**9, 10):
+        got = vals(
+            rt.ffill_auto(
+                ev, "v", ts_col="ts", key_col="event_type",
+                out_col="filled", budget_rows=budget,
+            )
+        )
+        assert got == plain, budget
+    shared = rt.probe_keys(ev, "event_type", ts_col="ts")
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        routed = rt.ffill_auto(
+            ev, "v", ts_col="ts", key_col="event_type", out_col="filled",
+            probe=shared, budget_rows=10,
+        )
+    finally:
+        rt.probe_keys = orig
+    assert vals(routed) == plain
+
+
 def _zkey(rows):
     return {(r["event_type"], r["event_id"]): r["zscore"] for r in rows}
 
