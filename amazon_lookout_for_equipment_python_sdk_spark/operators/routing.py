@@ -1,7 +1,7 @@
 """Auto-routing between plain operators and their skew-safe twins
 (r9 verdict #5).
 
-Seven operator families ship both a PLAIN form (one per-key window —
+Eight operator families ship both a PLAIN form (one per-key window —
 minimal overhead, but a key's whole history serializes onto one task)
 and a SKEW-SAFE twin (a (key, time-bucket) pre-split with exact
 boundary/carry merge — parallel under hot keys and long histories, at
@@ -17,6 +17,7 @@ timeseries.asof_join            timeseries.asof_join_chunked          ~1.5e6 row
 timeseries.lead_pairs           timeseries.lead_pairs_chunked         ~4e6 rows/key (r11)
 timeseries.restamp_positional   timeseries.restamp_positional_chunked ~6e5 rows/key (r11)
 timeseries.ffill                timeseries.ffill_chunked              ~2e6 rows/key (r11; flagship fill)
+timeseries.rolling_range        timeseries.rolling_range_chunked      rows x frame-rows product ~3e7 (r11; compute-bound, not sort-bound)
 ==============================  ====================================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -148,6 +149,21 @@ RESTAMP_BUDGET_ROWS = 600_000
 #: (cheaper than lead's min-timestamp boundary + left join, dearer
 #: than restamp's bare count).
 FFILL_BUDGET_ROWS = 2_000_000
+
+#: the event-time range-frame family routes on a COMPUTE PRODUCT, not
+#: a row budget: Spark evaluates a trailing RANGE frame by rescanning
+#: the frame per row (measured — NOT incremental), so the per-key cost
+#: is max_key_rows x frame_rows, where frame_rows ~ the key's event
+#: density x range_s.  The r11 series (tools/bench_range_ab.py, dense
+#: 1 ev/s and sparse 1 ev/100s cadences, BASELINE.md r11 addendum 7)
+#: is inseparable by rows alone — 100k dense rows route twin (1.8x)
+#: while 300k sparse rows route plain (1.07) — but separates cleanly
+#: on the product: plain at 1.1e7, twin from 1.1e8 (3.3x) up through
+#: 3.6e9 (4.2x).  3e7 is the bracket's geometric midpoint.  NOT
+#: memory-scaled: this crossover is where fan-out across cores beats
+#: one task's serial frame evaluation, calibrated on local[32] — the
+#: sort-spill regime is covered separately by the window row budget.
+RANGE_PRODUCT_BUDGET = 30_000_000
 
 #: per-task execution memory where the constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
@@ -591,6 +607,66 @@ def ffill_auto(
     return _timeseries.ffill_chunked(
         df, value_col, _bucket_span_s(probe, geom),
         ts_col=ts_col, key_col=key_col, out_col=out_col,
+    )
+
+
+def est_frame_rows(probe: KeyProbe, range_s: int) -> float:
+    """Hot key's expected trailing-frame size: its event density (rows
+    over its OWN probed span) times the frame reach."""
+    lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
+    hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
+    span_us = max((hi - lo), 1)
+    return probe.max_key_rows * (int(range_s) * 1_000_000) / span_us
+
+
+def decide_range_twin(
+    probe: KeyProbe,
+    range_s: int,
+    product_budget: int = RANGE_PRODUCT_BUDGET,
+    rows_budget: "int | None" = None,
+) -> bool:
+    """The range family's routing rule (see ``RANGE_PRODUCT_BUDGET``):
+    twin when the hot key's frame-evaluation product exceeds the
+    compute budget, OR when its rows alone exceed the window sort
+    budget (the spill regime — a sparse decade-long key can spill its
+    sort long before the frames get expensive)."""
+    if probe.max_key_rows == 0 or probe.lo_us is None:
+        return False
+    product = probe.max_key_rows * max(est_frame_rows(probe, range_s), 1.0)
+    rows_over = (
+        rows_budget is not None and probe.max_key_rows > rows_budget
+    )
+    return product > product_budget or rows_over
+
+
+def rolling_range_auto(
+    df: DataFrame,
+    range_s: int,
+    agg_fn,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+    product_budget: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`timeseries.rolling_range` or its chunked twin by probe
+    (r11 — the eighth routed family, and the one family that routes on
+    a COMPUTE PRODUCT rather than a row budget: see
+    ``RANGE_PRODUCT_BUDGET`` and :func:`decide_range_twin`).  The
+    twin's bucket span is the window-budget geometry FLOORED at
+    ``range_s`` (a frame may span at most one bucket boundary), which
+    also caps the context-replication overhead at ``range_s/span``."""
+    if product_budget is None:
+        product_budget = RANGE_PRODUCT_BUDGET
+    if probe is None:
+        probe = probe_keys(df, key_col, ts_col=ts_col)
+    rows_budget = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    if not decide_range_twin(probe, range_s, product_budget, rows_budget):
+        return _timeseries.rolling_range(
+            df, range_s, agg_fn, ts_col=ts_col, key_col=key_col
+        )
+    span = max(_bucket_span_s(probe, rows_budget), int(range_s))
+    return _timeseries.rolling_range_chunked(
+        df, range_s, agg_fn, span, ts_col=ts_col, key_col=key_col
     )
 
 

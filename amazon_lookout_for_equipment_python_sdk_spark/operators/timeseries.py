@@ -270,6 +270,97 @@ def rolling_mean(
     return df.withColumn(out_col, rolled)
 
 
+def rolling_range(
+    df: DataFrame,
+    range_s: int,
+    agg_fn,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+) -> DataFrame:
+    """Event-TIME trailing range frame per key (W1/§2.5): every row
+    aggregated over the same key's rows within the trailing ``range_s``
+    seconds OF EVENT TIME (``RANGE BETWEEN``), framed on MICROSECOND
+    epochs — irregular series make row frames and time frames genuinely
+    different.  ``agg_fn(window) -> {out_col: Column}`` supplies the
+    aggregates (apply ``.over(window)`` inside), so one frame serves
+    count/sum/avg/min/max at once.
+
+    Same-instant ties share a frame by definition (RANGE semantics) —
+    no tie-break needed; null timestamps follow Spark's null-frame
+    rule (all of a key's null-ts rows share one frame, excluded from
+    every non-null frame).  One per-key shuffle; a hot key serializes
+    onto one task — :func:`rolling_range_chunked` is the skew path."""
+    ord_ = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ord_)
+        .rangeBetween(-int(range_s) * 1_000_000, 0)
+    )
+    return df.select(
+        "*", *[c.alias(n) for n, c in agg_fn(w).items()]
+    )
+
+
+def rolling_range_chunked(
+    df: DataFrame,
+    range_s: int,
+    agg_fn,
+    bucket_span_s: int,
+    ts_col: str = "ts",
+    key_col: str = "tag",
+) -> DataFrame:
+    """Skew-safe :func:`rolling_range`: identical output
+    (property-tested — ties, null keys, null timestamps), with the
+    per-key range frame parallel across (key, time-bucket) tasks.
+
+    A trailing time frame reaches back at most ``range_s``, so with
+    ``bucket_span_s >= range_s`` every frame spans at most ONE bucket
+    boundary: each row in the last ``range_s`` of its bucket is
+    replicated once into the NEXT bucket as non-emitting CONTEXT, and
+    the frame window then runs entirely within (key, bucket) — no
+    carry table, no join; replication overhead is bounded by
+    ``range_s / bucket_span_s`` of the corpus.  Null-ts rows ride the
+    sentinel front bucket, are never replicated (a null ordinal fails
+    the replication predicate), and never enter a non-null frame —
+    Spark's null-frame rule reproduced exactly.
+
+    Unlike the offset twins this one has no boundary JOIN at all —
+    one extra (key, bucket) exchange for the union, nothing broadcast.
+    Route with ``operators.routing.rolling_range_auto``."""
+    if bucket_span_s < range_s:
+        raise ValueError(
+            f"bucket_span_s ({bucket_span_s}) must be >= range_s "
+            f"({range_s}): a frame may span at most one boundary"
+        )
+    r_us = int(range_s) * 1_000_000
+    span_us = int(bucket_span_s) * 1_000_000
+    ord_ = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = (
+        df.withColumn("_ord", ord_)
+        .withColumn(
+            "_b",
+            F.coalesce(
+                F.floor(F.col("_ord") / F.lit(span_us)),
+                F.lit(_NULL_TS_BUCKET),
+            ),
+        )
+        .withColumn("_loc", F.lit(1))
+    )
+    ctx = rows.filter(
+        F.col("_ord") >= (F.col("_b") + 1) * F.lit(span_us) - F.lit(r_us)
+    ).withColumn("_b", F.col("_b") + 1).withColumn("_loc", F.lit(0))
+    u = rows.unionByName(ctx)
+    w = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy("_ord")
+        .rangeBetween(-r_us, 0)
+    )
+    out = u.select(
+        "*", *[c.alias(n) for n, c in agg_fn(w).items()]
+    ).filter(F.col("_loc") == 1)
+    return out.drop("_ord", "_b", "_loc")
+
+
 # --- W4: slot flooring / next-wakeup ----------------------------------------
 
 

@@ -1191,3 +1191,33 @@ def range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("sum_1h"),
     )
+
+
+@register("rolling_1h_range_frame_chunked", _RANGE_FRAME_SQL)
+def range_frame_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``rolling_1h_range_frame`` (identical
+    rows, same oracle): a trailing time frame reaches back at most
+    ``range_s``, so with bucket span >= range every frame crosses at
+    most one bucket boundary — rows in each bucket's last hour
+    replicate once into the next bucket as non-emitting context and
+    the frame runs entirely within (key, bucket), parallel across the
+    hot signal's history (operators/timeseries.py
+    ``rolling_range_chunked``; no carry table, no join — the eighth
+    routed family, operators/routing.py ``rolling_range_auto``,
+    measured crossover in BASELINE.md r11 addendum 7).  Property
+    equality incl. same-instant ties, null keys and null timestamps
+    pinned in tests/test_operators.py."""
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = ts_ops.rolling_range_chunked(
+        events.select("event_id", "event_type", "ts", "value"),
+        3_600,
+        lambda w: {
+            "n_1h": F.count(F.lit(1)).over(w),
+            "sum_1h": F.sum(cents).over(w).cast("double") / F.lit(100.0),
+        },
+        bucket_span_s=6 * 3_600,
+        ts_col="ts",
+        key_col="event_type",
+    )
+    return out.select("event_id", "event_type", "n_1h", "sum_1h")

@@ -24,6 +24,7 @@ HARNESSES = [
     "tools/bench_asof_ab.py",
     "tools/bench_lead_ab.py",
     "tools/bench_ffill_ab.py",
+    "tools/bench_range_ab.py",
 ]
 
 

@@ -748,6 +748,51 @@ def test_resample_ffill_chunked_matches_plain(spark, events):
     assert got == plain
 
 
+def test_rolling_range_chunked_equals_plain(spark):
+    """The range-frame twin is row-for-row equal to rolling_range
+    across bucket geometries (span >= range) — same-instant ties
+    (shared frames), a NULL key group, null timestamps (Spark's
+    null-frame rule: a key's null-ts rows share one frame, excluded
+    from every non-null frame), sparse keys with multi-bucket gaps,
+    and one giant bucket.  Also pins the span < range validation."""
+    rng = np.random.default_rng(31)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "k": [None, "a", "b"] * 120,
+            # coarse 10-min grid -> plenty of exact same-instant ties
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 400, 360) * 600, "s"),
+            "v": rng.normal(size=360).round(2),
+            "eid": np.arange(360),
+        }
+    )
+    pdf.loc[rng.choice(360, 8, replace=False), "ts"] = pd.NaT
+    df = spark.createDataFrame(pdf)
+    cents = F.round(F.col("v") * 100).cast("long")
+
+    def aggs(w):
+        return {
+            "n_r": F.count(F.lit(1)).over(w),
+            "sum_r": F.sum(cents).over(w),
+        }
+
+    def key(out):
+        return {r["eid"]: (r["n_r"], r["sum_r"]) for r in out.collect()}
+
+    plain = key(ts_ops.rolling_range(df, 3_600, aggs, ts_col="ts", key_col="k"))
+    for span in (3_600, 7_200, 86_400, 10_000_000):
+        got = key(
+            ts_ops.rolling_range_chunked(
+                df, 3_600, aggs, span, ts_col="ts", key_col="k"
+            )
+        )
+        assert got == plain, span
+    assert len(plain) == 360  # null-key and null-ts rows all present
+    with pytest.raises(ValueError, match="must be >= range_s"):
+        ts_ops.rolling_range_chunked(df, 3_600, aggs, 1_800, ts_col="ts")
+
+
 def test_lead_restamp_chunked_plan_shapes(spark):
     """Both twins' corpus-sized windows partition by (key, bucket) — the
     reason they exist — and the tiny boundary tables join back broadcast
@@ -775,6 +820,27 @@ def test_lead_restamp_chunked_plan_shapes(spark):
         specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs, plan
         assert any("_b" in s for s in specs), plan
+
+
+def test_rolling_range_chunked_plan_shape(spark):
+    """The range twin has NO join at all (union + per-(key, bucket)
+    window); its corpus window must partition by (key, bucket) and no
+    bare-key corpus window may appear."""
+    import re as _re
+
+    df = spark.range(500).select(
+        F.lit("a").alias("k"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    out = ts_ops.rolling_range_chunked(
+        df, 3_600, lambda w: {"n": F.count(F.lit(1)).over(w)}, 7_200,
+        ts_col="ts", key_col="k",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_b" in s for s in specs), plan
 
 
 def test_interval_overlap_join_matches_naive(spark):

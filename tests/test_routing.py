@@ -644,6 +644,87 @@ def test_ffill_auto_routes_and_matches(spark):
     assert vals(routed) == plain
 
 
+def test_range_product_budget_calibration():
+    """The range family routes on rows x frame-rows (BASELINE r11
+    addendum 7): the measured grid is inseparable by rows alone — 100k
+    DENSE rows (1 ev/s, 3600-row frames, product 3.6e8) route twin
+    while 300k SPARSE rows (1 ev/100s, 36-row frames, product 1.1e7)
+    route plain — and separates cleanly on the product at the 3e7
+    budget.  A sparse decade-long key still routes twin through the
+    rows_budget spill term."""
+    us = 1_000_000
+
+    def probe(rows, span_s):
+        return rt.KeyProbe(
+            3, rows, rows + rows // 5,
+            lo_us=0, hi_us=span_s * us, hot_lo_us=0, hot_hi_us=span_s * us,
+        )
+
+    dense_100k = probe(100_000, 100_000)      # 1 ev/s
+    sparse_300k = probe(300_000, 30_000_000)  # 1 ev/100s
+    sparse_3m = probe(3_000_000, 300_000_000)
+    assert rt.est_frame_rows(dense_100k, 3_600) == pytest.approx(3_600, rel=0.01)
+    assert rt.est_frame_rows(sparse_300k, 3_600) == pytest.approx(36, rel=0.01)
+    assert rt.decide_range_twin(dense_100k, 3_600)
+    assert not rt.decide_range_twin(sparse_300k, 3_600)
+    assert rt.decide_range_twin(sparse_3m, 3_600)
+    # spill term: a very sparse key below the product budget but past
+    # the window sort budget takes the twin
+    sparse_huge = probe(5_000_000, 5_000_000_000)  # 1 ev/1000s, frames ~3.6
+    assert not rt.decide_range_twin(sparse_huge, 3_600)  # product ~1.8e7
+    assert rt.decide_range_twin(
+        sparse_huge, 3_600, rows_budget=rt.WINDOW_BUDGET_ROWS
+    )
+    # no event-time span -> plain (a time-bucketed twin is meaningless)
+    assert not rt.decide_range_twin(rt.KeyProbe(3, 10**9, 10**9), 3_600)
+
+
+def test_rolling_range_auto_routes_and_matches(spark):
+    """The eighth routed family: both branches equal the explicit plain
+    range frame; a shared probe skips the probe scan."""
+    ev = (
+        _events(spark, "/root/testdata/sf0.001")
+        .select("event_type", "event_id", "ts", "value")
+        .limit(400)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def aggs(w):
+        return {"n_r": F.count(F.lit(1)).over(w), "s_r": F.sum(cents).over(w)}
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        timeseries as tsops,
+    )
+
+    def key(df):
+        return {r["event_id"]: (r["n_r"], r["s_r"]) for r in df.collect()}
+
+    plain = key(
+        tsops.rolling_range(ev, 3_600, aggs, ts_col="ts", key_col="event_type")
+    )
+    for budget in (10**18, 1):
+        got = key(
+            rt.rolling_range_auto(
+                ev, 3_600, aggs, ts_col="ts", key_col="event_type",
+                product_budget=budget,
+            )
+        )
+        assert got == plain, budget
+    shared = rt.probe_keys(ev, "event_type", ts_col="ts")
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        routed = rt.rolling_range_auto(
+            ev, 3_600, aggs, ts_col="ts", key_col="event_type",
+            probe=shared, product_budget=1,
+        )
+    finally:
+        rt.probe_keys = orig
+    assert key(routed) == plain
+
+
 def _zkey(rows):
     return {(r["event_type"], r["event_id"]): r["zscore"] for r in rows}
 

@@ -37,6 +37,10 @@ LOCAL = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata"
 )
 HOT_ROWS = int(os.environ.get("SPARK_GRAFT_CUSUM_HOT", str(50_000_000)))
+#: seconds between consecutive per-key events (r11: the range-frame
+#: family's crossover depends on frame DENSITY — events/sec x range —
+#: not just rows/key, so its A/B needs sparse-cadence variants too)
+STRIDE_S = int(os.environ.get("SPARK_GRAFT_CUSUM_STRIDE_S", "1"))
 # cold keys stay a fifth of the hot key so max_key_rows IS the hot key
 # at every fixture size (a fixed 1M cold would dominate small points)
 COLD_ROWS = max(HOT_ROWS // 5, 10_000)
@@ -69,7 +73,9 @@ def main() -> None:
         )
         .select(
             F.col("id").alias("event_id"),
-            F.timestamp_seconds(F.lit(EPOCH_S) + F.col("_seq")).alias("ts"),
+            F.timestamp_seconds(
+                F.lit(EPOCH_S) + F.col("_seq") * F.lit(STRIDE_S)
+            ).alias("ts"),
             F.pmod(F.col("id"), F.lit(1000)).alias("user_id"),
             "event_type",
             # +/-100.00 in cents, exact on the _cents grid
