@@ -612,11 +612,16 @@ def ffill_auto(
 
 def est_frame_rows(probe: KeyProbe, range_s: int) -> float:
     """Hot key's expected trailing-frame size: its event density (rows
-    over its OWN probed span) times the frame reach."""
+    over its OWN probed span) times the frame reach — CAPPED at the
+    key's row count (a frame can never hold more rows than the key
+    has; without the cap a 1-second dense burst under an hour-long
+    range inflates the product by range/span and misroutes a tiny key
+    to the twin — r11 review)."""
     lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
     hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
     span_us = max((hi - lo), 1)
-    return probe.max_key_rows * (int(range_s) * 1_000_000) / span_us
+    est = probe.max_key_rows * (int(range_s) * 1_000_000) / span_us
+    return min(float(probe.max_key_rows), est)
 
 
 def decide_range_twin(

@@ -231,7 +231,9 @@ def resample_ffill(
     agg = resample_mean(df, rate_seconds, ts_col, key_col, value_col)
     grid = time_grid(df, rate_seconds, ts_col, key_col)
     joined = grid.join(agg, [key_col, "bucket_ts"], "left")
-    if fill_span_s:
+    # `is not None`, not truthiness: fill_span_s=0 must reach
+    # ffill_chunked's validation, not silently take the plain path
+    if fill_span_s is not None:
         return ffill_chunked(
             joined, "avg_value", fill_span_s, "bucket_ts", key_col,
             out_col="value",
@@ -327,10 +329,10 @@ def rolling_range_chunked(
     Unlike the offset twins this one has no boundary JOIN at all —
     one extra (key, bucket) exchange for the union, nothing broadcast.
     Route with ``operators.routing.rolling_range_auto``."""
-    if bucket_span_s < range_s:
+    if bucket_span_s <= 0 or bucket_span_s < range_s:
         raise ValueError(
-            f"bucket_span_s ({bucket_span_s}) must be >= range_s "
-            f"({range_s}): a frame may span at most one boundary"
+            f"bucket_span_s ({bucket_span_s}) must be positive and >= "
+            f"range_s ({range_s}): a frame may span at most one boundary"
         )
     r_us = int(range_s) * 1_000_000
     span_us = int(bucket_span_s) * 1_000_000

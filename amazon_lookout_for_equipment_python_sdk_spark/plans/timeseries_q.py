@@ -1169,9 +1169,12 @@ def range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     range frame is the one the reference's rolling diagnostics semantics
     imply for unresampled data.
 
-    Scale shape: ONE per-signal window (hash partition + sort); Spark
-    evaluates range frames with a sliding aggregate over the sorted run
-    — no self-join, no per-row rescan.  The frame orders on MICROSECOND
+    Scale shape: ONE per-signal window (hash partition + sort) — no
+    self-join.  NB the r11 measurement (BASELINE addendum 7): Spark
+    evaluates the RANGE frame by RESCANNING it per row, so cost is
+    rows x frame_rows — density-dependent, which is why this query has
+    a chunked twin routed on a compute product
+    (``rolling_1h_range_frame_chunked`` below).  The frame orders on MICROSECOND
     epochs (unix_timestamp would truncate to seconds and admit extra
     rows at the boundary vs the oracle); same-instant ties share a frame
     by definition on BOTH engines (RANGE semantics), so the exact

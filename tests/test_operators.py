@@ -789,8 +789,20 @@ def test_rolling_range_chunked_equals_plain(spark):
         )
         assert got == plain, span
     assert len(plain) == 360  # null-key and null-ts rows all present
-    with pytest.raises(ValueError, match="must be >= range_s"):
+    with pytest.raises(ValueError, match="range_s"):
         ts_ops.rolling_range_chunked(df, 3_600, aggs, 1_800, ts_col="ts")
+    # span=0 with range_s=0 (legal for plain — same-instant frame) must
+    # raise cleanly, not DIVIDE_BY_ZERO at collect (review fix)
+    with pytest.raises(ValueError, match="positive"):
+        ts_ops.rolling_range_chunked(df, 0, aggs, 0, ts_col="ts")
+    # fill_span_s=0 reaches ffill_chunked's validation instead of
+    # silently taking the plain path (review fix)
+    ev2 = df.withColumnRenamed("ts", "tts")
+    with pytest.raises(ValueError, match="positive"):
+        ts_ops.resample_ffill(
+            ev2, 600, ts_col="tts", key_col="k", value_col="v",
+            fill_span_s=0,
+        ).collect()
 
 
 def test_lead_restamp_chunked_plan_shapes(spark):

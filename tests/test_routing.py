@@ -677,6 +677,12 @@ def test_range_product_budget_calibration():
     )
     # no event-time span -> plain (a time-bucketed twin is meaningless)
     assert not rt.decide_range_twin(rt.KeyProbe(3, 10**9, 10**9), 3_600)
+    # frame estimate is CAPPED at the key's rows (review fix): a 1,000
+    # row burst inside one second under a 1h range is product 1e6, not
+    # the density extrapolation's 3.6e9 — routes plain
+    burst = probe(1_000, 1)
+    assert rt.est_frame_rows(burst, 3_600) == 1_000.0
+    assert not rt.decide_range_twin(burst, 3_600)
 
 
 def test_rolling_range_auto_routes_and_matches(spark):
