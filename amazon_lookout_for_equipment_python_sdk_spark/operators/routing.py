@@ -1,7 +1,7 @@
 """Auto-routing between plain operators and their skew-safe twins
 (r9 verdict #5).
 
-Eight operator families ship both a PLAIN form (one per-key window —
+Nine operator families ship both a PLAIN form (one per-key window —
 minimal overhead, but a key's whole history serializes onto one task)
 and a SKEW-SAFE twin (a (key, time-bucket) pre-split with exact
 boundary/carry merge — parallel under hot keys and long histories, at
@@ -18,6 +18,7 @@ timeseries.lead_pairs           timeseries.lead_pairs_chunked         ~4e6 rows/
 timeseries.restamp_positional   timeseries.restamp_positional_chunked ~6e5 rows/key (r11)
 timeseries.ffill                timeseries.ffill_chunked              ~2e6 rows/key (r11; flagship fill)
 timeseries.rolling_range        timeseries.rolling_range_chunked      rows x frame-rows product ~3e7 (r11; compute-bound, not sort-bound)
+stats.ewma                      stats.ewma_chunked                    ~1e5 rows/key (r11; fixed 64-row fold/row)
 ==============================  ====================================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -164,6 +165,17 @@ FFILL_BUDGET_ROWS = 2_000_000
 #: one task's serial frame evaluation, calibrated on local[32] — the
 #: sort-spill regime is covered separately by the window row budget.
 RANGE_PRODUCT_BUDGET = 30_000_000
+
+#: EWMA's crossover (collect_list of the trailing 64 rows + Horner
+#: fold per row — heavy FIXED per-row frame work), r11-measured at the
+#: anchor (tools/bench_ewma_ab.py, BASELINE.md r11 addendum 8): plain
+#: 1.7x ahead at 30k rows/key, an exact TIE at 100k (0.996), the twin
+#: from 300k (1.23x) through 3M (5.4x) and 10M (5.2x).  The constant
+#: sits ON the measured tie — numerically equal to the window family's
+#: anchor but measured independently; the fixed 64-row fold makes this
+#: family compute-heavy per row, so fan-out pays far earlier than the
+#: light-rank families.
+EWMA_BUDGET_ROWS = 100_000
 
 #: per-task execution memory where the constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
@@ -642,6 +654,39 @@ def decide_range_twin(
         rows_budget is not None and probe.max_key_rows > rows_budget
     )
     return product > product_budget or rows_over
+
+
+def ewma_auto(
+    df: DataFrame,
+    alpha: float,
+    window: int = 64,
+    value_col: str = "avg_value",
+    order_col: str = "bucket_ts",
+    key_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`stats.ewma` or its chunked twin by probe (r11 — the ninth
+    routed family).  Budget ``EWMA_BUDGET_ROWS`` (measured; the fixed
+    64-row fold per row makes the fan-out pay at the window anchor —
+    see the constant's doc).  Like the fill family, ewma's scale case
+    is span-bounded: it runs over resampled series, so a decade of
+    5-min buckets crosses the budget by construction."""
+    probe, budget_rows = _resolve(
+        df, key_col, order_col, budget_rows, EWMA_BUDGET_ROWS, probe
+    )
+    if not decide_twin(probe, budget_rows) or probe.lo_us is None:
+        return _stats.ewma(
+            df, alpha, window=window, value_col=value_col,
+            order_col=order_col, key_col=key_col,
+        )
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _stats.ewma_chunked(
+        df, alpha, _bucket_span_s(probe, geom), window=window,
+        value_col=value_col, order_col=order_col, key_col=key_col,
+        tiebreak_col=tiebreak_col,
+    )
 
 
 def rolling_range_auto(

@@ -73,23 +73,16 @@ def rolling_zscore(
     )
 
 
-def rolling_zscore_chunked(
+def _chunked_rows_frame(
     df: DataFrame,
     window: int,
     bucket_span_s: int,
-    value_col: str = "value",
-    ts_col: str = "ts",
-    key_col: str = "event_type",
-    tiebreak_col: str = "event_id",
-    scale: int = 100,
-) -> DataFrame:
-    """Skew-safe :func:`rolling_zscore`: identical output (property-
-    tested), but the per-key window is sharded into time buckets so the
-    sort/aggregate parallelizes across (key, bucket) tasks — the scale
-    path when there are FEW keys with LONG histories (5 signals x 20
-    years serializes onto 5 tasks in the plain form).
-
-    Exact by construction, no density assumptions:
+    ts_col: str,
+    key_col: str,
+    tiebreak_col: str | None = None,
+):
+    """Shared core of the trailing-ROWS-frame twins (rolling_zscore,
+    ewma — any per-key ``ROWS BETWEEN window-1 PRECEDING`` aggregate):
 
     1. bucket counts -> per-key running offsets (tiny table, broadcast);
     2. local rank within each (key, bucket) + bucket offset = each row's
@@ -101,13 +94,14 @@ def rolling_zscore_chunked(
     4. per (key, bucket) windows over ``g`` see exactly the trailing
        ``window`` rows; context rows compute but don't emit.
 
-    Cost: one extra tiny aggregation + a broadcast join, vs. per-key
-    serialization.  Use the plain form when keys >> cores."""
-    x = _cents(F.col(value_col), scale)
-    # null-ts rows take the sentinel FRONT bucket: the plain window
-    # orders them nulls-first and scores them; a NULL bucket id would
-    # fail the offset equi-join and silently drop them (r11 review —
-    # the null-timestamp sibling of the null-key class fix)
+    Returns ``(targets, wt)``: callers compute aggregates over ``wt``
+    on ``targets``, then ``.filter(F.col("_tbkt") == F.col("_bkt"))``
+    and drop ``_bkt/_tbkt/_g``.  Null-ts rows ride the sentinel front
+    bucket (the plain window's nulls-first order); null keys are one
+    ordinary group (_chunkjoin + null-safe replication join).  Without
+    ``tiebreak_col``, ties on ``ts_col`` order arbitrarily — the same
+    nondeterminism contract as the corresponding plain window."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     rows = df.withColumn(
         "_bkt",
         F.coalesce(
@@ -124,9 +118,7 @@ def rolling_zscore_chunked(
     offsets = counts.withColumn(
         "_bstart", F.coalesce(F.sum("_c").over(wb), F.lit(0).cast("long"))
     ).select(key_col, F.col("_bkt").alias("_tbkt"), "_bstart")
-    wl = Window.partitionBy(key_col, "_bkt").orderBy(ts_col, tiebreak_col)
-    # null-safe on the key (r11, _chunkjoin): the plain window scores a
-    # NULL-key group like any other partition; the offset join must too
+    wl = Window.partitionBy(key_col, "_bkt").orderBy(*order)
     g = (
         join_boundary(
             rows.withColumn("_lr", (F.row_number().over(wl) - 1).cast("long")),
@@ -137,7 +129,6 @@ def rolling_zscore_chunked(
         .withColumn("_g", F.col("_bstart") + F.col("_lr"))
         .drop("_bstart", "_lr")
     )
-    # replicate into every target bucket whose window can reach this row
     targets = (
         g.alias("r")
         .join(
@@ -152,6 +143,32 @@ def rolling_zscore_chunked(
         Window.partitionBy(key_col, "_tbkt")
         .orderBy("_g")
         .rowsBetween(-(window - 1), 0)
+    )
+    return targets, wt
+
+
+def rolling_zscore_chunked(
+    df: DataFrame,
+    window: int,
+    bucket_span_s: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Skew-safe :func:`rolling_zscore`: identical output (property-
+    tested), but the per-key window is sharded into time buckets so the
+    sort/aggregate parallelizes across (key, bucket) tasks — the scale
+    path when there are FEW keys with LONG histories (5 signals x 20
+    years serializes onto 5 tasks in the plain form).  Decomposition in
+    :func:`_chunked_rows_frame` (shared with the ewma twin since r11).
+
+    Cost: one extra tiny aggregation + a broadcast join, vs. per-key
+    serialization.  Use the plain form when keys >> cores."""
+    x = _cents(F.col(value_col), scale)
+    targets, wt = _chunked_rows_frame(
+        df, window, bucket_span_s, ts_col, key_col, tiebreak_col
     )
     n = F.count(x).over(wt)
     s = F.sum(x).over(wt)
@@ -562,6 +579,14 @@ def ewma(
         .rowsBetween(-(window - 1), 0)
     )
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    return df.withColumn("ewma", _ewma_from_arr(arr, alpha))
+
+
+def _ewma_from_arr(arr: Column, alpha: float) -> Column:
+    """The Horner-fold EWMA expression over a collected window array —
+    shared verbatim by :func:`ewma` and :func:`ewma_chunked` so the
+    float op sequence (the operator's engine-portability contract) is
+    identical by construction in both forms."""
     decay = F.lit(1.0 - alpha)
     num = F.aggregate(
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
@@ -570,8 +595,41 @@ def ewma(
     )
     n = F.size(arr).cast("double")
     den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(float(alpha))
-    return df.withColumn(
-        "ewma", F.when(F.size(arr) > 0, num / den)
+    return F.when(F.size(arr) > 0, num / den)
+
+
+def ewma_chunked(
+    df: DataFrame,
+    alpha: float,
+    bucket_span_s: int,
+    window: int = 64,
+    value_col: str = "avg_value",
+    order_col: str = "bucket_ts",
+    key_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`ewma`: identical output (property-tested — the
+    fold expression is shared verbatim, so the float op sequence is
+    bit-identical; null values, null keys, null order timestamps and
+    sparse buckets thinner than the window all pinned), with the
+    per-key trailing-rows window parallel across (key, time-bucket)
+    tasks via :func:`_chunked_rows_frame` — the same decomposition as
+    the zscore twin, with ``collect_list`` + the Horner fold as the
+    frame aggregate.
+
+    The scale shape is the flagship fill's: ewma runs over RESAMPLED
+    series, so rows-per-key is span-bounded (a decade of 5-min slots
+    is ~1M rows per key regardless of event volume).  ``tiebreak_col``
+    is optional like the plain form's ordering — pass one when order
+    timestamps can tie (the resampled grid is unique per key).  Route
+    with ``operators.routing.ewma_auto``."""
+    targets, wt = _chunked_rows_frame(
+        df, window, bucket_span_s, order_col, key_col, tiebreak_col
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(wt)
+    out = targets.withColumn("ewma", _ewma_from_arr(arr, alpha))
+    return out.filter(F.col("_tbkt") == F.col("_bkt")).drop(
+        "_bkt", "_tbkt", "_g"
     )
 
 

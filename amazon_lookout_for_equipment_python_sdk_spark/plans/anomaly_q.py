@@ -946,6 +946,46 @@ def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ewma_chart_chunked", _EWMA_SQL)
+def ewma_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of ``ewma_chart`` (identical rows, same
+    oracle): the per-key trailing-64-row window decomposed through the
+    shared rows-frame machinery (operators/stats.py
+    ``_chunked_rows_frame`` — the zscore twin's offsets + context
+    replication) with the SAME Horner-fold expression, so the float op
+    sequence is bit-identical by construction.  The ninth routed
+    family (operators/routing.py ``ewma_auto``; measured crossover in
+    BASELINE.md r11 addendum 8).  Like the flagship fill, ewma's scale
+    case is span-bounded, not skew-bound: it runs over resampled
+    series, so a decade of 5-min buckets is ~1M rows per key
+    regardless of event volume.  Bit-equality across geometries
+    (buckets thinner than the window, null values/keys/order-ts)
+    pinned in tests/test_stats.py."""
+    events = load(spark, sf_dir, "events")
+    sums = _bucket_cent_sums(events)
+    series = sums.select(
+        "event_type",
+        "bucket_ts",
+        (
+            F.col("sc").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0))
+        ).alias("avg_value"),
+    )
+    out = st.ewma_chunked(
+        series, _EWMA_A, bucket_span_s=6 * 3600, window=_EWMA_W
+    )
+    return (
+        out.filter(
+            F.unix_timestamp("bucket_ts") % F.lit(16 * RATE) == 0
+        )
+        .select(
+            "event_type",
+            "bucket_ts",
+            (F.floor(F.col("ewma") * F.lit(1e4)) / F.lit(1e4)).alias("ewma"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hot-key-safe exact distinct (two-phase)
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ HARNESSES = [
     "tools/bench_lead_ab.py",
     "tools/bench_ffill_ab.py",
     "tools/bench_range_ab.py",
+    "tools/bench_ewma_ab.py",
 ]
 
 

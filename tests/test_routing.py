@@ -644,6 +644,55 @@ def test_ffill_auto_routes_and_matches(spark):
     assert vals(routed) == plain
 
 
+def test_ewma_budget_calibration_and_auto(spark):
+    """The ninth family (BASELINE r11 addendum 8): plain 1.7x ahead at
+    30k rows/key, an exact tie at 100k, the twin from 300k — the 1e5
+    constant routes 30k plain and 300k twin at the anchor.  Both auto
+    branches equal the explicit plain (bit-equal — shared fold
+    expression); a shared probe skips the scan."""
+    b = rt.derive_budget_rows(rt.EWMA_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+    assert b == rt.EWMA_BUDGET_ROWS == 100_000
+    assert not rt.decide_twin(rt.KeyProbe(3, 30_000, 42_000), b)
+    assert rt.decide_twin(rt.KeyProbe(3, 300_000, 420_000), b)
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        stats as st,
+    )
+
+    ev = (
+        _events(spark, "/root/testdata/sf0.001")
+        .select("event_type", F.col("ts").alias("bucket_ts"),
+                F.col("value").alias("avg_value"))
+        # unique (key, order) — plain ewma has no tiebreak, so ties
+        # would make the collect order (hence the fold) nondeterministic
+        .dropDuplicates(["event_type", "bucket_ts"])
+        .limit(400)
+    )
+
+    def key(df):
+        return {
+            (r["event_type"], str(r["bucket_ts"])): r["ewma"]
+            for r in df.collect()
+        }
+
+    plain = key(st.ewma(ev, 0.3, window=16))
+    for budget in (10**9, 10):
+        got = key(rt.ewma_auto(ev, 0.3, window=16, budget_rows=budget))
+        assert got == plain, budget
+    shared = rt.probe_keys(ev, "event_type", ts_col="bucket_ts")
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        routed = rt.ewma_auto(
+            ev, 0.3, window=16, probe=shared, budget_rows=10
+        )
+    finally:
+        rt.probe_keys = orig
+    assert key(routed) == plain
+
+
 def test_range_product_budget_calibration():
     """The range family routes on rows x frame-rows (BASELINE r11
     addendum 7): the measured grid is inseparable by rows alone — 100k

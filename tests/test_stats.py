@@ -312,6 +312,48 @@ def test_ewma_null_handling(spark):
     assert out[3] == pytest.approx((10 * 0.5 + 20) / 1.5)
 
 
+def test_ewma_chunked_equals_plain(spark):
+    """The skew-safe twin is BIT-equal to ewma (the fold expression is
+    shared verbatim) across bucket geometries — buckets thinner than
+    the 64-row window (context must chain across several buckets),
+    null values inside frames, a NULL key group, one null order-ts row
+    per key (nulls-first sentinel), multiple keys, and one giant
+    bucket."""
+    rng = np.random.RandomState(61)
+    rows = []
+    for k in (None, "a", "b"):
+        vals = rng.normal(100, 10, 150)
+        for i, v in enumerate(vals):
+            # ~10% null values (ignore_na path)
+            val = None if rng.rand() < 0.1 else float(v)
+            rows.append((k, i, val))
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket long, avg_value double"
+    ).withColumn(
+        "bucket_ts",
+        F.when(
+            F.col("bucket") == 77, F.lit(None).cast("timestamp")
+        ).otherwise(F.timestamp_seconds(F.col("bucket") * 300)),
+    )
+
+    def key(out):
+        return {
+            (r["event_type"], r["bucket"]): r["ewma"] for r in out.collect()
+        }
+
+    plain = key(st.ewma(df, alpha=0.3, window=64))
+    assert len(plain) == 450
+    # spans: 2 buckets/window-span, ~6-row buckets (context chains
+    # across 10+ buckets), and one giant bucket
+    for span in (1_800, 9_600, 10_000_000):
+        got = key(
+            st.ewma_chunked(
+                df, alpha=0.3, bucket_span_s=span, window=64
+            )
+        )
+        assert got == plain, span  # exact — shared fold expression
+
+
 def test_exact_distinct_two_phase_matches_count_distinct(spark):
     rng = np.random.RandomState(53)
     rows = [("hot" if i % 10 else f"k{i % 7}", int(rng.randint(0, 500)))
