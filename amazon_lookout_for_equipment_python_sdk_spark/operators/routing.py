@@ -680,6 +680,7 @@ def ewma_auto(
         return _stats.ewma(
             df, alpha, window=window, value_col=value_col,
             order_col=order_col, key_col=key_col,
+            tiebreak_col=tiebreak_col,
         )
     geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
     return _stats.ewma_chunked(

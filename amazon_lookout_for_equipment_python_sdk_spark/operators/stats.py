@@ -95,8 +95,9 @@ def _chunked_rows_frame(
        ``window`` rows; context rows compute but don't emit.
 
     Returns ``(targets, wt)``: callers compute aggregates over ``wt``
-    on ``targets``, then ``.filter(F.col("_tbkt") == F.col("_bkt"))``
-    and drop ``_bkt/_tbkt/_g``.  Null-ts rows ride the sentinel front
+    on ``targets``, then finish with :func:`_emit_rows_frame` (drops
+    the context rows and the internal columns — callers never touch
+    the private names).  Null-ts rows ride the sentinel front
     bucket (the plain window's nulls-first order); null keys are one
     ordinary group (_chunkjoin + null-safe replication join).  Without
     ``tiebreak_col``, ties on ``ts_col`` order arbitrarily — the same
@@ -147,6 +148,15 @@ def _chunked_rows_frame(
     return targets, wt
 
 
+def _emit_rows_frame(df: DataFrame) -> DataFrame:
+    """Finish a :func:`_chunked_rows_frame` computation: keep only the
+    emitting rows (drop the replicated context) and the caller-visible
+    columns."""
+    return df.filter(F.col("_tbkt") == F.col("_bkt")).drop(
+        "_bkt", "_tbkt", "_g"
+    )
+
+
 def rolling_zscore_chunked(
     df: DataFrame,
     window: int,
@@ -181,9 +191,7 @@ def rolling_zscore_chunked(
         "zscore",
         F.when((n >= F.lit(window)) & (var_num > F.lit(0)), z),
     )
-    return out.filter(F.col("_tbkt") == F.col("_bkt")).drop(
-        "_bkt", "_tbkt", "_g"
-    )
+    return _emit_rows_frame(out)
 
 
 def sql_rolling_zscore(
@@ -555,6 +563,7 @@ def ewma(
     value_col: str = "avg_value",
     order_col: str = "bucket_ts",
     key_col: str = "event_type",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EWMA control chart (Roberts 1959), declaratively: the geometric
     recursion z_i = αx_i + (1-α)z_{i-1} truncates to the trailing
@@ -573,9 +582,14 @@ def ewma(
     ``ignore_na=True`` semantics: the recursion runs over the compacted
     non-null series, and a row whose whole trailing window is null gets
     NULL.  One per-key window; the collected array is ``window``-bounded."""
+    # tiebreak optional (r11): the registered series are unique per
+    # (key, order); pass one when order values can tie so the collect
+    # order — hence the fold — is deterministic, same contract as the
+    # chunked twin (and ewma_auto forwards it to BOTH branches)
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
         Window.partitionBy(key_col)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(-(window - 1), 0)
     )
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
@@ -628,9 +642,7 @@ def ewma_chunked(
     )
     arr = F.collect_list(F.col(value_col).cast("double")).over(wt)
     out = targets.withColumn("ewma", _ewma_from_arr(arr, alpha))
-    return out.filter(F.col("_tbkt") == F.col("_bkt")).drop(
-        "_bkt", "_tbkt", "_g"
-    )
+    return _emit_rows_frame(out)
 
 
 def exact_distinct_two_phase(

@@ -663,11 +663,15 @@ def test_ewma_budget_calibration_and_auto(spark):
         _events(spark, "/root/testdata/sf0.001")
         .select("event_type", F.col("ts").alias("bucket_ts"),
                 F.col("value").alias("avg_value"))
-        # unique (key, order) — plain ewma has no tiebreak, so ties
-        # would make the collect order (hence the fold) nondeterministic
+        # unique (key, order) — plain ewma's collect order (hence the
+        # fold) is nondeterministic under ties
         .dropDuplicates(["event_type", "bucket_ts"])
         .limit(400)
     )
+    # MATERIALIZE: dropDuplicates keeps an arbitrary representative and
+    # limit an arbitrary subset — re-executing that plan per collect()
+    # could hand the compared branches different rows (review fix)
+    ev = spark.createDataFrame(ev.collect(), ev.schema)
 
     def key(df):
         return {
