@@ -42,6 +42,10 @@ QUERIES = [
     # construction — so the restamp row carries the family's skew
     # evidence)
     ("positional_restamp", "positional_restamp_chunked"),
+    # r11: the range-frame pair runs over RAW events (skew-sensitive);
+    # the ewma/flagship pairs run over resampled grids — span-bounded,
+    # skew-insensitive by construction — and carry no skew row
+    ("rolling_1h_range_frame", "rolling_1h_range_frame_chunked"),
     ("tfidf_top_terms", None),
     ("ngram_jaccard_lsh", None),
 ]
