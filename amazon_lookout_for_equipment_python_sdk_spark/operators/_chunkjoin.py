@@ -36,6 +36,38 @@ from pyspark.sql import functions as F
 #: null-key class bug (r11 review).
 NULL_TS_BUCKET = -(1 << 62)
 
+#: Union of the internal staging column names the chunked twins create
+#: with ``withColumn`` — which silently REPLACES a same-named input
+#: column, corrupting output where the plain forms have no such hazard
+#: (r11 ADVICE).  Twins reject input frames carrying any of these via
+#: :func:`guard_internal`; the routed wrappers inherit the check, so a
+#: clashing frame fails loudly on the twin path instead of silently
+#: mid-plan.
+RESERVED_INTERNAL = frozenset(
+    {
+        "_b", "_bkt", "_bstart", "_c", "_carry", "_cum", "_d", "_g",
+        "_lc", "_lead", "_lm", "_loc", "_lr", "_m", "_n", "_new",
+        "_off", "_ord", "_rn", "_side", "_us", "_xc",
+    }
+)
+
+
+def guard_internal(df: DataFrame, extra: "tuple[str, ...]" = ()) -> None:
+    """Raise if ``df`` already carries a chunked twin's internal staging
+    column name (or the ``_nsj_`` boundary-join prefix).  ``withColumn``
+    would silently replace it and corrupt the output; the plain window
+    forms have no such hazard, so the twin refuses loudly instead."""
+    reserved = RESERVED_INTERNAL.union(extra)
+    clash = sorted(
+        c for c in df.columns if c in reserved or c.startswith("_nsj_")
+    )
+    if clash:
+        raise ValueError(
+            f"input frame carries reserved internal column(s) {clash}; "
+            "rename them before calling a chunked twin (these names are "
+            "staging columns the twin would silently overwrite)"
+        )
+
 
 def join_boundary(
     left: DataFrame,
@@ -50,6 +82,19 @@ def join_boundary(
     (bucket ids).  Right-side join columns are dropped after the join,
     so the result carries exactly left's columns plus right's payload —
     the same shape as ``left.join(right, on=[...])``."""
+    if not ns_cols and not eq_cols:
+        raise ValueError("join_boundary needs at least one join column")
+    join_cols = set(ns_cols) | set(eq_cols)
+    payload = [c for c in right.columns if c not in join_cols]
+    clashes = sorted(
+        c for c in payload if c in left.columns or c.startswith("_nsj_")
+    )
+    if clashes:
+        raise ValueError(
+            "join_boundary: right payload columns collide with left "
+            f"columns or the _nsj_ staging prefix: {clashes} — rename "
+            "the boundary payload before joining"
+        )
     renamed = right
     conds = []
     for c in ns_cols:

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .._persist import note_persist as _note_persist
 
 #: end-of-word sentinel (Sennrich's </w>) — lets the encoder distinguish
 #: word-final subwords so decode can restore word boundaries
@@ -96,7 +97,7 @@ def bpe_train(
     memory-eligible levels, BASELINE.md r9 addendum 2), so a caller
     training on an unsampled corpus degrades to disk streaming, not
     OOM."""
-    wt = word_freq_table(corpus, text_col).persist()
+    wt = word_freq_table(corpus, text_col).persist().transform(_note_persist)
     wt.count()
     merges: list[tuple[str, str]] = []
     try:

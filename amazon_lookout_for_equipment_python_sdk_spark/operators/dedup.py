@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint
+from .._persist import note_persist as _note_persist
 
 
 def dedup_exact(
@@ -692,6 +693,7 @@ def near_dup_clusters(
                 (new_label < F.col("label")).cast("long").alias("_chg"),
             )
             .persist()
+            .transform(_note_persist)
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
         labels = new_labels.drop("_chg")
@@ -1127,7 +1129,7 @@ def duplicate_spans(
 
     cand = grams.join(dup_h, "_h", "left_semi").persist(
         StorageLevel.DISK_ONLY
-    )
+    ).transform(_note_persist)
     # phase 2: exact verify on the gram string over the small survivor set
     dup_g = (
         cand.groupBy("_g")
@@ -1238,7 +1240,7 @@ def decontaminate_spans(
     # across all concurrent tasks — the sf30 read-back OOM class).
     cand = tg.join(eval_h, "_h", "left_semi").persist(
         StorageLevel.DISK_ONLY
-    )
+    ).transform(_note_persist)
     cand_h = cand.select("_h").distinct()
     eval_g = eg.join(cand_h, "_h", "left_semi").select("_g").distinct()
     hit = cand.join(eval_g, "_g", "left_semi").select(id_col, "_p")

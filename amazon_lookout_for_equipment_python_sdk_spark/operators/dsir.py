@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .._persist import note_persist as _note_persist
 
 #: log quantization grid decimals (matches lm.LP_SCALE)
 LR_SCALE = 4
@@ -119,7 +120,7 @@ def dsir_logratio(
         # archive scale).  B=1024 rows, so the cache is trivially sized
         # and safe to leave resident.
         by_bucket = (
-            counts.groupBy("bucket").agg(F.sum("cnt").alias(cname)).persist()
+            counts.groupBy("bucket").agg(F.sum("cnt").alias(cname)).persist().transform(_note_persist)
         )
         total = by_bucket.agg(F.sum(cname).alias(nname))
         return by_bucket, total

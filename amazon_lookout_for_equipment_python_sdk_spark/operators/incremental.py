@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._persist import note_persist as _note_persist
 from .dedup import (
     _shingle_array,
     _with_digests,
@@ -107,7 +108,7 @@ def incremental_dedup(
     # memory-eligible levels (BASELINE.md r9 addendum 2)
     batch_digests = _with_digests(
         _shingle_array(fresh, shingle_n, text_col, id_col), num_perm
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist(StorageLevel.DISK_ONLY).transform(_note_persist)
     new_bands = minhash_banded_from_digests(
         batch_digests, num_perm, bands, id_col
     )

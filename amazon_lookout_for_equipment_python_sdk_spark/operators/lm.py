@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .._persist import note_persist as _note_persist
 
 #: log-prob quantization grid (decimal places)
 LP_SCALE = 4
@@ -168,7 +169,7 @@ def bigram_lm(
         # table from page-cached disk; at corpus scale the saved
         # full-text scans dominate the sliver re-reads by orders of
         # magnitude either way.
-        c12_all = c12_all.persist(StorageLevel.DISK_ONLY)
+        c12_all = c12_all.persist(StorageLevel.DISK_ONLY).transform(_note_persist)
     if counts_have_sentinels:
         c12 = c12_all.filter(F.col("w2").isNotNull())
         vocab = (

@@ -628,7 +628,21 @@ def est_frame_rows(probe: KeyProbe, range_s: int) -> float:
     key's row count (a frame can never hold more rows than the key
     has; without the cap a 1-second dense burst under an hour-long
     range inflates the product by range/span and misroutes a tiny key
-    to the twin — r11 review)."""
+    to the twin — r11 review).
+
+    ASSUMES UNIFORM DENSITY over the hot key's span (r11 ADVICE): a
+    bursty key — a dense burst inside a long sparse tail — averages
+    out to a LOW density here, so the estimate can undercount the
+    burst's true frame size and route the range family PLAIN, paying
+    the per-row frame rescan on one task.  Output stays correct either
+    way; this is a perf-only bias, and it is one-sided (the
+    max_key_rows cap already kills the opposite, dense-burst-short-span
+    inflation).  A burst-aware measure (max per-range-bucket count)
+    would need a range_s-dependent probe aggregation, breaking the ONE
+    shared family-agnostic ``KeyProbe`` scan all nine routed families
+    reuse — not worth it for a perf bias.  Callers with known-bursty
+    keys can lower ``product_budget`` on :func:`rolling_range_auto` or
+    call :func:`timeseries.rolling_range_chunked` directly."""
     lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
     hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
     span_us = max((hi - lo), 1)

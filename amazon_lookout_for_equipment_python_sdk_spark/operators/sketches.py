@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .._persist import note_persist as _note_persist
 
 
 def _hash48(col: Column, salt: str | None = None) -> Column:
@@ -258,6 +259,7 @@ def kmv_sketch(
         # (r7 scan audit: kmv_corpus_overlap re-ran the shingle explode
         # 4x)
         .persist()
+        .transform(_note_persist)
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._chunkjoin import NULL_TS_BUCKET as _NULL_TS_BUCKET
-from ._chunkjoin import join_boundary
+from ._chunkjoin import guard_internal, join_boundary
 
 
 def _cents(c: Column, scale: int) -> Column:
@@ -176,6 +176,7 @@ def rolling_zscore_chunked(
 
     Cost: one extra tiny aggregation + a broadcast join, vs. per-key
     serialization.  Use the plain form when keys >> cores."""
+    guard_internal(df)
     x = _cents(F.col(value_col), scale)
     targets, wt = _chunked_rows_frame(
         df, window, bucket_span_s, ts_col, key_col, tiebreak_col
@@ -320,6 +321,7 @@ def cusum_reflected_chunked(
     Cost: two corpus scans (median counts + the fold) + two broadcast
     joins + tiny carry windows, all parallel.  Use the plain form when
     keys >> cores."""
+    guard_internal(df)
     x = _cents(F.col(value_col), scale)
     # per-key lower median, count-based (no per-key corpus window)
     rank = F.floor((F.col("_n") + 1) / 2)
@@ -637,6 +639,7 @@ def ewma_chunked(
     is optional like the plain form's ordering — pass one when order
     timestamps can tie (the resampled grid is unique per key).  Route
     with ``operators.routing.ewma_auto``."""
+    guard_internal(df)
     targets, wt = _chunked_rows_frame(
         df, window, bucket_span_s, order_col, key_col, tiebreak_col
     )

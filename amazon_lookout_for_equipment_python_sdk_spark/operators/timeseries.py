@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._chunkjoin import NULL_TS_BUCKET as _NULL_TS_BUCKET
-from ._chunkjoin import join_boundary
+from ._chunkjoin import guard_internal, join_boundary
+from .._persist import note_persist as _note_persist
 
 # --- A1/A2: tumbling-window resample ---------------------------------------
 
@@ -167,6 +168,7 @@ def ffill_chunked(
     sort budget (``operators.routing.ffill_auto`` routes on a probe).
     Ties on (key, ts): same nondeterminism contract as the plain form
     (the grid shapes this serves are unique per (key, slot))."""
+    guard_internal(df)
     out_name = out_col or value_col
     rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
     wl = (
@@ -329,6 +331,7 @@ def rolling_range_chunked(
     Unlike the offset twins this one has no boundary JOIN at all —
     one extra (key, bucket) exchange for the union, nothing broadcast.
     Route with ``operators.routing.rolling_range_auto``."""
+    guard_internal(df)
     if bucket_span_s <= 0 or bucket_span_s < range_s:
         raise ValueError(
             f"bucket_span_s ({bucket_span_s}) must be positive and >= "
@@ -443,6 +446,7 @@ def lead_pairs_chunked(
     window.  Worth it once the hot key's rows exceed the per-task sort
     budget (``operators.routing.lead_pairs_auto`` routes on a probe);
     use the plain form when keys >> cores."""
+    guard_internal(df)
     keys = [key_col] if key_col else []
     rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
     wb = Window.partitionBy(*keys, "_b").orderBy(ts_col)
@@ -551,6 +555,7 @@ def restamp_positional_chunked(
     and its broadcast; worth it once the hot key's rows exceed the
     per-task sort budget (``operators.routing.restamp_positional_auto``
     routes on a probe)."""
+    guard_internal(df)
     keys = [key_col] if key_col else []
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     rows = df.withColumn("_b", _ts_bucket(ts_col, bucket_span_s))
@@ -720,6 +725,15 @@ def _asof_prepare(left, right, ts_col, key_col, payload_cols, direction):
     nulls-last) while the twin's bucket axis does not."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"bad direction {direction!r}")
+    for frame in (left, right):
+        # both forms stage _side/_m via select aliases — a same-named
+        # input column would duplicate, not replace (r12 guard).
+        clash = sorted(set(frame.columns) & {"_side", "_m"})
+        if clash:
+            raise ValueError(
+                f"as-of input carries reserved internal column(s) "
+                f"{clash}; rename before joining"
+            )
     payload_cols = list(
         payload_cols
         if payload_cols is not None
@@ -880,6 +894,8 @@ def asof_join_chunked(
     ``max_key_rows`` exceeds the per-task sort budget (see
     operators/routing.py ``asof_join_auto``); use the plain form when
     keys >> cores."""
+    guard_internal(left)
+    guard_internal(right)
     if bucket_span_s <= 0:
         raise ValueError(f"bucket_span_s must be positive: {bucket_span_s}")
     r, l, left_cols, payload_cols = _asof_prepare(
@@ -972,7 +988,7 @@ def funnel_steps(
     for i, step in enumerate(steps[1:], start=2):
         # DISK_ONLY: one row per step-1 user = corpus-proportional, the
         # r9 promotion-OOM class (BASELINE.md r9 addendum 2)
-        cur = cur.persist(StorageLevel.DISK_ONLY)
+        cur = cur.persist(StorageLevel.DISK_ONLY).transform(_note_persist)
         nxt = events.filter(F.col(type_col) == step).select(
             key_col, F.col(ts_col).alias("_ts")
         )

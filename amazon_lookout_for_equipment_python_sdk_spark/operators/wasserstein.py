@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .histogram import histogram, signal_bounds, widen_degenerate_bounds
+from .._persist import note_persist as _note_persist
 
 
 def density_histograms(
@@ -97,6 +98,7 @@ def density_histograms(
         # feeding df (the evaluation chain's range-join stamping ran
         # twice; r7 scan audit).  Same B-row-cache rule as dsir.py.
         .persist()
+        .transform(_note_persist)
     )
     totals = binned.groupBy(key_col, "subset").agg(F.sum("cnt").alias("n"))
     grid = (

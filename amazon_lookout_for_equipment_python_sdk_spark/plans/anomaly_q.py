@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import stats as st
+from .._persist import note_persist as _note_persist
 from .registry import (
     RATE,
     SQL_BUCKET,
@@ -420,7 +421,7 @@ def mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc = F.round(F.col("value") * 100).cast("long")
     base = events.select("event_type", "event_id", xc.alias("xc")).persist(
         StorageLevel.DISK_ONLY
-    )
+    ).transform(_note_persist)
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
         rank = F.floor((F.col("_n") + 1) / 2)

@@ -14,6 +14,7 @@ from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.dedup import _PERM_A, _PERM_B, _PERM_P
 from .registry import load, load_par, qfloor, register, sql_qfloor
+from .._persist import note_persist as _note_persist
 
 #: MinHash permutation table for the oracle, generated from the SAME
 #: constants the engine uses (operators/dedup.py) so they cannot drift:
@@ -2451,6 +2452,7 @@ def perplexity_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the final rollup both read it; caching it is what keeps the
         # scorer's corpus traversal at ONE for both consumers
         .persist()
+        .transform(_note_persist)
     )
     rank = F.floor((F.col("_n") - 1) * 0.9) + 1
     thr = cum.filter(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.conditions import on_filter
+from .._persist import note_persist as _note_persist
 from .registry import (
     det_avg,
     det_sum,
@@ -1329,6 +1330,7 @@ def q15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg((F.sum(price_c * disc_f) / F.lit(1e6)).alias("total_revenue"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_note_persist)
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (

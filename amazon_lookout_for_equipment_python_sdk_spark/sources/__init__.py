@@ -13,3 +13,4 @@ from .sinks import (  # noqa: F401
     write_inference_chunks,
 )
 from .catalog import Catalog  # noqa: F401
+from .warc import read_warc, write_warc  # noqa: F401

@@ -1,0 +1,330 @@
+"""WARC / WET crawl-archive source + sink (stdlib only).
+
+WARC (ISO 28500, the Common Crawl container) is the one de-facto
+LLM-data format the corpus layer was missing an ingest end for: a real
+crawl-to-corpus pipeline starts from ``*.warc.gz`` (raw HTTP captures)
+or ``*.warc.wet.gz`` (WET — extracted-text "conversion" records), then
+flows into ``operators.html.html_to_text`` → quality → dedup.  Public
+format spec: https://iipc.github.io/warc-specifications/ — implemented
+here with only stdlib ``gzip``/``zlib``.
+
+Framing (both flavors share it):
+
+- a WARC file is a concatenation of records; each record is a header
+  block (``WARC/1.0\\r\\n`` + ``Name: value`` fields, terminated by a
+  blank line) followed by exactly ``Content-Length`` payload bytes and
+  a ``\\r\\n\\r\\n`` trailer;
+- ``.warc.gz`` compresses EACH RECORD as its own gzip member and
+  concatenates the members — the property that makes shard-parallel and
+  record-streaming reads possible.  Python's ``gzip`` transparently
+  reads concatenated members, so decompression is one pass either way.
+
+Scale design (mirrors ``sources/webdataset.py``):
+
+- **Read**: ``binaryFile`` lists shards — parallelism = #shards, the
+  intended crawl-archive contract (Common Crawl ships ~1 GB shards;
+  100 TB is ~100k shards spread over the cluster).  A ``mapInPandas``
+  kernel decompresses and parses records shard-local; payload bytes
+  never visit the driver.
+- **Write**: deterministic shard assignment (``pmod(hash64(uri))``),
+  ONE repartition co-locates each shard, rows sorted by URI inside the
+  shard and gzip mtime pinned to 0 so shard bytes are reproducible
+  run-to-run.  The local ``open()`` is the storage seam — swap for an
+  fsspec/Hadoop-FS stream for object stores.
+- **Malformed records**: the parser is tolerant — a record with a bad
+  header block or a lying ``Content-Length`` yields ONE error row
+  (``error`` column set, payload null), then the parser RESYNCS by
+  scanning for the next ``WARC/1.`` magic, so one corrupt record never
+  discards the rest of a 1 GB shard.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of ``read_warc`` — one row per WARC record (or per parse
+#: error).  ``payload`` is the raw record block (HTTP response bytes
+#: for ``response`` records, extracted text bytes for WET
+#: ``conversion`` records); typed metadata comes from the header.
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_path", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("record_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+_MAGIC = b"WARC/1."
+
+
+def _record_bytes(
+    record_type: str,
+    target_uri: str | None,
+    warc_date: str,
+    content_type: str,
+    payload: bytes,
+    record_id: str,
+) -> bytes:
+    """One framed WARC record (header block + payload + trailer)."""
+    headers = [
+        ("WARC-Type", record_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", warc_date),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(payload))),
+    ]
+    if target_uri:
+        headers.insert(3, ("WARC-Target-URI", target_uri))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _det_record_id(uri: str, payload: bytes) -> str:
+    """Deterministic ``urn:uuid`` from (uri, payload) — re-exports are
+    byte-identical run-to-run (no wall clock, no RNG)."""
+    h = hashlib.md5(uri.encode() + b"\x00" + payload[:256]).hexdigest()
+    return (
+        f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    uri_col: str = "url",
+    payload_col: str = "text",
+    record_type: str = "conversion",
+    content_type: str = "text/plain",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    gzipped: bool = True,
+) -> DataFrame:
+    """Pack ``df`` into ``n_shards`` WARC shards under ``out_dir``;
+    returns the shard manifest as a DataFrame.
+
+    Defaults write the WET flavor (``conversion`` + ``text/plain`` —
+    the extracted-text layout LLM pipelines consume); pass
+    ``record_type='response'`` with HTTP bytes in ``payload_col`` for
+    raw-capture WARC.  ``warc_date`` is a fixed literal by design —
+    reproducible shard bytes; pass a column's collected value upstream
+    if capture times matter.  Each record is its own gzip member
+    (``gzipped=True``), the standard ``.warc.gz`` layout."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzipped else "warc"
+    rows = df.select(
+        F.col(uri_col).cast("string").alias("_uri"),
+        F.col(payload_col).cast("binary").alias("_payload"),
+        F.pmod(F.xxhash64(F.col(uri_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
+    ).repartition(n_shards, "_shard")
+
+    def pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one task == one hash partition; may hold several _shard values
+        # only if n_shards exceeds task count — group defensively
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for shard, grp in pdf.groupby("_shard", sort=True):
+            grp = grp.sort_values("_uri", kind="mergesort")
+            path = os.path.join(out_dir, f"shard-{int(shard):05d}.{ext}")
+            n = 0
+            with open(path, "wb") as fh:
+                for uri, payload in zip(grp["_uri"], grp["_payload"]):
+                    payload = bytes(payload) if payload is not None else b""
+                    rec = _record_bytes(
+                        record_type,
+                        uri,
+                        warc_date,
+                        content_type,
+                        payload,
+                        _det_record_id(uri or "", payload),
+                    )
+                    fh.write(
+                        gzip.compress(rec, mtime=0) if gzipped else rec
+                    )
+                    n += 1
+            yield pd.DataFrame(
+                {
+                    "shard": [int(shard)],
+                    "path": [path],
+                    "n_records": [n],
+                    "n_bytes": [os.path.getsize(path)],
+                }
+            )
+
+    return df.sparkSession.createDataFrame(
+        rows.mapInPandas(pack, schema=MANIFEST_SCHEMA).collect(),
+        MANIFEST_SCHEMA,
+    )
+
+
+def _parse_records(path: str, blob: bytes) -> "list[dict]":
+    """Tolerant record parse of one (decompressed) shard byte string."""
+    out: list[dict] = []
+    pos = 0
+    n = len(blob)
+
+    def err_row(msg: str) -> dict:
+        return {
+            "shard_path": path,
+            "record_id": None,
+            "record_type": None,
+            "target_uri": None,
+            "warc_date": None,
+            "content_type": None,
+            "payload": None,
+            "error": msg,
+        }
+
+    while pos < n:
+        # skip inter-record padding (spec trailers / stray newlines)
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not blob.startswith(_MAGIC, pos):
+            nxt = blob.find(b"\n" + _MAGIC, pos)
+            out.append(
+                err_row(f"no WARC magic at offset {pos}; resynced")
+            )
+            if nxt < 0:
+                break
+            pos = nxt + 1
+            continue
+        head_end = blob.find(b"\r\n\r\n", pos)
+        sep = 4
+        if head_end < 0:
+            head_end = blob.find(b"\n\n", pos)
+            sep = 2
+        if head_end < 0:
+            out.append(err_row("unterminated header block"))
+            break
+        head = blob[pos:head_end].decode("utf-8", "replace")
+        fields: dict[str, str] = {}
+        for line in head.split("\n")[1:]:
+            line = line.strip("\r")
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            out.append(err_row("missing or invalid Content-Length"))
+            nxt = blob.find(b"\n" + _MAGIC, head_end)
+            if nxt < 0:
+                break
+            pos = nxt + 1
+            continue
+        body_start = head_end + sep
+        body_end = body_start + length
+        if body_end > n:
+            out.append(
+                err_row(
+                    f"Content-Length {length} overruns shard "
+                    f"({n - body_start} bytes left)"
+                )
+            )
+            break
+        out.append(
+            {
+                "shard_path": path,
+                "record_id": fields.get("warc-record-id"),
+                "record_type": fields.get("warc-type"),
+                "target_uri": fields.get("warc-target-uri"),
+                "warc_date": fields.get("warc-date"),
+                "content_type": fields.get("content-type"),
+                "payload": blob[body_start:body_end],
+                "error": None,
+            }
+        )
+        pos = body_end
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET shards under ``path`` into :data:`RECORD_SCHEMA`.
+
+    ``binaryFile`` lists ``*.warc`` / ``*.warc.gz`` (and
+    ``*.warc.wet.gz``) — one input partition per shard, the
+    crawl-archive parallelism contract — and the parse runs
+    shard-local inside ``mapInPandas``.  Gzip members are detected by
+    magic per shard, so mixed compressed/plain directories read fine.
+    Malformed records surface as ``error`` rows, never exceptions (a
+    corrupt record in a 1 GB shard must not sink the shard)."""
+    shards = spark.read.format("binaryFile").load(
+        path, pathGlobFilter="*.warc*"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:2] == b"\x1f\x8b":
+                    # concatenated gzip members decompress in one pass
+                    blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+                rows = _parse_records(p, blob)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return shards.select("path", "content").mapInPandas(
+        parse, schema=RECORD_SCHEMA
+    )
+
+
+def http_payload_body(payload: bytes | None) -> bytes | None:
+    """Split an HTTP response capture (a ``response`` record's payload)
+    into its body — everything after the first blank line.  Returns the
+    input unchanged when no HTTP header block is present (WET
+    ``conversion`` payloads are already bare text)."""
+    if payload is None:
+        return None
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = payload.find(sep)
+        if idx >= 0:
+            return payload[idx + len(sep):]
+    return b""
+
+
+def with_http_body(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "body"
+) -> DataFrame:
+    """Column-level :func:`http_payload_body` (Arrow-vectorized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _body(s: pd.Series) -> pd.Series:
+        return s.map(http_payload_body)
+
+    return df.withColumn(out_col, _body(F.col(payload_col)))

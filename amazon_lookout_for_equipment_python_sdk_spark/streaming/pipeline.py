@@ -21,13 +21,14 @@ row-local, broadcast probe, one per-doc rollup within the micro-batch.
 from __future__ import annotations
 
 import os
-import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from .._persist import collect_persists, tracked_persist  # noqa: F401
 
 # --- per-call persist tracking -----------------------------------------------
 # foreach_batch_apply must release the caches ITS batch fn created each
@@ -36,50 +37,14 @@ from pyspark.sql.streaming import StreamingQuery
 # or jobs in the same session — stream A's epoch cleanup could unpersist
 # a frame stream B had just persisted and still needs (not a correctness
 # break, Spark recomputes, but it silently defeats the other caller's
-# persist).  Instead a THREAD-LOCAL probe on DataFrame.persist records
-# exactly the frames persisted by code running inside the tracking
-# context on THIS thread — foreachBatch callbacks run on their own
-# per-stream callback thread, so concurrent streams never see each
-# other's persists.
-
-_persist_probe = threading.local()
-_probe_install_lock = threading.Lock()
-_probe_installed = False
-
-
-def _install_persist_probe() -> None:
-    global _probe_installed
-    if _probe_installed:
-        return
-    with _probe_install_lock:
-        if _probe_installed:
-            return
-        # patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is
-        # the dispatch parent and classic sessions instantiate
-        # pyspark.sql.classic.dataframe.DataFrame, which overrides both
-        # persist and cache (cache does NOT route through persist)
-        try:
-            from pyspark.sql.classic.dataframe import (
-                DataFrame as _ConcreteDF,
-            )
-        except ImportError:  # pre-4.0 layout: one class
-            _ConcreteDF = DataFrame
-
-        def _probed(orig):
-            def method(self, *args, **kwargs):
-                out = orig(self, *args, **kwargs)
-                frames = getattr(_persist_probe, "frames", None)
-                if frames is not None:
-                    frames.append(out)
-                return out
-
-            method.__wrapped__ = orig
-            method.__doc__ = orig.__doc__
-            return method
-
-        _ConcreteDF.persist = _probed(_ConcreteDF.persist)
-        _ConcreteDF.cache = _probed(_ConcreteDF.cache)
-        _probe_installed = True
+# persist).  Since r12 the tracking is an EXPLICIT registry
+# (.._persist — every library persist site routes through it, and user
+# batch fns opt in via `tracked_persist`), replacing the r9-r11
+# thread-local monkeypatch on DataFrame.persist/cache (the three-round
+# watch item: global-API-touching, fragile against Spark's class
+# layout).  Thread-locality is unchanged — foreachBatch callbacks run
+# on their own per-stream callback thread, so concurrent streams never
+# see each other's persists.
 
 
 def _persistent_rdd_count(df: DataFrame):
@@ -95,20 +60,17 @@ def _persistent_rdd_count(df: DataFrame):
 
 @contextmanager
 def _track_persists():
-    """Collect every DataFrame persisted or cached ON THIS THREAD while
-    the context is open (nesting-safe: the previous collector is
+    """Collect every frame registered via ``.._persist`` ON THIS THREAD
+    while the context is open (nesting-safe: the previous collector is
     restored on exit, and an outer context does NOT see an inner one's
-    frames — the inner context owns their cleanup).  Only
-    ``DataFrame.persist`` / ``DataFrame.cache`` are probed; callers
-    persisting via raw RDDs manage those themselves."""
-    _install_persist_probe()
-    prev = getattr(_persist_probe, "frames", None)
-    frames: list[DataFrame] = []
-    _persist_probe.frames = frames
-    try:
+    frames — the inner context owns their cleanup).  Library operators
+    register automatically (their persist sites route through
+    ``note_persist``); user batch fns register by persisting through
+    :func:`tracked_persist`.  Raw ``DataFrame.persist``/``rdd.persist``
+    calls are NOT captured — they fall to the advisory leak warning in
+    ``foreach_batch_apply``."""
+    with collect_persists() as frames:
         yield frames
-    finally:
-        _persist_probe.frames = prev
 
 
 def foreach_batch_apply(
@@ -137,10 +99,10 @@ def foreach_batch_apply(
         # once, but HERE they run once per micro-batch — without cleanup a
         # long stream accumulates one cached frame per epoch, leaning on
         # LRU eviction for storage pressure.  Track exactly the frames
-        # THIS batch fn persists (thread-local probe — NOT a diff of the
-        # session-global persistent-RDD set, which would race with a
-        # concurrent stream's persists in the same session and unpersist
-        # caches it still needs) and release them once this epoch's
+        # THIS batch fn persists (explicit thread-local registry — NOT a
+        # diff of the session-global persistent-RDD set, which would race
+        # with a concurrent stream's persists in the same session and
+        # unpersist caches it still needs) and release them once this epoch's
         # output has materialized (the write is the only consumer, so
         # nothing recomputes after).
         before = _persistent_rdd_count(batch_df)
@@ -155,12 +117,12 @@ def foreach_batch_apply(
         for frame in cached:
             frame.unpersist(False)
         if not cached:
-            # ADVICE r9: the probe patches DataFrame.persist/cache on
-            # the classic concrete class only — persists made through
-            # unpatched paths (Spark Connect frames, raw rdd.persist)
-            # are invisible to it and would silently reintroduce the
+            # ADVICE r9 (mechanism swapped r12): persists made OUTSIDE
+            # the explicit registry — raw DataFrame.persist in a user
+            # batch fn, rdd.persist, Connect frames — are invisible to
+            # the epoch cleanup and would silently reintroduce the
             # per-epoch cache leak.  Detect exactly that signature: the
-            # batch fn recorded nothing, yet the session's persistent-
+            # batch fn registered nothing, yet the session's persistent-
             # RDD set grew across the batch.
             after = _persistent_rdd_count(batch_df)
             if before is not None and after is not None and after > before:
@@ -169,9 +131,9 @@ def foreach_batch_apply(
                 warnings.warn(
                     f"foreach_batch_apply epoch {_epoch}: persistent-RDD "
                     f"count grew {before} -> {after} but the persist "
-                    f"probe recorded no frames — the batch fn may "
-                    f"persist through a path the probe cannot see "
-                    f"(Connect frame / raw rdd.persist); those caches "
+                    f"registry recorded no frames — the batch fn may "
+                    f"persist outside the registry (raw DataFrame."
+                    f"persist, Connect frame, rdd.persist); those caches "
                     f"would accumulate one per epoch.  ADVISORY ONLY — "
                     f"the count is session-global, so a CONCURRENT "
                     f"stream or job persisting in the same session "

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._persist import note_persist as _note_persist
 from ..functions.datetime_utils import (
     iso8601_duration_to_seconds,
     parse_tz_offset_minutes,
@@ -410,7 +411,7 @@ class InferenceScheduler:
             f"scheduler-{cfg.scheduler_name}-batch-{batch_id}",
             f"{cfg.scheduler_name} micro-batch {batch_id}",
         )
-        parsed = self._parse_filenames(batch_df).persist()
+        parsed = self._parse_filenames(batch_df).persist().transform(_note_persist)
         secs = cfg.frequency_minutes * 60
         in_slot_cond = (F.col("Timestamp") >= F.col("_slot")) & (
             F.col("Timestamp") <= F.col("_slot") + F.make_interval(secs=F.lit(secs - 1))

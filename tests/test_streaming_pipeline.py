@@ -717,19 +717,21 @@ def test_foreach_batch_unpersists_per_batch_caches(spark, tmp_path):
     """r8 (ADVICE r7): a batch fn that persists (decontaminate_spans'
     sliver, duplicate_spans' cand) must not leak one cached frame per
     micro-batch — foreach_batch_apply tracks the frames the fn itself
-    persists (thread-local probe since r9) and unpersists them once the
-    epoch's output has materialized."""
+    persists (explicit registry since r12; thread-local probe r9-r11)
+    and unpersists them once the epoch's output has materialized.
+    User fns opt in with ``tracked_persist`` — the public contract."""
     import pyspark.sql.functions as F
 
     from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
         foreach_batch_apply,
+        tracked_persist,
     )
 
     src = tmp_path / "src"
     spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(str(src))
 
     def per_batch(b):
-        cached = b.withColumn("w", F.col("v") + 1).persist()
+        cached = tracked_persist(b.withColumn("w", F.col("v") + 1))
         cached.count()
         return cached
 
@@ -753,7 +755,7 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
     persistent-RDD set, so with two concurrent streams (or any
     concurrent persisting job) in one session, one stream's epoch
     cleanup could unpersist the other's still-needed cache.  The
-    thread-local probe collects only the frames persisted by code
+    thread-local registry collects only the frames registered by code
     running inside the tracking context ON ITS OWN THREAD — a bystander
     persisting concurrently on another thread is untouched, and nesting
     restores the outer collector."""
@@ -763,6 +765,7 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
 
     from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
         _track_persists,
+        tracked_persist,
     )
 
     bystander_ready = threading.Event()
@@ -770,8 +773,10 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
     bystander_holder = []
 
     def bystander():
-        # persists WHILE the tracked "batch" is open on the main thread
-        df = spark.range(50).withColumn("b", F.col("id") * 3).persist()
+        # persists WHILE the tracked "batch" is open on the main thread;
+        # tracked_persist on a thread with NO open collector is a plain
+        # persist — never captured by another thread's context
+        df = tracked_persist(spark.range(50).withColumn("b", F.col("id") * 3))
         df.count()
         bystander_holder.append(df)
         bystander_ready.set()
@@ -781,11 +786,11 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
     with _track_persists() as cached:
         t.start()
         assert bystander_ready.wait(30)
-        own = spark.range(10).withColumn("a", F.col("id") + 1).persist()
+        own = tracked_persist(spark.range(10).withColumn("a", F.col("id") + 1))
         own.count()
         # nested context owns ITS frames; outer must not double-free them
         with _track_persists() as inner:
-            nested = spark.range(5).persist()
+            nested = tracked_persist(spark.range(5))
             nested.count()
         # identity checks: == on DataFrames builds a Column, never use it
         assert len(inner) == 1 and inner[0] is nested
@@ -804,11 +809,12 @@ def test_foreach_batch_cleanup_spares_concurrent_persists(spark):
 
 
 def test_foreach_batch_warns_on_invisible_persists(spark, tmp_path):
-    """r9 ADVICE: persists made through paths the probe cannot patch
-    (raw rdd.persist, Connect frames) are invisible — they'd silently
-    reaccumulate one cache per epoch.  foreach_batch_apply now compares
-    the session's persistent-RDD count across the batch and warns when
-    it grew while the probe recorded nothing."""
+    """r9 ADVICE (registry since r12): persists made outside the
+    explicit registry (raw DataFrame.persist in a user fn, rdd.persist,
+    Connect frames) are invisible — they'd silently reaccumulate one
+    cache per epoch.  foreach_batch_apply compares the session's
+    persistent-RDD count across the batch and warns when it grew while
+    the registry recorded nothing."""
     import warnings
 
     import pyspark.sql.functions as F
@@ -840,4 +846,42 @@ def test_foreach_batch_warns_on_invisible_persists(spark, tmp_path):
     for r in leaked:
         r.unpersist()
     msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
-    assert any("persist probe recorded no frames" in m for m in msgs), msgs
+    assert any("registry recorded no frames" in m for m in msgs), msgs
+
+
+def test_foreach_batch_warns_on_raw_dataframe_persist(spark, tmp_path):
+    """r12 contract change: a user batch fn persisting through the RAW
+    DataFrame.persist API (not ``tracked_persist``) is no longer
+    captured by epoch cleanup — it must trip the same advisory warning
+    as the other invisible paths."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from amazon_lookout_for_equipment_python_sdk_spark.streaming.pipeline import (
+        foreach_batch_apply,
+    )
+
+    src = tmp_path / "src"
+    spark.range(20).withColumn("v", F.col("id") * 2).write.parquet(str(src))
+    leaked = []
+
+    def per_batch(b):
+        cached = b.withColumn("w", F.col("v") + 1).persist()  # raw path
+        cached.count()
+        leaked.append(cached)
+        return cached
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = foreach_batch_apply(
+            spark.readStream.schema("id long, v long").parquet(str(src)),
+            per_batch,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    for f in leaked:
+        f.unpersist(False)
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("registry recorded no frames" in m for m in msgs), msgs

@@ -1,0 +1,190 @@
+"""WARC/WET source + sink (sources/warc.py): round-trip, determinism,
+malformed-record tolerance + resync, gzip/plain mix, HTTP body split."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.sources import warc as W
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://example.org/page/{i}" for i in range(40)],
+            "text": [
+                f"document {i} body with some words " + "x" * (i % 7)
+                for i in range(40)
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_round_trip_wet(spark, docs_df, tmp_path):
+    out = str(tmp_path / "wet")
+    manifest = W.write_warc(docs_df, out, n_shards=4)
+    m = {r["shard"]: r for r in manifest.collect()}
+    assert sorted(m) == [0, 1, 2, 3]
+    assert sum(r["n_records"] for r in m.values()) == 40
+
+    back = W.read_warc(spark, out)
+    rows = back.collect()
+    assert len(rows) == 40
+    assert all(r["error"] is None for r in rows)
+    assert all(r["record_type"] == "conversion" for r in rows)
+    assert all(r["content_type"] == "text/plain" for r in rows)
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode() for r in rows
+    }
+    want = {
+        r["url"]: r["text"] for r in docs_df.collect()
+    }
+    assert got == want
+
+
+def test_write_is_deterministic(spark, docs_df, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    W.write_warc(docs_df, a, n_shards=3)
+    W.write_warc(docs_df, b, n_shards=3)
+    fa = sorted(glob.glob(os.path.join(a, "*")))
+    fb = sorted(glob.glob(os.path.join(b, "*")))
+    assert [os.path.basename(p) for p in fa] == [
+        os.path.basename(p) for p in fb
+    ]
+    for pa, pb in zip(fa, fb):
+        ha = hashlib.md5(open(pa, "rb").read()).hexdigest()
+        hb = hashlib.md5(open(pb, "rb").read()).hexdigest()
+        assert ha == hb, f"shard bytes differ: {pa}"
+
+
+def test_plain_and_gz_mix(spark, docs_df, tmp_path):
+    out = str(tmp_path / "mix")
+    W.write_warc(docs_df.limit(10), out, n_shards=1, gzipped=True)
+    W.write_warc(
+        docs_df.limit(10), out + "2", n_shards=1, gzipped=False
+    )
+    os.rename(
+        glob.glob(out + "2/*.warc")[0],
+        os.path.join(out, "plain-shard.warc"),
+    )
+    back = W.read_warc(spark, out)
+    assert back.count() == 20
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_malformed_record_resync(spark, tmp_path):
+    """A lying Content-Length mid-shard yields ONE error row and the
+    parser resyncs to the next record instead of sinking the shard."""
+    good1 = W._record_bytes(
+        "conversion", "https://a", "2024-01-01T00:00:00Z",
+        "text/plain", b"first", "<urn:uuid:1>",
+    )
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://bad\r\n"
+        b"Content-Length: notanumber\r\n"
+        b"\r\n"
+        b"junk junk\r\n\r\n"
+    )
+    good2 = W._record_bytes(
+        "conversion", "https://b", "2024-01-01T00:00:00Z",
+        "text/plain", b"second", "<urn:uuid:2>",
+    )
+    shard = tmp_path / "broken.warc"
+    shard.write_bytes(good1 + bad + good2)
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    errs = [r for r in rows if r["error"] is not None]
+    oks = sorted(
+        (r for r in rows if r["error"] is None),
+        key=lambda r: r["target_uri"],
+    )
+    assert len(errs) == 1 and "Content-Length" in errs[0]["error"]
+    assert [bytes(r["payload"]) for r in oks] == [b"first", b"second"]
+
+
+def test_garbage_prefix_resync(spark, tmp_path):
+    good = W._record_bytes(
+        "conversion", "https://ok", "2024-01-01T00:00:00Z",
+        "text/plain", b"payload", "<urn:uuid:3>",
+    )
+    shard = tmp_path / "garbage.warc"
+    shard.write_bytes(b"GARBAGE BYTES HERE\n" + good)
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    errs = [r for r in rows if r["error"]]
+    assert len(errs) == 1 and "magic" in errs[0]["error"]
+    ok = next(r for r in rows if not r["error"])
+    assert bytes(ok["payload"]) == b"payload"
+
+
+def test_truncated_record(spark, tmp_path):
+    rec = W._record_bytes(
+        "conversion", "https://t", "2024-01-01T00:00:00Z",
+        "text/plain", b"full payload bytes", "<urn:uuid:4>",
+    )
+    shard = tmp_path / "trunc.warc"
+    shard.write_bytes(rec[: len(rec) - 12])
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert "overruns" in rows[0]["error"]
+
+
+def test_http_body_split(spark):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html>hi</html>"
+    )
+    assert W.http_payload_body(http) == b"<html>hi</html>"
+    assert W.http_payload_body(b"bare text") == b"bare text"
+    assert W.http_payload_body(None) is None
+    df = spark.createDataFrame(
+        pd.DataFrame({"payload": [http, b"bare", None]})
+    )
+    got = [
+        bytes(r["body"]) if r["body"] is not None else None
+        for r in W.with_http_body(df).collect()
+    ]
+    assert got == [b"<html>hi</html>", b"bare", None]
+
+
+def test_response_flavor_round_trip(spark, tmp_path):
+    """Raw-capture WARC: HTTP bytes in, http_payload_body extracts the
+    HTML, html_to_text completes the crawl-to-text chain."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.html import (
+        html_to_text,
+    )
+
+    body_text = (
+        "Hello crawl world, this is the main content of the page "
+        "and it has enough words to pass the boilerplate filter."
+    )
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        f"<html><body><p>{body_text}</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["https://x.org/p"], "raw": [http.encode()]}
+        )
+    )
+    out = str(tmp_path / "resp")
+    W.write_warc(
+        df, out, n_shards=1, payload_col="raw",
+        record_type="response",
+        content_type="application/http; msgtype=response",
+    )
+    back = W.with_http_body(W.read_warc(spark, out))
+    row = back.collect()[0]
+    assert row["record_type"] == "response"
+    text = html_to_text(bytes(row["body"]).decode())
+    assert body_text in text
