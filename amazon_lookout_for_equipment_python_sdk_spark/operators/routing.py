@@ -1,7 +1,7 @@
 """Auto-routing between plain operators and their skew-safe twins
 (r9 verdict #5).
 
-Nine operator families ship both a PLAIN form (one per-key window —
+Ten operator families ship both a PLAIN form (one per-key window —
 minimal overhead, but a key's whole history serializes onto one task)
 and a SKEW-SAFE twin (a (key, time-bucket) pre-split with exact
 boundary/carry merge — parallel under hot keys and long histories, at
@@ -19,6 +19,7 @@ timeseries.restamp_positional   timeseries.restamp_positional_chunked ~6e5 rows/
 timeseries.ffill                timeseries.ffill_chunked              ~2e6 rows/key (r11; flagship fill)
 timeseries.rolling_range        timeseries.rolling_range_chunked      rows x frame-rows product ~3e7 (r11; compute-bound, not sort-bound)
 stats.ewma                      stats.ewma_chunked                    ~1e5 rows/key (r11; fixed 64-row fold/row)
+corpus.pack_documents           corpus.pack_documents_chunked         ~2e6 rows/group (r12; prefix sum on the numeric doc-id axis)
 ==============================  ====================================  ==========
 
 The crossover statements used to live only in docstrings ("plain when
@@ -177,6 +178,21 @@ RANGE_PRODUCT_BUDGET = 30_000_000
 #: light-rank families.
 EWMA_BUDGET_ROWS = 100_000
 
+#: pack family (corpus.pack_documents / assemble_packs, r12 — the last
+#: serialized-sort-cliff member, r11 verdict #4), measured AT the
+#: calibration anchor on monolithic-group fixtures (tools/gen_pack_xl.py
+#: + bench_pack_ab.py, un-prunable max(pack_offset) drain, BASELINE.md
+#: r12 addendum 2): plain ahead at 300k-1M rows/group (twin 1.26-1.36x
+#: slower), near-tie at 2M (twin 1.08x), the twin ahead from 3M (1.37x
+#: faster) through 5M (1.22x) to 20M (1.62x).  The constant sits at the
+#: 2M near-tie so borderline groups take the twin's flat path (<=8%
+#: mis-route cost there vs plain's super-linear climb above).  ~3x the
+#: restamp budget despite the same prefix-sum work class: pack's cumsum
+#: input is one int per row (token counts computed row-local before the
+#: exchange) where restamp sorts full event rows, so far more rows fit
+#: a task's sort memory.
+PACK_BUDGET_ROWS = 2_000_000
+
 #: per-task execution memory where the constants above were
 #: bracketed: local[32], 16 GiB heap, spark.memory.fraction 0.6
 #: -> 16 GiB * 0.6 / 32 tasks.  Session-derived budgets scale the
@@ -288,20 +304,32 @@ class KeyProbe:
 
 
 def probe_keys(
-    df: DataFrame, key_col: str, ts_col: str | None = None
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | None = None,
+    numeric_axis: bool = False,
 ) -> KeyProbe:
     """ONE corpus scan: groupBy(key).count() partial-aggregates map-side
     (the shuffle ships one row per key, not per event), then a bounded
     second-stage agg reduces to scalars.  With ``ts_col`` the same scan
     also carries per-key min/max event time — both the corpus span and
     the hot key's own span (``max_by`` on the per-key counts) — so the
-    twin's bucket geometry needs no second pass over the corpus."""
+    twin's bucket geometry needs no second pass over the corpus.
+
+    ``numeric_axis=True`` probes ``ts_col`` as a plain NUMERIC order
+    axis (the pack family's doc-id axis, r12): lo/hi then carry the
+    axis values themselves rather than epoch microseconds, and the
+    matching geometry helper is :func:`_bucket_span_ids`."""
     per_key = [F.count(F.lit(1)).alias("_c")]
     if ts_col is not None:
-        # cast: unix_micros rejects TIMESTAMP_NTZ (the decade fixtures
-        # ship NTZ); the engine session runs UTC so the cast is
-        # value-preserving, and the span only feeds bucket geometry
-        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        if numeric_axis:
+            us = F.col(ts_col).cast("long")
+        else:
+            # cast: unix_micros rejects TIMESTAMP_NTZ (the decade
+            # fixtures ship NTZ); the engine session runs UTC so the
+            # cast is value-preserving, and the span only feeds bucket
+            # geometry
+            us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         per_key += [F.min(us).alias("_lo"), F.max(us).alias("_hi")]
     agg = df.groupBy(key_col).agg(*per_key)
     final = [
@@ -381,6 +409,21 @@ def _bucket_span_s(probe: KeyProbe, budget_rows: int) -> int:
     # span by up to 2x, letting the worst-case carry overshoot the
     # budget by the same factor
     floor = -(-corpus_span_s // allowed_per_key)
+    return max(want, floor, 1)
+
+
+def _bucket_span_ids(probe: KeyProbe, budget_rows: int) -> int:
+    """ID units per (key, bucket) slice — :func:`_bucket_span_s` for a
+    NUMERIC order axis (probe built with ``numeric_axis=True``): same
+    hot-span fan-out and the same CARRY_BUDGET_ROWS floor, without the
+    microsecond conversion."""
+    lo = probe.hot_lo_us if probe.hot_lo_us is not None else probe.lo_us
+    hi = probe.hot_hi_us if probe.hot_hi_us is not None else probe.hi_us
+    span = max(hi - lo, 1)
+    want = max(span // _auto_buckets(probe, budget_rows), 1)
+    corpus_span = max(probe.hi_us - probe.lo_us, 1)
+    allowed_per_key = max(CARRY_BUDGET_ROWS // max(probe.n_keys, 1), 1)
+    floor = -(-corpus_span // allowed_per_key)
     return max(want, floor, 1)
 
 
@@ -767,4 +810,96 @@ def cusum_reflected_auto(
         key_col=key_col,
         tiebreak_col=tiebreak_col,
         scale=scale,
+    )
+
+
+def pack_documents_auto(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`corpus.pack_documents` or its chunked twin by probe (r12 —
+    the tenth routed family, closing the serialized-sort-cliff class:
+    r11 verdict #4).  The order axis is the NUMERIC doc id, so the
+    probe runs with ``numeric_axis=True`` and the bucket geometry is
+    :func:`_bucket_span_ids`; a non-numeric id (or all-null ids) routes
+    PLAIN — the value-based split needs a numeric axis, and string-id
+    corpora use :func:`corpus.pack_documents_greedy` with ``scan_rows``
+    for the hard-cap shape instead.  Budget ``PACK_BUDGET_ROWS``
+    (prefix-sum work class — the restamp anchor; family-own A/B in
+    tools/bench_pack_ab.py, BASELINE.md r12 addendum 2)."""
+    from . import corpus as _corpus
+
+    numeric_id = df.schema[id_col].dataType.typeName() in (
+        "long", "integer", "short", "byte",
+    )
+    if budget_rows is None:
+        budget_rows = session_budget_rows(df.sparkSession, PACK_BUDGET_ROWS)
+    if numeric_id and probe is None:
+        probe = probe_keys(df, group_col, ts_col=id_col, numeric_axis=True)
+    if (
+        not numeric_id
+        or not decide_twin(probe, budget_rows)
+        or probe.lo_us is None
+    ):
+        return _corpus.pack_documents(
+            df, budget_tokens=budget_tokens, group_col=group_col,
+            text_col=text_col, id_col=id_col,
+        )
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _corpus.pack_documents_chunked(
+        df,
+        budget_tokens=budget_tokens,
+        bucket_span_ids=_bucket_span_ids(probe, geom),
+        group_col=group_col,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def assemble_packs_auto(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    budget_rows: int | None = None,
+    probe: KeyProbe | None = None,
+) -> DataFrame:
+    """:func:`corpus.assemble_packs` or its chunked twin by the same
+    probe/budget rule as :func:`pack_documents_auto` (the assembly
+    rollup is already (group, pack)-parallel in both forms; only the
+    assignment cumsum differs)."""
+    from . import corpus as _corpus
+
+    numeric_id = df.schema[id_col].dataType.typeName() in (
+        "long", "integer", "short", "byte",
+    )
+    if budget_rows is None:
+        budget_rows = session_budget_rows(df.sparkSession, PACK_BUDGET_ROWS)
+    if numeric_id and probe is None:
+        probe = probe_keys(df, group_col, ts_col=id_col, numeric_axis=True)
+    if (
+        not numeric_id
+        or not decide_twin(probe, budget_rows)
+        or probe.lo_us is None
+    ):
+        return _corpus.assemble_packs(
+            df, budget_tokens=budget_tokens, group_col=group_col,
+            text_col=text_col, id_col=id_col, sep=sep,
+        )
+    geom = session_budget_rows(df.sparkSession, WINDOW_BUDGET_ROWS)
+    return _corpus.assemble_packs_chunked(
+        df,
+        budget_tokens=budget_tokens,
+        bucket_span_ids=_bucket_span_ids(probe, geom),
+        group_col=group_col,
+        text_col=text_col,
+        id_col=id_col,
+        sep=sep,
     )

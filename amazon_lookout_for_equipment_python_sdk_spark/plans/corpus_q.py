@@ -408,6 +408,31 @@ def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pack_documents_chunked", _PACK_SQL)
+def pack_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of ``pack_documents`` (r12 — tenth routed family,
+    closing the serialized-sort-cliff class, r11 verdict #4): identical
+    semantics (same oracle SQL), with the per-source token cumsum
+    decomposed into (source, id-bucket) local windows plus a broadcast
+    offset table (operators/corpus.pack_documents_chunked).  The 40-id
+    bucket span forces many buckets per group at driver SF so the
+    boundary machinery is actually exercised.
+
+    Registry budget: twin row follows the r11 chunked-twin pattern
+    (shares the plain row's oracle; certifies the decomposition's
+    driver-hash equality, not new semantics)."""
+    docs = load(spark, sf_dir, "documents")
+    out = cp.pack_documents_chunked(
+        docs, budget_tokens=512, bucket_span_ids=40,
+        group_col="source", text_col="text", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "pack_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed corpus-prep pipeline (quality -> dedup -> split -> pack)
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ HARNESSES = [
     "tools/bench_ffill_ab.py",
     "tools/bench_range_ab.py",
     "tools/bench_ewma_ab.py",
+    "tools/bench_pack_ab.py",
 ]
 
 

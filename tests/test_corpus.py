@@ -769,3 +769,93 @@ def test_corpus_pipeline_fused_matches_operator_chain(spark):
     a = fused.sort("doc_id").collect()
     b = chain.sort("doc_id").collect()
     assert len(a) > 0 and a == b
+
+
+# --- pack_documents_chunked / assemble_packs_chunked (r12, verdict #4) ------
+
+
+@pytest.fixture(scope="module")
+def pack_df(spark):
+    """3 groups (one NULL) + a null-id row, doc sizes forcing several
+    pack boundary crossings per group; ids span several id-buckets at
+    bucket_span_ids=10."""
+    import pandas as pd
+
+    rows = []
+    for g in [None, "a", "b"]:
+        for i in range(37):
+            rows.append(
+                {
+                    "doc_id": i * 3,  # gaps — buckets of unequal fill
+                    "source": g,
+                    "text": " ".join(["w"] * (5 + (i * 7) % 23)),
+                }
+            )
+    rows.append({"doc_id": None, "source": "a", "text": "n u l l i d"})
+    pdf = pd.DataFrame(rows)
+    pdf["doc_id"] = pdf["doc_id"].astype("Int64")
+    return spark.createDataFrame(pdf)
+
+
+def _rows(df, cols):
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()],
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_pack_documents_chunked_equals_plain(spark, pack_df):
+    cols = ["doc_id", "source", "n_tokens", "pack_offset", "pack_id"]
+    plain = cp.pack_documents(
+        pack_df, budget_tokens=64, group_col="source",
+        text_col="text", id_col="doc_id",
+    )
+    twin = cp.pack_documents_chunked(
+        pack_df, budget_tokens=64, bucket_span_ids=10,
+        group_col="source", text_col="text", id_col="doc_id",
+    )
+    assert twin.columns == plain.columns
+    assert _rows(twin, cols) == _rows(plain, cols)
+
+
+def test_pack_documents_chunked_monolithic_group(spark):
+    """ONE group spanning many buckets — the exact shape the twin
+    exists for — stays bit-equal to the plain window."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "source": ["only"] * 500,
+            "text": [" ".join(["t"] * (3 + i % 17)) for i in range(500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cols = ["doc_id", "source", "n_tokens", "pack_offset", "pack_id"]
+    plain = cp.pack_documents(df, budget_tokens=128, group_col="source")
+    twin = cp.pack_documents_chunked(
+        df, budget_tokens=128, bucket_span_ids=50, group_col="source"
+    )
+    assert _rows(twin, cols) == _rows(plain, cols)
+
+
+def test_pack_documents_chunked_rejects_string_id(spark):
+    df = spark.createDataFrame(
+        [("x", "a", "one two")], "doc_id string, source string, text string"
+    )
+    with pytest.raises(ValueError, match="numeric id_col"):
+        cp.pack_documents_chunked(df, id_col="doc_id")
+
+
+def test_assemble_packs_chunked_equals_plain(spark, pack_df):
+    cols = ["source", "pack_id", "n_docs", "pack_tokens", "packed_text"]
+    plain = cp.assemble_packs(
+        pack_df, budget_tokens=64, group_col="source",
+        text_col="text", id_col="doc_id",
+    )
+    twin = cp.assemble_packs_chunked(
+        pack_df, budget_tokens=64, bucket_span_ids=10,
+        group_col="source", text_col="text", id_col="doc_id",
+    )
+    assert twin.columns == plain.columns
+    assert _rows(twin, cols) == _rows(plain, cols)

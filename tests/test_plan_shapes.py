@@ -460,3 +460,18 @@ def test_q15_single_fact_scan_via_cached_revenue(spark):
     plan = _plan(spark, "q15_top_supplier")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_chunked_twin_broadcast_offsets_and_keyed_buckets(spark):
+    """The pack twin's offset table must join back BROADCAST (it is
+    keys x buckets rows) and the corpus window must partition on
+    (source, bucket) — the decomposition's whole point (r12, tenth
+    routed family)."""
+    plan = _plan(spark, "pack_documents_chunked")
+    assert "BroadcastHashJoin" in plan, plan
+    sorts = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith(("+- Sort", ":- Sort", "Sort "))
+    ]
+    assert any("source" in s and "_b" in s for s in sorts), plan

@@ -832,3 +832,127 @@ def test_auto_routes_match_explicit_forms_both_branches(spark):
     assert plain_c == ckey(
         rt.cusum_reflected_auto(ev, budget_rows=10).collect()
     )
+
+
+def test_pack_budget_calibration():
+    """PACK_BUDGET_ROWS sits at the measured 2M near-tie (plain ahead
+    to 1M, twin from 3M — BASELINE r12 addendum 2) and scales with
+    per-task memory like every family."""
+    assert rt.PACK_BUDGET_ROWS == 2_000_000
+    anchor = rt.derive_budget_rows(rt.PACK_BUDGET_ROWS, rt.CALIB_PER_TASK_BYTES)
+    assert anchor == rt.PACK_BUDGET_ROWS
+    assert (
+        rt.derive_budget_rows(rt.PACK_BUDGET_ROWS, 2 * rt.CALIB_PER_TASK_BYTES)
+        == 2 * rt.PACK_BUDGET_ROWS
+    )
+
+
+def test_bucket_span_ids_geometry():
+    """Numeric-axis geometry: divides the hot group's id span; the
+    carry floor binds exactly like the time-axis helper."""
+    p = rt.KeyProbe(
+        n_keys=3, max_key_rows=1_000_000, total_rows=1_200_000,
+        lo_us=0, hi_us=10_000_000, hot_lo_us=0, hot_hi_us=1_000_000,
+    )
+    span = rt._bucket_span_ids(p, 100_000)
+    # hot span 1e6 ids over ceil(1e6/1e5)=10 buckets -> 1e5 ids/bucket
+    assert span == 100_000
+    # many keys force the carry floor: allowed 1e6/1e6=1 id per key
+    # -> floor = corpus span
+    pm = rt.KeyProbe(
+        n_keys=1_000_000, max_key_rows=1_000_000, total_rows=2_000_000,
+        lo_us=0, hi_us=10_000_000, hot_lo_us=0, hot_hi_us=1_000_000,
+    )
+    assert rt._bucket_span_ids(pm, 100_000) == 10_000_000
+
+
+def test_pack_documents_auto_routes_and_matches(spark):
+    """The tenth routed family (r12 — the serialized-sort-cliff close):
+    both branches equal the explicit plain packing; string ids route
+    plain; a shared numeric-axis probe skips the probe scan."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        corpus as cp,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": ["s" + str(i % 3) for i in range(300)],
+            "text": [" ".join(["w"] * (4 + i % 13)) for i in range(300)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    def vals(df):
+        return {
+            r["doc_id"]: (r["pack_offset"], r["pack_id"])
+            for r in df.collect()
+        }
+
+    plain = vals(cp.pack_documents(docs, budget_tokens=64))
+    for budget in (10**9, 10):
+        assert vals(
+            rt.pack_documents_auto(docs, budget_tokens=64, budget_rows=budget)
+        ) == plain, budget
+
+    # string ids: always the plain branch, never the twin's ValueError
+    sdocs = docs.withColumn("doc_id", F.concat(F.lit("d"), "doc_id"))
+    splain = {
+        r["doc_id"]: (r["pack_offset"], r["pack_id"])
+        for r in cp.pack_documents(sdocs, budget_tokens=64).collect()
+    }
+    sgot = {
+        r["doc_id"]: (r["pack_offset"], r["pack_id"])
+        for r in rt.pack_documents_auto(
+            sdocs, budget_tokens=64, budget_rows=10
+        ).collect()
+    }
+    assert sgot == splain
+
+    shared = rt.probe_keys(docs, "source", ts_col="doc_id", numeric_axis=True)
+    orig = rt.probe_keys
+    rt.probe_keys = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe_keys called despite probe=")
+    )
+    try:
+        routed = rt.pack_documents_auto(
+            docs, budget_tokens=64, probe=shared, budget_rows=10
+        )
+    finally:
+        rt.probe_keys = orig
+    assert vals(routed) == plain
+
+
+def test_assemble_packs_auto_routes_and_matches(spark):
+    """assemble_packs shares the pack family's routing; both branches
+    equal the explicit plain assembly."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+        corpus as cp,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "source": ["g" + str(i % 2) for i in range(200)],
+            "text": [" ".join(["w"] * (4 + i % 11)) for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    def vals(df):
+        return {
+            (r["source"], r["pack_id"]): (
+                r["n_docs"], r["pack_tokens"], r["packed_text"]
+            )
+            for r in df.collect()
+        }
+
+    plain = vals(cp.assemble_packs(docs, budget_tokens=64))
+    for budget in (10**9, 10):
+        assert vals(
+            rt.assemble_packs_auto(docs, budget_tokens=64, budget_rows=budget)
+        ) == plain, budget
