@@ -188,3 +188,71 @@ def test_response_flavor_round_trip(spark, tmp_path):
     assert row["record_type"] == "response"
     text = html_to_text(bytes(row["body"]).decode())
     assert body_text in text
+
+
+def test_incremental_parser_chunk_invariance():
+    """Feeding the stream in tiny chunks yields exactly the one-shot
+    rows — records, headers, and resync markers may split anywhere."""
+    recs = b"".join(
+        W._record_bytes(
+            "conversion", f"https://c/{i}", "2024-01-01T00:00:00Z",
+            "text/plain", b"payload-%d" % i, f"<urn:uuid:{i}>",
+        )
+        for i in range(20)
+    )
+    stream = b"GARBAGE\n" + recs[:100] + b"XXJUNKXX\n" + recs
+    want = W._parse_records("s", stream)
+    for size in (1, 3, 7, 64, 1000):
+        p = W._RecordParser("s")
+        got = []
+        for i in range(0, len(stream), size):
+            got.extend(p.feed(stream[i : i + size]))
+        got.extend(p.finish())
+        assert got == want, f"chunk size {size} diverged"
+    # ONE error row for the whole garbage prefix (not one per chunk);
+    # the header fragment + junk merge into the next record's header
+    # block (tolerant last-header-wins) so all 20 payloads survive
+    errs = [r for r in want if r["error"]]
+    oks = [r for r in want if not r["error"]]
+    assert sorted(bytes(r["payload"]) for r in oks) == sorted(
+        b"payload-%d" % i for i in range(20)
+    )
+    assert len(errs) == 1 and "magic" in errs[0]["error"], errs
+
+
+def test_incremental_parser_buffer_bounded():
+    """Peak parse buffer stays ~one record + one chunk — never the
+    whole stream (the r12 review's decompressed-shard memory cliff)."""
+    big_payload = b"x" * 50_000
+    recs = b"".join(
+        W._record_bytes(
+            "conversion", f"https://b/{i}", "2024-01-01T00:00:00Z",
+            "text/plain", big_payload, f"<urn:uuid:{i}>",
+        )
+        for i in range(40)
+    )
+    p = W._RecordParser("s")
+    peak, chunk = 0, 8192
+    n = 0
+    for i in range(0, len(recs), chunk):
+        n += len(p.feed(recs[i : i + chunk]))
+        peak = max(peak, len(p.buf))
+    n += len(p.finish())
+    assert n == 40
+    assert peak < len(big_payload) + 3 * chunk, peak
+
+
+def test_oversized_garbage_header_resyncs():
+    """A WARC magic followed by no header terminator for >64 KiB is
+    garbage, not a header — one error row, then resync to the next
+    record (the unbounded-header-buffer guard)."""
+    junk = b"WARC/1.0\r\n" + b"A" * (W._MAX_HEADER + 10)
+    good = W._record_bytes(
+        "conversion", "https://ok", "2024-01-01T00:00:00Z",
+        "text/plain", b"fine", "<urn:uuid:9>",
+    )
+    rows = W._parse_records("s", junk + b"\r\n" + good)
+    errs = [r for r in rows if r["error"]]
+    oks = [r for r in rows if not r["error"]]
+    assert len(errs) == 1 and "unterminated header" in errs[0]["error"]
+    assert len(oks) == 1 and bytes(oks[0]["payload"]) == b"fine"
