@@ -355,3 +355,99 @@ def hashed_embedding_udf(dim: int = 64, scale: int = 10_000):
         return texts.map(embed)
 
     return udf
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+    top_n: int = 2,
+) -> DataFrame:
+    """Gopher repetition-rule family (Rae et al. 2021 §A1.1 — the
+    standard LLM-corpus boilerplate gate, also used by RefinedWeb /
+    Dolma pipelines): per-document duplicate-LINE and
+    duplicate-PARAGRAPH fractions (unit-count and character-mass
+    forms) plus the top-``n``-gram coverage signal.  Complements
+    :func:`repetition_stats` (the duplicate-n-gram FRACTION) with the
+    structural-unit rules.
+
+    Per document:
+
+    - ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac`` — lines
+      = non-empty ``line_sep`` splits; a line is "duplicated" when its
+      exact text occurs more than once in the doc, and the fractions
+      count ALL its occurrences (unit count and character mass) over
+      the doc's line totals.
+    - ``n_paras`` / ``dup_para_frac`` / ``dup_para_char_frac`` — same
+      over ``para_sep`` splits.
+    - ``top_ngram_char_frac`` — the most COVERING token ``top_n``-gram's
+      character mass (count x gram length) over the total n-gram
+      character mass.  Deviation from Gopher's most-FREQUENT-gram /
+      len(text) form, deliberately: max-of-products is tie-free and
+      order-independent, which a distributed exact oracle needs; the
+      two agree whenever the most frequent gram is unique.
+
+    Docs with zero units of a kind emit NULL fractions for it.
+
+    Scale: ONE explode of (kind, unit) rows -> groupBy(id, kind, unit)
+    with map-side partial counts (the shuffle ships one row per
+    distinct unit, not per occurrence) -> per-(id, kind) rollup ->
+    conditional-aggregation pivot back to one row per doc.  No
+    per-document quadratic HOF (a spam doc with 100k identical lines
+    costs O(n), not O(n^2))."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.slice(
+            toks, 1, F.greatest(F.size(toks) - (top_n - 1), F.lit(0))
+        ),
+        lambda x, i: F.concat_ws(
+            " ",
+            *([x] + [F.element_at(toks, i + j + 1) for j in range(1, top_n)]),
+        ),
+    )
+    nonempty = lambda arr: F.filter(arr, lambda u: u != "")  # noqa: E731
+    units = F.concat(
+        F.transform(
+            nonempty(F.split(F.col(text_col), F.lit(line_sep), -1)),
+            lambda u: F.struct(F.lit("line").alias("kind"), u.alias("u")),
+        ),
+        F.transform(
+            nonempty(F.split(F.col(text_col), F.lit(para_sep), -1)),
+            lambda u: F.struct(F.lit("para").alias("kind"), u.alias("u")),
+        ),
+        F.transform(
+            grams,
+            lambda u: F.struct(F.lit("gram").alias("kind"), u.alias("u")),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(units).alias("ku")
+    ).select(id_col, F.col("ku.kind").alias("_kind"), F.col("ku.u").alias("_u"))
+    counted = exploded.groupBy(id_col, "_kind", "_u").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    mass = F.col("_c") * F.length("_u")
+    dup = F.col("_c") > 1
+    per_kind = counted.groupBy(id_col, "_kind").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.when(dup, F.col("_c")).otherwise(0)).alias("_dn"),
+        F.sum(mass).alias("_m"),
+        F.sum(F.when(dup, mass).otherwise(0)).alias("_dm"),
+        F.max(mass).alias("_top"),
+    )
+
+    def k(kind, col):
+        return F.max(F.when(F.col("_kind") == kind, F.col(col)))
+
+    frac = lambda num, den: num / den.cast("double")  # noqa: E731
+    return per_kind.groupBy(id_col).agg(
+        k("line", "_n").alias("n_lines"),
+        frac(k("line", "_dn"), k("line", "_n")).alias("dup_line_frac"),
+        frac(k("line", "_dm"), k("line", "_m")).alias("dup_line_char_frac"),
+        k("para", "_n").alias("n_paras"),
+        frac(k("para", "_dn"), k("para", "_n")).alias("dup_para_frac"),
+        frac(k("para", "_dm"), k("para", "_m")).alias("dup_para_char_frac"),
+        frac(k("gram", "_top"), k("gram", "_m")).alias("top_ngram_char_frac"),
+    )

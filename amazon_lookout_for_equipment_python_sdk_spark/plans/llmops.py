@@ -789,6 +789,102 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher structural repetition rules (duplicate lines/paragraphs, top-gram)
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) + 1, 2),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS ls
+  FROM t
+), p AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ls) + 1, 4),
+                        j -> array_to_string(ls[j:j+3], chr(10))) AS ps
+  FROM l
+), d AS (
+  SELECT doc_id, array_to_string(ps, chr(10) || chr(10)) AS text2 FROM p
+), u AS (
+  SELECT doc_id, 'line' AS kind,
+         unnest(list_filter(string_split(text2, chr(10)), x -> x != '')) AS u
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'para',
+         unnest(list_filter(string_split(text2, chr(10) || chr(10)),
+                            x -> x != ''))
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'gram',
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text2, ' ')) - 1, 0) + 1),
+           i -> array_to_string((string_split(text2, ' '))[i:i+1], ' ')))
+  FROM d
+), c AS (
+  SELECT doc_id, kind, u, count(*) AS c FROM u GROUP BY doc_id, kind, u
+), k AS (
+  SELECT doc_id, kind,
+         sum(c) AS n,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dn,
+         sum(c * length(u)) AS m,
+         coalesce(sum(c * length(u)) FILTER (WHERE c > 1), 0) AS dm,
+         max(c * length(u)) AS top
+  FROM c GROUP BY doc_id, kind
+)
+SELECT doc_id,
+       CAST(max(n) FILTER (WHERE kind = 'line') AS BIGINT) AS n_lines,
+       {sql_qfloor("max(dn) FILTER (WHERE kind = 'line') / CAST(max(n) FILTER (WHERE kind = 'line') AS DOUBLE)", 6)} AS dup_line_frac,
+       {sql_qfloor("max(dm) FILTER (WHERE kind = 'line') / CAST(max(m) FILTER (WHERE kind = 'line') AS DOUBLE)", 6)} AS dup_line_char_frac,
+       CAST(max(n) FILTER (WHERE kind = 'para') AS BIGINT) AS n_paras,
+       {sql_qfloor("max(dn) FILTER (WHERE kind = 'para') / CAST(max(n) FILTER (WHERE kind = 'para') AS DOUBLE)", 6)} AS dup_para_frac,
+       {sql_qfloor("max(dm) FILTER (WHERE kind = 'para') / CAST(max(m) FILTER (WHERE kind = 'para') AS DOUBLE)", 6)} AS dup_para_char_frac,
+       {sql_qfloor("max(top) FILTER (WHERE kind = 'gram') / CAST(max(m) FILTER (WHERE kind = 'gram') AS DOUBLE)", 6)} AS top_ngram_char_frac
+FROM k GROUP BY doc_id
+"""
+
+
+@register("gopher_repetition_rules", _GOPHER_SQL)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher structural repetition rules (Rae et al. 2021 §A1.1 — the
+    duplicate-line/paragraph family RefinedWeb/Dolma-style pipelines
+    gate on; operators/text.gopher_repetition) over the documents
+    corpus RESHAPED into multi-line text: 2-token lines, 4-line
+    paragraphs, reconstructed identically in the oracle — the flat
+    fixture text has no newlines, and the reshape gives the rules real
+    signal (181/500 sf0.01 docs carry duplicate 2-token lines).
+
+    Registry budget: new registration completing the quality-rule
+    family (repetition_stats covers the duplicate-n-gram axis; this
+    adds the structural axes) — margin stays >= 10 (140/150)."""
+    docs = load_par(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    paras_expr = F.transform(
+        F.sequence(F.lit(1), F.size(lines), F.lit(4)),
+        lambda j: F.array_join(F.slice(lines, j, 4), "\n"),
+    )
+    reshaped = docs.select(
+        "doc_id", F.array_join(paras_expr, "\n\n").alias("text2")
+    )
+    out = tx.gopher_repetition(reshaped, text_col="text2")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        qfloor(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        qfloor(F.col("dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        "n_paras",
+        qfloor(F.col("dup_para_frac"), 6).alias("dup_para_frac"),
+        qfloor(F.col("dup_para_char_frac"), 6).alias("dup_para_char_frac"),
+        qfloor(F.col("top_ngram_char_frac"), 6).alias("top_ngram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-language embedding centroids (metadata join + deterministic mean)
 # ---------------------------------------------------------------------------
 

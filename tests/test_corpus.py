@@ -859,3 +859,77 @@ def test_assemble_packs_chunked_equals_plain(spark, pack_df):
     )
     assert twin.columns == plain.columns
     assert _rows(twin, cols) == _rows(plain, cols)
+
+
+# --- gopher_repetition (r12 — the structural Gopher rule family) ------------
+
+
+def test_gopher_repetition_line_para_and_topgram(spark):
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # lines: [a b, a b, c d, e f, e f] -> 4/5 duplicated;
+                # paras: 2 distinct -> 0
+                "a b\na b\nc d\n\ne f\ne f",
+                "unique one\nunique two",
+                # whole-paragraph spam: both paras identical
+                "x y\nz w\n\nx y\nz w",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(spark.createDataFrame(pdf)).collect()
+    }
+    d1 = out[1]
+    assert d1["n_lines"] == 5 and abs(d1["dup_line_frac"] - 0.8) < 1e-12
+    assert abs(d1["dup_line_char_frac"] - 0.8) < 1e-12  # all lines 3 chars
+    assert d1["n_paras"] == 2 and d1["dup_para_frac"] == 0.0
+    d2 = out[2]
+    assert d2["dup_line_frac"] == 0.0 and d2["n_paras"] == 1
+    d3 = out[3]
+    # 4 lines, all duplicated; 2 identical paragraphs
+    assert d3["dup_line_frac"] == 1.0
+    assert d3["dup_para_frac"] == 1.0 and d3["dup_para_char_frac"] == 1.0
+    # top 2-gram coverage is a fraction in (0, 1]
+    for d in out.values():
+        assert 0 < d["top_ngram_char_frac"] <= 1.0
+
+
+def test_gopher_repetition_empty_doc_drops(spark):
+    """Contract: a doc with zero units (empty text) emits no row — the
+    explode drops it; callers wanting presence left-join back."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b\nc d", ""]})
+    got = gopher_repetition(spark.createDataFrame(pdf)).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_gopher_repetition_spam_doc_linear(spark):
+    """A 20k-identical-lines spam doc must go through the groupBy path
+    (one (doc, unit) row after partial aggregation), not a per-doc
+    quadratic HOF — and score dup fractions of 1.0."""
+    import pandas as pd
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    spam = "\n".join(["buy now cheap"] * 20_000)
+    pdf = pd.DataFrame({"doc_id": [7], "text": [spam]})
+    row = gopher_repetition(spark.createDataFrame(pdf)).collect()[0]
+    assert row["n_lines"] == 20_000
+    assert row["dup_line_frac"] == 1.0
+    assert row["dup_line_char_frac"] == 1.0
