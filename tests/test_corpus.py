@@ -933,3 +933,45 @@ def test_gopher_repetition_spam_doc_linear(spark):
     assert row["n_lines"] == 20_000
     assert row["dup_line_frac"] == 1.0
     assert row["dup_line_char_frac"] == 1.0
+
+
+def test_pack_documents_chunked_randomized_geometries(spark):
+    """Randomized row-for-row equality of the pack twin across bucket
+    geometries — random gaps and token counts, a NULL group key, a
+    null id, negative ids (floor-division buckets), and a giant single
+    bucket (span larger than the whole id range)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(37)
+    ids = rng.choice(np.arange(-500, 4_000), size=350, replace=False)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "source": rng.choice([None, "a", "b", "c"], size=350),
+            "text": [
+                " ".join(["w"] * int(n))
+                for n in rng.integers(1, 40, size=350)
+            ],
+        }
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("Int64")
+    pdf.loc[0, "doc_id"] = None
+    df = spark.createDataFrame(pdf)
+
+    def vals(out):
+        return {
+            (r["source"], r["doc_id"]): (
+                r["n_tokens"], r["pack_offset"], r["pack_id"]
+            )
+            for r in out.collect()
+        }
+
+    plain = vals(cp.pack_documents(df, budget_tokens=100))
+    for span in (7, 100, 1_000, 10_000_000):
+        got = vals(
+            cp.pack_documents_chunked(
+                df, budget_tokens=100, bucket_span_ids=span
+            )
+        )
+        assert got == plain, span

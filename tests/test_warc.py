@@ -256,3 +256,30 @@ def test_oversized_garbage_header_resyncs():
     oks = [r for r in rows if not r["error"]]
     assert len(errs) == 1 and "unterminated header" in errs[0]["error"]
     assert len(oks) == 1 and bytes(oks[0]["payload"]) == b"fine"
+
+
+def test_warcinfo_leading_record_reads_like_common_crawl(spark, tmp_path):
+    """Real WET shards open with a ``warcinfo`` record describing the
+    crawl; the reader must surface it as an ordinary typed record so
+    downstream filters (`record_type == 'conversion'`) drop it."""
+    info_payload = (
+        b"software: crawler/1.0\r\nformat: WARC file version 1.0\r\n"
+    )
+    info = W._record_bytes(
+        "warcinfo", None, "2024-01-01T00:00:00Z",
+        "application/warc-fields", info_payload, "<urn:uuid:info>",
+    )
+    conv = W._record_bytes(
+        "conversion", "https://cc.example/p", "2024-01-01T00:00:00Z",
+        "text/plain", b"extracted text here", "<urn:uuid:c1>",
+    )
+    shard = tmp_path / "cc.warc.wet.gz"
+    shard.write_bytes(gzip.compress(info, mtime=0) + gzip.compress(conv, mtime=0))
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 2 and all(r["error"] is None for r in rows)
+    kinds = {r["record_type"] for r in rows}
+    assert kinds == {"warcinfo", "conversion"}
+    conv_row = next(r for r in rows if r["record_type"] == "conversion")
+    assert bytes(conv_row["payload"]) == b"extracted text here"
+    info_row = next(r for r in rows if r["record_type"] == "warcinfo")
+    assert info_row["target_uri"] is None
