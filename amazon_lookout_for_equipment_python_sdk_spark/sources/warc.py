@@ -276,11 +276,16 @@ class _RecordParser:
                 )
                 self.resync = True
                 continue
-            head_end = buf.find(b"\r\n\r\n", 0, _MAX_HEADER)
-            sep = 4
-            if head_end < 0:
-                head_end = buf.find(b"\n\n", 0, _MAX_HEADER)
-                sep = 2
+            # take the EARLIEST terminator of either convention: probing
+            # CRLF first would mis-frame an LF-terminated header whose
+            # payload happens to contain a CRLFCRLF inside the probe
+            # window (r12 review)
+            e_crlf = buf.find(b"\r\n\r\n", 0, _MAX_HEADER)
+            e_lf = buf.find(b"\n\n", 0, _MAX_HEADER)
+            if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
+                head_end, sep = e_crlf, 4
+            else:
+                head_end, sep = e_lf, 2
             if head_end < 0:
                 if len(buf) >= _MAX_HEADER or final:
                     out.append(self._err("unterminated header block"))

@@ -975,3 +975,17 @@ def test_pack_documents_chunked_randomized_geometries(spark):
             )
         )
         assert got == plain, span
+
+
+def test_gopher_repetition_null_text_drops(spark):
+    """NULL text behaves like empty text: the unit array is null, the
+    explode drops the row (same contract as the empty-doc case)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b"), (2, None)], "doc_id long, text string"
+    )
+    got = gopher_repetition(df).collect()
+    assert [r["doc_id"] for r in got] == [1]

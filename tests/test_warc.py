@@ -283,3 +283,21 @@ def test_warcinfo_leading_record_reads_like_common_crawl(spark, tmp_path):
     assert bytes(conv_row["payload"]) == b"extracted text here"
     info_row = next(r for r in rows if r["record_type"] == "warcinfo")
     assert info_row["target_uri"] is None
+
+
+def test_lf_header_with_crlf_in_payload():
+    """An LF-terminated header whose PAYLOAD contains a CRLFCRLF must
+    frame on the earlier LF terminator — probing CRLF first mis-framed
+    this shape (r12 review)."""
+    payload = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody"
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://lf.example\n"
+        b"Content-Length: %d\n"
+        b"\n" % len(payload)
+    ) + payload + b"\r\n\r\n"
+    rows = W._parse_records("s", rec)
+    assert len(rows) == 1 and rows[0]["error"] is None, rows
+    assert bytes(rows[0]["payload"]) == payload
+    assert rows[0]["target_uri"] == "https://lf.example"
