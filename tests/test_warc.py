@@ -301,3 +301,34 @@ def test_lf_header_with_crlf_in_payload():
     assert len(rows) == 1 and rows[0]["error"] is None, rows
     assert bytes(rows[0]["payload"]) == payload
     assert rows[0]["target_uri"] == "https://lf.example"
+
+
+def test_record_type_filter_pushes_into_parser(spark, tmp_path):
+    """record_types drops non-matching payloads INSIDE the parse loop
+    (raw WARC interleaves request/response/metadata per capture);
+    error rows always pass."""
+    recs = (
+        W._record_bytes("request", "https://r", "2024-01-01T00:00:00Z",
+                        "application/http; msgtype=request",
+                        b"GET / HTTP/1.1", "<urn:uuid:rq>")
+        + W._record_bytes("response", "https://r", "2024-01-01T00:00:00Z",
+                          "application/http; msgtype=response",
+                          b"HTTP/1.1 200 OK\r\n\r\nhi", "<urn:uuid:rs>")
+        + W._record_bytes("metadata", "https://r", "2024-01-01T00:00:00Z",
+                          "application/warc-fields",
+                          b"fetch: ok", "<urn:uuid:md>")
+        + b"NOT A RECORD\n"
+        + W._record_bytes("response", "https://r2", "2024-01-01T00:00:00Z",
+                          "application/http; msgtype=response",
+                          b"HTTP/1.1 200 OK\r\n\r\nbye", "<urn:uuid:r2>")
+    )
+    (tmp_path / "cap.warc").write_bytes(recs)
+    rows = W.read_warc(
+        spark, str(tmp_path), record_types=["response"]
+    ).collect()
+    kinds = sorted(
+        (r["record_type"] or "", r["error"] is not None) for r in rows
+    )
+    assert kinds == [("", True), ("response", False), ("response", False)]
+    unfiltered = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(unfiltered) == 5
