@@ -956,3 +956,33 @@ def test_assemble_packs_auto_routes_and_matches(spark):
         assert vals(
             rt.assemble_packs_auto(docs, budget_tokens=64, budget_rows=budget)
         ) == plain, budget
+
+
+_PACK_XL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".localdata",
+    "pack_xl",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(_PACK_XL, "documents.parquet")),
+    reason="pack_xl fixture not generated (tools/gen_pack_xl.py)",
+)
+def test_routing_decision_pack_xl_monolithic_group(spark):
+    """pack_xl (5M-row hot source, measured twin 1.22x there): the
+    numeric-axis probe routes the pack family to the twin at the
+    measured PACK_BUDGET_ROWS, while the sf-style many-small-groups
+    shape stays plain."""
+    docs = spark.read.parquet(os.path.join(_PACK_XL, "documents.parquet"))
+    probe = rt.probe_keys(docs, "source", ts_col="doc_id", numeric_axis=True)
+    assert probe.max_key_rows == 5_000_000
+    assert rt.decide_twin(probe, rt.PACK_BUDGET_ROWS)
+    # the id axis carried values, not microseconds
+    assert probe.lo_us == 0 and probe.hi_us == 4_999_999
+    span = rt._bucket_span_ids(probe, rt.session_budget_rows(spark))
+    assert 1 <= span <= 5_000_000
+    # driver-SF documents: largest source group is far below budget
+    small = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sp = rt.probe_keys(small, "source", ts_col="doc_id", numeric_axis=True)
+    assert not rt.decide_twin(sp, rt.PACK_BUDGET_ROWS)
