@@ -793,7 +793,12 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work_dir("warc_ingest", sf_dir)
     shards = os.path.join(work, "wet")
     write_warc(docs, shards, n_shards=8)
-    back = read_warc(spark, shards).filter(F.col("error").isNull())
+    # record_types= exercises the parser-side type pushdown: each shard
+    # opens with a warcinfo record (the real WET layout) that must be
+    # dropped before it leaves the parse loop
+    back = read_warc(spark, shards, record_types=["conversion"]).filter(
+        F.col("error").isNull()
+    )
     # lang rides IN the record (the URL path), so the rollup needs no
     # join back to the corpus — a corpus-sized broadcast would be the
     # exact anti-pattern this engine bans.  Parsing it from the parsed

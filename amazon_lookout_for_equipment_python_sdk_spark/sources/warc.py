@@ -124,6 +124,7 @@ def write_warc(
     content_type: str = "text/plain",
     warc_date: str = "2024-01-01T00:00:00Z",
     gzipped: bool = True,
+    warcinfo: bool = True,
 ) -> DataFrame:
     """Pack ``df`` into ``n_shards`` WARC shards under ``out_dir``;
     returns the shard manifest as a DataFrame.
@@ -134,7 +135,14 @@ def write_warc(
     raw-capture WARC.  ``warc_date`` is a fixed literal by design —
     reproducible shard bytes; pass a column's collected value upstream
     if capture times matter.  Each record is its own gzip member
-    (``gzipped=True``), the standard ``.warc.gz`` layout."""
+    (``gzipped=True``), the standard ``.warc.gz`` layout.
+
+    ``warcinfo=True`` (default) opens each shard with a ``warcinfo``
+    record naming the shard — the real WET/Common Crawl layout, so
+    re-exported shards round-trip through any conforming reader;
+    consumers filter ``record_type`` (or pass
+    ``read_warc(record_types=[...])``).  The manifest's ``n_records``
+    counts CONTENT records only."""
     os.makedirs(out_dir, exist_ok=True)
     ext = "warc.gz" if gzipped else "warc"
     rows = df.select(
@@ -157,6 +165,23 @@ def write_warc(
             path = os.path.join(out_dir, f"shard-{int(shard):05d}.{ext}")
             n = 0
             with open(path, "wb") as fh:
+                if warcinfo:
+                    info_payload = (
+                        f"software: sparkgraft-warc/1\r\n"
+                        f"format: WARC file version 1.0\r\n"
+                        f"warc-shard: {int(shard)}\r\n"
+                    ).encode()
+                    info = _record_bytes(
+                        "warcinfo",
+                        None,
+                        warc_date,
+                        "application/warc-fields",
+                        info_payload,
+                        _det_record_id(f"warcinfo:{int(shard)}", info_payload),
+                    )
+                    fh.write(
+                        gzip.compress(info, mtime=0) if gzipped else info
+                    )
                 for uri, payload in zip(grp["_uri"], grp["_payload"]):
                     payload = bytes(payload) if payload is not None else b""
                     rec = _record_bytes(

@@ -36,11 +36,13 @@ def test_round_trip_wet(spark, docs_df, tmp_path):
     assert sorted(m) == [0, 1, 2, 3]
     assert sum(r["n_records"] for r in m.values()) == 40
 
-    back = W.read_warc(spark, out)
-    rows = back.collect()
+    allr = W.read_warc(spark, out).collect()
+    # each shard opens with a warcinfo record (real WET layout)
+    assert len(allr) == 44
+    assert sum(r["record_type"] == "warcinfo" for r in allr) == 4
+    rows = [r for r in allr if r["record_type"] == "conversion"]
     assert len(rows) == 40
     assert all(r["error"] is None for r in rows)
-    assert all(r["record_type"] == "conversion" for r in rows)
     assert all(r["content_type"] == "text/plain" for r in rows)
     got = {
         r["target_uri"]: bytes(r["payload"]).decode() for r in rows
@@ -76,7 +78,7 @@ def test_plain_and_gz_mix(spark, docs_df, tmp_path):
         glob.glob(out + "2/*.warc")[0],
         os.path.join(out, "plain-shard.warc"),
     )
-    back = W.read_warc(spark, out)
+    back = W.read_warc(spark, out, record_types=["conversion"])
     assert back.count() == 20
     assert back.filter(F.col("error").isNotNull()).count() == 0
 
@@ -183,7 +185,9 @@ def test_response_flavor_round_trip(spark, tmp_path):
         record_type="response",
         content_type="application/http; msgtype=response",
     )
-    back = W.with_http_body(W.read_warc(spark, out))
+    back = W.with_http_body(
+        W.read_warc(spark, out, record_types=["response"])
+    )
     row = back.collect()[0]
     assert row["record_type"] == "response"
     text = html_to_text(bytes(row["body"]).decode())
