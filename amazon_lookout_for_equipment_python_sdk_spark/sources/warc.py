@@ -442,11 +442,53 @@ def read_warc(
     )
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked-transfer body (size-line in hex,
+    chunk bytes, CRLF, ... , 0-size terminator).  Tolerant: any
+    malformed size line or overrun returns what decoded so far plus
+    the undecodable remainder — a truncated capture should yield its
+    prefix, not nothing."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        sep = 2
+        if eol < 0:
+            eol = body.find(b"\n", pos)
+            sep = 1
+        if eol < 0:
+            return bytes(out) + body[pos:]
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(out) + body[pos:]
+        if size == 0:
+            break  # terminator (trailers, if any, are dropped)
+        start = eol + sep
+        end = start + size
+        if end > n:
+            out.extend(body[start:n])
+            return bytes(out)
+        out.extend(body[start:end])
+        pos = end
+        # consume the chunk-terminating CRLF/LF
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
 def http_payload_body(payload: bytes | None) -> bytes | None:
     """Split an HTTP response capture (a ``response`` record's payload)
-    into its body — everything after the first blank line.  Returns the
-    input unchanged when no HTTP header block is present (WET
-    ``conversion`` payloads are already bare text)."""
+    into its body — everything after the first blank line, with
+    HTTP/1.1 ``Transfer-Encoding: chunked`` bodies DECODED (Common
+    Crawl captures ship them verbatim; without de-chunking the hex
+    size lines corrupt the extracted HTML).  Returns the input
+    unchanged when no HTTP header block is present (WET ``conversion``
+    payloads are already bare text)."""
     if payload is None:
         return None
     if not payload.startswith(b"HTTP/"):
@@ -454,7 +496,11 @@ def http_payload_body(payload: bytes | None) -> bytes | None:
     for sep in (b"\r\n\r\n", b"\n\n"):
         idx = payload.find(sep)
         if idx >= 0:
-            return payload[idx + len(sep):]
+            head = payload[:idx].lower()
+            body = payload[idx + len(sep):]
+            if b"transfer-encoding" in head and b"chunked" in head:
+                return _dechunk(body)
+            return body
     return b""
 
 

@@ -336,3 +336,29 @@ def test_record_type_filter_pushes_into_parser(spark, tmp_path):
     assert kinds == [("", True), ("response", False), ("response", False)]
     unfiltered = W.read_warc(spark, str(tmp_path)).collect()
     assert len(unfiltered) == 5
+
+
+def test_http_chunked_body_decodes():
+    """Common Crawl response captures ship HTTP/1.1 chunked bodies
+    verbatim — the body splitter must de-chunk them, and tolerate a
+    truncated final chunk by yielding the decoded prefix."""
+    body = b"4\r\nWiki\r\n5\r\npedia\r\nE\r\n in\r\n\r\nchunks.\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    assert W.http_payload_body(http) == b"Wikipedia in\r\n\r\nchunks."
+    # truncated mid-chunk: prefix survives
+    trunc = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\nWiki\r\nA\r\npedi"
+    )
+    assert W.http_payload_body(trunc) == b"Wikipedi"
+    # malformed size line: decoded prefix + raw remainder
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\nWiki\r\nZZ\r\nrest"
+    )
+    assert W.http_payload_body(bad) == b"WikiZZ\r\nrest"
+    # non-chunked responses unaffected
+    plain = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+    assert W.http_payload_body(plain) == b"hi"
