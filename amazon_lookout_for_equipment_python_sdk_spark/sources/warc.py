@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import zlib
 import io
 import os
 from collections.abc import Iterator
@@ -499,7 +500,19 @@ def http_payload_body(payload: bytes | None) -> bytes | None:
             head = payload[:idx].lower()
             body = payload[idx + len(sep):]
             if b"transfer-encoding" in head and b"chunked" in head:
-                return _dechunk(body)
+                body = _dechunk(body)
+            if (
+                b"content-encoding" in head
+                and b"gzip" in head
+                and body[:2] == b"\x1f\x8b"
+            ):
+                # tolerant: a TRUNCATED gzip stream decompresses to its
+                # prefix without error; CORRUPT data raises — keep the
+                # raw bytes then (the caller sees something, not nothing)
+                try:
+                    body = zlib.decompressobj(wbits=31).decompress(body)
+                except zlib.error:
+                    pass
             return body
     return b""
 

@@ -362,3 +362,32 @@ def test_http_chunked_body_decodes():
     # non-chunked responses unaffected
     plain = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
     assert W.http_payload_body(plain) == b"hi"
+
+
+def test_http_gzip_content_encoding_decodes():
+    """Content-Encoding: gzip bodies decompress; truncated streams
+    yield their decodable prefix; corrupt streams fall back to raw."""
+    html = b"<html>" + b"x" * 500 + b"</html>"
+    gz = gzip.compress(html, mtime=0)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    )
+    assert W.http_payload_body(http) == html
+    # chunked + gzip together (the common crawl combination)
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+        + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    assert W.http_payload_body(chunked) == html
+    # truncated gzip: prefix (possibly empty) without raising
+    trunc = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:40]
+    )
+    out = W.http_payload_body(trunc)
+    assert html.startswith(out)
+    # corrupt magic after headers: falls back to raw bytes
+    corrupt = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert W.http_payload_body(corrupt) == b"not-gzip"
