@@ -1,0 +1,109 @@
+"""URL gates (operators/urls.py): anatomy features, scheme/depth
+filters, and the suffix-semi-join domain blocklist."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import urls as U
+
+
+@pytest.fixture(scope="module")
+def crawl_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "url": [
+                "https://example.org/articles/2024/post",
+                "http://ads.tracker.example.com/banner",
+                "https://EXAMPLE.com/path",
+                "ftp://files.example.org/data",
+                "https://good.net/",
+                "https://deep.site.io/a/b/c/d/e/f/g",
+                None,
+                "not a url at all",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_url_features_anatomy(spark, crawl_df):
+    rows = {r["doc_id"]: r for r in U.url_features(crawl_df).collect()}
+    r0 = rows[0]
+    assert r0["scheme"] == "https" and r0["host"] == "example.org"
+    assert r0["tld"] == "org" and r0["path_depth"] == 3
+    assert r0["has_query"] is False
+    assert rows[2]["host"] == "example.com"  # lowercased
+    assert rows[3]["scheme"] == "ftp"
+    assert rows[6]["host"] is None
+    assert rows[7]["host"] is None  # unparseable
+
+
+def test_url_filter_scheme_depth_and_nulls(spark, crawl_df):
+    kept = {
+        r["doc_id"]
+        for r in U.url_filter(crawl_df, max_path_depth=5).collect()
+    }
+    # ftp (3), too-deep (5), null (6), unparseable (7) drop
+    assert kept == {0, 1, 2, 4}
+    with_nulls = {
+        r["doc_id"]
+        for r in U.url_filter(
+            crawl_df, max_path_depth=5, keep_null_urls=True
+        ).collect()
+    }
+    assert with_nulls == {0, 1, 2, 4, 6}
+
+
+def test_url_filter_domain_blocklist_blocks_subdomains(spark, crawl_df):
+    block = spark.createDataFrame(
+        pd.DataFrame({"domain": ["example.com", "good.net"]})
+    )
+    kept = {
+        r["doc_id"]
+        for r in U.url_filter(crawl_df, blocked_domains=block).collect()
+    }
+    # 1 (ads.tracker.example.com) and 2 (example.com) blocked by
+    # example.com; 4 blocked exactly; example.ORG rows survive
+    assert kept == {0, 5}
+
+
+def test_url_filter_blocklist_is_suffix_not_substring(spark):
+    """`ample.com` must NOT block `example.com` (suffix of host labels,
+    not of the host string) and `example.com` must not block
+    `notexample.com`."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "url": [
+                    "https://example.com/x",
+                    "https://notexample.com/x",
+                ],
+            }
+        )
+    )
+    block = spark.createDataFrame(
+        pd.DataFrame({"domain": ["ample.com", "example.com"]})
+    )
+    kept = {
+        r["doc_id"]
+        for r in U.url_filter(df, blocked_domains=block).collect()
+    }
+    assert kept == {1}
+
+
+def test_blocklist_join_not_inlined_predicates(spark, crawl_df):
+    """The blocklist probes via JOIN (broadcast or shuffle), never an
+    inlined OR-of-endswith chain — a UT1-scale list must not appear in
+    the plan text."""
+    block = spark.createDataFrame(
+        pd.DataFrame({"domain": [f"blocked{i}.com" for i in range(500)]})
+    )
+    out = U.url_filter(crawl_df, blocked_domains=block)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EndsWith" not in plan, plan[:2000]
+    assert "Join" in plan
+    assert "blocked499.com" not in plan
