@@ -1,0 +1,133 @@
+"""Runnable tour of the crawl-to-corpus layer (r12).
+
+    python docs/examples/crawl_pipeline_demo.py [sf_dir]
+
+The end-to-end crawl shape every LLM data pipeline runs, each step the
+operator the engine ships:
+
+  raw HTTP captures -> WARC shards (write_warc, warcinfo-leading)
+  -> shard-parallel tolerant parse (read_warc, record-type pushdown)
+  -> HTTP body split incl. chunked/gzip decode (with_http_body)
+  -> URL gates: scheme + domain blocklist (url_filter, suffix semi-join)
+  -> boilerplate removal (html_extract_text)
+  -> Gopher repetition rules (gopher_repetition)
+  -> quality gate (quality_filter) -> exact dedup (dedup_exact)
+
+Temp dirs hold the shard state; everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators.html import (
+    html_extract_text,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
+    gopher_repetition,
+    quality_filter,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
+    dedup_exact,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.operators.urls import (
+    url_filter,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
+from amazon_lookout_for_equipment_python_sdk_spark.sources.warc import (
+    read_warc,
+    with_http_body,
+    write_warc,
+)
+
+
+def _fake_captures(spark, n=60):
+    """Deterministic raw HTTP captures: mostly article pages, a few
+    blocked-domain hits, one duplicated page, one boilerplate-only."""
+    rows = []
+    para = (
+        "This is the main article content with enough words that the "
+        "boilerplate heuristics keep it as a good segment of the page."
+    )
+    for i in range(n):
+        host = "ads.blocked.example" if i % 10 == 0 else f"site{i % 7}.org"
+        body = (
+            f"<html><body><p>{para} Article number {i % 50}.</p>"
+            f"<div><a href='/x'>nav</a></div></body></html>"
+        )
+        http = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        rows.append(
+            {
+                "url": f"https://{host}/articles/{i % 50}",
+                "raw": http.encode(),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def main() -> None:
+    spark = get_spark("crawl-demo", cpus=4)
+    captures = _fake_captures(spark)
+
+    with tempfile.TemporaryDirectory() as work:
+        shards = os.path.join(work, "crawl")
+        manifest = write_warc(
+            captures, shards, n_shards=4, payload_col="raw",
+            record_type="response",
+            content_type="application/http; msgtype=response",
+        )
+        print("-- WARC shards written:")
+        manifest.show(truncate=False)
+
+        records = with_http_body(
+            read_warc(spark, shards, record_types=["response"])
+        ).filter(F.col("error").isNull())
+
+        docs = records.select(
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("body"), "UTF-8").alias("html"),
+        )
+        block = spark.createDataFrame(
+            pd.DataFrame({"domain": ["blocked.example"]})
+        )
+        gated = url_filter(docs, blocked_domains=block)
+        print(
+            f"-- URL gate: {docs.count()} captures -> "
+            f"{gated.count()} after scheme + blocklist"
+        )
+
+        extracted = html_extract_text(
+            gated.select(
+                F.xxhash64("url").alias("doc_id"), F.col("html")
+            ),
+            html_col="html",
+        ).filter(F.length("text") > 0)
+
+        rep = gopher_repetition(extracted)
+        clean_ids = rep.filter(
+            (F.col("dup_line_frac") < 0.3)
+            & (F.col("top_ngram_char_frac") < 0.5)
+        ).select("doc_id")
+        survivors = extracted.join(clean_ids, "doc_id", "left_semi")
+        quality = quality_filter(survivors, min_tokens=10)
+        deduped = dedup_exact(quality.select("doc_id", "text"))
+        print(
+            f"-- extract {extracted.count()} -> repetition-clean "
+            f"{survivors.count()} -> quality {quality.count()} -> "
+            f"dedup {deduped.count()}"
+        )
+        deduped.select("keep_id", "n_dups").orderBy("keep_id").show(5)
+
+
+if __name__ == "__main__":
+    main()
