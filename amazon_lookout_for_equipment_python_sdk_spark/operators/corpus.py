@@ -491,7 +491,11 @@ def pack_documents_chunked(
     its broadcast — worth it once a group's rows exceed the per-task
     window sort budget (``operators.routing.pack_documents_auto``
     routes on a probe)."""
-    guard_internal(df)
+    # guard only the three columns the twin actually stages through the
+    # prefix-sum join: the full-frame check spuriously rejected inputs
+    # carrying an unrelated _m/_c payload column that never enters the
+    # chunked plan (r12 ADVICE)
+    guard_internal(df.select(id_col, group_col, text_col))
     if not df.schema[id_col].dataType.typeName() in (
         "long", "integer", "short", "byte",
     ):

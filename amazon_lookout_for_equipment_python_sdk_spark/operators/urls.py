@@ -27,11 +27,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: columns :func:`url_features` appends; inputs may not already carry
+#: them (the select('*', ...) would silently duplicate the name and
+#: every downstream F.col reference would die ambiguous mid-plan).
+FEATURE_COLS = ("scheme", "host", "tld", "path_depth", "has_query")
+
+#: staging names :func:`url_filter`'s blocklist probe introduces —
+#: withColumn would silently REPLACE a same-named input column.
+_FILTER_INTERNAL = ("_sfx", "_blk_domain", "_blk_host")
+
+
+def _guard_clashes(df: DataFrame, reserved: "tuple[str, ...]") -> None:
+    clash = sorted(set(df.columns) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with url operator outputs; "
+            "rename them first (same loud-guard contract as "
+            "_chunkjoin.guard_internal)"
+        )
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Row-local URL anatomy: ``scheme``, ``host``, ``registered-ish``
     TLD, path depth, and query presence — the columns downstream
     filters and per-domain rollups group on.  NULL/unparseable URLs
-    yield NULL features (``parse_url`` semantics)."""
+    yield NULL features (``parse_url`` semantics).  Raises on input
+    frames already carrying a feature column (r12 ADVICE)."""
+    _guard_clashes(df, FEATURE_COLS)
     url = F.col(url_col)
     # try_parse_url: ANSI mode (Spark 4 default) makes parse_url THROW
     # on a malformed URL — one bad row must not sink a crawl batch
@@ -81,6 +103,8 @@ def url_filter(
     UT1-scale list stays distributed; wrap small lists with
     ``spark.createDataFrame``.  NULL/unparseable URLs drop unless
     ``keep_null_urls``."""
+    if blocked_domains is not None:
+        _guard_clashes(df, _FILTER_INTERNAL)
     feats = url_features(df, url_col)
     cond = F.col("scheme").isin(*[s.lower() for s in allowed_schemes])
     if max_path_depth is not None:

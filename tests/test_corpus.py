@@ -847,6 +847,37 @@ def test_pack_documents_chunked_rejects_string_id(spark):
         cp.pack_documents_chunked(df, id_col="doc_id")
 
 
+def test_pack_chunked_guards_only_projected_columns(spark, pack_df):
+    """The staging guard checks the (id, group, text) projection the
+    twin actually stages — an UNRELATED passenger column named like a
+    reserved internal (_m, _c) can never collide and must pass; a
+    REFERENCED column under a reserved name still rejects (r12 ADVICE)."""
+    passenger = pack_df.withColumn("_m", F.lit(0)).withColumn(
+        "_c", F.lit("x")
+    )
+    cols = ["doc_id", "source", "n_tokens", "pack_offset", "pack_id"]
+    plain = cp.pack_documents(
+        pack_df, budget_tokens=64, group_col="source",
+        text_col="text", id_col="doc_id",
+    )
+    twin = cp.pack_documents_chunked(
+        passenger, budget_tokens=64, bucket_span_ids=10,
+        group_col="source", text_col="text", id_col="doc_id",
+    )
+    assert _rows(twin, cols) == _rows(plain, cols)
+    asm = cp.assemble_packs_chunked(
+        passenger, budget_tokens=64, bucket_span_ids=10,
+        group_col="source", text_col="text", id_col="doc_id",
+    )
+    assert asm.count() > 0
+    # a REFERENCED column under a reserved staging name still rejects
+    poisoned = pack_df.withColumnRenamed("text", "_b")
+    with pytest.raises(ValueError, match="reserved internal"):
+        cp.pack_documents_chunked(
+            poisoned, group_col="source", text_col="_b", id_col="doc_id"
+        )
+
+
 def test_assemble_packs_chunked_equals_plain(spark, pack_df):
     cols = ["source", "pack_id", "n_docs", "pack_tokens", "packed_text"]
     plain = cp.assemble_packs(

@@ -107,3 +107,29 @@ def test_blocklist_join_not_inlined_predicates(spark, crawl_df):
     assert "EndsWith" not in plan, plan[:2000]
     assert "Join" in plan
     assert "blocked499.com" not in plan
+
+
+def test_url_features_rejects_clashing_columns(spark):
+    """An input frame already carrying a feature column would duplicate
+    the name under select('*', ...) and every downstream F.col('host')
+    reference dies ambiguous mid-plan — reject loudly up front, the
+    guard_internal contract (r12 ADVICE)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://a.com/x"], "host": ["stale"]})
+    )
+    with pytest.raises(ValueError, match="host"):
+        U.url_features(df)
+    with pytest.raises(ValueError, match="host"):
+        U.url_filter(df)
+    # blocklist staging names are reserved too (withColumn would
+    # silently REPLACE a same-named input column)
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://a.com/x"], "_sfx": ["keepme"]})
+    )
+    block = spark.createDataFrame(pd.DataFrame({"domain": ["b.com"]}))
+    with pytest.raises(ValueError, match="_sfx"):
+        U.url_filter(df2, blocked_domains=block)
+    # without a blocklist, _sfx never stages: the input passes through
+    assert U.url_filter(df2).columns[:2] == ["url", "_sfx"]
