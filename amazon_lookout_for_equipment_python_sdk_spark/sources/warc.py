@@ -29,8 +29,10 @@ Scale design (mirrors ``sources/webdataset.py``):
 - **Write**: deterministic shard assignment (``pmod(hash64(uri))``),
   ONE repartition co-locates each shard, rows sorted by URI inside the
   shard and gzip mtime pinned to 0 so shard bytes are reproducible
-  run-to-run.  The local ``open()`` is the storage seam — swap for an
-  fsspec/Hadoop-FS stream for object stores.
+  run-to-run.  Output streams route through :mod:`._fsio` — plain
+  paths use local ``open()``, URI-schemed ``out_dir``s (``file://``,
+  ``s3://``, ``hdfs://``) resolve via ``pyarrow.fs``, the
+  executor-safe object-store seam.
 - **Malformed records**: the parser is tolerant — a record with a bad
   header block or a lying ``Content-Length`` yields ONE error row
   (``error`` column set, payload null), then the parser RESYNCS by
@@ -44,8 +46,9 @@ import gzip
 import hashlib
 import zlib
 import io
-import os
 from collections.abc import Iterator
+
+from . import _fsio
 
 import pandas as pd
 
@@ -106,10 +109,20 @@ def _record_bytes(
     return head + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def _det_record_id(uri: str, payload: bytes) -> str:
-    """Deterministic ``urn:uuid`` from (uri, payload) — re-exports are
-    byte-identical run-to-run (no wall clock, no RNG)."""
-    h = hashlib.md5(uri.encode() + b"\x00" + payload[:256]).hexdigest()
+def _payload_digest(payload: bytes) -> str:
+    """md5 hex of the FULL payload — the within-shard sort tiebreaker
+    and the record-id content component.  Hashing only a prefix (the
+    first draft used 256 bytes) collides for records sharing a URI and
+    payload prefix, violating WARC-Record-ID uniqueness (r12 ADVICE)."""
+    return hashlib.md5(payload).hexdigest()
+
+
+def _det_record_id(uri: str, payload_dig: str) -> str:
+    """Deterministic ``urn:uuid`` from (uri, full-payload digest) —
+    re-exports are byte-identical run-to-run (no wall clock, no RNG),
+    and two records differing anywhere in their payloads get distinct
+    ids even under the same URI."""
+    h = hashlib.md5(uri.encode() + b"\x00" + payload_dig.encode()).hexdigest()
     return (
         f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
     )
@@ -143,8 +156,14 @@ def write_warc(
     re-exported shards round-trip through any conforming reader;
     consumers filter ``record_type`` (or pass
     ``read_warc(record_types=[...])``).  The manifest's ``n_records``
-    counts CONTENT records only."""
-    os.makedirs(out_dir, exist_ok=True)
+    counts CONTENT records only.
+
+    ``out_dir`` may be a plain local path or a URI (``file://``,
+    ``s3://``, ``hdfs://`` — anything ``pyarrow.fs`` resolves): the
+    shard streams open through :mod:`._fsio`, the executor-safe
+    storage seam (r12 verdict #3), so on a real cluster the shards
+    land on the shared store, not executor-local disk."""
+    _fsio.ensure_dir(out_dir)
     ext = "warc.gz" if gzipped else "warc"
     rows = df.select(
         F.col(uri_col).cast("string").alias("_uri"),
@@ -162,10 +181,22 @@ def write_warc(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         for shard, grp in pdf.groupby("_shard", sort=True):
-            grp = grp.sort_values("_uri", kind="mergesort")
-            path = os.path.join(out_dir, f"shard-{int(shard):05d}.{ext}")
+            # sort key = (uri, full-payload digest): uri alone leaves
+            # duplicate-URI rows in shuffle arrival order, which varies
+            # run-to-run and breaks the reproducible-shard-bytes claim
+            # (r12 ADVICE); the digest doubles as the record-id content
+            # component below, so it's computed once per row.
+            grp = grp.assign(
+                _dig=[
+                    _payload_digest(
+                        bytes(p) if p is not None else b""
+                    )
+                    for p in grp["_payload"]
+                ]
+            ).sort_values(["_uri", "_dig"], kind="mergesort")
+            path = _fsio.join_path(out_dir, f"shard-{int(shard):05d}.{ext}")
             n = 0
-            with open(path, "wb") as fh:
+            with _fsio.open_output(path) as fh:
                 if warcinfo:
                     info_payload = (
                         f"software: sparkgraft-warc/1\r\n"
@@ -178,12 +209,17 @@ def write_warc(
                         warc_date,
                         "application/warc-fields",
                         info_payload,
-                        _det_record_id(f"warcinfo:{int(shard)}", info_payload),
+                        _det_record_id(
+                            f"warcinfo:{int(shard)}",
+                            _payload_digest(info_payload),
+                        ),
                     )
                     fh.write(
                         gzip.compress(info, mtime=0) if gzipped else info
                     )
-                for uri, payload in zip(grp["_uri"], grp["_payload"]):
+                for uri, payload, dig in zip(
+                    grp["_uri"], grp["_payload"], grp["_dig"]
+                ):
                     payload = bytes(payload) if payload is not None else b""
                     rec = _record_bytes(
                         record_type,
@@ -191,7 +227,7 @@ def write_warc(
                         warc_date,
                         content_type,
                         payload,
-                        _det_record_id(uri or "", payload),
+                        _det_record_id(uri or "", dig),
                     )
                     fh.write(
                         gzip.compress(rec, mtime=0) if gzipped else rec
@@ -202,7 +238,7 @@ def write_warc(
                     "shard": [int(shard)],
                     "path": [path],
                     "n_records": [n],
-                    "n_bytes": [os.path.getsize(path)],
+                    "n_bytes": [_fsio.file_size(path)],
                 }
             )
 
@@ -371,6 +407,60 @@ def _parse_records(path: str, blob: bytes) -> "list[dict]":
     return p.feed(blob) + p.finish()
 
 
+def _iter_gzip_stream(
+    blob: bytes, chunk_in: int = 1 << 20, chunk_out: int = 1 << 20
+):
+    """Stream the decompressed bytes of a concatenated-member gzip blob
+    as ``('data', bytes)`` chunks — memory-bounded (never the whole
+    decompressed shard) and CORRUPTION-TOLERANT, which ``gzip.GzipFile``
+    is not: a corrupt or truncated member there raises mid-read and
+    sinks the whole task, so one flipped byte in a 1 GB crawl shard
+    discarded the other ~999 MB (caught by the r13 shard-count bench
+    harness's corrupt-shard pass).
+
+    On a bad member this yields ``('error', msg)`` ONCE per desync
+    event, then resyncs at the next gzip member magic (``1f 8b 08``) —
+    exact for the per-record-member layout WARC prescribes, where
+    member boundary == record boundary.  A false magic inside corrupt
+    compressed data just fails the next decompress and the scan moves
+    on silently (one error row per desync, not per candidate); a false
+    magic that DOES decompress emits garbage the WARC-level parser
+    already tolerates (its own magic resync)."""
+    pos, n = 0, len(blob)
+    desynced = False
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        tail = b""
+        feed = pos
+        try:
+            while not d.eof:
+                data = tail or blob[feed : feed + chunk_in]
+                if not data:
+                    yield (
+                        "error",
+                        f"truncated gzip member at byte {pos}",
+                    )
+                    return
+                if not tail:
+                    feed += len(data)
+                out = d.decompress(data, chunk_out)
+                tail = d.unconsumed_tail
+                if out:
+                    yield ("data", out)
+        except zlib.error as e:
+            if not desynced:
+                yield ("error", f"corrupt gzip member at byte {pos}: {e}")
+                desynced = True
+            nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        # member closed cleanly; unused_data is the start of the next one
+        pos = feed - len(d.unused_data)
+        desynced = False
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -411,13 +501,16 @@ def read_warc(
                 parser = _RecordParser(p)
                 pending: list[dict] = []
                 if blob[:2] == b"\x1f\x8b":
-                    # GzipFile reads concatenated members transparently
-                    gz = gzip.GzipFile(fileobj=io.BytesIO(blob))
-                    while True:
-                        chunk = gz.read(chunk_b)
-                        if not chunk:
-                            break
-                        pending.extend(parser.feed(chunk))
+                    # member-aware streaming decompression: tolerant of
+                    # corrupt/truncated members (GzipFile raises and
+                    # would sink the task — see _iter_gzip_stream)
+                    for kind, val in _iter_gzip_stream(
+                        blob, chunk_in=chunk_b, chunk_out=chunk_b
+                    ):
+                        if kind == "data":
+                            pending.extend(parser.feed(val))
+                        else:
+                            pending.append(parser._err(val))
                         if len(pending) >= emit_rows:
                             yield pd.DataFrame(pending)
                             pending = []
@@ -487,34 +580,54 @@ def http_payload_body(payload: bytes | None) -> bytes | None:
     into its body — everything after the first blank line, with
     HTTP/1.1 ``Transfer-Encoding: chunked`` bodies DECODED (Common
     Crawl captures ship them verbatim; without de-chunking the hex
-    size lines corrupt the extracted HTML).  Returns the input
-    unchanged when no HTTP header block is present (WET ``conversion``
-    payloads are already bare text)."""
+    size lines corrupt the extracted HTML) and ``Content-Encoding``
+    gzip/deflate bodies DECOMPRESSED (brotli is the declared seam — no
+    stdlib codec).  Returns the input unchanged when no HTTP header
+    block is present (WET ``conversion`` payloads are already bare
+    text)."""
     if payload is None:
         return None
     if not payload.startswith(b"HTTP/"):
         return payload
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        idx = payload.find(sep)
-        if idx >= 0:
-            head = payload[:idx].lower()
-            body = payload[idx + len(sep):]
-            if b"transfer-encoding" in head and b"chunked" in head:
-                body = _dechunk(body)
-            if (
-                b"content-encoding" in head
-                and b"gzip" in head
-                and body[:2] == b"\x1f\x8b"
-            ):
-                # tolerant: a TRUNCATED gzip stream decompresses to its
-                # prefix without error; CORRUPT data raises — keep the
-                # raw bytes then (the caller sees something, not nothing)
+    # take the EARLIEST blank line of either newline convention — the
+    # same framing rule the WARC header parser uses (_drain): probing
+    # CRLF over the WHOLE payload first would mis-frame an LF-terminated
+    # header whose BODY contains a \r\n\r\n (r12 ADVICE, medium)
+    e_crlf = payload.find(b"\r\n\r\n")
+    e_lf = payload.find(b"\n\n")
+    if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
+        idx, sep = e_crlf, 4
+    elif e_lf >= 0:
+        idx, sep = e_lf, 2
+    else:
+        return b""
+    head = payload[:idx].lower()
+    body = payload[idx + sep:]
+    if b"transfer-encoding" in head and b"chunked" in head:
+        body = _dechunk(body)
+    if b"content-encoding" in head:
+        if b"gzip" in head and body[:2] == b"\x1f\x8b":
+            # tolerant: a TRUNCATED gzip stream decompresses to its
+            # prefix without error; CORRUPT data raises — keep the
+            # raw bytes then (the caller sees something, not nothing)
+            try:
+                body = zlib.decompressobj(wbits=31).decompress(body)
+            except zlib.error:
+                pass
+        elif b"deflate" in head:
+            # RFC 9110 says zlib-wrapped; plenty of real servers send
+            # RAW deflate — try the wrapped form first (it has a header
+            # check, so garbage fails fast), raw second.  Same tolerance
+            # contract as gzip: truncated → prefix, corrupt → raw bytes.
+            for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
                 try:
-                    body = zlib.decompressobj(wbits=31).decompress(body)
+                    out = zlib.decompressobj(wbits=wbits).decompress(body)
                 except zlib.error:
-                    pass
-            return body
-    return b""
+                    continue
+                if out or not body:
+                    body = out
+                    break
+    return body
 
 
 def with_http_body(

@@ -15,18 +15,21 @@ Scale design:
   reproducible run-to-run (byte-identical with fixed mtime=0).
 - **Read**: ``binaryFile`` source lists shards (parallelism = #shards,
   the intended WebDataset contract) and a ``mapInPandas`` untars payloads
-  row-local.  At 100 TB, both directions scale with executors; the local
-  ``open()`` in the writer is the storage seam — swap for an
-  fsspec/Hadoop-FS stream for object stores.
+  row-local.  At 100 TB, both directions scale with executors; writer
+  output streams route through ``._fsio`` — plain paths keep local
+  ``open()``, URI-schemed ``out_dir``s (``file://``, ``s3://``,
+  ``hdfs://``) resolve via ``pyarrow.fs``, the executor-safe
+  object-store seam (r12 verdict #3).
 """
 
 from __future__ import annotations
 
 import io
 import json
-import os
 import tarfile
 from collections.abc import Iterator
+
+from . import _fsio
 
 import pandas as pd
 
@@ -72,7 +75,7 @@ def write_webdataset(
     Shard assignment is ``pmod(hash64(key), n_shards)`` — deterministic,
     so re-runs produce identical shard membership; mtime is pinned to 0
     for byte-reproducible shards."""
-    os.makedirs(out_dir, exist_ok=True)
+    _fsio.ensure_dir(out_dir)
     meta_cols = meta_cols or []
     cols = [
         F.col(key_col).cast("string").alias("_key"),
@@ -116,9 +119,9 @@ def write_webdataset(
                     tf.addfile(info, io.BytesIO(data))
                 if files:  # a row with no payload and no sidecar wrote
                     n += 1  # nothing — the manifest must not claim it
-        path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
+        path = _fsio.join_path(out_dir, f"shard-{shard_id:05d}.tar")
         payload_bytes = buf.getvalue()
-        with open(path, "wb") as f:
+        with _fsio.open_output(path) as f:
             f.write(payload_bytes)
         return pd.DataFrame(
             {
@@ -144,7 +147,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     WebDataset parallelism contract); untarring is row-local.  The JSON
     sidecar, when present, lands in ``meta`` as its raw string."""
     shards = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.tar")
+        _fsio.join_path(path, "*.tar")
     )
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -391,3 +391,166 @@ def test_http_gzip_content_encoding_decodes():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
     )
     assert W.http_payload_body(corrupt) == b"not-gzip"
+
+
+def test_http_lf_header_with_crlf_in_body():
+    """The HTTP splitter must frame on the EARLIEST blank line of
+    either convention: an LF-terminated header whose BODY contains a
+    \\r\\n\\r\\n previously split on the later CRLF terminator and
+    silently dropped the body prefix (r12 ADVICE, medium — the same
+    bug the WARC header parser fixed in _drain)."""
+    http = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+        b"<html>pre\r\n\r\npost</html>"
+    )
+    assert W.http_payload_body(http) == b"<html>pre\r\n\r\npost</html>"
+    # CRLF header with an \n\n later in the body: CRLF still wins
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"a\n\nb"
+    )
+    assert W.http_payload_body(http2) == b"a\n\nb"
+    # headers only, no blank line at all
+    assert W.http_payload_body(b"HTTP/1.1 304 Not Modified\r\nX: y") == b""
+
+
+def test_http_deflate_content_encoding_decodes():
+    """Content-Encoding: deflate — zlib-wrapped (RFC form) AND raw
+    deflate (what many real servers send) both decode; truncated
+    streams yield their decodable prefix; corrupt falls back to raw."""
+    import zlib
+
+    html = b"<html>" + b"d" * 400 + b"</html>"
+    wrapped = zlib.compress(html)
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rawbody = raw.compress(html) + raw.flush()
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+    assert W.http_payload_body(head + wrapped) == html
+    assert W.http_payload_body(head + rawbody) == html
+    # truncated zlib stream: prefix without raising
+    out = W.http_payload_body(head + wrapped[:30])
+    assert html.startswith(out)
+    # chunked + deflate together
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: deflate\r\n\r\n"
+        + hex(len(wrapped))[2:].encode() + b"\r\n" + wrapped
+        + b"\r\n0\r\n\r\n"
+    )
+    assert W.http_payload_body(chunked) == html
+    # corrupt for BOTH wbits forms (bad zlib header + invalid stored-
+    # block lengths) -> raw bytes come back untouched
+    assert W.http_payload_body(head + b"\x00\x00corrupt") == b"\x00\x00corrupt"
+
+
+def test_duplicate_uri_shards_are_deterministic(spark, tmp_path):
+    """Equal-URI rows previously kept shuffle arrival order (the sort
+    keyed on _uri alone) and _det_record_id collided on a shared
+    256-byte payload prefix — shard bytes now tiebreak on the FULL
+    payload digest and record ids are unique per record (r12 ADVICE)."""
+    shared = b"common-prefix-" + b"p" * 300
+    rows = [
+        ("https://dup.example/x", shared + b"-variant-A"),
+        ("https://dup.example/x", shared + b"-variant-B"),
+        ("https://dup.example/y", b"other"),
+    ]
+    a = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"])
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(rows[::-1], columns=["url", "text"])
+    )
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    W.write_warc(a.repartition(3), out_a, n_shards=1)
+    W.write_warc(b.repartition(3), out_b, n_shards=1)
+    fa = sorted(glob.glob(os.path.join(out_a, "*.warc.gz")))
+    fb = sorted(glob.glob(os.path.join(out_b, "*.warc.gz")))
+    assert [os.path.basename(p) for p in fa] == [
+        os.path.basename(p) for p in fb
+    ]
+    for pa, pb in zip(fa, fb):
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+    back = W.read_warc(spark, out_a, record_types=["conversion"]).collect()
+    ids = [r["record_id"] for r in back]
+    assert len(ids) == 3 and len(set(ids)) == 3, ids
+
+
+def test_write_warc_uri_out_dir(spark, docs_df, tmp_path):
+    """URI-schemed out_dirs route through the pyarrow.fs storage seam
+    (r12 verdict #3): a file:// write must be byte-identical to the
+    plain-path write and read back through read_warc unchanged."""
+    loc = str(tmp_path / "loc")
+    uri_dir = f"file://{tmp_path}/uri"
+    W.write_warc(docs_df, loc, n_shards=2)
+    manifest = W.write_warc(docs_df, uri_dir, n_shards=2)
+    assert all(r["path"].startswith("file://") for r in manifest.collect())
+    for name in ("shard-00000.warc.gz", "shard-00001.warc.gz"):
+        la = open(os.path.join(loc, name), "rb").read()
+        lb = open(str(tmp_path / "uri" / name), "rb").read()
+        assert la == lb, f"{name} differs between local and file:// writes"
+    back = W.read_warc(spark, uri_dir, record_types=["conversion"])
+    assert back.count() == docs_df.count()
+
+
+def test_corrupt_gzip_member_resyncs(spark, docs_df, tmp_path):
+    """A corrupt or truncated GZIP MEMBER must cost error rows, not the
+    shard: gzip.GzipFile raises mid-read (one flipped byte discarded
+    the rest of a shard — task death, not an error row).  The
+    member-aware streamer yields one error per desync and resyncs at
+    the next member magic."""
+    out = str(tmp_path / "wet")
+    W.write_warc(docs_df, out, n_shards=1)
+    victim = glob.glob(os.path.join(out, "*.warc.gz"))[0]
+    blob = open(victim, "rb").read()
+
+    # (a) garbage INSERTED between two members mid-file
+    members = [m.start() for m in __import__("re").finditer(
+        b"\x1f\x8b\x08", blob
+    )]
+    assert len(members) == 41  # warcinfo + 40 records
+    cut = members[20]
+    open(victim, "wb").write(blob[:cut] + b"JUNK" * 32 + blob[cut:])
+    rows = W.read_warc(spark, out).collect()
+    good = [r for r in rows if r["error"] is None
+            and r["record_type"] == "conversion"]
+    errs = [r for r in rows if r["error"] is not None]
+    assert len(good) == 40, "all records must survive an inter-member gap"
+    assert len(errs) >= 1 and any("gzip" in r["error"] for r in errs)
+
+    # (b) bytes corrupted INSIDE a member: that record dies, rest live
+    open(victim, "wb").write(
+        blob[: members[20] + 40]
+        + b"\x00\x00\x00\x00"
+        + blob[members[20] + 44 :]
+    )
+    rows = W.read_warc(spark, out).collect()
+    good = [r for r in rows if r["error"] is None
+            and r["record_type"] == "conversion"]
+    assert 38 <= len(good) <= 40, (len(good), "one record may die")
+    assert any(r["error"] and "gzip" in r["error"] for r in rows)
+
+    # (c) truncated final member: prefix records + one error row
+    open(victim, "wb").write(blob[: len(blob) - 25])
+    rows = W.read_warc(spark, out).collect()
+    good = [r for r in rows if r["error"] is None
+            and r["record_type"] == "conversion"]
+    assert len(good) == 39
+    assert any(
+        r["error"] and ("truncated" in r["error"] or "corrupt" in r["error"])
+        for r in rows
+    )
+
+
+def test_iter_gzip_stream_matches_gzipfile_on_healthy_input():
+    """On healthy concatenated members the streamer is byte-identical
+    to GzipFile, at any chunk geometry."""
+    parts = [gzip.compress(bytes([i]) * (37 * i + 1), mtime=0)
+             for i in range(1, 30)]
+    blob = b"".join(parts)
+    want = gzip.decompress(blob)
+    for chunk in (7, 64, 1 << 20):
+        got = b"".join(
+            v for k, v in W._iter_gzip_stream(blob, chunk, chunk)
+            if k == "data"
+        )
+        assert got == want, chunk

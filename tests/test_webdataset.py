@@ -83,3 +83,21 @@ def test_webdataset_tar_is_standard(spark, tmp_path):
         members = tf.getmembers()
     assert len(members) == 4
     assert all(m.mtime == 0 for m in members)
+
+
+def test_write_webdataset_uri_out_dir(spark, tmp_path):
+    """URI-schemed out_dirs route through the pyarrow.fs storage seam
+    (r12 verdict #3): a file:// write is byte-identical to the
+    plain-path write and reads back through read_webdataset."""
+    df = spark.createDataFrame(_media_rows(6), mm.MEDIA_SCHEMA)
+    loc = str(tmp_path / "loc")
+    uri_dir = f"file://{tmp_path}/uri"
+    wd.write_webdataset(df, loc, n_shards=2)
+    man = wd.write_webdataset(df, uri_dir, n_shards=2).collect()
+    assert all(r["path"].startswith("file://") for r in man)
+    for name in ("shard-00000.tar", "shard-00001.tar"):
+        la = open(str(tmp_path / "loc" / name), "rb").read()
+        lb = open(str(tmp_path / "uri" / name), "rb").read()
+        assert la == lb, f"{name} differs between local and file:// writes"
+    back = wd.read_webdataset(spark, uri_dir)
+    assert back.count() == 6
