@@ -1,7 +1,8 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: min_over_reps_sec}, "sf": ..., "reps": N,
+"runs": {name: [each_rep_sec]}}.
 
 Each query executes end-to-end (results drained through the noop sink —
 every output column materializes; nothing ships to the driver).  One
@@ -130,6 +131,7 @@ def main() -> None:
     # under "errors" and keep timing the rest (r3's bench died entirely when
     # one query hit an AnalysisException).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # drain GC debt from the previous query's allocations before
@@ -145,9 +147,16 @@ def main() -> None:
         time.sleep(0.2)
         spark.sparkContext._jvm.System.gc()
         try:
-            timings[name] = round(
-                min(run_one(spark, sf_dir, name) for _ in range(reps)), 3
-            )
+            rep_times = [
+                round(run_one(spark, sf_dir, name), 3) for _ in range(reps)
+            ]
+            # the artifact carries BOTH the min (the plan's cost — the
+            # 2x-gate signal) and the raw reps: r12's single-number rows
+            # were uninterpretable without a side variance addendum when
+            # a co-tenant saturation event landed mid-run (r12 verdict
+            # #2 — min-of-N in the artifact itself, not the protocol doc)
+            timings[name] = min(rep_times)
+            runs[name] = rep_times
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,6 +166,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "runs": runs,
     }
     if errors:
         out["errors"] = errors
