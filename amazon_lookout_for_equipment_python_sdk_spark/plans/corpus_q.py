@@ -4,6 +4,7 @@ training-data-pipeline operators beyond dedup/similarity)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -809,6 +810,179 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
     return txt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias("sum_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed crawl-chain gates (r12 verdict #1): warc response shards ->
+# record-type pushdown -> HTTP body decode -> URL gates -> per-host rollup
+# ---------------------------------------------------------------------------
+
+_CRAWL_CHAIN_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         source || '.' || lang || '.example.com' AS host
+  FROM documents
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS sum_h
+FROM d
+WHERE doc_id % 7 <> 0
+  AND doc_id % 5 <> 0
+  AND lang <> 'de'
+  AND NOT (lang = 'fr' AND source = 'src3')
+GROUP BY host
+"""
+
+
+@register("crawl_chain_gates", _CRAWL_CHAIN_SQL)
+def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl front end under one driver hash (r12 verdict #1,
+    the model_evaluation composed-chain pattern): raw-capture WARC
+    shards -> ``read_warc(record_types=['response'])`` (parser-side
+    type pushdown past each shard's warcinfo record) ->
+    ``with_http_body`` (blank-line split on the EARLIEST newline
+    convention, chunked-transfer decode, gzip AND deflate
+    content-encodings) -> ``url_filter`` (scheme allowlist, path-depth
+    cap, suffix-semantics domain blocklist via the join probe) ->
+    per-host rollup with count / char-mass / md5-prefix hash sums.
+
+    The corpus is dressed as deterministic HTTP captures so the oracle
+    can state the surviving set straight from ``documents``:
+
+    - scheme: ``ftp`` when ``doc_id % 7 == 0`` (dropped by the
+      allowlist), else ``https``;
+    - path: ``/lang/source/doc_id`` (depth 3), plus ``/x/y/z`` when
+      ``doc_id % 5 == 0`` (depth 6 — dropped by ``max_path_depth=4``);
+    - host: ``source.lang.example.com``; blocklist ``de.example.com``
+      kills every ``de`` host by SUFFIX, ``src3.fr.example.com`` kills
+      exactly one host by full match;
+    - HTTP framing by ``doc_id % 3``: identity + Content-Length /
+      Transfer-Encoding chunked (64-byte chunks) / Content-Encoding
+      gzip — or DEFLATE when ``doc_id % 6 == 5`` (the r13 zlib
+      branch); headers are LF-terminated when ``doc_id % 11 == 0``,
+      so compressed bodies containing ``\\r\\n\\r\\n`` pin the
+      earliest-terminator fix (r12 ADVICE, medium) under the driver
+      hash, not just pytest.
+
+    Any defect anywhere in write -> parse -> de-chunk -> decompress ->
+    url-parse -> gate -> rollup flips a count or a hash sum.  Scale:
+    parallelism = #shards both directions; payloads never visit the
+    driver; the blocklist probes as a join (never inlined predicates);
+    the rollup is one map-side-combined hash aggregation.
+
+    Registry budget: 141/150 (margin 9 — authorized by r12 verdict #1
+    "Done = green CORRECTNESS row + registry margin >= 9"); composes
+    the r12 url/http operators into ONE slot instead of three."""
+    import gzip as _gz
+    import os
+    import zlib as _zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.urls import url_filter
+    from ..sources.warc import read_warc, with_http_body, write_warc
+    from .streaming_q import _work_dir
+
+    docs = load(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 7 == 0, F.lit("ftp")).otherwise(
+        F.lit("https")
+    )
+    extra = F.when(F.col("doc_id") % 5 == 0, F.lit("/x/y/z")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.col("source"),
+        F.lit("."),
+        F.col("lang"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        extra,
+    )
+
+    @pandas_udf("binary")
+    def _http_capture(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            body = (t or "").encode("utf-8")
+            nl = b"\n" if i % 11 == 0 else b"\r\n"
+            head = [
+                b"HTTP/1.1 200 OK",
+                b"Content-Type: text/plain; charset=utf-8",
+            ]
+            if i % 3 == 1:
+                head.append(b"Transfer-Encoding: chunked")
+                body = (
+                    b"".join(
+                        hex(len(body[j : j + 64]))[2:].encode()
+                        + b"\r\n"
+                        + body[j : j + 64]
+                        + b"\r\n"
+                        for j in range(0, len(body), 64)
+                    )
+                    + b"0\r\n\r\n"
+                )
+            elif i % 3 == 2:
+                if i % 6 == 5:
+                    head.append(b"Content-Encoding: deflate")
+                    body = _zlib.compress(body)
+                else:
+                    head.append(b"Content-Encoding: gzip")
+                    body = _gz.compress(body, mtime=0)
+                head.append(b"Content-Length: " + str(len(body)).encode())
+            else:
+                head.append(b"Content-Length: " + str(len(body)).encode())
+            out.append(nl.join(head) + nl + nl + body)
+        return pd.Series(out)
+
+    captures = docs.select(
+        url.alias("url"),
+        _http_capture(F.col("doc_id"), F.col("text")).alias("http"),
+    )
+    work = _work_dir("crawl_chain", sf_dir)
+    shards = os.path.join(work, "warc")
+    write_warc(
+        captures,
+        shards,
+        n_shards=8,
+        payload_col="http",
+        record_type="response",
+        content_type="application/http; msgtype=response",
+    )
+    back = read_warc(spark, shards, record_types=["response"]).filter(
+        F.col("error").isNull()
+    )
+    decoded = with_http_body(back)
+    block = spark.createDataFrame(
+        [("de.example.com",), ("src3.fr.example.com",)], "domain string"
+    )
+    gated = url_filter(
+        decoded,
+        url_col="target_uri",
+        blocked_domains=block,
+        max_path_depth=4,
+    )
+    txt = gated.select(
+        "host", F.decode(F.col("body"), "UTF-8").alias("text")
+    )
+    return txt.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
         F.sum(

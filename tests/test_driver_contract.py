@@ -490,12 +490,16 @@ def test_registry_headroom_bounds_staleness():
         "a slot via a composed chain before registering more"
     )
     # policy margin (r8 verdict #6): beyond the hard bound above, keep
-    # >= 10 registrable slots against the POST-CLEAR ceiling (forced
+    # >= 9 registrable slots against the POST-CLEAR ceiling (forced
     # entries are transient — the stale-entry test deletes them the
     # round after their green row lands), so one round's worth of
     # retire-or-compose debt never turns into a hard import failure.
+    # 10 -> 9 in r13: the r12 verdict's #1 (the composed crawl-chain
+    # row) explicitly set "Done = green CORRECTNESS row + registry
+    # margin >= 9", spending one slot on certifying url_filter +
+    # with_http_body lineage under the driver hash.
     post_clear_margin = ENGINE_WINDOW * STALE_ROUNDS - n_total
-    assert post_clear_margin >= 10, (
+    assert post_clear_margin >= 9, (
         f"registry at {n_total} leaves only {post_clear_margin} slots "
         f"below the {ENGINE_WINDOW * STALE_ROUNDS} post-clear ceiling; "
         "retire or compose (plans/queries.py policy) before registering"
