@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import re
 import zlib
 import io
 from collections.abc import Iterator
@@ -641,3 +642,115 @@ def with_http_body(
         return s.map(http_payload_body)
 
     return df.withColumn(out_col, _body(F.col(payload_col)))
+
+
+#: ``charset=`` parameter — the same grammar serves the Content-Type
+#: header and the two HTML meta forms (http-equiv content=... and
+#: ``<meta charset=...>``); quotes optional, token = RFC 2978 names.
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", re.I
+)
+
+
+def http_declared_charset(payload: bytes | None) -> str | None:
+    """The charset an HTTP capture DECLARES: the ``Content-Type``
+    response header's ``charset=`` parameter, else a ``charset=``
+    inside the first 1024 body bytes (the HTML-spec meta-sniff
+    window).  None when nothing is declared — the caller picks the
+    fallback.  Declaration-based by design: statistical detection
+    (chardet/cchardet) is a documented swap-in seam, not a stdlib
+    capability."""
+    if payload is None or not payload.startswith(b"HTTP/"):
+        return None
+    e_crlf = payload.find(b"\r\n\r\n")
+    e_lf = payload.find(b"\n\n")
+    if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
+        idx, sep = e_crlf, 4
+    elif e_lf >= 0:
+        idx, sep = e_lf, 2
+    else:
+        idx, sep = len(payload), 0
+    for line in payload[:idx].split(b"\n"):
+        if line.strip(b"\r").lower().startswith(b"content-type:"):
+            m = _CHARSET_RE.search(line)
+            if m:
+                return m.group(1).decode("ascii", "replace").lower()
+    m = _CHARSET_RE.search(payload[idx + sep : idx + sep + 1024])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower()
+    return None
+
+
+def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
+    """(text, charset_used) for an HTTP capture or bare payload.
+
+    Decode order — the CCNet/FineWeb convention, declaration-based:
+
+    1. the DECLARED charset (header, then meta sniff), if Python knows
+       the codec, with ``errors='replace'``;
+    2. strict UTF-8 (most of the modern web, and a strict pass cannot
+       mis-decode by accident);
+    3. ``windows-1252`` with replace — the superset-of-latin-1 codec
+       every byte string decodes under, so the chain total.
+
+    ``charset_used`` records which branch fired (``'utf-8'``,
+    ``'windows-1252'``, or the normalized declared name) — downstream
+    quality filters routinely gate on it."""
+    if payload is None:
+        return None
+    body = http_payload_body(payload)
+    if body is None:
+        return None
+    declared = http_declared_charset(payload)
+    if declared:
+        try:
+            return body.decode(declared, "replace"), declared
+        except LookupError:
+            pass  # bogus codec name declared — fall through
+    try:
+        return body.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return body.decode("windows-1252", "replace"), "windows-1252"
+
+
+def with_http_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    text_col: str = "text",
+    charset_col: str = "charset",
+) -> DataFrame:
+    """Column-level :func:`decode_http_text` (Arrow-vectorized): adds
+    ``text`` (decoded body) and ``charset`` (the codec that produced
+    it) — the step between :func:`with_http_body` and the text-quality
+    layer that a UTF-8-only ``F.decode`` gets wrong on the legacy-
+    charset share of any real crawl."""
+    from pyspark.sql.functions import pandas_udf
+
+    for c in (text_col, charset_col):
+        if c in df.columns:
+            raise ValueError(
+                f"input column {c!r} collides with with_http_text output; "
+                "rename it or pass different out columns"
+            )
+
+    @pandas_udf(f"struct<{text_col}:string,{charset_col}:string>")
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        pairs = [decode_http_text(p) for p in s]
+        return pd.DataFrame(
+            {
+                text_col: [p[0] if p else None for p in pairs],
+                charset_col: [p[1] if p else None for p in pairs],
+            }
+        )
+
+    tmp = "_http_text"
+    if tmp in df.columns:
+        raise ValueError(
+            "input column '_http_text' collides with the staging column"
+        )
+    return (
+        df.withColumn(tmp, _decode(F.col(payload_col)))
+        .withColumn(text_col, F.col(tmp)[text_col])
+        .withColumn(charset_col, F.col(tmp)[charset_col])
+        .drop(tmp)
+    )

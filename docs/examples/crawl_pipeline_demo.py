@@ -7,7 +7,8 @@ operator the engine ships:
 
   raw HTTP captures -> WARC shards (write_warc, warcinfo-leading)
   -> shard-parallel tolerant parse (read_warc, record-type pushdown)
-  -> HTTP body split incl. chunked/gzip decode (with_http_body)
+  -> HTTP body split incl. chunked/gzip decode + charset-aware text
+     decode (with_http_text)
   -> URL gates: scheme + domain blocklist (url_filter, suffix semi-join)
   -> boilerplate removal (html_extract_text)
   -> Gopher repetition rules (gopher_repetition)
@@ -44,7 +45,7 @@ from amazon_lookout_for_equipment_python_sdk_spark.operators.urls import (
 from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
 from amazon_lookout_for_equipment_python_sdk_spark.sources.warc import (
     read_warc,
-    with_http_body,
+    with_http_text,
     write_warc,
 )
 
@@ -89,13 +90,18 @@ def main() -> None:
         print("-- WARC shards written:")
         manifest.show(truncate=False)
 
-        records = with_http_body(
-            read_warc(spark, shards, record_types=["response"])
-        ).filter(F.col("error").isNull())
+        records = with_http_text(
+            read_warc(spark, shards, record_types=["response"]).filter(
+                F.col("error").isNull()
+            ),
+            text_col="html",
+        )
 
+        # charset-aware decode (r13): header/meta-declared codecs win,
+        # UTF-8 second, windows-1252 total fallback -- a blind UTF-8
+        # F.decode garbles the legacy-charset share of a real crawl
         docs = records.select(
-            F.col("target_uri").alias("url"),
-            F.decode(F.col("body"), "UTF-8").alias("html"),
+            F.col("target_uri").alias("url"), "html", "charset"
         )
         block = spark.createDataFrame(
             pd.DataFrame({"domain": ["blocked.example"]})

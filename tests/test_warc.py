@@ -554,3 +554,68 @@ def test_iter_gzip_stream_matches_gzipfile_on_healthy_input():
             if k == "data"
         )
         assert got == want, chunk
+
+
+def test_http_declared_charset_header_and_meta():
+    h = (b"HTTP/1.1 200 OK\r\n"
+         b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\nbody")
+    assert W.http_declared_charset(h) == "iso-8859-1"
+    meta = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b'<html><head><meta charset="gbk"></head>x</html>')
+    assert W.http_declared_charset(meta) == "gbk"
+    httpequiv = (
+        b"HTTP/1.1 200 OK\r\n\r\n"
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift_JIS">'
+    )
+    assert W.http_declared_charset(httpequiv) == "shift_jis"
+    # meta sniff window is 1024 bytes: a late declaration is ignored
+    late = (b"HTTP/1.1 200 OK\r\n\r\n" + b"x" * 2000
+            + b'<meta charset="gbk">')
+    assert W.http_declared_charset(late) is None
+    assert W.http_declared_charset(b"bare text") is None
+    assert W.http_declared_charset(None) is None
+
+
+def test_decode_http_text_charset_chain(spark):
+    """Declared charset wins; strict UTF-8 second; windows-1252 total
+    fallback; bogus declared codec names fall through."""
+    latin = "café résumé".encode("latin-1")
+    cap_decl = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain; charset=latin-1\r\n\r\n"
+                + latin)
+    assert W.decode_http_text(cap_decl) == ("café résumé", "latin-1")
+    # same bytes, NO declaration: invalid UTF-8 -> windows-1252 fallback
+    cap_bare = b"HTTP/1.1 200 OK\r\n\r\n" + latin
+    text, cs = W.decode_http_text(cap_bare)
+    assert cs == "windows-1252" and "caf" in text
+    # declared gbk, gbk bytes (chinese), via the meta tag
+    zh = "中文页面"
+    cap_gbk = (b"HTTP/1.1 200 OK\r\n\r\n"
+               + b'<meta charset="gbk">' + zh.encode("gbk"))
+    text, cs = W.decode_http_text(cap_gbk)
+    assert cs == "gbk" and zh in text
+    # bogus codec name -> utf-8 branch
+    cap_bogus = (b"HTTP/1.1 200 OK\r\n"
+                 b"Content-Type: text/plain; charset=no-such-codec\r\n\r\n"
+                 + "plain utf-8 ✓".encode())
+    assert W.decode_http_text(cap_bogus) == ("plain utf-8 ✓", "utf-8")
+    # gzip content-encoding composes: charset applies to the DECODED body
+    gz = gzip.compress("über".encode("latin-1"), mtime=0)
+    cap_gz = (b"HTTP/1.1 200 OK\r\n"
+              b"Content-Encoding: gzip\r\n"
+              b"Content-Type: text/plain; charset=latin-1\r\n\r\n" + gz)
+    assert W.decode_http_text(cap_gz) == ("über", "latin-1")
+    assert W.decode_http_text(None) is None
+
+    # column form: adds text + charset, guards clashes
+    df = spark.createDataFrame(
+        pd.DataFrame({"payload": [cap_decl, cap_bare, None]})
+    )
+    rows = W.with_http_text(df).collect()
+    assert [r["charset"] for r in rows] == [
+        "latin-1", "windows-1252", None
+    ]
+    assert rows[0]["text"] == "café résumé"
+    with pytest.raises(ValueError, match="collides"):
+        W.with_http_text(df.withColumn("text", F.lit("x")))
