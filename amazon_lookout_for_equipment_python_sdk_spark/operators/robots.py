@@ -1,0 +1,213 @@
+"""robots.txt politeness gate — the crawl-pipeline filter between URL
+discovery and fetching (and, for archived corpora, the retroactive
+compliance pass: drop captures a site's CURRENT robots.txt disallows).
+
+Implements RFC 9309 (https://www.rfc-editor.org/rfc/rfc9309) matching
+with only the stdlib: group selection by longest matching product
+token (falling back to ``*``), rule matching by longest path pattern
+with ``*`` wildcards and the ``$`` end anchor, allow winning
+length ties, and unmatched/unlisted defaulting to allow.
+``urllib.robotparser`` is NOT used: it evaluates one URL at a time
+against a parser object, which cannot be joined — the whole point here
+is a relational formulation.
+
+Scale design (the url_filter pattern, operators/urls.py):
+
+- **Parse once per host, not per URL**: robots bodies explode into a
+  compact RULE TABLE ``(host, allow, pattern, pattern_re,
+  pattern_len)`` inside one Arrow kernel — a few tens of rows per
+  host, independent of corpus size.
+- **Verdicts on DISTINCT (host, path)**, not on URL rows: the
+  candidate join (rules x paths, equi on host) and the
+  longest-match-wins aggregate run on the deduplicated probe set;
+  URL rows then LEFT ANTI join the DENIED set.  Hosts with no rules
+  and paths matching no rule never materialize anywhere — RFC default
+  allow comes out of the join shape for free.
+- Pattern matching is JVM-side ``regexp_like`` on the translated
+  anchored regex (escaped literal, ``*`` -> ``.*``, trailing ``$``
+  kept as the anchor) — no Python in the per-path hot loop.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RULE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("pattern_re", T.StringType(), False),
+        T.StructField("pattern_len", T.IntegerType(), False),
+    ]
+)
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored Java-compatible regex:
+    ``*`` matches any span, a TRAILING ``$`` anchors the end, every
+    other char is literal."""
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    parts = [re.escape(p) for p in body.split("*")]
+    rx = "^" + ".*".join(parts)
+    return rx + "$" if anchored_end else rx
+
+
+def _parse_robots(body: str, agent: str) -> "list[tuple[bool, str]]":
+    """(allow, pattern) rules of the group that best matches ``agent``.
+
+    Group selection per RFC 9309 §2.2.1: the group whose user-agent
+    product token is the LONGEST case-insensitive prefix-token match of
+    ``agent``; ``*`` matches any agent and loses to any specific match.
+    Consecutive ``User-agent`` lines share one group.  Unknown fields
+    and comments are ignored; an empty-path rule matches nothing
+    (skipped).  Malformed input degrades to "no rules" — allow-all,
+    the RFC default for an unreachable/unparseable robots.txt."""
+    agent_lc = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_agent_run = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            if cur_agents and value:
+                cur_rules.append((field == "allow", value))
+        else:
+            in_agent_run = False  # crawl-delay/sitemap end an agent run
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    best_len, best_rules = -1, []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif agent_lc.startswith(a):
+                score = len(a)
+            else:
+                continue
+            if score > best_len:
+                best_len, best_rules = score, rules
+    return best_rules
+
+
+def robots_rules(
+    robots_df: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Explode per-host robots.txt bodies into the rule table
+    (:data:`RULE_SCHEMA`) for ``agent`` — parse once per host, a few
+    tens of rows each, corpus-size independent.  ``body_col`` may be
+    string or binary (decoded utf-8/replace, the de-facto wire
+    tolerance)."""
+    src = robots_df.select(
+        F.col(host_col).cast("string").alias("host"),
+        F.col(body_col).alias("_body"),
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["_body"]):
+                if host is None or body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                for allow, pattern in _parse_robots(body, agent):
+                    rows.append(
+                        {
+                            "host": host.lower(),
+                            "allow": allow,
+                            "pattern": pattern,
+                            "pattern_re": _pattern_to_regex(pattern),
+                            "pattern_len": len(pattern),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(explode, schema=RULE_SCHEMA)
+
+
+def robots_filter(
+    df: DataFrame,
+    robots_df: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Keep rows whose URL the matching robots.txt group ALLOWS for
+    ``agent`` (RFC 9309: longest pattern wins, allow wins length ties,
+    no match / no rules / unlisted host => allow).  ``robots_df`` is
+    one row per host with the raw robots.txt body.
+
+    The match target is path + '?' + query when a query is present
+    (RFC 9309 §2.2.2); the scheme/port are host-table concerns.
+    Input columns pass through unchanged; rows with NULL/unparseable
+    URLs pass (this is a politeness gate, not a validity gate — chain
+    ``url_filter`` for that)."""
+    for c in ("_rb_host", "_rb_path"):
+        if c in df.columns:
+            raise ValueError(
+                f"input column {c!r} collides with robots_filter staging"
+            )
+    url = F.col(url_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    qstr = F.try_parse_url(url, F.lit("QUERY"))
+    path0 = F.try_parse_url(url, F.lit("PATH"))
+    # empty path fetches "/" (RFC 9309 §2.2.2)
+    path1 = F.when(
+        path0.isNull() | (path0 == ""), F.lit("/")
+    ).otherwise(path0)
+    path = F.when(
+        qstr.isNotNull(), F.concat(path1, F.lit("?"), qstr)
+    ).otherwise(path1)
+    feats = df.select("*", host.alias("_rb_host"), path.alias("_rb_path"))
+
+    rules = robots_rules(robots_df, agent, host_col, body_col)
+    probe = (
+        feats.select("_rb_host", "_rb_path")
+        .filter(F.col("_rb_host").isNotNull())
+        .distinct()
+    )
+    cand = probe.join(
+        rules, probe["_rb_host"] == rules["host"], "inner"
+    ).filter(F.expr("regexp_like(_rb_path, pattern_re)"))
+    # longest pattern wins; allow beats disallow on equal length
+    verdict = cand.groupBy("_rb_host", "_rb_path").agg(
+        F.max(
+            F.struct(
+                F.col("pattern_len"),
+                F.col("allow").cast("int").alias("_a"),
+            )
+        ).alias("_w")
+    )
+    denied = verdict.filter(F.col("_w._a") == 0).select(
+        "_rb_host", "_rb_path"
+    )
+    return feats.join(
+        denied, ["_rb_host", "_rb_path"], "left_anti"
+    ).drop("_rb_host", "_rb_path")

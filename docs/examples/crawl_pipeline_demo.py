@@ -39,6 +39,9 @@ from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
 from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
     dedup_exact,
 )
+from amazon_lookout_for_equipment_python_sdk_spark.operators.robots import (
+    robots_filter,
+)
 from amazon_lookout_for_equipment_python_sdk_spark.operators.urls import (
     url_filter,
 )
@@ -111,6 +114,24 @@ def main() -> None:
             f"-- URL gate: {docs.count()} captures -> "
             f"{gated.count()} after scheme + blocklist"
         )
+
+        # robots politeness gate (r13): site0.org disallows /articles/4*
+        robots = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "host": ["site0.org"],
+                    "robots_txt": [
+                        "User-agent: *\nDisallow: /articles/4\n"
+                    ],
+                }
+            )
+        )
+        polite = robots_filter(gated, robots)
+        print(
+            f"-- robots gate: {gated.count()} -> {polite.count()} "
+            f"after per-host RFC 9309 rules"
+        )
+        gated = polite
 
         extracted = html_extract_text(
             gated.select(

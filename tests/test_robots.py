@@ -1,0 +1,143 @@
+"""robots.txt politeness gate (operators/robots.py): RFC 9309 group
+selection, longest-match rules, wildcard/$ patterns, default allow."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+    robots as R,
+)
+
+ROBOTS_A = """
+# politeness file for a.example
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/press/
+Disallow: /*.pdf$
+Disallow: /search?
+"""
+
+ROBOTS_B = """
+User-agent: specialbot
+Disallow: /
+
+User-agent: *
+Disallow: /blocked-for-everyone/
+"""
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["a.example", "b.example", "broken.example"],
+                "robots_txt": [ROBOTS_A, ROBOTS_B, "\x00not robots %%"],
+            }
+        )
+    )
+
+
+def _kept(spark, robots_df, urls, agent="*"):
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    out = R.robots_filter(df, robots_df, agent=agent)
+    assert out.columns == ["url"]  # staging columns dropped
+    return {r["url"] for r in out.collect()}
+
+
+def test_parse_rules_and_group_selection():
+    rules = R._parse_robots(ROBOTS_A, "anybot")
+    assert (False, "/private/") in rules and (True, "/private/press/") in rules
+    # specific group beats *; '*' group applies to everyone else
+    assert R._parse_robots(ROBOTS_B, "SpecialBot/1.0") == [(False, "/")]
+    assert R._parse_robots(ROBOTS_B, "otherbot") == [
+        (False, "/blocked-for-everyone/")
+    ]
+    # empty disallow matches nothing; garbage degrades to no rules
+    assert R._parse_robots("User-agent: *\nDisallow:\n", "x") == []
+    assert R._parse_robots("\x00garbage %% lines\n", "x") == []
+
+
+def test_pattern_translation():
+    assert R._pattern_to_regex("/a/b") == "^/a/b"
+    assert R._pattern_to_regex("/*.pdf$") == r"^/.*\.pdf$"
+    assert R._pattern_to_regex("/p/*/x") == "^/p/.*/x"
+
+
+def test_robots_filter_longest_match_and_anchors(spark, robots_df):
+    urls = [
+        "https://a.example/",                      # no match -> allow
+        "https://a.example/private/x",             # disallow /private/
+        "https://a.example/private/press/rel.html",  # allow wins (longer)
+        "https://a.example/tmp/scratch",           # prefix disallow
+        "https://a.example/doc.pdf",               # $-anchored wildcard
+        "https://a.example/doc.pdf.html",          # $ anchor must NOT hit
+        "https://a.example/search?q=x",            # query in match target
+        "https://a.example/search",                # bare path allowed
+    ]
+    kept = _kept(spark, robots_df, urls)
+    assert kept == {
+        "https://a.example/",
+        "https://a.example/private/press/rel.html",
+        "https://a.example/doc.pdf.html",
+        "https://a.example/search",
+    }
+
+
+def test_robots_filter_agent_groups_and_defaults(spark, robots_df):
+    urls = [
+        "https://b.example/anything",
+        "https://b.example/blocked-for-everyone/x",
+        "https://unlisted.example/whatever",   # no robots row -> allow
+        "https://broken.example/x",            # garbage robots -> allow
+        None,                                  # null url passes through
+    ]
+    # generic agent: only the shared disallow applies
+    kept = _kept(spark, robots_df, urls)
+    assert kept == {
+        "https://b.example/anything",
+        "https://unlisted.example/whatever",
+        "https://broken.example/x",
+        None,
+    }
+    # specialbot: denied everything on b.example
+    kept = _kept(spark, robots_df, urls, agent="SpecialBot/2.1")
+    assert kept == {
+        "https://unlisted.example/whatever",
+        "https://broken.example/x",
+        None,
+    }
+
+
+def test_robots_rules_table_shape(spark, robots_df):
+    rules = R.robots_rules(robots_df, agent="*").collect()
+    hosts = {r["host"] for r in rules}
+    assert hosts == {"a.example", "b.example"}  # broken parses to none
+    a_rules = [r for r in rules if r["host"] == "a.example"]
+    assert len(a_rules) == 5
+    assert all(r["pattern_re"].startswith("^") for r in rules)
+    assert all(r["pattern_len"] == len(r["pattern"]) for r in rules)
+
+
+def test_robots_filter_guards_staging_clash(spark, robots_df):
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://a.example/"], "_rb_host": ["x"]})
+    )
+    with pytest.raises(ValueError, match="_rb_host"):
+        R.robots_filter(df, robots_df)
+
+
+def test_robots_denied_set_is_a_join_not_inlined(spark, robots_df):
+    """The gate must stay a JOIN against the rule/deny tables — a
+    UT1-scale robots corpus cannot be inlined into the plan."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://a.example/p{i}" for i in range(50)]})
+    )
+    out = R.robots_filter(df, robots_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    assert "/private/press/" not in plan  # rule literals never inline
