@@ -23,6 +23,10 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,3 +138,159 @@ def url_filter(
     return out.join(
         hit, out["host"] == hit["_blk_host"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (r13) — the dedup-critical normalizer
+# ---------------------------------------------------------------------------
+
+#: query parameters that carry tracking state, not content identity —
+#: the widely-published cross-site set (utm_* is matched by prefix).
+TRACKING_PARAMS = frozenset(
+    {"gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid"}
+)
+
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+
+
+def _norm_pct(s: str) -> str:
+    """RFC 3986 §6.2.2.1-2: uppercase %XX hex, decode UNRESERVED
+    octets (ALPHA / DIGIT / - . _ ~) — the only percent-normalizations
+    that never change meaning."""
+
+    def sub(m: "re.Match[str]") -> str:
+        b = int(m.group(1), 16)
+        c = chr(b)
+        if (c.isascii() and c.isalnum()) or c in "-._~":
+            return c
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(sub, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — exact algorithm, NOT posixpath.normpath
+    (which also collapses // and strips trailing slashes, both
+    meaning-changing on the web)."""
+    out: list[str] = []
+    i, n = 0, len(path)
+    while i < n:
+        j = path.find("/", i + 1) if path[i] == "/" else path.find("/", i)
+        seg = path[i:] if j < 0 else path[i:j]
+        nxt = n if j < 0 else j
+        if seg in ("/.", "."):
+            if j < 0:
+                out.append("/")  # trailing /. keeps the slash
+            i = nxt
+        elif seg in ("/..", ".."):
+            if out:
+                out.pop()
+            if j < 0:
+                out.append("/")
+            i = nxt
+        else:
+            out.append(seg)
+            i = nxt
+    return "".join(out)
+
+
+def canonicalize_one(
+    url: "str | None",
+    strip_tracking: bool = True,
+    sort_query: bool = True,
+    strip_fragment: bool = True,
+) -> "str | None":
+    """Canonical form of one URL (row-local; see
+    :func:`canonicalize_url` for the column operator and the policy
+    knobs).  Unparseable input returns itself — this is a dedup
+    normalizer, not a validity gate."""
+    if url is None:
+        return None
+    try:
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url.strip())
+        if not parts.scheme or not parts.netloc:
+            return url
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc.lower().rstrip(".")
+        if "@" in netloc:  # userinfo keeps its case; host part after @
+            info, _, hostport = netloc.rpartition("@")
+            netloc = info + "@" + hostport
+        default = _DEFAULT_PORT.get(scheme)
+        if default and netloc.endswith(default):
+            netloc = netloc[: -len(default)]
+        path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
+        query = parts.query
+        if query:
+            pairs = [
+                p.split("=", 1) if "=" in p else [p, None]
+                for p in query.split("&")
+                if p != ""
+            ]
+            if strip_tracking:
+                pairs = [
+                    kv
+                    for kv in pairs
+                    if not (
+                        kv[0].lower().startswith("utm_")
+                        or kv[0].lower() in TRACKING_PARAMS
+                    )
+                ]
+            if sort_query:
+                pairs.sort(key=lambda kv: (kv[0], kv[1] or ""))
+            query = "&".join(
+                k if v is None else f"{k}={v}" for k, v in pairs
+            )
+            query = _norm_pct(query)
+        out = f"{scheme}://{netloc}{path}"
+        if query:
+            out += "?" + query
+        if not strip_fragment and parts.fragment:
+            out += "#" + parts.fragment
+        return out
+    except ValueError:
+        return url
+
+
+def canonicalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    strip_tracking: bool = True,
+    sort_query: bool = True,
+    strip_fragment: bool = True,
+) -> DataFrame:
+    """Add the canonical URL column — the normalizer URL-level dedup
+    keys on (the same page hides behind case variants, default ports,
+    dot-segments, fragments, tracking params, and query-param order).
+
+    RFC 3986 §6 normalizations are applied unconditionally (scheme/
+    host case, default ports, dot segments, unreserved percent-decode,
+    %XX case, empty path -> ``/``); the three POLICY knobs default to
+    the common crawl-dedup stance and are flags because each can merge
+    genuinely distinct pages on adversarial sites: ``strip_tracking``
+    (utm_*/click-id params), ``sort_query`` (param order rarely
+    matters; RFC makes no promise), ``strip_fragment`` (fragments are
+    client-side).  Unparseable URLs pass through unchanged.
+
+    Row-local Arrow kernel — zero shuffle; IDN/punycode folding is the
+    documented seam (stdlib idna handles the common cases but not
+    UTS-46 mapping, so hosts are only case-folded here)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"input column {out_col!r} collides with canonicalize_url "
+            "output; rename it or pass a different out_col"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _canon(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda u: canonicalize_one(
+                u, strip_tracking, sort_query, strip_fragment
+            )
+        )
+
+    return df.withColumn(out_col, _canon(F.col(url_col)))

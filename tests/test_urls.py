@@ -133,3 +133,59 @@ def test_url_features_rejects_clashing_columns(spark):
         U.url_filter(df2, blocked_domains=block)
     # without a blocklist, _sfx never stages: the input passes through
     assert U.url_filter(df2).columns[:2] == ["url", "_sfx"]
+
+
+def test_canonicalize_one_rfc3986_normalizations():
+    c = U.canonicalize_one
+    # case + default port + dot segments + sort + tracking + fragment
+    assert (
+        c("HTTPS://Example.COM:443/a/b/../c/./d?b=2&a=1&utm_source=x#f")
+        == "https://example.com/a/c/d?a=1&b=2"
+    )
+    assert c("http://example.com:80/") == "http://example.com/"
+    assert c("http://example.com") == "http://example.com/"
+    # percent normalization: unreserved decodes, reserved stays UPPER hex
+    assert (
+        c("http://example.com/%7Euser/%2fx%3f")
+        == "http://example.com/~user/%2Fx%3F"
+    )
+    # // and trailing slash are MEANINGFUL and preserved
+    assert c("http://example.com/a//b/") == "http://example.com/a//b/"
+    assert c("http://example.com/a/..") == "http://example.com/"
+    # non-default port survives; policy knobs off
+    assert (
+        c("https://example.com:8443/x?b=2&a=1#frag",
+          sort_query=False, strip_fragment=False)
+        == "https://example.com:8443/x?b=2&a=1#frag"
+    )
+    # click-id params strip; content params survive
+    assert (
+        c("https://e.com/p?fbclid=abc&id=7") == "https://e.com/p?id=7"
+    )
+    # unparseable / null pass through
+    assert c("not a url") == "not a url"
+    assert c(None) is None
+
+
+def test_canonicalize_url_column_dedups_variants(spark):
+    variants = [
+        "https://Example.com/article/42?utm_campaign=x",
+        "https://example.com:443/article/42",
+        "https://example.com/article/./42#section-3",
+        "https://example.com/other/../article/42",
+        "https://example.com/article/43",  # genuinely different
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": variants}))
+    out = U.canonicalize_url(df)
+    assert out.columns == ["url", "canonical_url"]
+    groups = (
+        out.groupBy("canonical_url").count().orderBy("count").collect()
+    )
+    assert [(r["canonical_url"], r["count"]) for r in groups] == [
+        ("https://example.com/article/43", 1),
+        ("https://example.com/article/42", 4),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="canonical_url"):
+        U.canonicalize_url(out)
