@@ -5,8 +5,8 @@ The WARC/WebDataset shard writers run inside ``mapInPandas`` /
 driver-only Hadoop ``FileSystem`` walk that ``schema.py`` S2 uses is
 out of reach there.  ``pyarrow.fs`` is the executor-safe equivalent:
 it ships with the baked-in pyarrow wheel, resolves ``file://`` /
-``s3://`` / ``hdfs://`` / ``gs://`` URIs to a filesystem + path pair,
-and streams bytes without touching the JVM.  Plain (scheme-less) paths
+``hdfs://`` / object-store URIs (any scheme ``pyarrow.fs`` knows) to a
+filesystem + path pair, and streams bytes without touching the JVM.  Plain (scheme-less) paths
 keep the original ``open()`` fast path — behavior unchanged for local
 runs.
 
@@ -29,7 +29,8 @@ _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def has_scheme(path: str) -> bool:
-    """True when ``path`` is URI-schemed (``file://``, ``s3://``, ...)."""
+    """True when ``path`` is URI-schemed (``file://``, ``hdfs://``, an
+    object-store scheme, ...)."""
     return bool(_URI_RE.match(path))
 
 

@@ -17,9 +17,9 @@ Scale design:
   the intended WebDataset contract) and a ``mapInPandas`` untars payloads
   row-local.  At 100 TB, both directions scale with executors; writer
   output streams route through ``._fsio`` — plain paths keep local
-  ``open()``, URI-schemed ``out_dir``s (``file://``, ``s3://``,
-  ``hdfs://``) resolve via ``pyarrow.fs``, the executor-safe
-  object-store seam (r12 verdict #3).
+  ``open()``, URI-schemed ``out_dir``s (``file://``, ``hdfs://``,
+  object-store schemes) resolve via ``pyarrow.fs``, the executor-safe
+  storage seam (r12 verdict #3).
 """
 
 from __future__ import annotations
