@@ -1,10 +1,12 @@
-"""Runnable tour of the crawl-to-corpus layer (r12).
+"""Runnable tour of the crawl-to-corpus layer (r12; discovery r13).
 
     python docs/examples/crawl_pipeline_demo.py [sf_dir]
 
 The end-to-end crawl shape every LLM data pipeline runs, each step the
 operator the engine ships:
 
+  URL discovery: sitemap index + urlsets (parse_sitemaps)
+  -> canonical dedup keys (canonicalize_url) before any fetch
   raw HTTP captures -> WARC shards (write_warc, warcinfo-leading)
   -> shard-parallel tolerant parse (read_warc, record-type pushdown)
   -> HTTP body split incl. chunked/gzip decode + charset-aware text
@@ -43,7 +45,11 @@ from amazon_lookout_for_equipment_python_sdk_spark.operators.robots import (
     robots_filter,
 )
 from amazon_lookout_for_equipment_python_sdk_spark.operators.urls import (
+    canonicalize_url,
     url_filter,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.sources.sitemaps import (
+    parse_sitemaps,
 )
 from amazon_lookout_for_equipment_python_sdk_spark.session import get_spark
 from amazon_lookout_for_equipment_python_sdk_spark.sources.warc import (
@@ -79,8 +85,36 @@ def _fake_captures(spark, n=60):
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def _discovery_prologue(spark) -> None:
+    """Sitemaps -> canonical URLs: the fetch frontier BEFORE any HTTP
+    traffic (r13 additions).  Canonicalization collapses the variants
+    a naive frontier would fetch twice."""
+    urlset = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<url><loc>https://Site0.ORG:443/articles/{i}"
+            f"{'?utm_source=feed' if i % 2 else ''}</loc></url>"
+            for i in range(8)
+        )
+        + "<url><loc>https://site0.org/articles/0#frag</loc></url>"
+        + "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        pd.DataFrame({"host": ["site0.org"], "sitemap_xml": [urlset]})
+    )
+    urls = parse_sitemaps(sm).filter("kind = 'url' and error is null")
+    canon = canonicalize_url(urls, url_col="loc")
+    n_raw = canon.count()
+    n_canon = canon.select("canonical_url").distinct().count()
+    print(
+        f"-- discovery: {n_raw} sitemap locs -> "
+        f"{n_canon} canonical fetch targets"
+    )
+
+
 def main() -> None:
     spark = get_spark("crawl-demo", cpus=4)
+    _discovery_prologue(spark)
     captures = _fake_captures(spark)
 
     with tempfile.TemporaryDirectory() as work:
