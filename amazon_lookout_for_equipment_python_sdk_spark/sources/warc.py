@@ -46,7 +46,6 @@ import gzip
 import hashlib
 import re
 import zlib
-import io
 from collections.abc import Iterator
 
 from . import _fsio
