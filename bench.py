@@ -133,6 +133,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    load_start = [round(x, 2) for x in os.getloadavg()]
     for name in BENCH_QUERIES:
         # drain GC debt from the previous query's allocations before
         # timing: measured cuts of 2x+ on the worst min-of-3 outliers
@@ -160,6 +161,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # box-state context: the r12 artifact could only be interpreted
+    # after forensically reconstructing a co-tenant saturation event —
+    # record the 1/5/15-min load averages in the artifact itself so a
+    # hot box is visible at reading time (local[32] expects ~32 under
+    # its own load; anything high BEFORE the run started is co-tenancy)
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -168,6 +174,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "runs": runs,
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

@@ -89,3 +89,11 @@ def test_bench_artifact_carries_min_of_n_and_raw_runs():
         "default rep count must stay 3 (the measured noise floor "
         "protocol, BASELINE.md r12 addendum)"
     )
+
+
+def test_bench_artifact_carries_load_averages():
+    """Box-state context in the artifact itself: r12's numbers could
+    only be read after forensically reconstructing a co-tenant
+    saturation event (BASELINE r12/r13 addenda)."""
+    src = (ROOT / "bench.py").read_text()
+    assert '"load_avg_start"' in src and '"load_avg_end"' in src
