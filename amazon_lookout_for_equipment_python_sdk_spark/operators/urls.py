@@ -214,13 +214,26 @@ def canonicalize_one(
         if not parts.scheme or not parts.netloc:
             return url
         scheme = parts.scheme.lower()
-        netloc = parts.netloc.lower().rstrip(".")
-        if "@" in netloc:  # userinfo keeps its case; host part after @
-            info, _, hostport = netloc.rpartition("@")
-            netloc = info + "@" + hostport
-        default = _DEFAULT_PORT.get(scheme)
-        if default and netloc.endswith(default):
-            netloc = netloc[: -len(default)]
+        # netloc = [userinfo@]host[:port] — normalize the pieces in
+        # dependency order: split port FIRST, then strip the host's
+        # trailing dot, then drop a default port (the property test
+        # caught 'x.org.:80' needing two passes under the old
+        # whole-netloc rstrip-then-strip-port order)
+        info, at, hostport = parts.netloc.lower().rpartition("@")
+        if hostport.startswith("["):  # bracketed IPv6 literal
+            end = hostport.find("]")
+            host = hostport[: end + 1]
+            port = hostport[end + 1 :]
+        else:
+            maybe_host, colon, maybe_port = hostport.rpartition(":")
+            if colon and maybe_port.isdigit():
+                host, port = maybe_host, ":" + maybe_port
+            else:
+                host, port = hostport, ""
+            host = host.rstrip(".")
+        if port == _DEFAULT_PORT.get(scheme):
+            port = ""
+        netloc = (info + at if at else "") + host + port
         path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
         query = parts.query
         if query:

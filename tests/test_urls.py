@@ -189,3 +189,47 @@ def test_canonicalize_url_column_dedups_variants(spark):
 
     with _pt.raises(ValueError, match="canonical_url"):
         U.canonicalize_url(out)
+
+
+def test_canonicalize_is_idempotent_property():
+    """canon(canon(u)) == canon(u) — THE normalizer property: a second
+    pass finding more work means the first pass's output is not
+    canonical.  Hypothesis over adversarial URL-ish strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet="abcZ09.%7E2f-_~$&='() ", min_size=0, max_size=8
+    )
+    urls = st.builds(
+        lambda scheme, host, port, segs, q, frag: (
+            f"{scheme}://{host}{port}/"
+            + "/".join(segs)
+            + (f"?{q}" if q else "")
+            + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        st.sampled_from(
+            ["Example.com", "a.B.c", "x.org.", "[::1]", "user@Host.io"]
+        ),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(
+            st.one_of(seg, st.sampled_from([".", "..", "", "a b"])),
+            max_size=6,
+        ),
+        st.one_of(
+            st.just(""),
+            st.sampled_from(
+                ["b=2&a=1", "utm_source=x&id=1", "a&b=", "%2f=%3D"]
+            ),
+        ),
+        st.sampled_from(["", "frag"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(urls)
+    def check(u):
+        once = U.canonicalize_one(u)
+        assert U.canonicalize_one(once) == once, (u, once)
+
+    check()

@@ -619,3 +619,41 @@ def test_decode_http_text_charset_chain(spark):
     assert rows[0]["text"] == "café résumé"
     with pytest.raises(ValueError, match="collides"):
         W.with_http_text(df.withColumn("text", F.lit("x")))
+
+
+def test_iter_gzip_stream_corruption_fuzz():
+    """For ANY single splice/flip/truncation, the streamer must never
+    raise, and every member strictly before the damage must come back
+    intact (seeded RNG — deterministic)."""
+    import random
+
+    rng = random.Random(1309)
+    members = [
+        gzip.compress(bytes([65 + i]) * rng.randrange(1, 400), mtime=0)
+        for i in range(12)
+    ]
+    offsets = [0]
+    for m in members:
+        offsets.append(offsets[-1] + len(m))
+    blob = b"".join(members)
+    want_full = gzip.decompress(blob)
+    for trial in range(200):
+        kind = rng.randrange(3)
+        pos = rng.randrange(1, len(blob))
+        if kind == 0:  # splice garbage
+            bad = blob[:pos] + bytes(rng.randrange(256) for _ in range(9)) + blob[pos:]
+        elif kind == 1:  # flip a byte
+            bad = blob[:pos] + bytes([blob[pos] ^ 0xFF]) + blob[pos + 1:]
+        else:  # truncate
+            bad = blob[:pos]
+        chunk = rng.choice([5, 64, 1 << 20])
+        got = b"".join(
+            v for k, v in W._iter_gzip_stream(bad, chunk, chunk)
+            if k == "data"
+        )
+        # members entirely before the damage must replay byte-exact
+        n_safe = max(i for i in range(len(offsets)) if offsets[i] <= pos)
+        safe = want_full[: sum(
+            len(gzip.decompress(m)) for m in members[:n_safe]
+        )] if n_safe else b""
+        assert got.startswith(safe), (trial, kind, pos, n_safe)
