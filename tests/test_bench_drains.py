@@ -28,6 +28,7 @@ HARNESSES = [
     "tools/bench_ewma_ab.py",
     "tools/bench_pack_ab.py",
     "tools/bench_warc_shards.py",
+    "tools/bench_crawl_ops.py",
 ]
 
 
