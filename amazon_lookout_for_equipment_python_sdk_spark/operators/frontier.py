@@ -1,0 +1,107 @@
+"""Crawl-frontier batch assignment — politeness scheduling as a data
+transform.
+
+A polite fetcher issues at most ``per_host_per_batch`` requests to one
+host per round, so a discovered URL corpus must be SCHEDULED: rank each
+host's URLs, then ``batch = floor(rank / k)``.  The fetch itself stays
+external (the engine transforms bytes, it does not crawl) — this
+operator emits the plan the fetch loop walks batch by batch.
+
+Scale design — built cliff-free from the start: per-host ranking is
+``row_number`` over the host partition, and a mega-host (a domain with
+tens of millions of discovered URLs) would serialize that window onto
+one task — the exact serialized-sort-cliff class the engine's ten
+routed twin families close (operators/routing.py).  There is no
+ordering requirement here beyond determinism, so the twin IS the
+operator: the rank axis is ``xxhash64(url)`` (deterministic,
+order-free), buckets are VALUE RANGES of that axis (row-local split,
+no pre-pass), ranks compose as bucket-local ``row_number`` plus an
+exclusive prefix count offset joined back via the tiny null-safe
+boundary table (``_chunkjoin.join_boundary`` — the pack/restamp
+decomposition).  One corpus exchange on (host, bucket) + one broadcast
+of a |hosts| x |buckets| aggregate; no per-host serialization at any
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ._chunkjoin import guard_internal, join_boundary
+
+#: value-range split of the signed-64 hash axis: bucket = axis >> shift,
+#: 58 -> 64 buckets spanning the full int64 range in axis order.
+_BUCKET_SHIFT = 58
+
+
+def frontier_batches(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: "str | None" = None,
+    per_host_per_batch: int = 1,
+    out_col: str = "fetch_batch",
+) -> DataFrame:
+    """Add ``fetch_batch`` (0-based): at most ``per_host_per_batch``
+    of any host's rows share a batch, and batches are dense per host
+    (0, 1, 2, ...).  ``host_col=None`` derives the host from the URL
+    (NULL hosts — unparseable URLs — schedule as one pseudo-host;
+    gate them earlier with ``url_filter`` if that is not wanted).
+
+    Assignment is deterministic for a given row multiset: the per-host
+    order is the ``xxhash64`` of the URL string (ties between byte-
+    identical duplicate URLs are broken arbitrarily but their BATCH
+    assignments still hold the per-batch cap).  Deliberately hash
+    order, not discovery order: discovery order would need a real
+    ordering column (pass one through ``sort first
+    → row_number`` upstream if required), while hash order also
+    SPREADS a host's path neighborhoods across batches — the
+    politeness-friendly access pattern."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"input column {out_col!r} collides with frontier_batches "
+            "output; rename it or pass a different out_col"
+        )
+    # the staging columns ride on the FULL frame (withColumn), so the
+    # whole input must be clash-free — withColumn would silently
+    # REPLACE a same-named passenger column and .drop would eat it
+    staged = ("_fb_h", "_fb_a", "_fb_r", "_off")
+    clash = sorted(set(df.columns) & set(staged))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with frontier_batches "
+            "staging; rename them first"
+        )
+    guard_internal(df)
+    if per_host_per_batch < 1:
+        raise ValueError("per_host_per_batch must be >= 1")
+    host = (
+        F.col(host_col)
+        if host_col
+        else F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    rows = df.withColumn("_fb_h", host).withColumn(
+        "_fb_a", F.xxhash64(F.col(url_col).cast("string"))
+    )
+    rows = rows.withColumn(
+        "_b", F.shiftright(F.col("_fb_a"), _BUCKET_SHIFT)
+    )
+    wl = Window.partitionBy("_fb_h", "_b").orderBy("_fb_a")
+    local = rows.withColumn("_fb_r", F.row_number().over(wl))
+    wb = (
+        Window.partitionBy("_fb_h")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy("_fb_h", "_b")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn("_off", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
+        .drop("_bn")
+    )
+    joined = join_boundary(local, offsets, ["_fb_h"], ["_b"])
+    rank = F.col("_off") + F.col("_fb_r") - F.lit(1)
+    return joined.withColumn(
+        out_col,
+        F.floor(rank / F.lit(int(per_host_per_batch))).cast("long"),
+    ).drop("_fb_h", "_fb_a", "_fb_r", "_b", "_off")

@@ -1,0 +1,126 @@
+"""Frontier batch assignment (operators/frontier.py): per-host cap,
+dense batches, determinism, equivalence with the plain-window form."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (
+    frontier as FR,
+)
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    rows = []
+    for h, n in [("a.com", 13), ("b.com", 1), ("c.com", 7)]:
+        rows += [f"https://{h}/p/{i}" for i in range(n)]
+    rows.append("not a parseable url")
+    return spark.createDataFrame(pd.DataFrame({"url": rows}))
+
+
+def test_per_host_cap_and_dense_batches(spark, urls_df):
+    for k in (1, 3):
+        out = FR.frontier_batches(
+            urls_df, per_host_per_batch=k
+        ).withColumn(
+            "host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+        )
+        sizes = {
+            (r["host"], r["fetch_batch"]): r["n"]
+            for r in out.groupBy("host", "fetch_batch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert all(n <= k for n in sizes.values())
+        # batches are dense 0..ceil(n/k)-1 per host, all but last full
+        for host, total in [("a.com", 13), ("b.com", 1), ("c.com", 7)]:
+            batches = sorted(
+                b for (h, b), _ in sizes.items() if h == host
+            )
+            want = -(-total // k)
+            assert batches == list(range(want)), (host, k, batches)
+            assert all(
+                sizes[(host, b)] == k for b in batches[:-1]
+            ), (host, k)
+
+
+def test_matches_plain_window_form(spark, urls_df):
+    """The decomposed rank must equal the single-window row_number on
+    the same (host, hash) axis — the chunked-twin equality contract."""
+    k = 4
+    out = FR.frontier_batches(urls_df, per_host_per_batch=k)
+    host = F.lower(F.try_parse_url("url", F.lit("HOST")))
+    axis = F.xxhash64(F.col("url").cast("string"))
+    w = Window.partitionBy(host).orderBy(axis)
+    plain = urls_df.withColumn(
+        "want", F.floor((F.row_number().over(w) - 1) / k).cast("long")
+    )
+    got = {r["url"]: r["fetch_batch"] for r in out.collect()}
+    want = {r["url"]: r["want"] for r in plain.collect()}
+    assert got == want
+
+
+def test_deterministic_across_input_order(spark, urls_df):
+    a = {
+        r["url"]: r["fetch_batch"]
+        for r in FR.frontier_batches(urls_df).collect()
+    }
+    b = {
+        r["url"]: r["fetch_batch"]
+        for r in FR.frontier_batches(
+            urls_df.orderBy(F.col("url").desc()).repartition(7)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mega_host_spans_buckets(spark):
+    """A single host big enough to hit many hash buckets still ranks
+    exactly (the decomposition's whole point)."""
+    df = spark.range(5000).select(
+        F.concat(
+            F.lit("https://mega.example/p/"), F.col("id").cast("string")
+        ).alias("url")
+    )
+    out = FR.frontier_batches(df, per_host_per_batch=10)
+    sizes = [
+        r["n"]
+        for r in out.groupBy("fetch_batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 500 and all(n == 10 for n in sizes)
+    # the 64-way value split really was exercised
+    n_buckets = df.select(
+        F.shiftright(
+            F.xxhash64(F.col("url").cast("string")), FR._BUCKET_SHIFT
+        ).alias("b")
+    ).distinct().count()
+    assert n_buckets > 30
+
+
+def test_guards(spark, urls_df):
+    with pytest.raises(ValueError, match="fetch_batch"):
+        FR.frontier_batches(
+            urls_df.withColumn("fetch_batch", F.lit(0))
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        FR.frontier_batches(urls_df, per_host_per_batch=0)
+    with pytest.raises(ValueError, match="reserved internal"):
+        FR.frontier_batches(
+            urls_df.withColumnRenamed("url", "_b"), url_col="_b"
+        )
+
+
+def test_staging_clash_guard_full_frame(spark, urls_df):
+    with pytest.raises(ValueError, match="_off"):
+        FR.frontier_batches(urls_df.withColumn("_off", F.lit(1)))
+    # passenger columns that DON'T clash ride through untouched
+    out = FR.frontier_batches(
+        urls_df.withColumn("note", F.lit("x"))
+    )
+    assert out.columns == ["url", "note", "fetch_batch"]
