@@ -7,6 +7,7 @@ operator the engine ships:
 
   URL discovery: sitemap index + urlsets (parse_sitemaps)
   -> canonical dedup keys (canonicalize_url) before any fetch
+  -> polite per-host fetch batches (frontier_batches)
   raw HTTP captures -> WARC shards (write_warc, warcinfo-leading)
   -> shard-parallel tolerant parse (read_warc, record-type pushdown)
   -> HTTP body split incl. chunked/gzip decode + charset-aware text
@@ -40,6 +41,9 @@ from amazon_lookout_for_equipment_python_sdk_spark.operators.text import (
 )
 from amazon_lookout_for_equipment_python_sdk_spark.operators.dedup import (
     dedup_exact,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.operators.frontier import (
+    frontier_batches,
 )
 from amazon_lookout_for_equipment_python_sdk_spark.operators.robots import (
     robots_filter,
@@ -105,10 +109,16 @@ def _discovery_prologue(spark) -> None:
     urls = parse_sitemaps(sm).filter("kind = 'url' and error is null")
     canon = canonicalize_url(urls, url_col="loc")
     n_raw = canon.count()
-    n_canon = canon.select("canonical_url").distinct().count()
+    targets = canon.select("canonical_url").distinct()
+    n_canon = targets.count()
+    batches = frontier_batches(
+        targets, url_col="canonical_url", per_host_per_batch=2
+    )
+    n_batches = batches.agg(F.max("fetch_batch")).collect()[0][0] + 1
     print(
         f"-- discovery: {n_raw} sitemap locs -> "
-        f"{n_canon} canonical fetch targets"
+        f"{n_canon} canonical fetch targets -> "
+        f"{n_batches} polite fetch batches (k=2/host)"
     )
 
 
