@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from amazon_lookout_for_equipment_python_sdk_spark.operators import (  # noqa: E402
+    frontier as FR,
+)
+from amazon_lookout_for_equipment_python_sdk_spark.operators import (  # noqa: E402
     robots as R,
 )
 from amazon_lookout_for_equipment_python_sdk_spark.operators import (  # noqa: E402
@@ -136,6 +139,7 @@ def main() -> None:
         "canonicalize_url": lambda u, sm: U.canonicalize_url(u),
         "robots_filter": lambda u, sm: R.robots_filter(u, robots),
         "parse_sitemaps": lambda u, sm: SM.parse_sitemaps(sm),
+        "frontier_batches": lambda u, sm: FR.frontier_batches(u),
     }
     for name, build in cases.items():
         small = _time(spark, lambda: build(*fixtures[SMALL]))
