@@ -681,26 +681,44 @@ def http_declared_charset(payload: bytes | None) -> str | None:
     return None
 
 
+#: byte-order marks, longest first — per the WHATWG encoding standard
+#: a BOM takes PRECEDENCE over any declared charset (a UTF-8 page
+#: mislabeled latin-1 but carrying its BOM decodes as UTF-8).
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
 def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
     """(text, charset_used) for an HTTP capture or bare payload.
 
-    Decode order — the CCNet/FineWeb convention, declaration-based:
+    Decode order — the WHATWG/CCNet convention, declaration-based:
 
-    1. the DECLARED charset (header, then meta sniff), if Python knows
+    1. a byte-order mark, which OVERRIDES any declaration (WHATWG
+       encoding standard §4.2: BOM first);
+    2. the DECLARED charset (header, then meta sniff), if Python knows
        the codec, with ``errors='replace'``;
-    2. strict UTF-8 (most of the modern web, and a strict pass cannot
+    3. strict UTF-8 (most of the modern web, and a strict pass cannot
        mis-decode by accident);
-    3. ``windows-1252`` with replace — the superset-of-latin-1 codec
+    4. ``windows-1252`` with replace — the superset-of-latin-1 codec
        every byte string decodes under, so the chain total.
 
-    ``charset_used`` records which branch fired (``'utf-8'``,
-    ``'windows-1252'``, or the normalized declared name) — downstream
-    quality filters routinely gate on it."""
+    ``charset_used`` records which branch fired (``'utf-8-sig'``,
+    ``'utf-8'``, ``'windows-1252'``, or the normalized declared name)
+    — downstream quality filters routinely gate on it."""
     if payload is None:
         return None
     body = http_payload_body(payload)
     if body is None:
         return None
+    for bom, codec in _BOMS:
+        if body.startswith(bom):
+            # utf-8-sig strips its BOM itself; the utf-16 codecs with
+            # an explicit endianness do not, so strip it here
+            start = 0 if codec == "utf-8-sig" else len(bom)
+            return body[start:].decode(codec, "replace"), codec
     declared = http_declared_charset(payload)
     if declared:
         try:

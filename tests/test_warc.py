@@ -657,3 +657,24 @@ def test_iter_gzip_stream_corruption_fuzz():
             len(gzip.decompress(m)) for m in members[:n_safe]
         )] if n_safe else b""
         assert got.startswith(safe), (trial, kind, pos, n_safe)
+
+
+def test_decode_http_text_bom_overrides_declaration():
+    """WHATWG encoding standard: a BOM beats any declared charset —
+    a UTF-8 page mislabeled latin-1 but carrying its BOM must decode
+    as UTF-8."""
+    text = "naïve ünïcode ✓"
+    bom_utf8 = b"\xef\xbb\xbf" + text.encode("utf-8")
+    cap = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/plain; charset=latin-1\r\n\r\n" + bom_utf8)
+    got, cs = W.decode_http_text(cap)
+    assert (got, cs) == (text, "utf-8-sig")
+    # utf-16 both endiannesses, undeclared
+    for enc, codec in (("utf-16-le", "utf-16-le"), ("utf-16-be", "utf-16-be")):
+        bom = b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff"
+        cap = b"HTTP/1.1 200 OK\r\n\r\n" + bom + text.encode(enc)
+        got, cs = W.decode_http_text(cap)
+        assert (got, cs) == (text, codec), enc
+    # no BOM: the declared chain is untouched
+    plain = b"HTTP/1.1 200 OK\r\n\r\n" + text.encode("utf-8")
+    assert W.decode_http_text(plain) == (text, "utf-8")
