@@ -117,6 +117,10 @@ def run_one(spark, sf_dir: str, name: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # BEFORE any Spark work: the only sample that reflects co-tenant
+    # load alone (start/end below include bench's own CPU — the r13
+    # third run read start=5.6 purely from its own warmup)
+    load_prelaunch = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
     # warm-up at the smallest SF (JIT/codegen/parquet footer caches)
     for name in BENCH_QUERIES:
@@ -174,6 +178,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "runs": runs,
+        "load_avg_prelaunch": load_prelaunch,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }

@@ -97,4 +97,7 @@ def test_bench_artifact_carries_load_averages():
     only be read after forensically reconstructing a co-tenant
     saturation event (BASELINE r12/r13 addenda)."""
     src = (ROOT / "bench.py").read_text()
+    assert '"load_avg_prelaunch"' in src, (
+        "the pre-launch sample is the only one free of bench's own CPU"
+    )
     assert '"load_avg_start"' in src and '"load_avg_end"' in src
