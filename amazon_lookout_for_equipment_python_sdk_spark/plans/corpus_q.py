@@ -821,8 +821,9 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Composed crawl-chain gates (r12 verdict #1): warc response shards ->
-# record-type pushdown -> HTTP body decode -> URL gates -> per-host rollup
+# Composed crawl-chain gates (r12 verdict #1; discovery folded in r13):
+# sitemap XML -> parse -> canonicalize -> frontier batching -> warc response
+# shards -> record-type pushdown -> HTTP body decode -> URL gates -> rollup
 # ---------------------------------------------------------------------------
 
 _CRAWL_CHAIN_SQL = """
@@ -830,90 +831,162 @@ WITH d AS (
   SELECT doc_id, lang, source, text,
          source || '.' || lang || '.example.com' AS host
   FROM documents
+), totals AS (
+  SELECT host, CAST(ceil(COUNT(*) / 3.0) AS BIGINT) AS n_batches
+  FROM d GROUP BY host
 )
-SELECT host,
+SELECT d.host,
        COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
        CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
-            AS BIGINT) AS sum_h
-FROM d
+            AS BIGINT) AS sum_h,
+       t.n_batches AS n_batches
+FROM d JOIN totals t ON d.host = t.host
 WHERE doc_id % 7 <> 0
   AND doc_id % 5 <> 0
   AND lang <> 'de'
   AND NOT (lang = 'fr' AND source = 'src3')
-GROUP BY host
+GROUP BY d.host, t.n_batches
 """
 
 
 @register("crawl_chain_gates", _CRAWL_CHAIN_SQL)
 def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE crawl front end under one driver hash (r12 verdict #1,
-    the model_evaluation composed-chain pattern): raw-capture WARC
-    shards -> ``read_warc(record_types=['response'])`` (parser-side
-    type pushdown past each shard's warcinfo record) ->
+    """The WHOLE crawl chain — discovery through corpus rollup — under
+    one driver hash (r12 verdict #1, the model_evaluation composed
+    pattern; the r13 discovery operators folded into the same slot):
+
+    per-host sitemap XML -> ``parse_sitemaps`` -> ``canonicalize_url``
+    -> ``frontier_batches`` (per-host batch counts) -> text join ->
+    raw-capture WARC shards -> ``read_warc(record_types=['response'])``
+    (parser-side type pushdown past each shard's warcinfo record) ->
     ``with_http_body`` (blank-line split on the EARLIEST newline
     convention, chunked-transfer decode, gzip AND deflate
     content-encodings) -> ``url_filter`` (scheme allowlist, path-depth
     cap, suffix-semantics domain blocklist via the join probe) ->
-    per-host rollup with count / char-mass / md5-prefix hash sums.
+    per-host rollup with count / char-mass / md5-prefix hash sums +
+    the host's frontier batch count.
 
-    The corpus is dressed as deterministic HTTP captures so the oracle
-    can state the surviving set straight from ``documents``:
+    The oracle states the surviving set straight from ``documents``
+    because every synthetic layer collapses deterministically:
 
-    - scheme: ``ftp`` when ``doc_id % 7 == 0`` (dropped by the
-      allowlist), else ``https``;
-    - path: ``/lang/source/doc_id`` (depth 3), plus ``/x/y/z`` when
-      ``doc_id % 5 == 0`` (depth 6 — dropped by ``max_path_depth=4``);
-    - host: ``source.lang.example.com``; blocklist ``de.example.com``
-      kills every ``de`` host by SUFFIX, ``src3.fr.example.com`` kills
-      exactly one host by full match;
-    - HTTP framing by ``doc_id % 3``: identity + Content-Length /
-      Transfer-Encoding chunked (64-byte chunks) / Content-Encoding
-      gzip — or DEFLATE when ``doc_id % 6 == 5`` (the r13 zlib
-      branch); headers are LF-terminated when ``doc_id % 11 == 0``,
-      so compressed bodies containing ``\\r\\n\\r\\n`` pin the
-      earliest-terminator fix (r12 ADVICE, medium) under the driver
-      hash, not just pytest.
+    - sitemap ``loc``s carry VARIANTS that canonicalization must
+      erase — uppercase scheme (``doc_id % 3``), uppercase host
+      (``% 9``), explicit ``:443`` (``% 4``, https rows), a ``/x/../``
+      dot segment (every row), a ``utm_source`` tracking param
+      (``% 2``) — so the canonical URL equals the plain construction
+      the oracle writes down; a canonicalization defect changes the
+      URL, which changes the parsed host/path/doc_id and flips counts
+      or hashes;
+    - ``frontier_batches(k=3)`` must produce exactly
+      ``ceil(host_total / 3)`` dense batches per host (the per-host
+      cap + density contract) — emitted as ``n_batches``;
+    - scheme ``ftp`` when ``doc_id % 7 == 0`` (dropped by the
+      allowlist); path depth 6 when ``% 5 == 0`` (dropped by
+      ``max_path_depth=4``); blocklist ``de.example.com`` kills every
+      ``de`` host by SUFFIX, ``src3.fr.example.com`` one exact host;
+    - HTTP framing by ``doc_id % 3``: identity / chunked-64 / gzip —
+      or DEFLATE when ``% 6 == 5``; LF-terminated headers when
+      ``% 11 == 0`` pin the earliest-terminator fix under the hash.
 
-    Any defect anywhere in write -> parse -> de-chunk -> decompress ->
-    url-parse -> gate -> rollup flips a count or a hash sum.  Scale:
-    parallelism = #shards both directions; payloads never visit the
-    driver; the blocklist probes as a join (never inlined predicates);
-    the rollup is one map-side-combined hash aggregation.
+    Any defect anywhere in XML build -> parse -> canonicalize ->
+    batch -> write -> parse -> de-chunk -> decompress -> url-parse ->
+    gate -> rollup flips a count or a hash sum.  Scale: the sitemap
+    spec caps one file at 50k URLs, so per-host XML stays task-sized;
+    the text rejoin is one doc_id equi-join; parallelism = #shards
+    both WARC directions; payloads never visit the driver; the
+    blocklist probes as a join; the rollup is one map-side-combined
+    hash aggregation plus a broadcast-sized per-host batch table.
 
-    Registry budget: 141/150 (margin 9 — authorized by r12 verdict #1
-    "Done = green CORRECTNESS row + registry margin >= 9"); composes
-    the r12 url/http operators into ONE slot instead of three."""
+    Registry budget: still ONE slot (141/150, margin 9) — r13's four
+    discovery/politeness operators composed into the existing row
+    instead of spending slots (r12 verdict #7)."""
     import gzip as _gz
     import os
     import zlib as _zlib
 
     from pyspark.sql.functions import pandas_udf
 
-    from ..operators.urls import url_filter
+    from ..operators.frontier import frontier_batches
+    from ..operators.urls import canonicalize_url, url_filter
+    from ..sources.sitemaps import parse_sitemaps
     from ..sources.warc import read_warc, with_http_body, write_warc
     from .streaming_q import _work_dir
 
     docs = load(spark, sf_dir, "documents")
-    scheme = F.when(F.col("doc_id") % 7 == 0, F.lit("ftp")).otherwise(
-        F.lit("https")
+    host = F.concat(
+        F.col("source"), F.lit("."), F.col("lang"), F.lit(".example.com")
     )
-    extra = F.when(F.col("doc_id") % 5 == 0, F.lit("/x/y/z")).otherwise(
+    did = F.col("doc_id")
+    scheme = (
+        F.when(did % 7 == 0, F.lit("ftp://"))
+        .when(did % 3 == 0, F.lit("HTTPS://"))
+        .otherwise(F.lit("https://"))
+    )
+    loc_host = F.when(did % 9 == 0, F.upper(host)).otherwise(host)
+    port = F.when((did % 4 == 0) & (did % 7 != 0), F.lit(":443")).otherwise(
         F.lit("")
     )
-    url = F.concat(
-        scheme,
-        F.lit("://"),
-        F.col("source"),
-        F.lit("."),
-        F.col("lang"),
-        F.lit(".example.com/"),
-        F.col("lang"),
-        F.lit("/"),
-        F.col("source"),
-        F.lit("/"),
-        F.col("doc_id").cast("string"),
-        extra,
+    extra = F.when(did % 5 == 0, F.lit("/x/y/z")).otherwise(F.lit(""))
+    utm = F.when(did % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))
+    loc = F.concat(
+        scheme, loc_host, port,
+        F.lit("/x/../"),
+        F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+        did.cast("string"),
+        extra, utm,
+    )
+    frags = docs.select(
+        host.alias("host"),
+        F.struct(
+            did.alias("i"),
+            F.concat(F.lit("<url><loc>"), loc, F.lit("</loc></url>")).alias(
+                "f"
+            ),
+        ).alias("entry"),
+    )
+    xml = frags.groupBy("host").agg(
+        F.concat(
+            F.lit(
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                'sitemap/0.9">'
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("entry")), lambda e: e["f"]
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    targets = canonicalize_url(
+        parse_sitemaps(xml).filter(
+            (F.col("kind") == "url") & F.col("error").isNull()
+        ),
+        url_col="loc",
+    ).select("canonical_url")
+    # frontier contract surfaced in the hash: dense per-host batches
+    nb = (
+        frontier_batches(
+            targets, url_col="canonical_url", per_host_per_batch=3
+        )
+        .groupBy(
+            F.lower(
+                F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
+            ).alias("_nb_host")
+        )
+        .agg((F.max("fetch_batch") + 1).cast("long").alias("n_batches"))
+    )
+    # the sitemap carries no text — rejoin documents on the doc_id
+    # parsed OUT OF the canonical URL (a canonicalization defect thus
+    # breaks the join key, not just a label)
+    keyed = targets.withColumn(
+        "_did",
+        F.split(F.col("canonical_url"), "/").getItem(5).cast("long"),
+    )
+    captures = keyed.join(
+        docs.select("doc_id", "text"), keyed["_did"] == docs["doc_id"]
     )
 
     @pandas_udf("binary")
@@ -952,14 +1025,14 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(nl.join(head) + nl + nl + body)
         return pd.Series(out)
 
-    captures = docs.select(
-        url.alias("url"),
+    payloads = captures.select(
+        F.col("canonical_url").alias("url"),
         _http_capture(F.col("doc_id"), F.col("text")).alias("http"),
     )
     work = _work_dir("crawl_chain", sf_dir)
     shards = os.path.join(work, "warc")
     write_warc(
-        captures,
+        payloads,
         shards,
         n_shards=8,
         payload_col="http",
@@ -982,7 +1055,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = gated.select(
         "host", F.decode(F.col("body"), "UTF-8").alias("text")
     )
-    return txt.groupBy("host").agg(
+    rollup = txt.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
         F.sum(
@@ -990,4 +1063,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "long"
             )
         ).alias("sum_h"),
+    )
+    return rollup.join(nb, rollup["host"] == nb["_nb_host"]).select(
+        "host", "n_docs", "sum_chars", "sum_h", "n_batches"
     )
