@@ -153,6 +153,12 @@ TRACKING_PARAMS = frozenset(
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 _DEFAULT_PORT = {"http": ":80", "https": ":443"}
 
+#: WHATWG URL pre-processing strips leading/trailing C0 controls and
+#: space (and Python's urlsplit does the same on its NEXT parse) — the
+#: canonical output must be a fixed point of that strip, or one-pass
+#: and re-canonicalized pipelines key the same URL differently.
+_C0_OR_SPACE = "".join(chr(i) for i in range(0x21))
+
 
 def _norm_pct(s: str) -> str:
     """RFC 3986 §6.2.2.1-2: uppercase %XX hex, decode UNRESERVED
@@ -200,6 +206,7 @@ def canonicalize_one(
     strip_tracking: bool = True,
     sort_query: bool = True,
     strip_fragment: bool = True,
+    fold_idn: bool = False,
 ) -> "str | None":
     """Canonical form of one URL (row-local; see
     :func:`canonicalize_url` for the column operator and the policy
@@ -210,32 +217,67 @@ def canonicalize_one(
     try:
         from urllib.parse import urlsplit
 
-        parts = urlsplit(url.strip())
+        # WHATWG pre-processing: strip boundary C0/space, remove
+        # tab/CR/LF everywhere (urlsplit does both on re-parse; doing
+        # it here makes the fixed-point contract explicit)
+        cleaned = url.strip(_C0_OR_SPACE)
+        for ch in "\t\r\n":
+            if ch in cleaned:
+                cleaned = cleaned.replace(ch, "")
+        parts = urlsplit(cleaned)
         if not parts.scheme or not parts.netloc:
             return url
         scheme = parts.scheme.lower()
-        # netloc = [userinfo@]host[:port] — normalize the pieces in
-        # dependency order: split port FIRST, then strip the host's
-        # trailing dot, then drop a default port (the property test
-        # caught 'x.org.:80' needing two passes under the old
-        # whole-netloc rstrip-then-strip-port order)
+        # netloc = [userinfo@]host[:port] — each normalization can
+        # expose work for another (trailing-dot strip can expose
+        # ':80', 'u@H.io:80.'; dropping a default port can expose a
+        # second ':digits' tail, 'h:80:443'), so iterate the three
+        # steps to convergence instead of hand-ordering them (r12
+        # fixed one interleaving, r14 fuzzing found two more)
         info, at, hostport = parts.netloc.lower().rpartition("@")
+        default_port = _DEFAULT_PORT.get(scheme)
         if hostport.startswith("["):  # bracketed IPv6 literal
             end = hostport.find("]")
             host = hostport[: end + 1]
             port = hostport[end + 1 :]
+            if port == default_port:
+                port = ""
         else:
-            maybe_host, colon, maybe_port = hostport.rpartition(":")
-            if colon and maybe_port.isdigit():
-                host, port = maybe_host, ":" + maybe_port
-            else:
-                host, port = hostport, ""
-            host = host.rstrip(".")
-        if port == _DEFAULT_PORT.get(scheme):
-            port = ""
+            host, port = hostport, ""
+            changed = True
+            while changed:
+                changed = False
+                stripped = host.rstrip(".")
+                if stripped != host:
+                    host, changed = stripped, True
+                if not port:
+                    maybe_host, colon, maybe_port = host.rpartition(":")
+                    if colon and maybe_port.isdigit():
+                        host, port = maybe_host, ":" + maybe_port
+                        changed = True
+                if port == default_port:
+                    port, changed = "", True
+        if fold_idn and host and not host.startswith("["):
+            # ASCII-fold a unicode host to its punycode (ACE) form so
+            # http://bücher.example and http://xn--bcher-kva.example
+            # dedup-key together; already-ASCII labels (incl. xn--)
+            # pass through unchanged, so the fold is idempotent.
+            # stdlib idna = IDNA 2003, not full UTS-46 mapping — the
+            # documented seam; hosts it rejects stay case-folded only.
+            try:
+                host = host.encode("idna").decode("ascii").lower()
+            except UnicodeError:
+                pass
         netloc = (info + at if at else "") + host + port
-        path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
-        query = parts.query
+        # RFC 3986 §6.2.2 order: percent-normalize FIRST (§6.2.2.1-2:
+        # %2E -> '.'), THEN remove dot segments (§6.2.2.3) — reversed,
+        # '/%2e%2e/a' decodes to '/../a' AFTER dot removal and a
+        # second pass collapses it further (r13 ADVICE)
+        path = _remove_dot_segments(_norm_pct(parts.path)) or "/"
+        # query too: decode unreserved octets BEFORE sorting so
+        # '%62=1' sorts as 'b=1', not at the '%' codepoint (decoding
+        # never produces '&' or '=', so pair-splitting stays safe)
+        query = _norm_pct(parts.query)
         if query:
             pairs = [
                 p.split("=", 1) if "=" in p else [p, None]
@@ -256,12 +298,25 @@ def canonicalize_one(
             query = "&".join(
                 k if v is None else f"{k}={v}" for k, v in pairs
             )
-            query = _norm_pct(query)
+        # fragment/query removal can EXPOSE boundary whitespace the
+        # next parse would strip ('http://E.com/ #f' -> '.../ ', r13
+        # verdict bug) — whatever component ENDS the URL must not end
+        # in C0/space, cascading when stripping empties it.  Done
+        # per-component (not out.strip()) so a query/fragment that
+        # legitimately ends in '?'/'#' never loses its separator.
+        frag = parts.fragment if not strip_fragment else ""
+        if frag:
+            frag = frag.rstrip(_C0_OR_SPACE)
+        if not frag:
+            if query:
+                query = query.rstrip(_C0_OR_SPACE)
+            if not query:
+                path = path.rstrip(_C0_OR_SPACE) or "/"
         out = f"{scheme}://{netloc}{path}"
         if query:
             out += "?" + query
-        if not strip_fragment and parts.fragment:
-            out += "#" + parts.fragment
+        if frag:
+            out += "#" + frag
         return out
     except ValueError:
         return url
@@ -274,6 +329,7 @@ def canonicalize_url(
     strip_tracking: bool = True,
     sort_query: bool = True,
     strip_fragment: bool = True,
+    fold_idn: bool = False,
 ) -> DataFrame:
     """Add the canonical URL column — the normalizer URL-level dedup
     keys on (the same page hides behind case variants, default ports,
@@ -288,9 +344,11 @@ def canonicalize_url(
     matters; RFC makes no promise), ``strip_fragment`` (fragments are
     client-side).  Unparseable URLs pass through unchanged.
 
-    Row-local Arrow kernel — zero shuffle; IDN/punycode folding is the
-    documented seam (stdlib idna handles the common cases but not
-    UTS-46 mapping, so hosts are only case-folded here)."""
+    Row-local Arrow kernel — zero shuffle.  ``fold_idn`` (default off)
+    additionally ASCII-folds unicode hosts to punycode via the stdlib
+    idna codec so ``bücher.example`` and ``xn--bcher-kva.example`` key
+    together; stdlib idna is IDNA 2003, not full UTS-46 mapping — the
+    documented seam — and hosts it rejects stay case-folded only."""
     if out_col in df.columns:
         raise ValueError(
             f"input column {out_col!r} collides with canonicalize_url "
@@ -302,7 +360,7 @@ def canonicalize_url(
     def _canon(s: pd.Series) -> pd.Series:
         return s.map(
             lambda u: canonicalize_one(
-                u, strip_tracking, sort_query, strip_fragment
+                u, strip_tracking, sort_query, strip_fragment, fold_idn
             )
         )
 

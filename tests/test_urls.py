@@ -167,6 +167,48 @@ def test_canonicalize_one_rfc3986_normalizations():
     assert c(None) is None
 
 
+def test_canonicalize_one_fixed_point_regressions():
+    """The r13 verdict + ADVICE counterexamples, verbatim — each was a
+    one-pass output that a second pass reduced further."""
+    c = U.canonicalize_one
+    # fragment drop exposed trailing whitespace (r13 verdict bug)
+    assert c("http://Example.com/ #frag") == "http://example.com/"
+    assert c(c("http://Example.com/ #frag")) == "http://example.com/"
+    # all-whitespace query must not leave a dangling '?'
+    assert c("http://e.com/? #f") == "http://e.com/"
+    # a query that legitimately ENDS in '?' keeps it
+    assert c("http://e.com/?a=?") == "http://e.com/?a=?"
+    # %2e decodes to '.' BEFORE dot-segment removal (RFC 3986 §6.2.2
+    # order; r13 ADVICE medium)
+    assert c("http://e.com/%2e%2e/a") == "http://e.com/a"
+    assert c("http://e.com/b/%2E/a") == "http://e.com/b/a"
+    # query pairs percent-normalize BEFORE sorting (%62 == 'b')
+    assert c("http://e.com/?a=2&%62=1") == "http://e.com/?a=2&b=1"
+    # internal whitespace is meaningful and stable
+    assert c("http://e.com/a b/c") == "http://e.com/a b/c"
+    # host:port interleavings found by r14 fuzzing: trailing-dot strip
+    # exposing a port, and default-port drop exposing a second port
+    assert c("HTTP://u@H.io:80.#x") == "http://u@h.io/"
+    assert c("https://h:80:443/") == c(c("https://h:80:443/"))
+    assert c("http://h:8080:80/") == c(c("http://h:8080:80/"))
+
+
+def test_canonicalize_one_idn_fold_flag():
+    """fold_idn collapses a unicode host and its punycode twin to one
+    dedup key; default-off leaves hosts case-folded only."""
+    c = U.canonicalize_one
+    uni = "http://Bücher.Example/x"
+    ace = "http://xn--bcher-kva.example/x"
+    assert c(uni, fold_idn=True) == "http://xn--bcher-kva.example/x"
+    assert c(uni, fold_idn=True) == c(ace, fold_idn=True)
+    # idempotent: the folded form re-folds to itself
+    assert c(c(uni, fold_idn=True), fold_idn=True) == c(uni, fold_idn=True)
+    # default off: only case-fold
+    assert c(uni) == "http://bücher.example/x"
+    # a host idna rejects (empty label) stays case-folded, no raise
+    assert c("http://a..b/x", fold_idn=True) == "http://a..b/x"
+
+
 def test_canonicalize_url_column_dedups_variants(spark):
     variants = [
         "https://Example.com/article/42?utm_campaign=x",
@@ -199,7 +241,7 @@ def test_canonicalize_is_idempotent_property():
     from hypothesis import strategies as st
 
     seg = st.text(
-        alphabet="abcZ09.%7E2f-_~$&='() ", min_size=0, max_size=8
+        alphabet="abceZ0619.%7E2f-_~$&='() ", min_size=0, max_size=8
     )
     urls = st.builds(
         lambda scheme, host, port, segs, q, frag: (
@@ -214,16 +256,30 @@ def test_canonicalize_is_idempotent_property():
         ),
         st.sampled_from(["", ":80", ":443", ":8080"]),
         st.lists(
-            st.one_of(seg, st.sampled_from([".", "..", "", "a b"])),
+            st.one_of(
+                seg,
+                st.sampled_from(
+                    [".", "..", "", "a b", "%2e", "%2e%2e", "%2E.", "%61 "]
+                ),
+            ),
             max_size=6,
         ),
         st.one_of(
             st.just(""),
             st.sampled_from(
-                ["b=2&a=1", "utm_source=x&id=1", "a&b=", "%2f=%3D"]
+                [
+                    "b=2&a=1",
+                    "utm_source=x&id=1",
+                    "a&b=",
+                    "%2f=%3D",
+                    "a=2&%62=1",
+                    "%61=%32& ",
+                    " ",
+                    "a=?",
+                ]
             ),
         ),
-        st.sampled_from(["", "frag"]),
+        st.sampled_from(["", "frag", " ", "f "]),
     )
 
     @settings(max_examples=300, deadline=None)
