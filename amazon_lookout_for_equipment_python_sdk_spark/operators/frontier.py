@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._chunkjoin import guard_internal, join_boundary
+from ._chunkjoin import join_boundary
 
 #: value-range split of the signed-64 hash axis: bucket = axis >> shift,
 #: 58 -> 64 buckets spanning the full int64 range in axis order.
@@ -64,15 +64,22 @@ def frontier_batches(
         )
     # the staging columns ride on the FULL frame (withColumn), so the
     # whole input must be clash-free — withColumn would silently
-    # REPLACE a same-named passenger column and .drop would eat it
-    staged = ("_fb_h", "_fb_a", "_fb_r", "_off")
-    clash = sorted(set(df.columns) & set(staged))
+    # REPLACE a same-named passenger column and .drop would eat it.
+    # Guard exactly the names frontier stages (plus join_boundary's
+    # _nsj_ prefix), NOT the full chunked-twin reserved set: a
+    # passenger column named _m or _c is harmless here and rejecting
+    # it is the spurious-rejection class r13 ADVICE flagged.
+    staged = ("_fb_h", "_fb_a", "_fb_r", "_b", "_off")
+    clash = sorted(
+        c
+        for c in df.columns
+        if c in staged or c.startswith("_nsj_")
+    )
     if clash:
         raise ValueError(
             f"input columns {clash} collide with frontier_batches "
             "staging; rename them first"
         )
-    guard_internal(df)
     if per_host_per_batch < 1:
         raise ValueError("per_host_per_batch must be >= 1")
     host = (

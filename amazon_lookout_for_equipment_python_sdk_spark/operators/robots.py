@@ -102,7 +102,15 @@ def _parse_robots(body: str, agent: str) -> "list[tuple[bool, str]]":
         for a in agents:
             if a == "*":
                 score = 0
-            elif agent_lc.startswith(a):
+            elif agent_lc.startswith(a) and (
+                len(agent_lc) == len(a)
+                or not agent_lc[len(a)].isalnum()
+            ):
+                # prefix match only at a product-token boundary (RFC
+                # 9309 product tokens are alnum/-/_): 'googlebot'
+                # matches agent 'googlebot-image' but a group token
+                # 'special' must NOT capture agent 'specialbot-2'
+                # (r13 ADVICE)
                 score = len(a)
             else:
                 continue

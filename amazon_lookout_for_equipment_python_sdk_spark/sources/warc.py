@@ -652,14 +652,23 @@ _CHARSET_RE = re.compile(
 )
 
 
-def http_declared_charset(payload: bytes | None) -> str | None:
+def http_declared_charset(
+    payload: bytes | None, body: bytes | None = None
+) -> str | None:
     """The charset an HTTP capture DECLARES: the ``Content-Type``
     response header's ``charset=`` parameter, else a ``charset=``
     inside the first 1024 body bytes (the HTML-spec meta-sniff
     window).  None when nothing is declared — the caller picks the
     fallback.  Declaration-based by design: statistical detection
     (chardet/cchardet) is a documented swap-in seam, not a stdlib
-    capability."""
+    capability.
+
+    ``body`` is the ALREADY transfer/content-DECODED body to meta-
+    sniff (:func:`http_payload_body` output).  Header scan always
+    runs on the raw payload; without ``body`` the meta window falls
+    back to the raw bytes after the header — which misses a ``<meta
+    charset>`` inside a chunked/gzip/deflate body (r13 ADVICE), so
+    pass it when available (:func:`decode_http_text` does)."""
     if payload is None or not payload.startswith(b"HTTP/"):
         return None
     e_crlf = payload.find(b"\r\n\r\n")
@@ -675,7 +684,8 @@ def http_declared_charset(payload: bytes | None) -> str | None:
             m = _CHARSET_RE.search(line)
             if m:
                 return m.group(1).decode("ascii", "replace").lower()
-    m = _CHARSET_RE.search(payload[idx + sep : idx + sep + 1024])
+    window = body if body is not None else payload[idx + sep :]
+    m = _CHARSET_RE.search(window[:1024])
     if m:
         return m.group(1).decode("ascii", "replace").lower()
     return None
@@ -719,7 +729,7 @@ def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
             # an explicit endianness do not, so strip it here
             start = 0 if codec == "utf-8-sig" else len(bom)
             return body[start:].decode(codec, "replace"), codec
-    declared = http_declared_charset(payload)
+    declared = http_declared_charset(payload, body)
     if declared:
         try:
             return body.decode(declared, "replace"), declared

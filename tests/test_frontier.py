@@ -110,7 +110,7 @@ def test_guards(spark, urls_df):
         )
     with pytest.raises(ValueError, match=">= 1"):
         FR.frontier_batches(urls_df, per_host_per_batch=0)
-    with pytest.raises(ValueError, match="reserved internal"):
+    with pytest.raises(ValueError, match="_b"):
         FR.frontier_batches(
             urls_df.withColumnRenamed("url", "_b"), url_col="_b"
         )
@@ -124,3 +124,13 @@ def test_staging_clash_guard_full_frame(spark, urls_df):
         urls_df.withColumn("note", F.lit("x"))
     )
     assert out.columns == ["url", "note", "fetch_batch"]
+    # chunked-twin reserved names frontier never stages (_m, _c, _n,
+    # _d...) are legal passengers — the full-frame guard_internal was
+    # the spurious-rejection class r13 ADVICE flagged
+    out2 = FR.frontier_batches(
+        urls_df.withColumn("_m", F.lit(1)).withColumn("_c", F.lit(2))
+    )
+    assert out2.columns == ["url", "_m", "_c", "fetch_batch"]
+    # join_boundary's staging prefix is still guarded
+    with pytest.raises(ValueError, match="_nsj_"):
+        FR.frontier_batches(urls_df.withColumn("_nsj_x", F.lit(1)))

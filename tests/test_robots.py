@@ -62,6 +62,36 @@ def test_parse_rules_and_group_selection():
     assert R._parse_robots("\x00garbage %% lines\n", "x") == []
 
 
+def test_agent_match_respects_token_boundaries():
+    """Group-token prefix matching only at product-token boundaries
+    (r13 ADVICE): 'specialbot' must NOT capture 'specialbot2000' via
+    plain startswith, while the Googlebot convention —
+    'googlebot-image' matching a 'googlebot' group — still works."""
+    # alnum continuation after the group token: NOT a match -> falls
+    # to the * group
+    assert R._parse_robots(ROBOTS_B, "specialbot2000") == [
+        (False, "/blocked-for-everyone/")
+    ]
+    # '-' and '/' are token boundaries: both match the specific group
+    assert R._parse_robots(ROBOTS_B, "specialbot-2") == [(False, "/")]
+    assert R._parse_robots(ROBOTS_B, "SpecialBot/1.0") == [(False, "/")]
+    googley = (
+        "User-agent: googlebot\nDisallow: /gb/\n\n"
+        "User-agent: *\nDisallow: /all/\n"
+    )
+    assert R._parse_robots(googley, "Googlebot-Image") == [
+        (False, "/gb/")
+    ]
+    # longest boundary-valid token still wins among candidates
+    nested = (
+        "User-agent: google\nDisallow: /short/\n\n"
+        "User-agent: googlebot\nDisallow: /long/\n"
+    )
+    assert R._parse_robots(nested, "googlebot-news") == [
+        (False, "/long/")
+    ]
+
+
 def test_pattern_translation():
     assert R._pattern_to_regex("/a/b") == "^/a/b"
     assert R._pattern_to_regex("/*.pdf$") == r"^/.*\.pdf$"

@@ -577,6 +577,35 @@ def test_http_declared_charset_header_and_meta():
     assert W.http_declared_charset(None) is None
 
 
+def test_meta_charset_sniffed_through_compressed_body():
+    """A gzip (or chunked) HTML capture declaring its charset ONLY via
+    <meta> must still decode under it: the meta window sniffs the
+    DECODED body, not the raw compressed bytes (r13 ADVICE)."""
+    import gzip as _gz
+
+    zh = "中文页面"
+    html = b'<html><head><meta charset="gbk"></head>' + zh.encode("gbk")
+    cap_gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + _gz.compress(html)
+    )
+    text, cs = W.decode_http_text(cap_gz)
+    assert cs == "gbk" and zh in text
+    # chunked transfer splitting the meta tag across chunks
+    part1, part2 = html[:20], html[20:]
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + hex(len(part1))[2:].encode() + b"\r\n" + part1 + b"\r\n"
+        + hex(len(part2))[2:].encode() + b"\r\n" + part2 + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    text, cs = W.decode_http_text(chunked)
+    assert cs == "gbk" and zh in text
+    # raw-payload fallback window still works when no body is passed
+    assert W.http_declared_charset(cap_gz) is None  # compressed: missed
+    assert W.http_declared_charset(cap_gz, html) == "gbk"
+
+
 def test_decode_http_text_charset_chain(spark):
     """Declared charset wins; strict UTF-8 second; windows-1252 total
     fallback; bogus declared codec names fall through."""
