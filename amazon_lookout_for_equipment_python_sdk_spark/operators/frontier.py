@@ -41,12 +41,22 @@ def frontier_batches(
     host_col: "str | None" = None,
     per_host_per_batch: int = 1,
     out_col: str = "fetch_batch",
+    per_host_k: "DataFrame | None" = None,
 ) -> DataFrame:
     """Add ``fetch_batch`` (0-based): at most ``per_host_per_batch``
     of any host's rows share a batch, and batches are dense per host
     (0, 1, 2, ...).  ``host_col=None`` derives the host from the URL
     (NULL hosts — unparseable URLs — schedule as one pseudo-host;
     gate them earlier with ``url_filter`` if that is not wanted).
+
+    ``per_host_k`` optionally OVERRIDES the global cap per host: a
+    two-column DataFrame ``(host, k)`` — e.g. derived from
+    ``robots_delays`` via ``k = floor(batch_period / crawl_delay_s)``
+    — joined broadcast on the host; hosts absent from the table use
+    ``per_host_per_batch``, and k values below 1 clamp to 1 (a host
+    can never be denied entirely here; that is ``robots_filter``'s
+    job).  Real polite crawlers need per-host rates: one global cap
+    either starves fast hosts or hammers slow ones (r13 verdict #5).
 
     Assignment is deterministic for a given row multiset: the per-host
     order is the ``xxhash64`` of the URL string (ties between byte-
@@ -69,7 +79,7 @@ def frontier_batches(
     # _nsj_ prefix), NOT the full chunked-twin reserved set: a
     # passenger column named _m or _c is harmless here and rejecting
     # it is the spurious-rejection class r13 ADVICE flagged.
-    staged = ("_fb_h", "_fb_a", "_fb_r", "_b", "_off")
+    staged = ("_fb_h", "_fb_a", "_fb_r", "_fb_k", "_b", "_off")
     clash = sorted(
         c
         for c in df.columns
@@ -108,7 +118,21 @@ def frontier_batches(
     )
     joined = join_boundary(local, offsets, ["_fb_h"], ["_b"])
     rank = F.col("_off") + F.col("_fb_r") - F.lit(1)
+    k = F.lit(int(per_host_per_batch))
+    if per_host_k is not None:
+        hc, kc = per_host_k.columns[:2]
+        rates = per_host_k.select(
+            F.lower(F.col(hc).cast("string")).alias("_nsj__fb_h"),
+            F.greatest(F.col(kc).cast("long"), F.lit(1)).alias("_fb_k"),
+        )
+        # broadcast |hosts| rows; null-safe so a NULL pseudo-host can
+        # carry a rate too; absent hosts fall back to the global cap
+        joined = joined.join(
+            F.broadcast(rates),
+            F.col("_fb_h").eqNullSafe(F.col("_nsj__fb_h")),
+            "left",
+        ).drop("_nsj__fb_h")
+        k = F.coalesce(F.col("_fb_k"), k)
     return joined.withColumn(
-        out_col,
-        F.floor(rank / F.lit(int(per_host_per_batch))).cast("long"),
-    ).drop("_fb_h", "_fb_a", "_fb_r", "_b", "_off")
+        out_col, F.floor(rank / k).cast("long")
+    ).drop("_fb_h", "_fb_a", "_fb_r", "_fb_k", "_b", "_off")

@@ -60,21 +60,30 @@ def _pattern_to_regex(pattern: str) -> str:
     return rx + "$" if anchored_end else rx
 
 
-def _parse_robots(body: str, agent: str) -> "list[tuple[bool, str]]":
-    """(allow, pattern) rules of the group that best matches ``agent``.
-
-    Group selection per RFC 9309 §2.2.1: the group whose user-agent
-    product token is the LONGEST case-insensitive prefix-token match of
-    ``agent``; ``*`` matches any agent and loses to any specific match.
-    Consecutive ``User-agent`` lines share one group.  Unknown fields
-    and comments are ignored; an empty-path rule matches nothing
-    (skipped).  Malformed input degrades to "no rules" — allow-all,
-    the RFC default for an unreachable/unparseable robots.txt."""
-    agent_lc = agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+def _parse_groups(
+    body: str,
+) -> "list[tuple[list[str], list[tuple[bool, str]], float | None]]":
+    """All robots.txt groups: (agent tokens, (allow, pattern) rules,
+    politeness delay in seconds).  Consecutive ``User-agent`` lines
+    share one group.  The delay is the most conservative of
+    ``Crawl-delay`` (de-facto extension, seconds) and ``Request-rate:
+    n/m`` (m seconds per n requests); None when neither parses.
+    Unknown fields and comments are ignored; an empty-path rule
+    matches nothing (skipped).  Malformed input degrades to "no
+    groups" — allow-all, the RFC default for an unreachable /
+    unparseable robots.txt."""
+    groups: list = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delay: "float | None" = None
     in_agent_run = False
+
+    def flush() -> None:
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -84,39 +93,82 @@ def _parse_robots(body: str, agent: str) -> "list[tuple[bool, str]]":
         value = value.strip()
         if field == "user-agent":
             if not in_agent_run:
-                if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                flush()
                 in_agent_run = True
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_agent_run = False
             if cur_agents and value:
                 cur_rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_agent_run = False
+            if cur_agents:
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    cur_delay = max(cur_delay or 0.0, d)
+        elif field == "request-rate":
+            in_agent_run = False
+            if cur_agents and "/" in value:
+                n_s, _, m_s = value.partition("/")
+                # trailing unit/time-window qualifiers are dropped:
+                # '1/5' and '1/5s' both mean one request per 5 s
+                m_s = m_s.split()[0].rstrip("s") if m_s.strip() else ""
+                try:
+                    n, m = float(n_s), float(m_s)
+                except ValueError:
+                    continue
+                if n > 0 and m > 0:
+                    cur_delay = max(cur_delay or 0.0, m / n)
         else:
-            in_agent_run = False  # crawl-delay/sitemap end an agent run
-    if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    best_len, best_rules = -1, []
-    for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                score = 0
-            elif agent_lc.startswith(a) and (
-                len(agent_lc) == len(a)
-                or not agent_lc[len(a)].isalnum()
-            ):
-                # prefix match only at a product-token boundary (RFC
-                # 9309 product tokens are alnum/-/_): 'googlebot'
-                # matches agent 'googlebot-image' but a group token
-                # 'special' must NOT capture agent 'specialbot-2'
-                # (r13 ADVICE)
-                score = len(a)
-            else:
-                continue
-            if score > best_len:
-                best_len, best_rules = score, rules
-    return best_rules
+            in_agent_run = False  # sitemap etc. end an agent run
+    flush()
+    return groups
+
+
+def _agent_score(agent_lc: str, token: str) -> "int | None":
+    """Specificity of a group token for ``agent_lc``: 0 for ``*``,
+    token length for a prefix match at a product-token boundary (RFC
+    9309 product tokens are alnum/-/_): 'googlebot' matches agent
+    'googlebot-image' but a group token 'special' must NOT capture
+    agent 'specialbot-2' (r13 ADVICE).  None = no match."""
+    if token == "*":
+        return 0
+    if agent_lc.startswith(token) and (
+        len(agent_lc) == len(token)
+        or not agent_lc[len(token)].isalnum()
+    ):
+        return len(token)
+    return None
+
+
+def _best_group(groups: list, agent: str) -> "tuple | None":
+    agent_lc = agent.lower()
+    best_len, best = -1, None
+    for g in groups:
+        for a in g[0]:
+            score = _agent_score(agent_lc, a)
+            if score is not None and score > best_len:
+                best_len, best = score, g
+    return best
+
+
+def _parse_robots(body: str, agent: str) -> "list[tuple[bool, str]]":
+    """(allow, pattern) rules of the group that best matches ``agent``
+    — group selection per RFC 9309 §2.2.1: longest boundary-valid
+    token match; ``*`` loses to any specific match."""
+    best = _best_group(_parse_groups(body), agent)
+    return best[1] if best else []
+
+
+def _parse_delay(body: str, agent: str) -> "float | None":
+    """Politeness delay (seconds) of the best-matching group — the
+    conservative merge of ``Crawl-delay`` and ``Request-rate``; None
+    when the group declares neither."""
+    best = _best_group(_parse_groups(body), agent)
+    return best[2] if best else None
 
 
 def robots_rules(
@@ -157,6 +209,53 @@ def robots_rules(
                 yield pd.DataFrame(rows)
 
     return src.mapInPandas(explode, schema=RULE_SCHEMA)
+
+
+DELAY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("crawl_delay_s", T.DoubleType(), False),
+    ]
+)
+
+
+def robots_delays(
+    robots_df: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host politeness delay table ``(host, crawl_delay_s)`` for
+    ``agent`` — ``Crawl-delay`` (de-facto extension) merged with
+    ``Request-rate: n/m`` (m/n seconds), most conservative wins.
+    Hosts whose matching group declares neither are ABSENT (the
+    caller's default applies — :func:`frontier_batches` takes this
+    table as ``per_host_k`` input after a delay->k mapping).  Parse
+    once per host, corpus-size independent — same contract as
+    :func:`robots_rules`."""
+    src = robots_df.select(
+        F.col(host_col).cast("string").alias("host"),
+        F.col(body_col).alias("_body"),
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            hosts, delays = [], []
+            for host, body in zip(pdf["host"], pdf["_body"]):
+                if host is None or body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                d = _parse_delay(body, agent)
+                if d is not None:
+                    hosts.append(host.lower())
+                    delays.append(float(d))
+            if hosts:
+                yield pd.DataFrame(
+                    {"host": hosts, "crawl_delay_s": delays}
+                )
+
+    return src.mapInPandas(explode, schema=DELAY_SCHEMA)
 
 
 def robots_filter(

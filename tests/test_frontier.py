@@ -103,6 +103,49 @@ def test_mega_host_spans_buckets(spark):
     assert n_buckets > 30
 
 
+def test_per_host_k_overrides_global(spark, urls_df):
+    """A (host, k) rate table — e.g. robots_delays mapped through
+    k = floor(period / delay) — overrides the global cap per host:
+    different rates produce different batch densities, absent hosts
+    fall back to the global cap, k < 1 clamps to 1 (r13 verdict #5)."""
+    rates = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.com", "c.com"], "k": [4, 0]})
+    )
+    out = (
+        FR.frontier_batches(
+            urls_df, per_host_per_batch=2, per_host_k=rates
+        )
+        .withColumn(
+            "host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+        )
+        .collect()
+    )
+    per_host: dict = {}
+    for r in out:
+        per_host.setdefault(r["host"], []).append(r["fetch_batch"])
+    # a.com: 13 urls at k=4 -> 4 batches, dense, cap respected
+    a = sorted(per_host["a.com"])
+    assert max(a) == 3 and set(a) == {0, 1, 2, 3}
+    assert max(a.count(b) for b in set(a)) <= 4
+    # c.com: k=0 clamps to 1 -> 7 singleton batches
+    assert sorted(per_host["c.com"]) == list(range(7))
+    # b.com absent from the table -> global k=2 -> single batch
+    assert per_host["b.com"] == [0]
+    # uniform table == global scalar, row for row
+    uniform = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.com", "b.com", "c.com"], "k": [2, 2, 2]})
+    )
+    lhs = FR.frontier_batches(
+        urls_df, per_host_per_batch=2, per_host_k=uniform
+    )
+    rhs = FR.frontier_batches(urls_df, per_host_per_batch=2)
+    assert sorted(map(tuple, lhs.collect())) == sorted(
+        map(tuple, rhs.collect())
+    )
+    # output schema unchanged: staging (incl. _fb_k) dropped
+    assert lhs.columns == ["url", "fetch_batch"]
+
+
 def test_guards(spark, urls_df):
     with pytest.raises(ValueError, match="fetch_batch"):
         FR.frontier_batches(

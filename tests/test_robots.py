@@ -92,6 +92,40 @@ def test_agent_match_respects_token_boundaries():
     ]
 
 
+def test_parse_delay_and_robots_delays(spark):
+    """Crawl-delay / Request-rate parsing: per-group, conservative
+    merge, de-facto units, absent when undeclared (r13 verdict #5)."""
+    body = (
+        "User-agent: slowbot\nCrawl-delay: 10\nDisallow: /x\n\n"
+        "User-agent: ratebot\nRequest-rate: 1/5\n\n"
+        "User-agent: both\nCrawl-delay: 2\nRequest-rate: 2/12\n\n"
+        "User-agent: *\nDisallow: /y\n"
+    )
+    assert R._parse_delay(body, "slowbot") == 10.0
+    assert R._parse_delay(body, "ratebot") == 5.0  # 5s per 1 req
+    assert R._parse_delay(body, "both") == 6.0  # max(2, 12/2)
+    assert R._parse_delay(body, "anyone-else") is None  # * group: none
+    # malformed values degrade to no delay, never raise
+    junk = "User-agent: *\nCrawl-delay: fast\nRequest-rate: lots\n"
+    assert R._parse_delay(junk, "x") is None
+    # rules parsing is unaffected by delay lines in the group
+    assert R._parse_robots(body, "slowbot") == [(False, "/x")]
+    tbl = R.robots_delays(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "host": ["s.example", "n.example"],
+                    "robots_txt": [body, "User-agent: *\nDisallow: /z\n"],
+                }
+            )
+        ),
+        agent="ratebot",
+    )
+    rows = {r["host"]: r["crawl_delay_s"] for r in tbl.collect()}
+    # n.example declares no delay -> ABSENT, not 0
+    assert rows == {"s.example": 5.0}
+
+
 def test_pattern_translation():
     assert R._pattern_to_regex("/a/b") == "^/a/b"
     assert R._pattern_to_regex("/*.pdf$") == r"^/.*\.pdf$"
