@@ -826,27 +826,68 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards -> record-type pushdown -> HTTP body decode -> URL gates -> rollup
 # ---------------------------------------------------------------------------
 
-_CRAWL_CHAIN_SQL = """
+#: boilerplate-proof article pad for the html leg: >= 120 chars makes
+#: the paragraph segment GOOD via the length rule alone (extract_
+#: segments: len >= 120 overrides stop-density), so extraction equals
+#: pad + ' ' + text deterministically for every corpus document.
+_HTML_PAD = (
+    "the quick analysis of the data in this article is presented with "
+    "all of the context that a careful reader would expect to find on "
+    "a real page"
+)
+
+_CRAWL_CHAIN_SQL = f"""
 WITH d AS (
   SELECT doc_id, lang, source, text,
-         source || '.' || lang || '.example.com' AS host
+         source || '.' || lang || '.example.com' AS host,
+         CAST(substr(source, 4) AS INT) AS src_idx
   FROM documents
+), r AS (
+  -- robots.txt gate (agent enginebot-2.0): src1/src2 hosts disallow
+  -- /*2$ and /fr/, with the longer Allow /*42$ winning ties upward
+  SELECT * FROM d
+  WHERE NOT (source IN ('src1', 'src2')
+             AND doc_id % 100 <> 42
+             AND (doc_id % 10 = 2 OR lang = 'fr'))
 ), totals AS (
-  SELECT host, CAST(ceil(COUNT(*) / 3.0) AS BIGINT) AS n_batches
-  FROM d GROUP BY host
+  -- frontier: Crawl-delay 2 on odd-index sources -> k = 12/2 = 6,
+  -- others use the global k = 3; batches are dense per host
+  SELECT host,
+         CAST(ceil(COUNT(*) /
+              (CASE WHEN src_idx % 2 = 1 THEN 6.0 ELSE 3.0 END))
+           AS BIGINT) AS n_batches
+  FROM r GROUP BY host, src_idx
+), f AS (
+  SELECT host,
+         CASE WHEN doc_id % 13 = 3 THEN text || ' café'
+              WHEN doc_id % 13 = 7
+                THEN '<meta charset="gbk">' || text || ' 中文'
+              WHEN doc_id % 13 = 11 THEN '{_HTML_PAD} ' || text
+              ELSE text END AS text2,
+         CASE WHEN doc_id % 13 = 3 THEN 'latin-1'
+              WHEN doc_id % 13 = 7 THEN 'gbk'
+              ELSE 'utf-8' END AS cs,
+         CASE WHEN doc_id % 13 = 11 THEN 1 ELSE 0 END AS ih
+  FROM r
+  WHERE doc_id % 7 <> 0
+    AND doc_id % 5 <> 0
+    AND lang <> 'de'
+    AND NOT (lang = 'fr' AND source = 'src3')
 )
-SELECT d.host,
+SELECT f.host,
        COUNT(*) AS n_docs,
-       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
-       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+       CAST(SUM(length(text2)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(concat('0x', substr(md5(text2), 1, 8)) AS BIGINT))
             AS BIGINT) AS sum_h,
+       CAST(SUM(CASE WHEN cs = 'latin-1' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_latin1,
+       CAST(SUM(CASE WHEN cs = 'gbk' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gbk,
+       CAST(SUM(ih) AS BIGINT) AS n_html,
+       CAST(4 * SUM(ih) AS BIGINT) AS sum_segments,
        t.n_batches AS n_batches
-FROM d JOIN totals t ON d.host = t.host
-WHERE doc_id % 7 <> 0
-  AND doc_id % 5 <> 0
-  AND lang <> 'de'
-  AND NOT (lang = 'fr' AND source = 'src3')
-GROUP BY d.host, t.n_batches
+FROM f JOIN totals t ON f.host = t.host
+GROUP BY f.host, t.n_batches
 """
 
 
@@ -857,15 +898,21 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern; the r13 discovery operators folded into the same slot):
 
     per-host sitemap XML -> ``parse_sitemaps`` -> ``canonicalize_url``
-    -> ``frontier_batches`` (per-host batch counts) -> text join ->
-    raw-capture WARC shards -> ``read_warc(record_types=['response'])``
-    (parser-side type pushdown past each shard's warcinfo record) ->
-    ``with_http_body`` (blank-line split on the EARLIEST newline
-    convention, chunked-transfer decode, gzip AND deflate
-    content-encodings) -> ``url_filter`` (scheme allowlist, path-depth
-    cap, suffix-semantics domain blocklist via the join probe) ->
-    per-host rollup with count / char-mass / md5-prefix hash sums +
-    the host's frontier batch count.
+    -> ``robots_filter`` (RFC 9309 gate, r13 verdict #2) ->
+    ``robots_delays`` -> ``frontier_batches`` with PER-HOST rates
+    (r13 verdict #5) -> text join -> raw-capture WARC shards ->
+    ``read_warc(record_types=['response'])`` (parser-side type
+    pushdown past each shard's warcinfo record) -> ``url_filter``
+    (scheme allowlist, path-depth cap, suffix-semantics domain
+    blocklist via the join probe) -> ``with_http_text`` (blank-line
+    split on the EARLIEST newline convention, chunked-transfer
+    decode, gzip AND deflate content-encodings, the full charset
+    ladder: header-declared, meta-sniffed-on-DECODED-body, utf-8,
+    windows-1252 — r13 verdict #3) -> ``html_extract_text`` on the
+    html residue class (boilerplate segmentation, r13 verdict #4) ->
+    per-host rollup with count / char-mass / md5-prefix hash sums,
+    per-charset counts, html segment counts + the host's frontier
+    batch count.
 
     The oracle states the surviving set straight from ``documents``
     because every synthetic layer collapses deterministically:
@@ -878,29 +925,49 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle writes down; a canonicalization defect changes the
       URL, which changes the parsed host/path/doc_id and flips counts
       or hashes;
-    - ``frontier_batches(k=3)`` must produce exactly
-      ``ceil(host_total / 3)`` dense batches per host (the per-host
-      cap + density contract) — emitted as ``n_batches``;
+    - robots.txt (agent ``enginebot-2.0`` — the ``-`` boundary pins
+      the r13 token-boundary fix; every host's ``*`` group is
+      ``Disallow: /``, so a group-selection defect nukes the corpus):
+      ``src1``/``src2`` hosts carry ``Disallow: /*2$`` ($-anchored),
+      ``Allow: /*42$`` (longest-match override), ``Disallow: /fr/``
+      (prefix) — denied set = ids ending 2 or fr rows, except ids
+      ending 42;
+    - ``Crawl-delay: 2`` on odd-index sources feeds
+      ``robots_delays`` -> ``k = floor(12/delay) = 6`` through
+      ``frontier_batches(per_host_k=...)``; even-index hosts use the
+      global ``k=3`` — ``n_batches = ceil(survivors/k)`` per host
+      (dense-batch contract), so a rate-table defect flips counts;
     - scheme ``ftp`` when ``doc_id % 7 == 0`` (dropped by the
       allowlist); path depth 6 when ``% 5 == 0`` (dropped by
       ``max_path_depth=4``); blocklist ``de.example.com`` kills every
       ``de`` host by SUFFIX, ``src3.fr.example.com`` one exact host;
     - HTTP framing by ``doc_id % 3``: identity / chunked-64 / gzip —
       or DEFLATE when ``% 6 == 5``; LF-terminated headers when
-      ``% 11 == 0`` pin the earliest-terminator fix under the hash.
+      ``% 11 == 0`` pin the earliest-terminator fix under the hash;
+    - charset classes by ``doc_id % 13``: 3 -> latin-1 bytes declared
+      in the Content-Type HEADER; 7 -> gbk bytes declared ONLY by an
+      in-body ``<meta charset>`` (composes with the compressed
+      framings -> the decoded-body meta-sniff fix is under the hash);
+      11 -> an HTML page (title/nav/footer boilerplate around a
+      padded article paragraph) that ``html_extract_text`` must
+      reduce to exactly ``pad + ' ' + text`` with 4 segments / 1 good
+      — ``sum_segments = 4 * n_html`` pins segmentation drift.
 
     Any defect anywhere in XML build -> parse -> canonicalize ->
-    batch -> write -> parse -> de-chunk -> decompress -> url-parse ->
-    gate -> rollup flips a count or a hash sum.  Scale: the sitemap
-    spec caps one file at 50k URLs, so per-host XML stays task-sized;
+    robots gate -> rate join -> batch -> write -> parse -> de-chunk
+    -> decompress -> url-parse -> gate -> charset decode -> extract
+    -> rollup flips a count or a hash sum.  Scale: the sitemap spec
+    caps one file at 50k URLs, so per-host XML stays task-sized; the
+    robots rule/rate tables are a few rows per host (broadcast);
     the text rejoin is one doc_id equi-join; parallelism = #shards
     both WARC directions; payloads never visit the driver; the
-    blocklist probes as a join; the rollup is one map-side-combined
-    hash aggregation plus a broadcast-sized per-host batch table.
+    blocklist probes as a join; the html leg re-joins a 1/13 sliver
+    on its unique doc_id; the rollup is one map-side-combined hash
+    aggregation plus a broadcast-sized per-host batch table.
 
-    Registry budget: still ONE slot (141/150, margin 9) — r13's four
-    discovery/politeness operators composed into the existing row
-    instead of spending slots (r12 verdict #7)."""
+    Registry budget: still ONE slot (141/150, margin 9) — the r14
+    politeness/charset/html operators composed into the existing row
+    instead of spending slots (r12 verdict #7 pattern)."""
     import gzip as _gz
     import os
     import zlib as _zlib
@@ -908,9 +975,11 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     from ..operators.frontier import frontier_batches
+    from ..operators.html import html_extract_text
+    from ..operators.robots import robots_delays, robots_filter
     from ..operators.urls import canonicalize_url, url_filter
     from ..sources.sitemaps import parse_sitemaps
-    from ..sources.warc import read_warc, with_http_body, write_warc
+    from ..sources.warc import read_warc, with_http_text, write_warc
     from .streaming_q import _work_dir
 
     docs = load(spark, sf_dir, "documents")
@@ -966,10 +1035,52 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         url_col="loc",
     ).select("canonical_url")
+    # per-host robots.txt bodies (tiny table: one row per host).  The
+    # '*' group denies EVERYTHING, so agent-group selection and the
+    # token-boundary match ('enginebot-2.0' vs token 'enginebot') are
+    # load-bearing; src1/src2 carry the $-anchored / longest-match /
+    # prefix rule interplay; odd-index sources declare Crawl-delay 2.
+    src_idx = F.substring("source", 4, 8).cast("int")
+    is_ruled = F.col("source").isin("src1", "src2")
+    robots = docs.select("source", "lang").distinct().select(
+        F.concat(
+            F.col("source"), F.lit("."), F.col("lang"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("User-agent: enginebot\n"),
+            F.when(
+                is_ruled,
+                F.lit(
+                    "Disallow: /*2$\nAllow: /*42$\nDisallow: /fr/\n"
+                ),
+            ).otherwise(F.lit("Allow: /\n")),
+            F.when(
+                src_idx % 2 == 1, F.lit("Crawl-delay: 2\n")
+            ).otherwise(F.lit("")),
+            F.lit("\nUser-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    # politeness gate BEFORE scheduling/fetch (a polite crawler never
+    # schedules a denied URL); denied rows vanish from n_batches too
+    allowed = robots_filter(
+        targets, robots, url_col="canonical_url", agent="enginebot-2.0"
+    )
+    # Crawl-delay -> per-host batch cap: batch period 12s / delay 2s
+    # = 6 requests per batch; hosts without a delay use the global 3
+    k_tbl = robots_delays(robots, agent="enginebot-2.0").select(
+        "host",
+        F.floor(F.lit(12.0) / F.col("crawl_delay_s")).cast("int").alias(
+            "k"
+        ),
+    )
     # frontier contract surfaced in the hash: dense per-host batches
     nb = (
         frontier_batches(
-            targets, url_col="canonical_url", per_host_per_batch=3
+            allowed,
+            url_col="canonical_url",
+            per_host_per_batch=3,
+            per_host_k=k_tbl,
         )
         .groupBy(
             F.lower(
@@ -981,7 +1092,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sitemap carries no text — rejoin documents on the doc_id
     # parsed OUT OF the canonical URL (a canonicalization defect thus
     # breaks the join key, not just a label)
-    keyed = targets.withColumn(
+    keyed = allowed.withColumn(
         "_did",
         F.split(F.col("canonical_url"), "/").getItem(5).cast("long"),
     )
@@ -989,17 +1100,40 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), keyed["_did"] == docs["doc_id"]
     )
 
+    pad = _HTML_PAD
+
     @pandas_udf("binary")
     def _http_capture(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         out = []
         for i, t in zip(doc_id, text):
             i = int(i)
-            body = (t or "").encode("utf-8")
+            t = t or ""
+            # charset/html residue classes (doc_id % 13) — see the
+            # docstring; encode BEFORE the transfer framing so the
+            # chunked/gzip/deflate legs compose with legacy charsets
+            if i % 13 == 3:
+                ctype = b"Content-Type: text/plain; charset=latin-1"
+                body = (t + " café").encode("latin-1")
+            elif i % 13 == 7:
+                ctype = b"Content-Type: text/html"
+                body = (
+                    '<meta charset="gbk">' + t + " 中文"
+                ).encode("gbk")
+            elif i % 13 == 11:
+                ctype = b"Content-Type: text/html; charset=utf-8"
+                body = (
+                    "<html><head><title>Doc</title>"
+                    "<style>.x{c:1}</style></head><body>"
+                    '<nav><a href="/">home</a> <a href="/a">fr</a></nav>'
+                    "<p>" + pad + " " + t + "</p>"
+                    '<footer><a href="/c">contact</a></footer>'
+                    "</body></html>"
+                ).encode("utf-8")
+            else:
+                ctype = b"Content-Type: text/plain; charset=utf-8"
+                body = t.encode("utf-8")
             nl = b"\n" if i % 11 == 0 else b"\r\n"
-            head = [
-                b"HTTP/1.1 200 OK",
-                b"Content-Type: text/plain; charset=utf-8",
-            ]
+            head = [b"HTTP/1.1 200 OK", ctype]
             if i % 3 == 1:
                 head.append(b"Transfer-Encoding: chunked")
                 body = (
@@ -1042,19 +1176,46 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_warc(spark, shards, record_types=["response"]).filter(
         F.col("error").isNull()
     )
-    decoded = with_http_body(back)
     block = spark.createDataFrame(
         [("de.example.com",), ("src3.fr.example.com",)], "domain string"
     )
+    # gate FIRST (cheap, target_uri only), decode the survivors
     gated = url_filter(
-        decoded,
+        back,
         url_col="target_uri",
         blocked_domains=block,
         max_path_depth=4,
     )
-    txt = gated.select(
-        "host", F.decode(F.col("body"), "UTF-8").alias("text")
+    texted = with_http_text(gated).withColumn(
+        "_did",
+        F.split(F.col("target_uri"), "/").getItem(5).cast("long"),
     )
+    is_html = F.col("_did") % 13 == 11
+    plain = texted.filter(~is_html).select(
+        "host",
+        "charset",
+        "text",
+        F.lit(0).alias("n_seg"),
+        F.lit(0).alias("is_html"),
+    )
+    hrows = texted.filter(is_html).select("host", "charset", "_did", "text")
+    extracted = html_extract_text(
+        hrows.select(F.col("_did"), F.col("text").alias("html")),
+        html_col="html",
+        id_col="_did",
+    )
+    html_part = (
+        hrows.select("host", "charset", F.col("_did").alias("doc_id"))
+        .join(extracted, "doc_id")
+        .select(
+            "host",
+            "charset",
+            "text",
+            F.col("n_segments").alias("n_seg"),
+            F.lit(1).alias("is_html"),
+        )
+    )
+    txt = plain.unionByName(html_part)
     rollup = txt.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
@@ -1063,7 +1224,21 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "long"
             )
         ).alias("sum_h"),
+        F.sum((F.col("charset") == "latin-1").cast("long")).alias(
+            "n_latin1"
+        ),
+        F.sum((F.col("charset") == "gbk").cast("long")).alias("n_gbk"),
+        F.sum(F.col("is_html").cast("long")).alias("n_html"),
+        F.sum(F.col("n_seg").cast("long")).alias("sum_segments"),
     )
     return rollup.join(nb, rollup["host"] == nb["_nb_host"]).select(
-        "host", "n_docs", "sum_chars", "sum_h", "n_batches"
+        "host",
+        "n_docs",
+        "sum_chars",
+        "sum_h",
+        "n_latin1",
+        "n_gbk",
+        "n_html",
+        "sum_segments",
+        "n_batches",
     )

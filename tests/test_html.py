@@ -79,3 +79,31 @@ def test_extracted_text_feeds_corpus_layer(spark):
     texts = h.html_extract_text(df).filter("text is not null")
     kept = quality_filter(texts).collect()
     assert len(kept) == 1
+
+
+def test_chain_wrapper_extracts_to_pad_plus_text_identity():
+    """The crawl_chain_gates html leg depends on this identity: the
+    deterministic boilerplate wrapper (title/nav/article/footer)
+    reduces to EXACTLY pad + ' ' + text with 4 segments / 1 good for
+    any single-spaced corpus text — the oracle writes that string
+    down, so drift here flips the driver hash."""
+    from amazon_lookout_for_equipment_python_sdk_spark.plans.corpus_q import (
+        _HTML_PAD,
+    )
+
+    assert len(_HTML_PAD) >= 120  # good-via-length, stopword-free-proof
+    assert "  " not in _HTML_PAD and _HTML_PAD == _HTML_PAD.strip()
+    for t in ("short", "x " * 30, "key agg row scan slow fast value"):
+        t = t.strip()
+        page = (
+            "<html><head><title>Doc</title>"
+            "<style>.x{c:1}</style></head><body>"
+            '<nav><a href="/">home</a> <a href="/a">fr</a></nav>'
+            "<p>" + _HTML_PAD + " " + t + "</p>"
+            '<footer><a href="/c">contact</a></footer>'
+            "</body></html>"
+        )
+        segs = h.extract_segments(page)
+        assert [s["good"] for s in segs] == [False, False, True, False]
+        assert segs[2]["text"] == _HTML_PAD + " " + t
+        assert h.html_to_text(page) == _HTML_PAD + " " + t
