@@ -701,10 +701,136 @@ _BOMS = (
 )
 
 
+#: home Unicode ranges per sniffable legacy codec — a candidate is
+#: ELIGIBLE only when the text it decodes lives in its script (CJK
+#: ideographs, kana, hangul, CJK punctuation).
+_SNIFF_RANGES: "dict[str, tuple[tuple[int, int], ...]]" = {
+    "gbk": ((0x4E00, 0x9FFF), (0x3000, 0x303F), (0xFF01, 0xFF60)),
+    "big5": ((0x4E00, 0x9FFF), (0x3000, 0x303F), (0xFF01, 0xFF60)),
+    "shift_jis": (
+        (0x3040, 0x30FF), (0x4E00, 0x9FFF),
+        (0x3000, 0x303F), (0xFF01, 0xFF9F),
+    ),
+    "euc-jp": ((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0x3000, 0x303F)),
+    "euc-kr": ((0xAC00, 0xD7A3), (0x4E00, 0x9FFF), (0x3000, 0x303F)),
+}
+
+#: high-frequency hanzi (simplified + common traditional forms) — the
+#: DISTINCTIVENESS signal for gbk/big5: correctly-decoded Chinese text
+#: is dominated by these; mojibake (e.g. Shift_JIS bytes mis-decoded
+#: as GBK) lands on RARE ideographs and scores near zero.  Japanese/
+#: Korean get kana/hangul as their distinctive ranges instead, which
+#: mojibake essentially never concentrates in.
+_COMMON_HANZI = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得"
+    "就那要下以生会自着去之过家学对可她里后小么心多天而能好都然没日"
+    "于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同"
+    "三已老从动两长知民样现分将外但身些与高意进把法此实回二理美点月"
+    "明其种声全工己话儿者向情部正名定女问力机给等几很业最间新什打便"
+    "位因重被走电四第门相次东政海口使教西再平真听世气信北少士师百面"
+    "集符字声明页内容这里复现"
+    "這個說們為來時學國會對裡後點現門開無經頭話兒問間聽氣萬與"
+)
+
+
+def _distinctive_frac(codec: str, codepoints: "list[int]") -> float:
+    """Fraction of non-ASCII chars in the codec's language-distinctive
+    set: kana for Japanese, hangul for Korean, frequent hanzi for
+    Chinese — the signal that separates a right decode from a
+    structurally-valid mojibake one."""
+    if codec in ("shift_jis", "euc-jp"):
+        hit = sum(1 for o in codepoints if 0x3040 <= o <= 0x30FF)
+    elif codec == "euc-kr":
+        hit = sum(1 for o in codepoints if 0xAC00 <= o <= 0xD7A3)
+    else:  # gbk / big5
+        hit = sum(1 for o in codepoints if chr(o) in _COMMON_HANZI)
+    return hit / len(codepoints)
+
+
+def _strict_decode_trimmed(sample: bytes, codec: str) -> "str | None":
+    """Strict decode tolerating ONLY a truncated multibyte char at the
+    sample boundary (the sniff window cuts mid-character)."""
+    try:
+        return sample.decode(codec)
+    except UnicodeDecodeError as e:
+        if e.start >= len(sample) - 3:
+            try:
+                return sample[: e.start].decode(codec)
+            except UnicodeDecodeError:
+                return None
+        return None
+    except LookupError:
+        return None
+
+
+def sniff_charset(
+    body: "bytes | None", max_bytes: int = 65536
+) -> "str | None":
+    """Statistical charset guess for UNDECLARED non-UTF-8 bytes — the
+    tiny stdlib member of the chardet/charset_normalizer family (those
+    remain the documented swap-in for long-tail encodings).
+
+    Two published signals, nothing model-based:
+
+    - **high-byte run shape**: latin-family text (windows-1252 /
+      latin-*) carries ISOLATED high bytes (one accented char between
+      ASCII); CJK multibyte encodings produce runs >= 2 bytes.  Mostly
+      singleton runs => None (callers fall back to windows-1252).
+    - **strict-decode + script mass + DISTINCTIVENESS**: each
+      candidate must strictly decode the sample (a structural filter —
+      invalid byte sequences eliminate it), >= 70% of the non-ASCII
+      chars it produces must land in its script's home ranges, and the
+      candidates are RANKED by their language-distinctive mass (kana /
+      hangul / frequent-hanzi fraction, >= 30% required) — a
+      structurally-valid wrong decode (Shift_JIS bytes read as GBK)
+      lands on rare ideographs and loses to the right one.
+
+    Returns the winning codec name or None (undetermined).  Bounded
+    work: only the first ``max_bytes`` are examined."""
+    if not body:
+        return None
+    sample = body[:max_bytes]
+    runs_total = runs_single = 0
+    run = 0
+    for b in sample:
+        if b >= 0x80:
+            run += 1
+        elif run:
+            runs_total += 1
+            runs_single += run == 1
+            run = 0
+    if run:
+        runs_total += 1
+        runs_single += run == 1
+    if not runs_total:
+        return None  # pure ASCII — nothing to detect
+    if runs_single / runs_total > 0.5:
+        return None  # isolated accents — latin family, not CJK
+    best_score, best = 0.0, None
+    for codec, ranges in _SNIFF_RANGES.items():
+        txt = _strict_decode_trimmed(sample, codec)
+        if txt is None:
+            continue
+        non_ascii = [ord(c) for c in txt if ord(c) > 0x7F]
+        if len(non_ascii) < 4:
+            continue
+        home = sum(
+            1
+            for o in non_ascii
+            if any(lo <= o <= hi for lo, hi in ranges)
+        )
+        if home / len(non_ascii) < 0.7:
+            continue
+        score = _distinctive_frac(codec, non_ascii)
+        if score > best_score:
+            best_score, best = score, codec
+    return best if best_score >= 0.3 else None
+
+
 def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
     """(text, charset_used) for an HTTP capture or bare payload.
 
-    Decode order — the WHATWG/CCNet convention, declaration-based:
+    Decode order — the WHATWG/CCNet convention, declaration-first:
 
     1. a byte-order mark, which OVERRIDES any declaration (WHATWG
        encoding standard §4.2: BOM first);
@@ -712,12 +838,16 @@ def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
        the codec, with ``errors='replace'``;
     3. strict UTF-8 (most of the modern web, and a strict pass cannot
        mis-decode by accident);
-    4. ``windows-1252`` with replace — the superset-of-latin-1 codec
+    4. :func:`sniff_charset` — statistical detection for undeclared
+       CJK legacy pages (r14; a windows-1252 fallback used to garble
+       them into mojibake);
+    5. ``windows-1252`` with replace — the superset-of-latin-1 codec
        every byte string decodes under, so the chain total.
 
     ``charset_used`` records which branch fired (``'utf-8-sig'``,
-    ``'utf-8'``, ``'windows-1252'``, or the normalized declared name)
-    — downstream quality filters routinely gate on it."""
+    ``'utf-8'``, ``'windows-1252'``, the sniffed codec, or the
+    normalized declared name) — downstream quality filters routinely
+    gate on it."""
     if payload is None:
         return None
     body = http_payload_body(payload)
@@ -738,7 +868,11 @@ def decode_http_text(payload: bytes | None) -> "tuple[str, str] | None":
     try:
         return body.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:
-        return body.decode("windows-1252", "replace"), "windows-1252"
+        pass
+    guessed = sniff_charset(body)
+    if guessed:
+        return body.decode(guessed, "replace"), guessed
+    return body.decode("windows-1252", "replace"), "windows-1252"
 
 
 def with_http_text(

@@ -707,3 +707,55 @@ def test_decode_http_text_bom_overrides_declaration():
     # no BOM: the declared chain is untouched
     plain = b"HTTP/1.1 200 OK\r\n\r\n" + text.encode("utf-8")
     assert W.decode_http_text(plain) == (text, "utf-8")
+
+
+def test_sniff_charset_families_and_latin_guard():
+    """Statistical detection for UNDECLARED legacy pages (r14): each
+    CJK family detected by strict-decode + home-script mass; isolated
+    high bytes (latin accents) refuse to guess; ASCII refuses."""
+    zh = ("这是一个没有声明字符集的中文页面，" * 8)
+    assert W.sniff_charset(zh.encode("gbk")) == "gbk"
+    ja = ("これは文字コード宣言のない日本語のページです。" * 8)
+    assert W.sniff_charset(ja.encode("shift_jis")) == "shift_jis"
+    assert W.sniff_charset(ja.encode("euc-jp")) == "euc-jp"
+    ko = ("이것은 문자집합 선언이 없는 한국어 페이지입니다. " * 8)
+    assert W.sniff_charset(ko.encode("euc-kr")) == "euc-kr"
+    # latin accents are ISOLATED high bytes -> None, never a CJK guess
+    assert W.sniff_charset("café résumé naïve".encode("latin-1")) is None
+    assert W.sniff_charset(b"plain ascii only") is None
+    assert W.sniff_charset(b"") is None and W.sniff_charset(None) is None
+    # truncated multibyte char at the sniff boundary is tolerated
+    blob = zh.encode("gbk")
+    assert W.sniff_charset(blob[: len(blob) - 1]) == "gbk"
+    # traditional Chinese -> big5 (distinct from gbk via strict decode)
+    zt = ("這是一個沒有聲明字符集的中文頁面，裡面有常見的漢字。" * 8)
+    assert W.sniff_charset(zt.encode("big5")) == "big5"
+    # mojibake guard: Shift_JIS bytes ALSO strictly decode under GBK
+    # (onto rare ideographs) — the distinctiveness rank must not let
+    # gbk steal them
+    assert W.sniff_charset(ja.encode("shift_jis")) == "shift_jis"
+    # random bytes refuse (structural + mass filters)
+    import random as _r
+
+    _r.seed(1)
+    junk = bytes(_r.randrange(256) for _ in range(4096))
+    assert W.sniff_charset(junk) is None
+
+
+def test_decode_http_text_sniffs_undeclared_cjk():
+    """Chain position: BOM > declared > strict utf-8 > SNIFF > 1252."""
+    zh = "没有声明的中文页面内容在这里重复出现" * 6
+    cap = b"HTTP/1.1 200 OK\r\n\r\n" + zh.encode("gbk")
+    text, cs = W.decode_http_text(cap)
+    assert cs == "gbk" and zh in text
+    # a DECLARATION still outranks the sniffer (declared latin-1 wins
+    # even though the bytes would also sniff-decode)
+    cap_decl = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain; charset=latin-1\r\n\r\n"
+                + "café".encode("latin-1"))
+    assert W.decode_http_text(cap_decl)[1] == "latin-1"
+    # undetermined legacy bytes still total out at windows-1252
+    text, cs = W.decode_http_text(
+        b"HTTP/1.1 200 OK\r\n\r\n" + "caf\xe9 r\xe9sum\xe9".encode("latin-1")
+    )
+    assert cs == "windows-1252" and "caf" in text
