@@ -860,14 +860,16 @@ WITH d AS (
 ), f AS (
   SELECT host,
          CASE WHEN doc_id % 13 = 3 THEN text || ' café'
+              WHEN doc_id % 13 = 5 THEN text || ' 中文内容在这里'
               WHEN doc_id % 13 = 7
                 THEN '<meta charset="gbk">' || text || ' 中文'
               WHEN doc_id % 13 = 11 THEN '{_HTML_PAD} ' || text
               ELSE text END AS text2,
          CASE WHEN doc_id % 13 = 3 THEN 'latin-1'
-              WHEN doc_id % 13 = 7 THEN 'gbk'
+              WHEN doc_id % 13 IN (5, 7) THEN 'gbk'
               ELSE 'utf-8' END AS cs,
-         CASE WHEN doc_id % 13 = 11 THEN 1 ELSE 0 END AS ih
+         CASE WHEN doc_id % 13 = 11 THEN 1 ELSE 0 END AS ih,
+         CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END AS sn
   FROM r
   WHERE doc_id % 7 <> 0
     AND doc_id % 5 <> 0
@@ -883,6 +885,7 @@ SELECT f.host,
          AS n_latin1,
        CAST(SUM(CASE WHEN cs = 'gbk' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_gbk,
+       CAST(SUM(sn) AS BIGINT) AS n_sniffed,
        CAST(SUM(ih) AS BIGINT) AS n_html,
        CAST(4 * SUM(ih) AS BIGINT) AS sum_segments,
        t.n_batches AS n_batches
@@ -945,13 +948,17 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       or DEFLATE when ``% 6 == 5``; LF-terminated headers when
       ``% 11 == 0`` pin the earliest-terminator fix under the hash;
     - charset classes by ``doc_id % 13``: 3 -> latin-1 bytes declared
-      in the Content-Type HEADER; 7 -> gbk bytes declared ONLY by an
-      in-body ``<meta charset>`` (composes with the compressed
-      framings -> the decoded-body meta-sniff fix is under the hash);
-      11 -> an HTML page (title/nav/footer boilerplate around a
-      padded article paragraph) that ``html_extract_text`` must
-      reduce to exactly ``pad + ' ' + text`` with 4 segments / 1 good
-      — ``sum_segments = 4 * n_html`` pins segmentation drift.
+      in the Content-Type HEADER; 5 -> gbk bytes with NO declaration
+      anywhere — the decode ladder must fall through to the
+      STATISTICAL sniffer (``n_sniffed`` counts the class; a sniffer
+      defect garbles the text into 1252 mojibake and flips the hash);
+      7 -> gbk bytes declared ONLY by an in-body ``<meta charset>``
+      (composes with the compressed framings -> the decoded-body
+      meta-sniff fix is under the hash); 11 -> an HTML page
+      (title/nav/footer boilerplate around a padded article
+      paragraph) that ``html_extract_text`` must reduce to exactly
+      ``pad + ' ' + text`` with 4 segments / 1 good —
+      ``sum_segments = 4 * n_html`` pins segmentation drift.
 
     Any defect anywhere in XML build -> parse -> canonicalize ->
     robots gate -> rate join -> batch -> write -> parse -> de-chunk
@@ -1114,6 +1121,12 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 13 == 3:
                 ctype = b"Content-Type: text/plain; charset=latin-1"
                 body = (t + " café").encode("latin-1")
+            elif i % 13 == 5:
+                # NO declaration anywhere: header carries no charset=
+                # and the body has no meta — decode_http_text must
+                # reach the statistical sniffer and call gbk
+                ctype = b"Content-Type: text/plain"
+                body = (t + " 中文内容在这里").encode("gbk")
             elif i % 13 == 7:
                 ctype = b"Content-Type: text/html"
                 body = (
@@ -1197,6 +1210,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lit(0).alias("n_seg"),
         F.lit(0).alias("is_html"),
+        (F.col("_did") % 13 == 5).cast("int").alias("sn"),
     )
     hrows = texted.filter(is_html).select("host", "charset", "_did", "text")
     extracted = html_extract_text(
@@ -1213,6 +1227,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.col("n_segments").alias("n_seg"),
             F.lit(1).alias("is_html"),
+            F.lit(0).alias("sn"),
         )
     )
     txt = plain.unionByName(html_part)
@@ -1228,6 +1243,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_latin1"
         ),
         F.sum((F.col("charset") == "gbk").cast("long")).alias("n_gbk"),
+        F.sum(F.col("sn").cast("long")).alias("n_sniffed"),
         F.sum(F.col("is_html").cast("long")).alias("n_html"),
         F.sum(F.col("n_seg").cast("long")).alias("sum_segments"),
     )
@@ -1238,6 +1254,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_h",
         "n_latin1",
         "n_gbk",
+        "n_sniffed",
         "n_html",
         "sum_segments",
         "n_batches",

@@ -759,3 +759,22 @@ def test_decode_http_text_sniffs_undeclared_cjk():
         b"HTTP/1.1 200 OK\r\n\r\n" + "caf\xe9 r\xe9sum\xe9".encode("latin-1")
     )
     assert cs == "windows-1252" and "caf" in text
+
+
+def test_sniff_charset_never_raises_property():
+    """Total function over arbitrary bytes: returns None or a known
+    codec, never raises — a sniffer crash would sink a decode task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    known = {None, *W._SNIFF_RANGES}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(b):
+        assert W.sniff_charset(b) in known
+        # and the full ladder stays total too
+        out = W.decode_http_text(b"HTTP/1.1 200 OK\r\n\r\n" + b)
+        assert out is None or isinstance(out[0], str)
+
+    check()
