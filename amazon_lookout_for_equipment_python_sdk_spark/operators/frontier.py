@@ -52,11 +52,14 @@ def frontier_batches(
     ``per_host_k`` optionally OVERRIDES the global cap per host: a
     two-column DataFrame ``(host, k)`` — e.g. derived from
     ``robots_delays`` via ``k = floor(batch_period / crawl_delay_s)``
-    — joined broadcast on the host; hosts absent from the table use
-    ``per_host_per_batch``, and k values below 1 clamp to 1 (a host
-    can never be denied entirely here; that is ``robots_filter``'s
-    job).  Real polite crawlers need per-host rates: one global cap
-    either starves fast hosts or hammers slow ones (r13 verdict #5).
+    — joined broadcast on the CASE-FOLDED host; hosts absent from the
+    table (or carrying a NULL k) use ``per_host_per_batch``, k values
+    below 1 clamp to 1 (a host can never be denied entirely here;
+    that is ``robots_filter``'s job), and duplicate host rows
+    collapse to the smallest k (conservative) rather than
+    multiplying output rows.  Real polite crawlers need per-host
+    rates: one global cap either starves fast hosts or hammers slow
+    ones (r13 verdict #5).
 
     Assignment is deterministic for a given row multiset: the per-host
     order is the ``xxhash64`` of the URL string (ties between byte-
@@ -121,15 +124,35 @@ def frontier_batches(
     k = F.lit(int(per_host_per_batch))
     if per_host_k is not None:
         hc, kc = per_host_k.columns[:2]
-        rates = per_host_k.select(
-            F.lower(F.col(hc).cast("string")).alias("_nsj__fb_h"),
-            F.greatest(F.col(kc).cast("long"), F.lit(1)).alias("_fb_k"),
+        # duplicate hosts in the rate table (http+https robots
+        # snapshots, re-fetches) would MULTIPLY frontier rows through
+        # the left join — collapse to one row per host, conservative
+        # (smallest k) wins; a NULL k stays NULL so the coalesce below
+        # falls back to the GLOBAL cap (greatest() would otherwise
+        # swallow the NULL and silently max-throttle the host to 1)
+        rates = (
+            per_host_k.select(
+                F.lower(F.col(hc).cast("string")).alias("_nsj__fb_h"),
+                F.col(kc).cast("long").alias("_fb_k"),
+            )
+            .groupBy("_nsj__fb_h")
+            .agg(F.min("_fb_k").alias("_fb_k"))
+            .withColumn(
+                "_fb_k",
+                F.when(
+                    F.col("_fb_k").isNotNull(),
+                    F.greatest(F.col("_fb_k"), F.lit(1)),
+                ),
+            )
         )
         # broadcast |hosts| rows; null-safe so a NULL pseudo-host can
-        # carry a rate too; absent hosts fall back to the global cap
+        # carry a rate too; absent hosts fall back to the global cap.
+        # The join compares case-folded hosts (rates are lowercased
+        # above) so an explicit mixed-case host_col still matches its
+        # rate without changing the GROUPING key itself.
         joined = joined.join(
             F.broadcast(rates),
-            F.col("_fb_h").eqNullSafe(F.col("_nsj__fb_h")),
+            F.lower(F.col("_fb_h")).eqNullSafe(F.col("_nsj__fb_h")),
             "left",
         ).drop("_nsj__fb_h")
         k = F.coalesce(F.col("_fb_k"), k)

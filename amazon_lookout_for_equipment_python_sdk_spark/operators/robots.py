@@ -49,6 +49,10 @@ RULE_SCHEMA = T.StructType(
 )
 
 
+#: Request-rate time window: number + optional unit (s/m/h)
+_RATE_WINDOW_RE = re.compile(r"^(\d+(?:\.\d+)?)\s*([smh]?)$")
+
+
 def _pattern_to_regex(pattern: str) -> str:
     """RFC 9309 path pattern -> anchored Java-compatible regex:
     ``*`` matches any span, a TRAILING ``$`` anchors the end, every
@@ -107,21 +111,30 @@ def _parse_groups(
                     d = float(value)
                 except ValueError:
                     continue
-                if d >= 0:
+                # 'Crawl-delay: 0' is the real-world unthrottled
+                # idiom — NO delay declared, not a zero-second rate
+                # (a 0.0 row would divide-by-zero every
+                # period/delay -> k mapping downstream)
+                if d > 0:
                     cur_delay = max(cur_delay or 0.0, d)
         elif field == "request-rate":
             in_agent_run = False
             if cur_agents and "/" in value:
                 n_s, _, m_s = value.partition("/")
-                # trailing unit/time-window qualifiers are dropped:
-                # '1/5' and '1/5s' both mean one request per 5 s
-                m_s = m_s.split()[0].rstrip("s") if m_s.strip() else ""
+                # de-facto grammar: 'n/m', 'n/ms' seconds, 'n/mm'
+                # minutes, 'n/mh' hours ('1/10m' = one request per
+                # 10 MINUTES, not 10 seconds)
+                um = _RATE_WINDOW_RE.match(m_s.strip())
                 try:
-                    n, m = float(n_s), float(m_s)
+                    n = float(n_s)
+                    m = float(um.group(1)) if um else float("nan")
                 except ValueError:
                     continue
+                mult = {"": 1, "s": 1, "m": 60, "h": 3600}[
+                    um.group(2) if um else ""
+                ]
                 if n > 0 and m > 0:
-                    cur_delay = max(cur_delay or 0.0, m / n)
+                    cur_delay = max(cur_delay or 0.0, m * mult / n)
         else:
             in_agent_run = False  # sitemap etc. end an agent run
     flush()
@@ -130,15 +143,21 @@ def _parse_groups(
 
 def _agent_score(agent_lc: str, token: str) -> "int | None":
     """Specificity of a group token for ``agent_lc``: 0 for ``*``,
-    token length for a prefix match at a product-token boundary (RFC
-    9309 product tokens are alnum/-/_): 'googlebot' matches agent
-    'googlebot-image' but a group token 'special' must NOT capture
-    agent 'specialbot-2' (r13 ADVICE).  None = no match."""
+    token length for a prefix match at a product-token boundary.
+    RFC 9309 product tokens are letters/_/- : a continuation in
+    alnum or '_' means a DIFFERENT token ('special' must not capture
+    'specialbot-2' (r13 ADVICE) nor 'special_bot'); '-' is
+    deliberately treated as a boundary anyway — the de-facto
+    Googlebot convention where agent 'googlebot-image' falls back to
+    a 'googlebot' group.  None = no match."""
     if token == "*":
         return 0
     if agent_lc.startswith(token) and (
         len(agent_lc) == len(token)
-        or not agent_lc[len(token)].isalnum()
+        or not (
+            agent_lc[len(token)].isalnum()
+            or agent_lc[len(token)] == "_"
+        )
     ):
         return len(token)
     return None

@@ -1199,9 +1199,21 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_domains=block,
         max_path_depth=4,
     )
-    texted = with_http_text(gated).withColumn(
-        "_did",
-        F.split(F.col("target_uri"), "/").getItem(5).cast("long"),
+    # the plain/html split reads `texted` from THREE subtrees (plain
+    # rows, the extraction input, and the html rejoin side) — persist
+    # so the shards are scanned and the decode UDF runs ONCE, not 3x
+    from pyspark import StorageLevel
+
+    from .._persist import note_persist as _np
+
+    texted = (
+        with_http_text(gated)
+        .withColumn(
+            "_did",
+            F.split(F.col("target_uri"), "/").getItem(5).cast("long"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_np)
     )
     is_html = F.col("_did") % 13 == 11
     plain = texted.filter(~is_html).select(

@@ -128,12 +128,23 @@ def run_fetch_loop(
     out_dir: str,
     delays: "dict[str, float]",
     default_delay_s: float = 0.01,
+    batch_period_s: float = 0.2,
     n_shards: int = 4,
 ) -> list:
     """Walk ``plan`` (url, host, fetch_batch) in batch order; write one
     WARC shard set per batch under ``out_dir/bN``.  Returns the
-    shard directories written."""
+    shard directories written.
+
+    ``batch_period_s`` is the politeness floor BETWEEN batches: if a
+    batch finishes early the loop sleeps out the remainder, so a host
+    scheduled k=1 per batch (exactly the slow hosts Crawl-delay
+    protects) is still spaced ``batch_period_s`` apart across batch
+    boundaries.  Choose it >= every host's delay — the same period the
+    ``k = floor(period / delay)`` mapping was derived from.  An empty
+    plan writes nothing and returns []."""
     n_batches = plan.agg(F.max("fetch_batch")).first()[0]
+    if n_batches is None:
+        return []
     outs = []
     for b in range(int(n_batches) + 1):
         rows = plan.filter(F.col("fetch_batch") == b).collect()
@@ -154,6 +165,8 @@ def run_fetch_loop(
         )
         outs.append(shard_dir)
         print(f"batch {b}: fetched {len(captures)} urls in {dt:.2f}s")
+        if b < int(n_batches) and dt < batch_period_s:
+            time.sleep(batch_period_s - dt)
     return outs
 
 

@@ -146,6 +146,43 @@ def test_per_host_k_overrides_global(spark, urls_df):
     assert lhs.columns == ["url", "fetch_batch"]
 
 
+def test_per_host_k_rate_table_hygiene(spark, urls_df):
+    """r14 review fixes: duplicate hosts in the rate table must not
+    multiply frontier rows (smallest k wins), a NULL k falls back to
+    the GLOBAL cap (not max-throttle 1), and rates match an explicit
+    mixed-case host_col via case-folded join."""
+    n_in = urls_df.count()
+    dup = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.com", "a.com", "c.com"],
+                      "k": [4, 13, None]})
+    )
+    out = FR.frontier_batches(
+        urls_df, per_host_per_batch=3, per_host_k=dup
+    )
+    assert out.count() == n_in  # no row multiplication
+    got = (
+        out.withColumn(
+            "host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+        )
+        .groupBy("host")
+        .agg(F.max("fetch_batch").alias("mb"))
+        .collect()
+    )
+    mb = {r["host"]: r["mb"] for r in got}
+    assert mb["a.com"] == 3  # 13 a.com urls at min(4,13)=4 -> 4 batches
+    assert mb["c.com"] == 2  # NULL k -> global 3 -> ceil(7/3)=3 batches
+    # mixed-case explicit host_col still matches its lowercased rate
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"h": ["X.COM"] * 6, "url": [f"u{i}" for i in range(6)]})
+    )
+    rates = spark.createDataFrame(pd.DataFrame({"host": ["x.com"], "k": [2]}))
+    out2 = FR.frontier_batches(
+        mixed, url_col="url", host_col="h",
+        per_host_per_batch=6, per_host_k=rates,
+    )
+    assert out2.agg(F.max("fetch_batch")).first()[0] == 2  # k=2 applied
+
+
 def test_guards(spark, urls_df):
     with pytest.raises(ValueError, match="fetch_batch"):
         FR.frontier_batches(

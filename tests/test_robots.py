@@ -75,6 +75,11 @@ def test_agent_match_respects_token_boundaries():
     # '-' and '/' are token boundaries: both match the specific group
     assert R._parse_robots(ROBOTS_B, "specialbot-2") == [(False, "/")]
     assert R._parse_robots(ROBOTS_B, "SpecialBot/1.0") == [(False, "/")]
+    # '_' is a PRODUCT-TOKEN char per RFC 9309: 'specialbot_v2' is a
+    # different token and must fall to the * group
+    assert R._parse_robots(ROBOTS_B, "specialbot_v2") == [
+        (False, "/blocked-for-everyone/")
+    ]
     googley = (
         "User-agent: googlebot\nDisallow: /gb/\n\n"
         "User-agent: *\nDisallow: /all/\n"
@@ -108,6 +113,19 @@ def test_parse_delay_and_robots_delays(spark):
     # malformed values degrade to no delay, never raise
     junk = "User-agent: *\nCrawl-delay: fast\nRequest-rate: lots\n"
     assert R._parse_delay(junk, "x") is None
+    # 'Crawl-delay: 0' is the unthrottled idiom -> NO delay declared
+    # (a 0.0 row would divide-by-zero every period/delay mapping)
+    assert R._parse_delay("User-agent: *\nCrawl-delay: 0\n", "x") is None
+    # Request-rate time-window units: s (default), m, h
+    assert R._parse_delay("User-agent: *\nRequest-rate: 1/5s\n", "x") == 5.0
+    assert (
+        R._parse_delay("User-agent: *\nRequest-rate: 1/10m\n", "x") == 600.0
+    )
+    assert (
+        R._parse_delay("User-agent: *\nRequest-rate: 2/1h\n", "x") == 1800.0
+    )
+    # an unparseable window drops the rule rather than misreading it
+    assert R._parse_delay("User-agent: *\nRequest-rate: 1/10x\n", "x") is None
     # rules parsing is unaffected by delay lines in the group
     assert R._parse_robots(body, "slowbot") == [(False, "/x")]
     tbl = R.robots_delays(
