@@ -135,11 +135,29 @@ def main() -> None:
         for df in (u, sm):
             df.write.format("noop").mode("overwrite").save()
         fixtures[n] = (u, sm)
+    # per-host rate table (r14): half the hosts carry an override —
+    # the broadcast join the rated frontier adds over the plain one
+    rates = (
+        spark.range(N_HOSTS // 2)
+        .select(
+            F.concat(
+                F.lit("site"),
+                (F.col("id") * 2).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            (F.col("id") % 7 + 1).cast("int").alias("k"),
+        )
+        .persist()
+    )
+    rates.write.format("noop").mode("overwrite").save()
     cases = {
         "canonicalize_url": lambda u, sm: U.canonicalize_url(u),
         "robots_filter": lambda u, sm: R.robots_filter(u, robots),
         "parse_sitemaps": lambda u, sm: SM.parse_sitemaps(sm),
         "frontier_batches": lambda u, sm: FR.frontier_batches(u),
+        "frontier_batches_rated": lambda u, sm: FR.frontier_batches(
+            u, per_host_k=rates
+        ),
     }
     for name, build in cases.items():
         small = _time(spark, lambda: build(*fixtures[SMALL]))
