@@ -150,6 +150,52 @@ def test_pattern_translation():
     assert R._pattern_to_regex("/p/*/x") == "^/p/.*/x"
 
 
+def test_pattern_regex_matches_spec_semantics_property():
+    """_pattern_to_regex vs a direct RFC 9309 wildcard matcher over
+    random pattern/path pairs: '*' spans anything, trailing '$'
+    anchors, everything else (incl. regex metachars) is literal."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        segs = body.split("*")
+
+        def walk(pos: int, i: int) -> bool:
+            if i == len(segs):
+                return pos == len(path) if anchored else True
+            seg = segs[i]
+            if i == 0:
+                if not path.startswith(seg):
+                    return False
+                return walk(len(seg), 1)
+            at = path.find(seg, pos)
+            while at >= 0:
+                if walk(at + len(seg), i + 1):
+                    return True
+                # last segment of an anchored pattern must try later
+                # occurrences too; unanchored/middle segments are
+                # greedy-safe via the recursion
+                at = path.find(seg, at + 1)
+            return False
+
+        return walk(0, 0)
+
+    chars = st.text(alphabet="/ab.?$x*%3()[+", min_size=0, max_size=10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(chars, chars)
+    def check(pattern, path):
+        rx = R._pattern_to_regex(pattern)
+        got = _re.search(rx, path) is not None
+        assert got == ref_match(pattern, path), (pattern, path, rx)
+
+    check()
+
+
 def test_robots_filter_longest_match_and_anchors(spark, robots_df):
     urls = [
         "https://a.example/",                      # no match -> allow

@@ -285,7 +285,10 @@ def test_canonicalize_is_idempotent_property():
     @settings(max_examples=300, deadline=None)
     @given(urls)
     def check(u):
-        once = U.canonicalize_one(u)
-        assert U.canonicalize_one(once) == once, (u, once)
+        for fi in (False, True):  # fold_idn must preserve the property
+            once = U.canonicalize_one(u, fold_idn=fi)
+            assert U.canonicalize_one(once, fold_idn=fi) == once, (
+                u, once, fi,
+            )
 
     check()
