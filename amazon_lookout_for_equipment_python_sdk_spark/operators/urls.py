@@ -234,7 +234,13 @@ def canonicalize_one(
         # second ':digits' tail, 'h:80:443'), so iterate the three
         # steps to convergence instead of hand-ordering them (r12
         # fixed one interleaving, r14 fuzzing found two more)
-        info, at, hostport = parts.netloc.lower().rpartition("@")
+        # split userinfo off BEFORE case-folding: RFC 3986 §6.2.2.1
+        # case-normalizes only scheme and host — userinfo is
+        # case-sensitive ('Alice@h.com' and 'alice@h.com' are
+        # different resources, and folding would corrupt credentials
+        # a fetcher replays; r14 review)
+        info, at, hostport = parts.netloc.rpartition("@")
+        hostport = hostport.lower()
         default_port = _DEFAULT_PORT.get(scheme)
         if hostport.startswith("["):  # bracketed IPv6 literal
             end = hostport.find("]")

@@ -1201,7 +1201,10 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the plain/html split reads `texted` from THREE subtrees (plain
     # rows, the extraction input, and the html rejoin side) — persist
-    # so the shards are scanned and the decode UDF runs ONCE, not 3x
+    # so the shards are scanned and the decode UDF runs ONCE, not 3x.
+    # DISK_ONLY: the frame is CORPUS-proportional (every gated doc's
+    # decoded text), the BlockManager promotion-OOM class BASELINE.md
+    # r9 addendum 2 pins (tests/test_persist_levels.py REGISTRY).
     from pyspark import StorageLevel
 
     from .._persist import note_persist as _np
@@ -1212,7 +1215,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_did",
             F.split(F.col("target_uri"), "/").getItem(5).cast("long"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
         .transform(_np)
     )
     is_html = F.col("_did") % 13 == 11

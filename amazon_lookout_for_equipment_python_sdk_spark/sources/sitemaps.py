@@ -22,6 +22,7 @@ from __future__ import annotations
 import gzip
 import io
 import re
+import zlib
 
 import pandas as pd
 
@@ -40,6 +41,10 @@ SITEMAP_SCHEMA = T.StructType(
         T.StructField("error", T.StringType(), True),
     ]
 )
+
+#: sitemaps.org cap: one file is at most 50 MB UNCOMPRESSED — also the
+#: decompression-bomb bound for untrusted gzipped blobs.
+_MAX_UNCOMPRESSED = 50 * 1024 * 1024
 
 #: strip any XML namespace from a tag: '{ns}loc' -> 'loc'.  Real-world
 #: sitemaps use the canonical namespace, no namespace, or typo'd ones —
@@ -72,10 +77,29 @@ def parse_sitemap_blob(
     if isinstance(blob, str):
         blob = blob.encode("utf-8")
     if blob[:2] == b"\x1f\x8b":
+        # zlib.error is what corrupt DEFLATE data actually raises from
+        # GzipFile.read() (BadGzipFile/EOFError only cover header and
+        # truncation corruption) — letting it escape sank the whole
+        # Spark task and every other (host, blob) row in the batch
+        # (r14 review).  The read is CAPPED at the spec's 50 MB
+        # uncompressed limit + 1: a small decompression bomb otherwise
+        # inflates to executor-OOM (the cap the module docstring
+        # already claims).
         try:
-            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
-        except (OSError, EOFError) as e:
+            f = gzip.GzipFile(fileobj=io.BytesIO(blob))
+            blob = f.read(_MAX_UNCOMPRESSED + 1)
+        except (OSError, EOFError, zlib.error) as e:
             return [dict(base, error=f"corrupt gzip: {e}")]
+        if len(blob) > _MAX_UNCOMPRESSED:
+            return [
+                dict(
+                    base,
+                    error=(
+                        "sitemap exceeds the 50 MB uncompressed spec "
+                        "cap; refusing to inflate further"
+                    ),
+                )
+            ]
     import xml.etree.ElementTree as ET
 
     try:

@@ -85,6 +85,34 @@ MANIFEST_SCHEMA = T.StructType(
 _MAGIC = b"WARC/1."
 
 
+def _find_blank(buf, end: "int | None" = None) -> "tuple[int, int]":
+    """EARLIEST blank line of either newline convention in
+    ``buf[:end]`` -> (index, separator length), or (-1, 0).  The
+    single home of the r12 earliest-terminator rule: probing CRLF
+    over the whole buffer first mis-frames an LF-terminated header
+    whose body contains a \\r\\n\\r\\n.  (Four framing sites hand-rolled
+    this before r14; the one that diverged — _dechunk — was exactly
+    where the rule got broken.)"""
+    e_crlf = buf.find(b"\r\n\r\n", 0, end)
+    e_lf = buf.find(b"\n\n", 0, end)
+    if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
+        return e_crlf, 4
+    if e_lf >= 0:
+        return e_lf, 2
+    return -1, 0
+
+
+def _header_value(v: str) -> str:
+    """Make a header value framing-safe: CR/LF inside a value would
+    inject header lines — or, as a blank line, TRUNCATE the header and
+    desync the whole record (r14 review; scraped hrefs really do carry
+    stray newlines).  Percent-encoding is the URI-correct escape and
+    harmless for the other header values."""
+    if "\r" in v or "\n" in v:
+        v = v.replace("\r", "%0D").replace("\n", "%0A")
+    return v
+
+
 def _record_bytes(
     record_type: str,
     target_uri: str | None,
@@ -104,7 +132,7 @@ def _record_bytes(
     if target_uri:
         headers.insert(3, ("WARC-Target-URI", target_uri))
     head = b"WARC/1.0\r\n" + b"".join(
-        f"{k}: {v}\r\n".encode() for k, v in headers
+        f"{k}: {_header_value(v)}\r\n".encode() for k, v in headers
     )
     return head + b"\r\n" + payload + b"\r\n\r\n"
 
@@ -300,6 +328,18 @@ class _RecordParser:
     def finish(self) -> "list[dict]":
         return self._drain(final=True)
 
+    def reset(self) -> None:
+        """Discard any partially-buffered record.  Called when the
+        BYTE SOURCE desynced (e.g. a corrupt gzip member): the next
+        bytes fed start at a fresh member = record boundary, so a
+        pending Content-Length from the interrupted record must not
+        swallow them (r14 review: it silently consumed every
+        subsequent good member's records, or worse spliced their
+        bytes into one error-free corrupted payload)."""
+        self.base += len(self.buf)
+        self.buf.clear()
+        self.resync = False
+
     def _consume(self, n: int) -> None:
         del self.buf[:n]
         self.base += n
@@ -309,15 +349,26 @@ class _RecordParser:
         while True:
             buf = self.buf
             if self.resync:
-                idx = buf.find(b"\n" + _MAGIC)
+                # scan for the magic at ANY offset — requiring a
+                # preceding newline silently lost a valid record that
+                # began exactly where the garbage ended (r14 review:
+                # garbage not ending in \n, or a desync landing on a
+                # member boundary).  A false hit inside garbage is
+                # self-correcting: its header parse fails and resync
+                # continues past it — error rows, never silent loss.
+                # (every entry into resync consumes past the magic it
+                # failed on, so a magic at offset 0 here is always a
+                # FRESH candidate — e.g. one just assembled from the
+                # kept tail under byte-at-a-time feeds)
+                idx = buf.find(_MAGIC)
                 if idx < 0:
-                    # keep a marker-sized tail in case it spans chunks
-                    keep = len(_MAGIC) + 1
+                    # keep a tail that may hold a partial magic prefix
+                    keep = len(_MAGIC) - 1
                     self._consume(max(len(buf) - keep, 0))
                     if final:
                         self._consume(len(self.buf))
                     return out
-                self._consume(idx + 1)
+                self._consume(idx)
                 self.resync = False
                 continue
             # skip inter-record padding (spec trailers / stray newlines)
@@ -339,22 +390,18 @@ class _RecordParser:
                 )
                 self.resync = True
                 continue
-            # take the EARLIEST terminator of either convention: probing
-            # CRLF first would mis-frame an LF-terminated header whose
-            # payload happens to contain a CRLFCRLF inside the probe
-            # window (r12 review)
-            e_crlf = buf.find(b"\r\n\r\n", 0, _MAX_HEADER)
-            e_lf = buf.find(b"\n\n", 0, _MAX_HEADER)
-            if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
-                head_end, sep = e_crlf, 4
-            else:
-                head_end, sep = e_lf, 2
+            head_end, sep = _find_blank(buf, _MAX_HEADER)
             if head_end < 0:
                 if len(buf) >= _MAX_HEADER or final:
                     out.append(self._err("unterminated header block"))
                     if final:
                         self._consume(len(buf))
                         return out
+                    # consume the failed magic BEFORE resyncing — the
+                    # resync scan accepts a magic at offset 0, so
+                    # leaving this one in place would re-parse it
+                    # forever
+                    self._consume(len(_MAGIC))
                     self.resync = True
                     continue
                 return out  # header still streaming in
@@ -512,11 +559,26 @@ def read_warc(
                             pending.extend(parser.feed(val))
                         else:
                             pending.append(parser._err(val))
+                            # the NEXT member starts at a fresh record
+                            # boundary — a pending Content-Length from
+                            # the interrupted record must not swallow
+                            # it (r14 review: silent multi-record loss)
+                            parser.reset()
                         if len(pending) >= emit_rows:
                             yield pd.DataFrame(pending)
                             pending = []
                 else:
-                    pending.extend(parser.feed(blob))
+                    # same feed/flush loop as the gzip branch: rows
+                    # stream out instead of accumulating next to the
+                    # whole blob (r14 review — the plain-shard path
+                    # held blob + all parsed payload copies at once)
+                    for off in range(0, len(blob), chunk_b):
+                        pending.extend(
+                            parser.feed(blob[off : off + chunk_b])
+                        )
+                        if len(pending) >= emit_rows:
+                            yield pd.DataFrame(pending)
+                            pending = []
                 pending.extend(parser.finish())
                 if pending:
                     yield pd.DataFrame(pending)
@@ -547,11 +609,16 @@ def _dechunk(body: bytes) -> bytes:
     pos = 0
     n = len(body)
     while pos < n:
-        eol = body.find(b"\r\n", pos)
-        sep = 2
-        if eol < 0:
-            eol = body.find(b"\n", pos)
-            sep = 1
+        # EARLIEST terminator of either convention — probing CRLF over
+        # the whole remaining body first mis-framed an LF-terminated
+        # size line whose chunk DATA contains a \r\n (r14 review; the
+        # same rule every other framing site adopted after r12)
+        e_crlf = body.find(b"\r\n", pos)
+        e_lf = body.find(b"\n", pos)
+        if e_lf >= 0 and (e_crlf < 0 or e_lf < e_crlf):
+            eol, sep = e_lf, 1
+        else:
+            eol, sep = e_crlf, 2
         if eol < 0:
             return bytes(out) + body[pos:]
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
@@ -590,17 +657,8 @@ def http_payload_body(payload: bytes | None) -> bytes | None:
         return None
     if not payload.startswith(b"HTTP/"):
         return payload
-    # take the EARLIEST blank line of either newline convention — the
-    # same framing rule the WARC header parser uses (_drain): probing
-    # CRLF over the WHOLE payload first would mis-frame an LF-terminated
-    # header whose BODY contains a \r\n\r\n (r12 ADVICE, medium)
-    e_crlf = payload.find(b"\r\n\r\n")
-    e_lf = payload.find(b"\n\n")
-    if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
-        idx, sep = e_crlf, 4
-    elif e_lf >= 0:
-        idx, sep = e_lf, 2
-    else:
+    idx, sep = _find_blank(payload)
+    if idx < 0:
         return b""
     head = payload[:idx].lower()
     body = payload[idx + sep:]
@@ -609,12 +667,27 @@ def http_payload_body(payload: bytes | None) -> bytes | None:
     if b"content-encoding" in head:
         if b"gzip" in head and body[:2] == b"\x1f\x8b":
             # tolerant: a TRUNCATED gzip stream decompresses to its
-            # prefix without error; CORRUPT data raises — keep the
-            # raw bytes then (the caller sees something, not nothing)
+            # prefix without error; CORRUPT data keeps what decoded so
+            # far, or the raw bytes when nothing did (the caller sees
+            # something, not nothing).  Loop over members: a
+            # MULTI-MEMBER gzip body (concatenated streams are legal
+            # Content-Encoding) was silently truncated to its first
+            # member by the old single decompressobj pass (r14 review)
+            parts = []
+            rest = bytes(body)
             try:
-                body = zlib.decompressobj(wbits=31).decompress(body)
+                while rest[:2] == b"\x1f\x8b":
+                    d = zlib.decompressobj(wbits=31)
+                    parts.append(d.decompress(rest))
+                    if not d.eof:
+                        break  # truncated final member: prefix kept
+                    rest = d.unused_data
+                body = b"".join(parts)
             except zlib.error:
-                pass
+                # a raising decompress appends nothing, so `parts`
+                # holds exactly the fully-decoded prior members
+                if parts:
+                    body = b"".join(parts)
         elif b"deflate" in head:
             # RFC 9110 says zlib-wrapped; plenty of real servers send
             # RAW deflate — try the wrapped form first (it has a header
@@ -671,14 +744,9 @@ def http_declared_charset(
     pass it when available (:func:`decode_http_text` does)."""
     if payload is None or not payload.startswith(b"HTTP/"):
         return None
-    e_crlf = payload.find(b"\r\n\r\n")
-    e_lf = payload.find(b"\n\n")
-    if e_crlf >= 0 and (e_lf < 0 or e_crlf <= e_lf):
-        idx, sep = e_crlf, 4
-    elif e_lf >= 0:
-        idx, sep = e_lf, 2
-    else:
-        idx, sep = len(payload), 0
+    idx, sep = _find_blank(payload)
+    if idx < 0:
+        idx, sep = len(payload), 0  # headers-only capture
     for line in payload[:idx].split(b"\n"):
         if line.strip(b"\r").lower().startswith(b"content-type:"):
             m = _CHARSET_RE.search(line)

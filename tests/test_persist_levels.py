@@ -49,6 +49,10 @@ REGISTRY = {
     ("operators/lm.py", "bigram_lm"): "CORPUS",
     ("operators/timeseries.py", "funnel_steps"): "CORPUS",
     ("plans/anomaly_q.py", "mad_q"): "CORPUS",
+    # r14: crawl_chain_gates' decoded-text frame feeds three subtrees
+    # (plain rows, html-extraction input, html rejoin side); it holds
+    # every gated document's decoded text -> corpus-proportional
+    ("plans/corpus_q.py", "_http_capture"): "CORPUS",
     ("operators/dsir.py", "model"): "BOUNDED",
     ("operators/sketches.py", "kmv_sketch"): "BOUNDED",
     ("operators/wasserstein.py", "density_histograms"): "BOUNDED",

@@ -106,3 +106,32 @@ def test_parse_sitemaps_column_operator(spark):
     ).select("loc")
     gated = url_filter(urls, url_col="loc")
     assert gated.count() == 3
+
+
+def test_corrupt_deflate_and_bomb_degrade_to_error_rows():
+    """r14 review: zlib.error (what corrupt DEFLATE data actually
+    raises) must yield an error row, not sink the task; and a
+    decompression bomb stops at the 50 MB spec cap."""
+    import gzip as _gz
+    import zlib as _zl
+
+    good = _gz.compress(b"<urlset><url><loc>https://x/1</loc></url></urlset>")
+    # flip a byte in the deflate body (past the 10-byte gzip header)
+    for flip in range(12, min(len(good) - 9, 40)):
+        blob = bytearray(good)
+        blob[flip] ^= 0xFF
+        rows = SM.parse_sitemap_blob("h", bytes(blob))
+        assert len(rows) >= 1  # never raises
+        # either an error row or (rare lucky flip) parsed rows
+        assert all("loc" in r for r in rows)
+    # guaranteed zlib.error reproduction: valid header + garbage body
+    junk = good[:10] + b"\x00\xff" * 50
+    rows = SM.parse_sitemap_blob("h", junk)
+    assert len(rows) == 1 and rows[0]["error"] is not None
+    # bomb: 200 MB of zeros compresses to ~200 KB; cap refuses it
+    bomb = _gz.compress(b"\x00" * (200 * 1024 * 1024))
+    assert len(bomb) < 1024 * 1024
+    rows = SM.parse_sitemap_blob("h", bomb)
+    assert len(rows) == 1 and "50 MB" in rows[0]["error"]
+    del bomb
+    _ = _zl  # imported for documentation parity

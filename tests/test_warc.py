@@ -778,3 +778,101 @@ def test_sniff_charset_never_raises_property():
         assert out is None or isinstance(out[0], str)
 
     check()
+
+
+def test_gzip_desync_resets_record_parser(spark, tmp_path):
+    """r14 review #1: a corrupt gzip member interrupting a record
+    mid-body must not let that record's Content-Length swallow the
+    NEXT members' records — the parser resets at the member boundary
+    and every good record survives."""
+    import gzip as _gz
+
+    recs = [
+        W._record_bytes(
+            "conversion", f"https://m/{i}", "2024-01-01T00:00:00Z",
+            "text/plain", b"x" * 300, f"<urn:uuid:m{i}>",
+        )
+        for i in range(3)
+    ]
+    # member 0 corrupt mid-DEFLATE (header survives, body dies);
+    # members 1 and 2 pristine
+    m0 = bytearray(_gz.compress(recs[0], mtime=0))
+    m0[len(m0) // 2] ^= 0xFF
+    shard = tmp_path / "desync.warc.gz"
+    shard.write_bytes(
+        bytes(m0)
+        + _gz.compress(recs[1], mtime=0)
+        + _gz.compress(recs[2], mtime=0)
+    )
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    oks = sorted(
+        (r for r in rows if r["error"] is None),
+        key=lambda r: r["target_uri"],
+    )
+    errs = [r for r in rows if r["error"]]
+    assert [r["target_uri"] for r in oks] == ["https://m/1", "https://m/2"]
+    assert all(bytes(r["payload"]) == b"x" * 300 for r in oks)
+    assert 1 <= len(errs) <= 2  # the desync event, never silent loss
+
+
+def test_resync_finds_magic_without_preceding_newline():
+    """r14 review #3: a valid record starting exactly where garbage
+    ends (no newline between) must be recovered, not dropped."""
+    rec = W._record_bytes(
+        "conversion", "https://edge", "2024-01-01T00:00:00Z",
+        "text/plain", b"survives", "<urn:uuid:e>",
+    )
+    rows = W._parse_records("s", b"garbage-no-magic" + rec)
+    oks = [r for r in rows if r["error"] is None]
+    assert len(oks) == 1 and bytes(oks[0]["payload"]) == b"survives"
+    # and in the split-feed form too
+    p = W._RecordParser("s")
+    got = p.feed(b"garbage-no-magic") + p.feed(rec) + p.finish()
+    assert [r["target_uri"] for r in got if not r["error"]] == [
+        "https://edge"
+    ]
+
+
+def test_dechunk_lf_framed_with_crlf_in_data():
+    """r14 review #5: LF-framed chunked body whose DATA contains \\r\\n
+    must still dechunk (earliest-terminator rule, like every other
+    framing site)."""
+    assert W._dechunk(b"8\nab\r\ncd\n\n0\n\n") == b"ab\r\ncd\n\n"[:8]
+    # CRLF framing with LF inside data keeps working
+    assert W._dechunk(b"4\r\na\nb\n\r\n0\r\n\r\n") == b"a\nb\n"
+
+
+def test_uri_with_crlf_cannot_inject_headers(spark, tmp_path):
+    """r14 review #6: scraped hrefs carry stray newlines — the writer
+    percent-encodes CR/LF so the record frames correctly and the
+    payload survives."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://e.com/a\r\n\r\nfake"],
+                "text": ["real payload"],
+            }
+        )
+    )
+    out = str(tmp_path / "inj")
+    W.write_warc(df, out, n_shards=1)
+    rows = W.read_warc(spark, out, record_types=["conversion"]).collect()
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert bytes(rows[0]["payload"]) == b"real payload"
+    assert rows[0]["target_uri"] == "http://e.com/a%0D%0A%0D%0Afake"
+
+
+def test_multi_member_gzip_content_encoding():
+    """r14 review #7: a multi-member gzip body decodes ALL members,
+    not just the first."""
+    import gzip as _gz
+
+    body = _gz.compress(b"hello ") + _gz.compress(b"world")
+    cap = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + body)
+    assert W.http_payload_body(cap) == b"hello world"
+    # corrupt SECOND member: fully-decoded prior members survive
+    bad = bytearray(_gz.compress(b"tail"))
+    bad[12] ^= 0xFF
+    cap2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + _gz.compress(b"head ") + bytes(bad))
+    assert W.http_payload_body(cap2) == b"head "
