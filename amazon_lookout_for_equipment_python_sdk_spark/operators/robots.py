@@ -277,6 +277,73 @@ def robots_delays(
     return src.mapInPandas(explode, schema=DELAY_SCHEMA)
 
 
+SITEMAP_REF_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("sitemap_url", T.StringType(), False),
+    ]
+)
+
+
+def _parse_sitemap_refs(body: str) -> "list[str]":
+    """``Sitemap:`` directive values, in file order, duplicates
+    dropped.  Per sitemaps.org / RFC 9309 §2.3 the directive is
+    INDEPENDENT of groups (it may appear anywhere, applies to every
+    agent), so this is a separate scan, not a group field — and the
+    value is an absolute URL, kept verbatim (the caller canonicalizes;
+    relative values are real-world noise and pass through for the
+    fetch layer to reject)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
+
+
+def robots_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host sitemap discovery table ``(host, sitemap_url)`` from
+    ``Sitemap:`` directives — the STANDARD entry point of crawl
+    discovery (robots.txt is the one URL every crawler fetches first;
+    its Sitemap lines point at the sitemaps ``sources.sitemaps``
+    parses).  One row per distinct directive per host, file order not
+    preserved across rows (this is a join table).  Hosts declaring no
+    sitemap are absent.  Parse once per host, corpus-size independent
+    — same contract as :func:`robots_rules`."""
+    src = robots_df.select(
+        F.col(host_col).cast("string").alias("host"),
+        F.col(body_col).alias("_body"),
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            hosts, urls = [], []
+            for host, body in zip(pdf["host"], pdf["_body"]):
+                if host is None or body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                for u in _parse_sitemap_refs(body):
+                    hosts.append(host.lower())
+                    urls.append(u)
+            if hosts:
+                yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return src.mapInPandas(explode, schema=SITEMAP_REF_SCHEMA)
+
+
 def robots_filter(
     df: DataFrame,
     robots_df: DataFrame,

@@ -900,6 +900,9 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver hash (r12 verdict #1, the model_evaluation composed
     pattern; the r13 discovery operators folded into the same slot):
 
+    robots.txt ``Sitemap:`` directives -> ``robots_sitemaps``
+    (discovery starts at the one URL every crawler fetches first; the
+    XML table is semi-joined on the DISCOVERED sitemap URL, r14) ->
     per-host sitemap XML -> ``parse_sitemaps`` -> ``canonicalize_url``
     -> ``robots_filter`` (RFC 9309 gate, r13 verdict #2) ->
     ``robots_delays`` -> ``frontier_batches`` with PER-HOST rates
@@ -983,7 +986,11 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.frontier import frontier_batches
     from ..operators.html import html_extract_text
-    from ..operators.robots import robots_delays, robots_filter
+    from ..operators.robots import (
+        robots_delays,
+        robots_filter,
+        robots_sitemaps,
+    )
     from ..operators.urls import canonicalize_url, url_filter
     from ..sources.sitemaps import parse_sitemaps
     from ..sources.warc import read_warc, with_http_text, write_warc
@@ -1036,24 +1043,23 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</urlset>"),
         ).alias("sitemap_xml")
     )
-    targets = canonicalize_url(
-        parse_sitemaps(xml).filter(
-            (F.col("kind") == "url") & F.col("error").isNull()
-        ),
-        url_col="loc",
-    ).select("canonical_url")
     # per-host robots.txt bodies (tiny table: one row per host).  The
     # '*' group denies EVERYTHING, so agent-group selection and the
     # token-boundary match ('enginebot-2.0' vs token 'enginebot') are
     # load-bearing; src1/src2 carry the $-anchored / longest-match /
     # prefix rule interplay; odd-index sources declare Crawl-delay 2.
+    # The Sitemap: directive sits INSIDE the enginebot group (r14):
+    # group-independence is load-bearing twice over — a parser that
+    # let the directive break rule attachment would change the denied
+    # set, and a discovery defect (missed/mangled directive) erases
+    # the host's whole sitemap downstream.
     src_idx = F.substring("source", 4, 8).cast("int")
     is_ruled = F.col("source").isin("src1", "src2")
+    chain_host = F.concat(
+        F.col("source"), F.lit("."), F.col("lang"), F.lit(".example.com")
+    )
     robots = docs.select("source", "lang").distinct().select(
-        F.concat(
-            F.col("source"), F.lit("."), F.col("lang"),
-            F.lit(".example.com"),
-        ).alias("host"),
+        chain_host.alias("host"),
         F.concat(
             F.lit("User-agent: enginebot\n"),
             F.when(
@@ -1062,12 +1068,36 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "Disallow: /*2$\nAllow: /*42$\nDisallow: /fr/\n"
                 ),
             ).otherwise(F.lit("Allow: /\n")),
+            F.concat(
+                F.lit("Sitemap: https://"), chain_host,
+                F.lit("/sitemap.xml\n"),
+            ),
             F.when(
                 src_idx % 2 == 1, F.lit("Crawl-delay: 2\n")
             ).otherwise(F.lit("")),
             F.lit("\nUser-agent: *\nDisallow: /\n"),
         ).alias("robots_txt"),
     )
+    # discovery starts AT robots.txt (the one URL every crawler
+    # fetches first): robots_sitemaps extracts the per-host directive
+    # and the XML table is gated on the DISCOVERED URL — the semi-join
+    # key is the full constructed URL, so a dropped or value-mangled
+    # directive makes the host's documents vanish from every rollup
+    # column.  |hosts|-sized join, broadcast both sides.
+    refs = robots_sitemaps(robots)
+    discovered = xml.join(
+        refs,
+        F.concat(
+            F.lit("https://"), xml["host"], F.lit("/sitemap.xml")
+        ) == refs["sitemap_url"],
+        "left_semi",
+    )
+    targets = canonicalize_url(
+        parse_sitemaps(discovered).filter(
+            (F.col("kind") == "url") & F.col("error").isNull()
+        ),
+        url_col="loc",
+    ).select("canonical_url")
     # politeness gate BEFORE scheduling/fetch (a polite crawler never
     # schedules a denied URL); denied rows vanish from n_batches too
     allowed = robots_filter(
@@ -1273,4 +1303,185 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_html",
         "sum_segments",
         "n_batches",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host link graph + PageRank (operators/linkgraph.py — r14, beyond-ref)
+# ---------------------------------------------------------------------------
+
+#: grid scale for the oracle PageRank — ranks are int64 multiples of
+#: 1/1e9 of total mass, so Spark and DuckDB agree BIT-FOR-BIT (pure
+#: integer multiply + integer division on both sides; the bigram-LM
+#: grid pattern).
+_PR_SCALE = 10**9
+
+# The iteration template, repeated 3x: contributions (edges ⋈ ranks on
+# src, grouped by dst, each term (85·r·w) // (100·out_w)), dangling
+# mass (ranks anti-joined against the src set), then
+# rank' = base + contribs + dangling share — all exact int64.
+_PR_ITER = """
+, c{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((85 * r.r * e.w) // (100 * o.ow)) AS BIGINT) AS c
+  FROM edges e
+  JOIN r{p} r ON e.src = r.node
+  JOIN ow o ON e.src = o.src
+  GROUP BY e.dst
+), g{k} AS (
+  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+  FROM r{p} r LEFT JOIN ow o ON r.node = o.src
+  WHERE o.src IS NULL
+), r{k} AS (
+  SELECT n.node,
+         CAST({base} // (100 * nn.n) + COALESCE(c.c, 0)
+              + (85 * g.dang) // (100 * nn.n) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN c{k} c ON n.node = c.node
+  CROSS JOIN nn CROSS JOIN g{k} g
+)"""
+
+_HOST_PAGERANK_SQL = (
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(substr(source, 4) AS INT) AS si,
+         source || '.' || lang || '.example.com' AS src
+  FROM documents
+), e0 AS (
+  -- link 1 (absolute href, every doc) + link 2 (scheme-relative
+  -- href, docs with doc_id % 4 <> 0); the rel=nofollow third anchor
+  -- and same-host hits are NOT edges
+  SELECT src,
+         'src' || CAST((si * 3 + doc_id) % 20 AS VARCHAR) || '.' || lang
+           || '.example.com' AS dst
+  FROM d
+  UNION ALL
+  SELECT src,
+         'src' || CAST((si + 7 * (doc_id % 4)) % 20 AS VARCHAR) || '.'
+           || lang || '.example.com' AS dst
+  FROM d WHERE doc_id % 4 <> 0
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM e0 WHERE src <> dst GROUP BY src, dst
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), ow AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)"""
+    + "".join(
+        _PR_ITER.format(k=k, p=k - 1, base=15 * _PR_SCALE)
+        for k in (1, 2, 3)
+    )
+    + """
+SELECT r3.node AS host,
+       r3.r AS rank_scaled,
+       CAST(COALESCE(deg.n_out, 0) AS BIGINT) AS n_out,
+       CAST(COALESCE(deg.w_out, 0) AS BIGINT) AS w_out
+FROM r3
+LEFT JOIN (
+  SELECT src, COUNT(*) AS n_out, SUM(w) AS w_out FROM edges GROUP BY src
+) deg ON r3.node = deg.src
+"""
+)
+
+
+@register("host_pagerank", _HOST_PAGERANK_SQL)
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph PageRank, end-to-end under one driver hash
+    (operators/linkgraph.py — beyond-reference; the crawl-frontier
+    prioritizer / corpus source-weighting prior):
+
+    every document renders as an HTML page on its ``source.lang``
+    host carrying three anchors — an ABSOLUTE cross-host link, a
+    SCHEME-RELATIVE link (``//host/path``, pinning RFC 3986 reference
+    resolution against the page's base URL; present when
+    ``doc_id % 4 != 0``), and a ``rel=nofollow`` link that must be
+    EXCLUDED from the graph — then ``html_extract_links`` (anchor
+    parse + base resolution) → ``host_graph`` (host fold, nofollow
+    drop, self-loop drop, weight aggregation) → ``pagerank`` (3
+    damped power iterations, d=0.85, grid_scale=1e9) → rank joined
+    with out-degree.
+
+    The oracle builds the same edge multiset relationally and unrolls
+    the same three iterations in exact int64 arithmetic — the grid
+    contract makes the two engines bit-identical, so ANY defect in
+    anchor parsing, rel handling, urljoin semantics, host parsing,
+    self-loop/nofollow policy, weight counting, out-weight
+    normalization, dangling-mass redistribution, or the damping
+    update flips ``rank_scaled`` exactly.
+
+    Registry budget: new registration (slot 142/150, margin 8) — the
+    linkgraph family is a new operator surface with no existing
+    composed row to join; ``n_out``/``w_out`` give the host_graph
+    aggregate its own lineage axis in the same slot.
+
+    Scale: link harvest is row-local Arrow; the host graph is a
+    Zipf-sparse |hosts|-scale aggregate (orders below the page
+    corpus); each PageRank iteration is one equi-join + one
+    map-side-combinable sum with the rank side broadcast-sized at
+    |hosts| — see the pagerank docstring for the 100 TB shape."""
+    from ..operators.linkgraph import host_graph, html_extract_links, pagerank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    did = F.col("doc_id")
+    si = F.substring("source", 4, 8).cast("int")
+
+    def mk_host(idx):
+        return F.concat(
+            F.lit("src"), idx.cast("string"),
+            F.lit("."), F.col("lang"), F.lit(".example.com"),
+        )
+
+    src_host = F.concat(
+        F.col("source"), F.lit("."), F.col("lang"), F.lit(".example.com")
+    )
+    dst1 = mk_host((si * 3 + did) % 20)
+    dst2 = mk_host((si + 7 * (did % 4)) % 20)
+    nf = mk_host((si + 1) % 20)
+    link2 = F.when(
+        did % 4 != 0,
+        F.concat(
+            F.lit(' and <a href="//'), dst2,
+            F.lit('/q/'), did.cast("string"), F.lit('">ref two</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><p>See <a href="https://'), dst1,
+        F.lit('/p/'), did.cast("string"), F.lit('">ref one</a>'),
+        link2,
+        F.lit(' plus <a href="https://'), nf,
+        F.lit('/ad" rel="nofollow">sponsored</a>.</p></body></html>'),
+    )
+    pages = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("https://"), src_host, F.lit("/p/"), did.cast("string")
+        ).alias("url"),
+        html.alias("html"),
+        src_host.alias("src_host"),
+    )
+    links = html_extract_links(
+        pages, html_col="html", id_col="doc_id", base_col="url"
+    ).join(pages.select("doc_id", "src_host"), "doc_id")
+    edges = host_graph(links)
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, grid_scale=_PR_SCALE
+    )
+    deg = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("_n_out"),
+        F.sum("n_links").alias("_w_out"),
+    )
+    return ranks.join(
+        deg, ranks["node"] == deg["src_host"], "left"
+    ).select(
+        F.col("node").alias("host"),
+        "rank_scaled",
+        F.coalesce(F.col("_n_out"), F.lit(0)).cast("long").alias("n_out"),
+        F.coalesce(F.col("_w_out"), F.lit(0)).cast("long").alias("w_out"),
     )

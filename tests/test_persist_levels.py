@@ -61,6 +61,11 @@ REGISTRY = {
     ("streaming/scheduler.py", "_process_batch"): "BOUNDED",
     ("operators/dedup.py", "near_dup_clusters"): "ITER_DESER",
     ("operators/bpe.py", "bpe_train"): "ITER_DESER",
+    # r14: pagerank's node/out-weight/rank frames are |hosts|-
+    # proportional (orders below the page corpus), stay at the
+    # deserialized default, and the rank frame is released every
+    # iteration — the textbook ITER_DESER shape
+    ("operators/linkgraph.py", "pagerank"): "ITER_DESER",
 }
 
 _DISK_ONLY = "StorageLevel.DISK_ONLY"
