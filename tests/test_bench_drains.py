@@ -29,6 +29,7 @@ HARNESSES = [
     "tools/bench_pack_ab.py",
     "tools/bench_warc_shards.py",
     "tools/bench_crawl_ops.py",
+    "tools/bench_linkgraph.py",
 ]
 
 
