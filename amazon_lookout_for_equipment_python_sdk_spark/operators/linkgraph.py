@@ -22,11 +22,12 @@ Scale design:
   tens per host), orders of magnitude below the page corpus.
 - **PageRank shuffles the EDGE list once per iteration** on the join
   key (src), plus a broadcast-sized rank frame when |nodes| is small;
-  ranks/out-weights persist across iterations, the previous
-  iteration's cache is released each step, and every scalar the
-  update rule needs (N, dangling mass) rides a broadcast 1-row
-  cross-join — the engine's zorder/bloom/lm pattern — so there is no
-  per-iteration driver collect.
+  the deduplicated edge list and out-weights persist across
+  iterations, each iteration's rank frame local-checkpoints (plan
+  truncation — persist alone lets the analyzed tree grow ~3^k), and
+  every scalar the update rule needs (N, dangling mass) rides a
+  broadcast 1-row cross-join — the engine's zorder/bloom/lm pattern —
+  so there is no per-iteration driver collect.
 - **Grid mode is bit-deterministic**: with ``grid_scale`` set, ranks
   are scaled int64 and every update is integer multiply + integer
   division (``div``), so two engines (or two runs with different
@@ -49,6 +50,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .html import _DROP_TAGS
+
 LINK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -62,17 +65,21 @@ LINK_SCHEMA = T.StructType(
 class _LinkParser(HTMLParser):
     """Collect (href, anchor text, rel-nofollow) per ``<a>`` element.
 
-    Nested ``<a>`` (invalid HTML but common in the wild) attributes to
-    the OUTERMOST anchor; an unclosed trailing ``<a>`` flushes at
-    close.  Text inside dropped subtrees (script/style) never reaches
-    an anchor."""
+    A second ``<a>`` start tag while one is open IMPLICITLY CLOSES the
+    open anchor (the HTML5 tree-builder rule — browsers never nest
+    anchors, so unclosed SIBLING anchors each keep their own href); an
+    unclosed trailing ``<a>`` flushes at close.  Dropped subtrees
+    (script/style/iframe... — ``_DROP_TAGS`` shared with the sibling
+    text extractor so the two parsers can't diverge on drop policy)
+    contribute neither anchor text NOR links (an ``<a>`` inside
+    noscript/template fallback is not a rendered link)."""
 
-    _DROP = {"script", "style", "noscript", "template", "svg"}
+    _DROP = _DROP_TAGS
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.links: list[tuple[str, str, bool]] = []
-        self._depth = 0
+        self._open = False
         self._drop_depth = 0
         self._href: "str | None" = None
         self._nofollow = False
@@ -82,17 +89,18 @@ class _LinkParser(HTMLParser):
         if self._href is not None:
             text = " ".join("".join(self._buf).split())
             self.links.append((self._href, text, self._nofollow))
-        self._href, self._nofollow, self._buf = None, False, []
+        self._open, self._href = False, None
+        self._nofollow, self._buf = False, []
 
     def handle_starttag(self, tag, attrs):
         if tag in self._DROP:
             self._drop_depth += 1
             return
-        if tag != "a":
+        if tag != "a" or self._drop_depth:
             return
-        self._depth += 1
-        if self._depth > 1:
-            return  # nested <a>: outermost wins
+        if self._open:
+            self._flush()  # HTML5: <a> implicitly closes an open <a>
+        self._open = True
         d = dict(attrs)
         href = d.get("href")
         self._href = href.strip() if href else None
@@ -102,18 +110,16 @@ class _LinkParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in self._DROP:
             self._drop_depth = max(0, self._drop_depth - 1)
-        elif tag == "a":
-            self._depth = max(0, self._depth - 1)
-            if self._depth == 0:
-                self._flush()
+        elif tag == "a" and self._open and not self._drop_depth:
+            self._flush()
 
     def handle_data(self, data):
-        if self._depth and not self._drop_depth:
+        if self._open and not self._drop_depth:
             self._buf.append(data)
 
     def close(self):
         super().close()
-        if self._depth:
+        if self._open:
             self._flush()
 
 
@@ -213,7 +219,9 @@ def host_graph(
         *([F.col(nofollow_col).alias("_nf")] if nofollow_col else []),
     ).filter(F.col("dst_host").isNotNull() & F.col("src_host").isNotNull())
     if nofollow_col:
-        rows = rows.filter(~F.col("_nf"))
+        # NULL means "rel not recorded", i.e. NOT nofollow — a bare
+        # ~col filter would silently drop every null-rel link
+        rows = rows.filter(~F.coalesce(F.col("_nf"), F.lit(False)))
     if drop_self:
         rows = rows.filter(F.col("src_host") != F.col("dst_host"))
     return rows.groupBy("src_host", "dst_host").agg(
@@ -237,7 +245,11 @@ def pagerank(
     ``rank' = (1-d)/N + d·(Σ inbound rank·w/out_w + dangling/N)`` —
     dangling nodes (no out-edges) spread their mass uniformly, so
     total mass is conserved (up to grid flooring in grid mode).
-    Duplicate (src, dst) edge rows act as summed weight.
+    Duplicate (src, dst) edge rows act as summed weight EXACTLY —
+    the edge list pre-aggregates before iterating, so grid-mode bits
+    do not depend on the caller's pre-aggregation (per-row flooring
+    would break that).  The returned frame reads from its own local
+    checkpoint; every internal cache is released before return.
 
     ``grid_scale`` switches every update to scaled-int64 arithmetic
     (``(85·r·w) div (100·out_w)`` with integer ``div``) — ranks become
@@ -251,10 +263,12 @@ def pagerank(
     Scale: one shuffle per iteration (contributions group by dst) plus
     the edges ⋈ ranks equi-join on src — Spark broadcasts the rank
     side automatically while |nodes| is broadcast-sized, and AQE picks
-    shuffle join beyond that.  Out-weights compute once and persist;
-    each iteration's rank frame persists and the previous one is
-    released, so the lineage each step is one join + one aggregate
-    deep, not cumulative.  N and the per-iteration dangling mass ride
+    shuffle join beyond that.  The deduplicated edge list and
+    out-weights compute once and persist; each iteration's rank frame
+    is LOCAL-CHECKPOINTED (eager), which truncates the logical plan
+    to a leaf — persist alone leaves the analyzed tree growing ~3^k
+    with iterations until analysis dominates and plan rendering OOMs
+    (measured at k=7).  N and the per-iteration dangling mass ride
     broadcast 1-row cross-joins (no driver collect in the loop).
     """
     if iterations < 0:
@@ -270,10 +284,24 @@ def pagerank(
         if weight_col
         else F.lit(1).cast("long")
     )
-    e = edges.select(
-        F.col(src_col).alias("_pr_s"),
-        F.col(dst_col).alias("_pr_d"),
-        w.alias("_pr_w"),
+    # pre-aggregate duplicate (src, dst) rows into ONE summed-weight
+    # edge: in grid mode each row's contribution floors INDEPENDENTLY,
+    # so floor(r·w1/ow) + floor(r·w2/ow) != floor(r·(w1+w2)/ow) — the
+    # summed-weight contract (and the bit-determinism guarantee, which
+    # must not depend on the caller's pre-aggregation) requires the
+    # collapse.  Also persisted: every iteration re-reads this frame,
+    # and an unpersisted corpus-derived edge lineage (e.g. straight
+    # out of html_extract_links -> host_graph) would otherwise
+    # re-execute the whole extraction per iteration.
+    e = (
+        edges.select(
+            F.col(src_col).alias("_pr_s"),
+            F.col(dst_col).alias("_pr_d"),
+            w.alias("_pr_w"),
+        )
+        .groupBy("_pr_s", "_pr_d")
+        .agg(F.sum("_pr_w").alias("_pr_w"))
+        .persist()
     )
     nodes = (
         e.select(F.col("_pr_s").alias("node"))
@@ -308,9 +336,26 @@ def pagerank(
         dshare = F.lit(damping) * F.col("_pr_dang") / F.col("_pr_n")
         rtype = "double"
 
-    ranks = nodes.crossJoin(n_tbl).select(
-        "node", init.cast(rtype).alias("_pr_r")
-    ).persist()
+    # localCheckpoint (NOT persist) between iterations: persist caches
+    # DATA but leaves the LOGICAL plan intact, and each step's plan
+    # references the previous ranks ~3x (dangling agg + contribution
+    # join + update), so the analyzed tree grows 3^k — by ~7
+    # iterations, analysis alone dominates runtime and AQE's
+    # plan-string rendering OOMs the heap.  The checkpoint truncates
+    # lineage to a LogicalRDD leaf: constant plan depth, one
+    # materializing job per iteration (eager).  Trade-off, documented:
+    # checkpoint blocks are executor-local and non-replicated — on a
+    # cluster, losing an executor mid-run means restarting the
+    # iteration loop (acceptable: PageRank runs are idempotent and
+    # minutes-scale; swap in sc.setCheckpointDir + Dataset.checkpoint
+    # for reliable lineage on very long runs).  Superseded frames drop
+    # to the ContextCleaner as their references go out of scope —
+    # each holds only |nodes| rows.
+    ranks = (
+        nodes.crossJoin(n_tbl)
+        .select("node", init.cast(rtype).alias("_pr_r"))
+        .localCheckpoint(eager=True)
+    )
     ew = e.join(outw, "_pr_s")  # (src, dst, w, out_w) — reused each step
 
     for _ in range(iterations):
@@ -329,7 +374,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_pr_c").alias("_pr_c"))
         )
-        nxt = (
+        ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(n_tbl)
             .crossJoin(dang_tbl)
@@ -340,17 +385,14 @@ def pagerank(
                     + dshare
                 ).cast(rtype).alias("_pr_r"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        # materialize before releasing the parent this frame was
-        # computed FROM — unpersisting first would recompute the whole
-        # chain from iteration 0
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
 
     out_name = "rank_scaled" if grid else "rank"
     out = ranks.select("node", F.col("_pr_r").alias(out_name))
+    # the returned frame reads from its own checkpoint blocks — every
+    # setup cache can release now
+    e.unpersist()
     nodes.unpersist()
     outw.unpersist()
     return out

@@ -1055,11 +1055,11 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the host's whole sitemap downstream.
     src_idx = F.substring("source", 4, 8).cast("int")
     is_ruled = F.col("source").isin("src1", "src2")
-    chain_host = F.concat(
-        F.col("source"), F.lit("."), F.col("lang"), F.lit(".example.com")
-    )
+    # `host` is the SAME expression the sitemap xml grouped on above —
+    # one definition, or a future edit could silently desync the
+    # directive URL from the semi-join key and empty the pipeline
     robots = docs.select("source", "lang").distinct().select(
-        chain_host.alias("host"),
+        host.alias("host"),
         F.concat(
             F.lit("User-agent: enginebot\n"),
             F.when(
@@ -1069,7 +1069,7 @@ def crawl_chain_gates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.lit("Allow: /\n")),
             F.concat(
-                F.lit("Sitemap: https://"), chain_host,
+                F.lit("Sitemap: https://"), host,
                 F.lit("/sitemap.xml\n"),
             ),
             F.when(

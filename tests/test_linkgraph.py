@@ -39,10 +39,31 @@ def test_extract_links_drops_fragment_and_empty():
     assert extract_links(html) == []
 
 
-def test_extract_links_nested_anchor_outermost_wins():
+def test_extract_links_nested_anchor_implicit_close():
+    # HTML5 tree builder: a second <a> start tag implicitly closes the
+    # open anchor — browsers never nest anchors
     html = '<a href="/out">a <a href="/in">b</a> c</a>'
     links = extract_links(html)
-    assert links == [("/out", "a b c", False)]
+    assert links == [("/out", "a", False), ("/in", "b", False)]
+
+
+def test_extract_links_unclosed_sibling_anchors_keep_hrefs():
+    # the common broken-nav case: no </a> anywhere — every sibling
+    # anchor still keeps its own href (implicit-close, not nesting)
+    html = '<a href="/1">one <a href="/2">two <a href="/3">three'
+    assert extract_links(html) == [
+        ("/1", "one", False),
+        ("/2", "two", False),
+        ("/3", "three", False),
+    ]
+
+
+def test_extract_links_dropped_subtrees_emit_no_links():
+    # an <a> inside noscript/template/svg/iframe fallback content is
+    # not a rendered link — no edge, same drop policy as html.py
+    for wrap in ("noscript", "template", "svg", "iframe"):
+        html = f'<{wrap}><a href="/x">x</a></{wrap}><a href="/y">y</a>'
+        assert extract_links(html) == [("/y", "y", False)], wrap
 
 
 def test_extract_links_unclosed_anchor_flushes():
@@ -118,6 +139,16 @@ def test_host_graph(spark, links_df):
         ("a.com", "b.com", 2),
         ("b.com", "a.com", 1),
     ]
+
+
+def test_host_graph_null_nofollow_means_followed(spark):
+    # NULL rel flag = "not recorded", which must NOT drop the edge
+    rows = [("a.com", "https://b.com/x", None), ("a.com", "https://c.com/y", True)]
+    df = spark.createDataFrame(
+        rows, "src_host string, href string, nofollow boolean"
+    )
+    g = host_graph(df).collect()
+    assert [(r.src_host, r.dst_host) for r in g] == [("a.com", "b.com")]
 
 
 def test_host_graph_keep_nofollow_and_self(spark, links_df):
@@ -215,6 +246,24 @@ def test_pagerank_duplicate_edges_sum_weights(spark):
     r1 = {r.node: r.rank for r in pagerank(e1, iterations=3).collect()}
     r2 = {r.node: r.rank for r in pagerank(e2, iterations=3).collect()}
     assert r1 == pytest.approx(r2)
+
+
+def test_pagerank_grid_duplicate_edges_bit_exact(spark):
+    # grid mode floors per EDGE ROW — without the internal pre-
+    # aggregation, split rows would floor independently and the bits
+    # would depend on the caller's pre-aggregation (three-edge graph
+    # where floor(r·1/3ow)+floor(r·2/3ow) != floor(r·3/3ow))
+    e1 = _edges(spark, [("a", "b", 1), ("a", "b", 2), ("b", "c", 1), ("c", "a", 1)])
+    e2 = _edges(spark, [("a", "b", 3), ("b", "c", 1), ("c", "a", 1)])
+    g1 = {
+        r.node: r.rank_scaled
+        for r in pagerank(e1, iterations=3, grid_scale=10**9).collect()
+    }
+    g2 = {
+        r.node: r.rank_scaled
+        for r in pagerank(e2, iterations=3, grid_scale=10**9).collect()
+    }
+    assert g1 == g2
 
 
 def test_pagerank_zero_iterations_uniform(spark):
