@@ -665,7 +665,7 @@ def near_dup_clusters(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
     cached = None  # the persisted handle backing `labels` (unpersist target)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor labels: for each node, min label among its neighbors
         nbr = (
             edges.join(
@@ -697,6 +697,16 @@ def near_dup_clusters(
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
         labels = new_labels.drop("_chg")
+        if (it + 1) % 4 == 0:
+            # cut the logical plan every few rounds: persist caches
+            # DATA but not the PLAN, and each round references the
+            # previous labels twice (neighbor join + update join), so
+            # the analyzed tree doubles per round — a deep-diameter
+            # graph (chain-shaped duplicate clusters) drowns in
+            # analysis long before compute (the r14 pagerank lesson).
+            # The cut runs while the round's cache is still live, so
+            # it reads blocks, not lineage; plans stay <= 2^4 deep.
+            labels = labels.localCheckpoint(eager=True)
         if cached is not None:
             cached.unpersist()
         cached = new_labels

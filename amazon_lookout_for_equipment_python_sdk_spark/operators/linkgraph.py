@@ -396,3 +396,44 @@ def pagerank(
     nodes.unpersist()
     outw.unpersist()
     return out
+
+
+def anchor_terms(
+    links: DataFrame,
+    dst_url_col: str = "href",
+    anchor_col: str = "anchor",
+    nofollow_col: "str | None" = "nofollow",
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-target-host anchor-term table ``(dst_host, term, n_links)``
+    — the classic off-page relevance/description signal (what OTHER
+    pages' link text says a host is about; feeds source labeling and
+    crawl prioritization the way host rank feeds quality).
+
+    Terms are lowercase whitespace tokens of the anchor text with
+    punctuation-only and sub-``min_len`` tokens dropped; nofollow
+    links are excluded by default (same policy switch as
+    :func:`host_graph`, NULL = followed).  Pure codegen: split +
+    explode + one map-side-combinable count aggregate — no Python in
+    the hot path, output is |hosts| x |vocab|-sparse, orders below
+    the link table."""
+    dst = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
+    rows = links.select(
+        dst.alias("dst_host"),
+        F.col(anchor_col).alias("_at"),
+        *([F.col(nofollow_col).alias("_nf")] if nofollow_col else []),
+    ).filter(F.col("dst_host").isNotNull())
+    if nofollow_col:
+        rows = rows.filter(~F.coalesce(F.col("_nf"), F.lit(False)))
+    term = F.explode(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("_at"), F.lit(""))), r"\s+"),
+            lambda t: (F.length(t) >= min_len)
+            & t.rlike("[\\p{L}\\p{N}]"),
+        )
+    )
+    return (
+        rows.select("dst_host", term.alias("term"))
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -1348,22 +1348,25 @@ WITH d AS (
          CAST(substr(source, 4) AS INT) AS si,
          source || '.' || lang || '.example.com' AS src
   FROM documents
-), e0 AS (
+), e0all AS (
   -- link 1 (absolute href, every doc) + link 2 (scheme-relative
   -- href, docs with doc_id % 4 <> 0); the rel=nofollow third anchor
-  -- and same-host hits are NOT edges
+  -- is neither an edge nor a term row, and same-host hits are not
+  -- edges (but ARE term rows — ln marks the link class for t0)
   SELECT src,
          'src' || CAST((si * 3 + doc_id) % 20 AS VARCHAR) || '.' || lang
-           || '.example.com' AS dst
+           || '.example.com' AS dst,
+         1 AS ln
   FROM d
   UNION ALL
   SELECT src,
          'src' || CAST((si + 7 * (doc_id % 4)) % 20 AS VARCHAR) || '.'
-           || lang || '.example.com' AS dst
+           || lang || '.example.com' AS dst,
+         2 AS ln
   FROM d WHERE doc_id % 4 <> 0
 ), edges AS (
   SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM e0 WHERE src <> dst GROUP BY src, dst
+  FROM e0all WHERE src <> dst GROUP BY src, dst
 ), nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ), nn AS (
@@ -1373,6 +1376,20 @@ WITH d AS (
 ), r0 AS (
   SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r
   FROM nodes CROSS JOIN nn
+), t0 AS (
+  -- anchor-term lineage (anchor_terms): link 1 carries "ref one",
+  -- link 2 "ref two" — SELF-LOOP rows count here (the term table is
+  -- about the TARGET host, not graph edges); nofollow "sponsored"
+  -- is excluded by policy
+  SELECT dst, unnest(['ref', 'one']) AS term FROM e0all
+  WHERE ln = 1
+  UNION ALL
+  SELECT dst, unnest(['ref', 'two']) AS term FROM e0all
+  WHERE ln = 2
+), ts AS (
+  SELECT dst, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(COUNT(*) AS BIGINT) AS n_term_links
+  FROM t0 GROUP BY dst
 )"""
     + "".join(
         _PR_ITER.format(k=k, p=k - 1, base=15 * _PR_SCALE)
@@ -1382,11 +1399,14 @@ WITH d AS (
 SELECT r3.node AS host,
        r3.r AS rank_scaled,
        CAST(COALESCE(deg.n_out, 0) AS BIGINT) AS n_out,
-       CAST(COALESCE(deg.w_out, 0) AS BIGINT) AS w_out
+       CAST(COALESCE(deg.w_out, 0) AS BIGINT) AS w_out,
+       CAST(COALESCE(ts.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(COALESCE(ts.n_term_links, 0) AS BIGINT) AS n_term_links
 FROM r3
 LEFT JOIN (
   SELECT src, COUNT(*) AS n_out, SUM(w) AS w_out FROM edges GROUP BY src
 ) deg ON r3.node = deg.src
+LEFT JOIN ts ON r3.node = ts.dst
 """
 )
 
@@ -1406,7 +1426,10 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse + base resolution) → ``host_graph`` (host fold, nofollow
     drop, self-loop drop, weight aggregation) → ``pagerank`` (3
     damped power iterations, d=0.85, grid_scale=1e9) → rank joined
-    with out-degree.
+    with out-degree AND ``anchor_terms`` (per-target distinct anchor
+    terms + term-weighted in-link mass; self-loops count as term
+    rows, nofollow stays excluded — ``n_terms``/``n_term_links``
+    give the anchor tokenizer its own lineage axis in the slot).
 
     The oracle builds the same edge multiset relationally and unrolls
     the same three iterations in exact int64 arithmetic — the grid
@@ -1426,7 +1449,12 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); each PageRank iteration is one equi-join + one
     map-side-combinable sum with the rank side broadcast-sized at
     |hosts| — see the pagerank docstring for the 100 TB shape."""
-    from ..operators.linkgraph import host_graph, html_extract_links, pagerank
+    from ..operators.linkgraph import (
+        anchor_terms,
+        host_graph,
+        html_extract_links,
+        pagerank,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     did = F.col("doc_id")
@@ -1477,11 +1505,31 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n_out"),
         F.sum("n_links").alias("_w_out"),
     )
-    return ranks.join(
-        deg, ranks["node"] == deg["src_host"], "left"
-    ).select(
-        F.col("node").alias("host"),
-        "rank_scaled",
-        F.coalesce(F.col("_n_out"), F.lit(0)).cast("long").alias("n_out"),
-        F.coalesce(F.col("_w_out"), F.lit(0)).cast("long").alias("w_out"),
+    # anchor-term lineage in the same slot: per-target distinct terms
+    # + term-weighted in-link mass (self-loop links count — the term
+    # table describes the TARGET host, not graph edges; nofollow
+    # excluded by anchor_terms' default policy)
+    tstats = anchor_terms(links).groupBy("dst_host").agg(
+        F.count_distinct("term").alias("_n_terms"),
+        F.sum("n_links").alias("_n_term_links"),
+    )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src_host"], "left")
+        .join(tstats, ranks["node"] == tstats["dst_host"], "left")
+        .select(
+            F.col("node").alias("host"),
+            "rank_scaled",
+            F.coalesce(F.col("_n_out"), F.lit(0)).cast("long").alias(
+                "n_out"
+            ),
+            F.coalesce(F.col("_w_out"), F.lit(0)).cast("long").alias(
+                "w_out"
+            ),
+            F.coalesce(F.col("_n_terms"), F.lit(0)).cast("long").alias(
+                "n_terms"
+            ),
+            F.coalesce(F.col("_n_term_links"), F.lit(0)).cast(
+                "long"
+            ).alias("n_term_links"),
+        )
     )

@@ -280,3 +280,48 @@ def test_pagerank_validates_args(spark):
         pagerank(e, damping=1.5)
     with pytest.raises(ValueError):
         pagerank(e, damping=0.855, grid_scale=10**9)
+
+
+# ---------------------------------------------------------------------------
+# anchor_terms
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_terms_counts_and_policies(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.linkgraph import (
+        anchor_terms,
+    )
+
+    rows = [
+        ("https://b.com/1", "Great Spark Guide", False),
+        ("https://b.com/2", "spark  guide!", False),
+        ("https://b.com/3", "a ... --", False),          # all tokens dropped
+        ("https://c.com/1", "hidden", True),             # nofollow: excluded
+        ("https://d.com/1", "null-rel stays", None),     # NULL = followed
+        (None, "no host", False),
+    ]
+    df = spark.createDataFrame(rows, "href string, anchor string, nofollow boolean")
+    got = {
+        (r.dst_host, r.term): r.n_links
+        for r in anchor_terms(df).collect()
+    }
+    assert got == {
+        ("b.com", "great"): 1,
+        ("b.com", "spark"): 2,
+        ("b.com", "guide"): 1,
+        ("b.com", "guide!"): 1,
+        ("d.com", "null-rel"): 1,
+        ("d.com", "stays"): 1,
+    }
+
+
+def test_anchor_terms_null_anchor_safe(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.linkgraph import (
+        anchor_terms,
+    )
+
+    df = spark.createDataFrame(
+        [("https://b.com/x", None, False)],
+        "href string, anchor string, nofollow boolean",
+    )
+    assert anchor_terms(df).count() == 0

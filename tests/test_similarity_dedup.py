@@ -865,3 +865,26 @@ def test_keep_best_per_cluster_matches_python_reference_randomized(spark):
             for r in keep_best_per_cluster(ddf, cdf, "q").collect()
         }
         assert got == expect, (seed, got ^ expect)
+
+
+def test_near_dup_clusters_deep_chain_converges(spark):
+    """Chain-shaped duplicate cluster (1-2-3-...-n): diameter = n-1, so
+    label propagation needs ~n rounds.  Each round references the
+    previous labels TWICE, so without the every-4-rounds localCheckpoint
+    plan cut the analyzed tree doubles per round (2^29 plan nodes for
+    this chain — analysis hangs long before compute; the r14 pagerank
+    lesson).  The test both pins correctness on a deep diameter and
+    times out on a plan-growth regression."""
+    import amazon_lookout_for_equipment_python_sdk_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    n = 30
+    ids = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(1, n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in dd.near_dup_clusters(ids, pairs, max_iter=n + 2).collect()
+    }
+    assert set(clusters.values()) == {1} and len(clusters) == n
