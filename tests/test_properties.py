@@ -274,3 +274,57 @@ def test_adaptive_cell_count_contract(n):
     assert nc >= max(16, min(4096, math.isqrt(max(n - 1, 0))))
     if 16 < nc < 4096:  # interior regime: per-cell work ~ sqrt(n)
         assert abs(nc - math.isqrt(n)) == 0
+
+
+@given(html=st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_extract_links_never_raises(html):
+    """The link harvester runs on raw crawled bytes-turned-text — any
+    input must degrade to a (possibly empty) link list, never an
+    exception (one hostile page must not sink an Arrow batch)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.linkgraph import (
+        extract_links,
+    )
+
+    for href, text, nofollow in extract_links(html):
+        assert isinstance(href, str) and href != ""
+        assert not href.startswith("#")
+        assert isinstance(text, str) and isinstance(nofollow, bool)
+
+
+@given(
+    html=st.text(
+        alphabet=st.sampled_from(list("<a href=/x>y</'\"&#;\n ")),
+        max_size=200,
+    ),
+    base=st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("htps:/a.b%?# ")), max_size=40
+        ),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_extract_links_tag_soup_with_base_never_raises(html, base):
+    """Tag-soup alphabet + adversarial base URLs (urljoin's ValueError
+    surface) — the resolution fallback must keep the href verbatim
+    rather than raise."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.linkgraph import (
+        extract_links,
+    )
+
+    extract_links(html, base_url=base)
+
+
+@given(body=st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parse_sitemap_refs_never_raises(body):
+    """robots.txt bodies are hostile input; the Sitemap: scan must
+    yield a deduplicated list of non-empty strings for anything."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.robots import (
+        _parse_sitemap_refs,
+    )
+
+    out = _parse_sitemap_refs(body)
+    assert len(out) == len(set(out))
+    assert all(isinstance(u, str) and u for u in out)
