@@ -196,6 +196,29 @@ def html_extract_links(
     return src.mapInPandas(run, schema=LINK_SCHEMA)
 
 
+def _followed_dst(
+    links: DataFrame,
+    dst_url_col: str,
+    nofollow_col: "str | None",
+    extra: "list" = (),
+) -> DataFrame:
+    """Shared target-side policy for :func:`host_graph` and
+    :func:`anchor_terms`: parse + case-fold the dst host (JVM-side;
+    unparseable/relative hrefs drop) and apply the nofollow switch —
+    NULL means "rel not recorded", i.e. NOT nofollow (a bare ``~col``
+    filter would silently drop every null-rel link under three-valued
+    logic).  ``extra`` columns ride through."""
+    dst = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
+    rows = links.select(
+        dst.alias("dst_host"),
+        *extra,
+        *([F.col(nofollow_col).alias("_nf")] if nofollow_col else []),
+    ).filter(F.col("dst_host").isNotNull())
+    if nofollow_col:
+        rows = rows.filter(~F.coalesce(F.col("_nf"), F.lit(False)))
+    return rows
+
+
 def host_graph(
     links: DataFrame,
     src_host_col: str = "src_host",
@@ -207,21 +230,17 @@ def host_graph(
     from a link table: the dst host parses out of the link URL
     (``try_parse_url`` — JVM-side; unparseable/relative hrefs drop),
     hosts case-fold, ``rel=nofollow`` links drop (they exist to be
-    excluded from ranking — pass ``nofollow_col=None`` to keep them),
-    and self-loops drop by default (a host's internal navigation
-    otherwise dominates every weight).  One map-side-combinable
-    aggregate — the graph is orders of magnitude smaller than the
-    link table."""
-    dst = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
-    rows = links.select(
-        F.lower(F.col(src_host_col)).alias("src_host"),
-        dst.alias("dst_host"),
-        *([F.col(nofollow_col).alias("_nf")] if nofollow_col else []),
-    ).filter(F.col("dst_host").isNotNull() & F.col("src_host").isNotNull())
-    if nofollow_col:
-        # NULL means "rel not recorded", i.e. NOT nofollow — a bare
-        # ~col filter would silently drop every null-rel link
-        rows = rows.filter(~F.coalesce(F.col("_nf"), F.lit(False)))
+    excluded from ranking — pass ``nofollow_col=None`` to keep them;
+    NULL rel = followed), and self-loops drop by default (a host's
+    internal navigation otherwise dominates every weight).  One
+    map-side-combinable aggregate — the graph is orders of magnitude
+    smaller than the link table."""
+    rows = _followed_dst(
+        links,
+        dst_url_col,
+        nofollow_col,
+        extra=[F.lower(F.col(src_host_col)).alias("src_host")],
+    ).filter(F.col("src_host").isNotNull())
     if drop_self:
         rows = rows.filter(F.col("src_host") != F.col("dst_host"))
     return rows.groupBy("src_host", "dst_host").agg(
@@ -410,26 +429,34 @@ def anchor_terms(
     pages' link text says a host is about; feeds source labeling and
     crawl prioritization the way host rank feeds quality).
 
-    Terms are lowercase whitespace tokens of the anchor text with
-    punctuation-only and sub-``min_len`` tokens dropped; nofollow
-    links are excluded by default (same policy switch as
-    :func:`host_graph`, NULL = followed).  Pure codegen: split +
-    explode + one map-side-combinable count aggregate — no Python in
-    the hot path, output is |hosts| x |vocab|-sparse, orders below
-    the link table."""
-    dst = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
-    rows = links.select(
-        dst.alias("dst_host"),
-        F.col(anchor_col).alias("_at"),
-        *([F.col(nofollow_col).alias("_nf")] if nofollow_col else []),
-    ).filter(F.col("dst_host").isNotNull())
-    if nofollow_col:
-        rows = rows.filter(~F.coalesce(F.col("_nf"), F.lit(False)))
+    Terms are lowercase whitespace tokens of the anchor text
+    (UNICODE whitespace — ``&nbsp;`` decodes to U+00A0 and must
+    separate, so the split is ``(?U)\\s+``, not Java's ASCII-only
+    default) with punctuation-only and sub-``min_len`` tokens
+    dropped, DEDUPLICATED per link — ``n_links`` counts links whose
+    anchor contains the term (the off-page signal), not raw token
+    occurrences ("buy buy buy" is one buy-link, not three).
+    Nofollow links are excluded by default (the :func:`host_graph`
+    policy switch, NULL = followed).  Pure codegen: split + explode
+    + one map-side-combinable count aggregate — no Python in the hot
+    path, output is |hosts| x |vocab|-sparse, orders below the link
+    table."""
+    rows = _followed_dst(
+        links,
+        dst_url_col,
+        nofollow_col,
+        extra=[F.col(anchor_col).alias("_at")],
+    )
     term = F.explode(
-        F.filter(
-            F.split(F.lower(F.coalesce(F.col("_at"), F.lit(""))), r"\s+"),
-            lambda t: (F.length(t) >= min_len)
-            & t.rlike("[\\p{L}\\p{N}]"),
+        F.array_distinct(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("_at"), F.lit(""))),
+                    r"(?U)\s+",
+                ),
+                lambda t: (F.length(t) >= min_len)
+                & t.rlike("[\\p{L}\\p{N}]"),
+            )
         )
     )
     return (

@@ -1341,6 +1341,17 @@ _PR_ITER = """
   CROSS JOIN nn CROSS JOIN g{k} g
 )"""
 
+def _lg_host(idx):
+    """Residue-class host for the link-graph oracle row: src{idx} on
+    the current row's lang (module-level so the registered query's
+    persist site stays attributable to host_pagerank_q in the
+    persist-level contract's enclosing-def scan)."""
+    return F.concat(
+        F.lit("src"), idx.cast("string"),
+        F.lit("."), F.col("lang"), F.lit(".example.com"),
+    )
+
+
 _HOST_PAGERANK_SQL = (
     f"""
 WITH d AS (
@@ -1459,19 +1470,12 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     did = F.col("doc_id")
     si = F.substring("source", 4, 8).cast("int")
-
-    def mk_host(idx):
-        return F.concat(
-            F.lit("src"), idx.cast("string"),
-            F.lit("."), F.col("lang"), F.lit(".example.com"),
-        )
-
     src_host = F.concat(
         F.col("source"), F.lit("."), F.col("lang"), F.lit(".example.com")
     )
-    dst1 = mk_host((si * 3 + did) % 20)
-    dst2 = mk_host((si + 7 * (did % 4)) % 20)
-    nf = mk_host((si + 1) % 20)
+    dst1 = _lg_host((si * 3 + did) % 20)
+    dst2 = _lg_host((si + 7 * (did % 4)) % 20)
+    nf = _lg_host((si + 1) % 20)
     link2 = F.when(
         did % 4 != 0,
         F.concat(
@@ -1494,9 +1498,24 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
         src_host.alias("src_host"),
     )
-    links = html_extract_links(
-        pages, html_col="html", id_col="doc_id", base_col="url"
-    ).join(pages.select("doc_id", "src_host"), "doc_id")
+    from pyspark import StorageLevel
+
+    from .._persist import note_persist as _np
+
+    # the link table feeds THREE subtrees (pagerank's edge build, the
+    # out-degree aggregate, the anchor-term stats) and sits on top of
+    # the corpus-wide HTML parse — unpersisted, the final action would
+    # run that mapInPandas parse once per consumer.  Link rows are
+    # corpus-proportional (one per anchor) -> DISK_ONLY per the
+    # promotion-OOM contract (tests/test_persist_levels.py).
+    links = (
+        html_extract_links(
+            pages, html_col="html", id_col="doc_id", base_col="url"
+        )
+        .join(pages.select("doc_id", "src_host"), "doc_id")
+        .persist(StorageLevel.DISK_ONLY)
+        .transform(_np)
+    )
     edges = host_graph(links)
     ranks = pagerank(
         edges, iterations=3, damping=0.85, grid_scale=_PR_SCALE

@@ -325,3 +325,27 @@ def test_anchor_terms_null_anchor_safe(spark):
         "href string, anchor string, nofollow boolean",
     )
     assert anchor_terms(df).count() == 0
+
+
+def test_anchor_terms_dedup_within_link_and_unicode_ws(spark):
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.linkgraph import (
+        anchor_terms,
+    )
+
+    rows = [
+        # repeated token in ONE anchor: n_links counts links containing
+        # the term, not raw occurrences
+        ("https://b.com/1", "buy buy buy cheap", False),
+        # &nbsp; decodes to U+00A0 — unicode whitespace must separate
+        ("https://b.com/2", "free\u00a0books", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "href string, anchor string, nofollow boolean"
+    )
+    got = {(r.dst_host, r.term): r.n_links for r in anchor_terms(df).collect()}
+    assert got == {
+        ("b.com", "buy"): 1,
+        ("b.com", "cheap"): 1,
+        ("b.com", "free"): 1,
+        ("b.com", "books"): 1,
+    }

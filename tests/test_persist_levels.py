@@ -53,6 +53,9 @@ REGISTRY = {
     # (plain rows, html-extraction input, html rejoin side); it holds
     # every gated document's decoded text -> corpus-proportional
     ("plans/corpus_q.py", "_http_capture"): "CORPUS",
+    # r14: host_pagerank's link table (one row per anchor, on top of
+    # the corpus-wide HTML parse) feeds three subtrees
+    ("plans/corpus_q.py", "host_pagerank_q"): "CORPUS",
     ("operators/dsir.py", "model"): "BOUNDED",
     ("operators/sketches.py", "kmv_sketch"): "BOUNDED",
     ("operators/wasserstein.py", "density_histograms"): "BOUNDED",
