@@ -122,6 +122,11 @@ def main() -> None:
             p, html_col="html", id_col="doc_id", base_col="url"
         ),
         "extract_to_host_graph": lambda p, e: chain(p),
+        "extract_to_anchor_terms": lambda p, e: LG.anchor_terms(
+            LG.html_extract_links(
+                p, html_col="html", id_col="doc_id", base_col="url"
+            )
+        ),
         "pagerank_float": lambda p, e: LG.pagerank(e, iterations=ITERS),
         "pagerank_grid": lambda p, e: LG.pagerank(
             e, iterations=ITERS, grid_scale=10**9
