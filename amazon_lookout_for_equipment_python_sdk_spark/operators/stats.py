@@ -60,17 +60,25 @@ def rolling_zscore(
         .rowsBetween(-(window - 1), 0)
     )
     x = _cents(F.col(value_col), scale)
-    n = F.count(x).over(w)
-    s = F.sum(x).over(w)
-    q = F.sum(x * x).over(w)
+    # materialize the three distinct frame aggregates as columns BEFORE
+    # deriving z: inlining n/s/q into the z expression makes Catalyst
+    # extract one window expression per OCCURRENCE — 13 sliding-frame
+    # aggregates per row where only 3 are distinct (r15 plan audit;
+    # sliding ROWS frames re-aggregate the whole frame per row, so the
+    # duplication multiplies the dominant cost ~4x).  Same values, same
+    # float op order — only the duplication goes away.
+    cols = df.withColumn("_zn", F.count(x).over(w)).withColumn(
+        "_zs", F.sum(x).over(w)
+    ).withColumn("_zq", F.sum(x * x).over(w))
+    n, s, q = F.col("_zn"), F.col("_zs"), F.col("_zq")
     var_num = n * q - s * s  # n(n-1) · sample variance, exact integer
     z = (x * n - s).cast("double") / F.sqrt(
         var_num.cast("double") * n.cast("double") / (n - F.lit(1)).cast("double")
     )
-    return df.withColumn(
+    return cols.withColumn(
         "zscore",
         F.when((n >= F.lit(window)) & (var_num > F.lit(0)), z),
-    )
+    ).drop("_zn", "_zs", "_zq")
 
 
 def _chunked_rows_frame(
@@ -181,17 +189,20 @@ def rolling_zscore_chunked(
     targets, wt = _chunked_rows_frame(
         df, window, bucket_span_s, ts_col, key_col, tiebreak_col
     )
-    n = F.count(x).over(wt)
-    s = F.sum(x).over(wt)
-    q = F.sum(x * x).over(wt)
+    # same dedup as the plain form (see rolling_zscore): compute the 3
+    # distinct frame aggregates once each, then derive z in a projection
+    cols = targets.withColumn("_zn", F.count(x).over(wt)).withColumn(
+        "_zs", F.sum(x).over(wt)
+    ).withColumn("_zq", F.sum(x * x).over(wt))
+    n, s, q = F.col("_zn"), F.col("_zs"), F.col("_zq")
     var_num = n * q - s * s
     z = (x * n - s).cast("double") / F.sqrt(
         var_num.cast("double") * n.cast("double") / (n - F.lit(1)).cast("double")
     )
-    out = targets.withColumn(
+    out = cols.withColumn(
         "zscore",
         F.when((n >= F.lit(window)) & (var_num > F.lit(0)), z),
-    )
+    ).drop("_zn", "_zs", "_zq")
     return _emit_rows_frame(out)
 
 
