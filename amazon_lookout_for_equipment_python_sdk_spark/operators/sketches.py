@@ -128,6 +128,73 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, item_col, group_col), group_col)
 
 
+def hll_distinct_with_exact(
+    df: DataFrame, item_col: str, group_col: str
+) -> DataFrame:
+    """Per-group EXACT distinct count and HLL estimate from ONE linear
+    aggregation chain — the calibration shape a profiler runs when it
+    wants both (r15, guide §2.4).
+
+    The naive composition (``count(DISTINCT x)`` in one branch,
+    :func:`hll_distinct` in the other) clones the whole corpus subtree
+    per consumer — Catalyst optimizes each branch clone independently
+    and ReuseExchange does not dedup them once their pushed projections
+    diverge (r15 plan audit).  Here everything is one chain:
+
+    1. distinct (group, item)              — the only corpus-wide shuffle;
+    2. per (group, bucket): max rank AND the bucket's distinct-item
+       count — one aggregation;
+    3. per group: the register harmonic sum (identical to
+       :func:`hll_estimate` — registers are a per-bucket max, invariant
+       under the dedup in step 1) plus ``sum`` of the bucket counts,
+       which IS the exact distinct count.
+
+    Output: (group, n_exact, estimate_e4), bit-identical to the
+    two-branch composition."""
+    m = 1 << _HLL_P
+    d = df.select(F.col(group_col), F.col(item_col)).distinct()
+    h = _hash48(F.col(item_col))
+    v = F.shiftright(h, _HLL_P)
+    rank = F.when(v == 0, F.lit(41)).otherwise(
+        F.lit(41) - F.length(F.bin(v))
+    )
+    g = (
+        d.select(
+            F.col(group_col),
+            (h % F.lit(m)).alias("bucket"),
+            rank.alias("_rank"),
+            F.col(item_col),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.max("_rank").alias("register"),
+            F.count(item_col).alias("_nb"),
+        )
+    )
+    agg = g.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 41 - register)")
+        ).alias("_s2p"),
+        F.sum("_nb").alias("n_exact"),
+    )
+    s2 = (
+        F.col("_s2p")
+        + (F.lit(m) - F.col("_n_present")) * F.lit(1 << 41).cast("long")
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    raw = F.lit(_HLL_NUMERATOR) / s2.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        group_col,
+        F.col("n_exact"),
+        F.floor(est * 10_000).alias("estimate_e4"),
+    )
+
+
 # --- count-min sketch -------------------------------------------------------
 
 

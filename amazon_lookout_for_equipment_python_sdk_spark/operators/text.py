@@ -14,6 +14,7 @@ keys.
 from __future__ import annotations
 
 import pandas as pd  # resolves pandas_udf type hints under postponed annotations
+from typing import Iterator  # same: iterator-form pandas_udf hints resolve at module scope
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -322,37 +323,46 @@ def hashed_embedding_udf(dim: int = 64, scale: int = 10_000):
     against the SQL md5 replay (the interpreted higher-order-function
     formulation was measured ~50x slower — same winnowing lesson:
     per-token work belongs in numpy, not nested codegen lambdas).
-    Distinct tokens are hashed once per batch (vocabulary repeats)."""
+
+    r15 (guide §4.2/§4.5): ITERATOR form, so the token -> (dim, sign)
+    cache — md5 is the dominant cost and vocabulary repeats heavily —
+    amortizes across every batch of a task instead of resetting per
+    batch, and the normalize runs as one vectorized numpy expression per
+    row (same IEEE op order as the scalar loop it replaces: v/nrm,
+    *scale, floor, /scale — elementwise, so bit-identical)."""
     import hashlib
 
     import numpy as np
 
     @F.pandas_udf("array<double>")
-    def udf(texts: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
+    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, tuple[int, int]] = {}
+        zero = [0.0] * dim
 
         def embed(txt):
             if txt is None:
-                return [0.0] * dim
+                return zero
             acc = np.zeros(dim, dtype=np.int64)
             for t in txt.split(" "):
                 if not t:
                     continue
-                hv = cache.get(t)
-                if hv is None:
-                    hv = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
-                    cache[t] = hv
-                acc[hv % dim] += 1 if (hv >> 8) & 1 else -1
+                e = cache.get(t)
+                if e is None:
+                    hv = int(
+                        hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16
+                    )
+                    e = (hv % dim, 1 if (hv >> 8) & 1 else -1)
+                    cache[t] = e
+                acc[e[0]] += e[1]
             sq = int(np.dot(acc, acc))
             if sq == 0:
-                return [0.0] * dim
+                return zero
             nrm = float(np.sqrt(float(sq)))
             # exact float op order of the oracle: v/nrm, *scale, floor
-            return [
-                float(np.floor(float(v) / nrm * scale)) / scale for v in acc
-            ]
+            return (np.floor(acc / nrm * scale) / scale).tolist()
 
-        return texts.map(embed)
+        for texts in batches:
+            yield texts.map(embed)
 
     return udf
 

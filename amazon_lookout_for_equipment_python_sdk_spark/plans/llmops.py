@@ -1514,10 +1514,16 @@ def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = tx.exploded_shingles(docs, 3, "text", "source")
-    exact = sh.groupBy("source").agg(
-        F.countDistinct("sh").alias("n_exact")
-    )
-    return exact.join(sk.hll_distinct(sh, "sh", "source"), "source").select(
+    # ONE corpus traversal, ONE linear chain (r15, guide §2.4): the old
+    # shape exploded and md5-hashed the corpus twice (countDistinct
+    # branch + register branch; Catalyst clones the subtree per consumer
+    # and ReuseExchange does not dedup the diverged clones — r15 plan
+    # audit).  hll_distinct_with_exact derives BOTH outputs from one
+    # distinct -> (group,bucket) -> (group) chain; registers are a
+    # per-bucket max (dedup-invariant), the exact count is the sum of
+    # per-bucket distinct counts — bit-identical either way
+    # (plans/r15/hll_distinct_shingles_after.txt: 2 scans -> 1).
+    return sk.hll_distinct_with_exact(sh, "sh", "source").select(
         "source", "n_exact", "estimate_e4"
     )
 
@@ -1568,11 +1574,33 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
-    counters = sk.cms_counters(toks, "tok")
-    probes = toks.select("tok").distinct()
-    est = sk.cms_estimate(counters, probes, "tok")
-    true_counts = toks.groupBy("tok").agg(F.count("*").alias("n_true"))
-    return true_counts.join(est, "tok").select("tok", "n_true", "cms_count")
+    # ONE corpus traversal (r15, guide §2.4): the old shape ran the
+    # explode three times (counters / probe-distinct / true counts).
+    # Collapse to per-token counts first, then build the sketch FROM the
+    # vocab-sized count table (cms_counters weight_col): each (d, w)
+    # counter is the sum of n_true over tokens hashing there — exactly
+    # the per-occurrence sum, bit-identical; md5 now runs once per
+    # DISTINCT token instead of per occurrence.  The three consumers of
+    # `tc` share the corpus exchange via ReuseExchange (plan-pinned in
+    # plans/r15/cms_token_counts_after.txt).
+    # the count table is vocab-sized (Heaps-law sublinear in the corpus)
+    # but has THREE consumers (counters / probes / output join), and
+    # Catalyst clones the corpus subtree per consumer — persist it so
+    # the corpus explode+aggregate runs once.  DISK_ONLY per the house
+    # persist policy (BASELINE.md r9 addendum 2).
+    from pyspark import StorageLevel
+
+    from .._persist import note_persist as _np_
+
+    tc = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_true"))
+        .persist(StorageLevel.DISK_ONLY)
+        .transform(_np_)
+    )
+    counters = sk.cms_counters(tc, "tok", weight_col="n_true")
+    est = sk.cms_estimate(counters, tc.select("tok"), "tok")
+    return tc.join(est, "tok").select("tok", "n_true", "cms_count")
 
 
 # ---------------------------------------------------------------------------
