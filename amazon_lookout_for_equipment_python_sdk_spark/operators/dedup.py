@@ -1028,15 +1028,26 @@ def _simhash48_udf():
             ucode = ukey % nv
             votes = np.zeros((len(lens), 48), dtype=np.int64)
             # chunk the (doc, token) rows so the 48-wide contribution
-            # matrix stays tens of MB regardless of Arrow batch size
+            # matrix stays tens of MB regardless of Arrow batch size.
+            # Within a chunk, accumulate with a sorted segment-reduce
+            # (np.add.reduceat) instead of np.add.at: ukey is doc-major
+            # sorted, so udoc is nondecreasing and every doc between a
+            # chunk's first and last owns >= 1 row inside it (no empty
+            # reduceat segments; split('') == [''] gives every valid doc
+            # >= 1 token).  add.at is unbuffered scatter — ~13x slower
+            # on this shape (r15 measured 3.0 s -> 0.22 s, corpus-sized
+            # batch); integer sums are order-free, results identical.
             step = 1 << 17
             for s in range(0, len(ukey), step):
-                e = s + step
+                e = min(s + step, len(ukey))
+                ud = udoc[s:e]
+                d0, d1 = int(ud[0]), int(ud[-1])
+                starts = np.searchsorted(ud, np.arange(d0, d1 + 1))
                 bits = ((hvals[ucode[s:e]][:, None] >> _BITS) & 1).astype(
                     np.int64
                 )
                 contrib = (2 * bits - 1) * ucnt[s:e, None]
-                np.add.at(votes, udoc[s:e], contrib)
+                votes[d0 : d1 + 1] += np.add.reduceat(contrib, starts, axis=0)
             sigs = ((votes > 0).astype(np.uint64) << _BITS).sum(axis=1)
             out[valid] = sigs.astype(np.int64)
         res = pd.Series(out, dtype="object")
@@ -1055,10 +1066,16 @@ def simhash48(
     fits int64 — identical to SQL ``conv(substring(md5(tok),1,12),16,10)``.
 
     Row-local Arrow UDF (see :func:`_simhash48_udf` for why); docs whose
-    ``text`` is NULL drop out, matching the previous explode shape."""
-    return df.select(
+    ``text`` is NULL drop out, matching the previous explode shape.  The
+    null gate runs on ``text`` BEFORE the UDF (the kernel returns NULL iff
+    text is NULL, so the two filters are equivalent): filtering on the UDF
+    output made Catalyst push an ``isnotnull`` below the projection and
+    evaluate the UDF twice (two ArrowEvalPython nodes — guide §4.4), and a
+    pre-UDF column filter additionally reaches the parquet scan as a
+    pushed filter."""
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), _simhash48_udf()(F.col(text_col)).alias("simhash")
-    ).filter(F.col("simhash").isNotNull())
+    )
 
 
 def _doc_sig_frame(
