@@ -75,10 +75,21 @@ def _shingle_udf(n: int):
 
 def _shingle_array(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, _sh: array<string>) — distinct word n-gram shingles per doc,
-    computed row-local (no shuffle); docs shorter than n words drop out."""
-    return df.select(
-        F.col(id_col), _shingle_udf(n)(F.col(text_col)).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    computed row-local (no shuffle); docs shorter than n words drop out.
+
+    The short-doc gate runs on the INPUT column, not the UDF output
+    (r15, guide §4.4): ``.filter(size(_sh) > 0)`` made Catalyst push a
+    ``size(udf(text)) > 0`` filter below the projection and evaluate the
+    shingle UDF TWICE (two ArrowEvalPython nodes in every minhash-family
+    plan).  The kernel returns ``[]`` iff text is NULL or has fewer than
+    n space-separated segments, and ``size(split(text, ' ', -1))`` is
+    exactly Python's ``len(text.split(' '))`` (both keep empty segments,
+    both give 1 for ''), so the pre-filter is row-for-row equivalent —
+    and being a plain column predicate it also reaches the scan."""
+    return df.filter(
+        F.col(text_col).isNotNull()
+        & (F.size(F.split(F.col(text_col), " ", -1)) >= n)
+    ).select(F.col(id_col), _shingle_udf(n)(F.col(text_col)).alias("_sh"))
 
 
 #: universal-hash permutation constants: perm p of a 48-bit base hash h is

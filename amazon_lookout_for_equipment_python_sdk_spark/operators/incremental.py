@@ -51,6 +51,7 @@ def dedup_index_frames(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    share_digests: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three index tables of a corpus: ``(exact, bands_tbl, hashes)``.
 
@@ -58,11 +59,27 @@ def dedup_index_frames(
     - ``bands_tbl``: (id, band, bucket) — bucket/persist on ``bucket``;
     - ``hashes``: (id, hh: array<long>) shingle-hash sets — on ``id``.
 
-    All row-local to compute (no shuffle until the caller's write)."""
+    All row-local to compute (no shuffle until the caller's write).
+
+    ``share_digests=True`` persists the shared digest frame (DISK_ONLY)
+    so ``bands_tbl`` and ``hashes`` read ONE materialization instead of
+    each re-running the md5-dominated shingle pipeline (Catalyst clones
+    the subtree per consumer — r15 plan audit counted the corpus shingle
+    UDF twice).  Use it when the three frames are CONSUMED directly in
+    one job (incremental_dedup_batch's shape); leave it off when the
+    caller immediately persists them bucketed (write_bucketed), where
+    the cache would be a second corpus-sized materialization for
+    nothing."""
     exact = docs.select(_content_hash(text_col).alias("h")).distinct()
     digests = _with_digests(
         _shingle_array(docs, shingle_n, text_col, id_col), num_perm
     )
+    if share_digests:
+        from pyspark import StorageLevel
+
+        digests = digests.persist(StorageLevel.DISK_ONLY).transform(
+            _note_persist
+        )
     bands_tbl = minhash_banded_from_digests(digests, num_perm, bands, id_col)
     hashes = digests.select(F.col(id_col).alias("id"), F.col("_h").alias("hh"))
     return exact, bands_tbl, hashes

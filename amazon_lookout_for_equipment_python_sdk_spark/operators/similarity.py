@@ -464,7 +464,17 @@ def ivf_cosine_topk(
     broadcast — the unhinted cell join lets Catalyst/AQE pick the shuffle
     strategy.  ``probe_mode='driver'`` keeps the original tiny path
     (numpy argsort over collected queries) for interactive handfuls of
-    probes, where a 2-job plan beats a window."""
+    probes, where a 2-job plan beats a window.
+
+    If ``assigned`` already CARRIES the vector column (built with
+    ``ivf_assign_cells(carry_vec_as=vec_col)``), the corpus x corpus
+    equi-join back to ``vectors`` is skipped entirely (r15, guide §2.4):
+    the old shape sort-merge-joined two corpus-sized sides on ``id_col``
+    — two full shuffles — purely to re-attach the vector that the
+    assignment map had just read.  Carrying it costs one extra vector
+    per row through zero shuffles (assignment output feeds the broadcast
+    probe join directly), and at 100 TB removes the only corpus-sized
+    exchange in the query."""
     if probe_mode == "broadcast":
         probes = ivf_probe_cells(
             queries, centroids, nprobe, vec_col, query_id_col
@@ -491,7 +501,10 @@ def ivf_cosine_topk(
             ]
         )
         probes = F.broadcast(spark.createDataFrame(probe_rows, probe_schema))
-    cands = vectors.join(assigned, id_col).join(probes, "cell")
+    if vec_col in assigned.columns:
+        cands = assigned.join(probes, "cell")
+    else:
+        cands = vectors.join(assigned, id_col).join(probes, "cell")
     scored = cands.filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,

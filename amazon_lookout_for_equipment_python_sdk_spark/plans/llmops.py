@@ -1407,7 +1407,10 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
-    assigned = sim.ivf_assign_cells(emb, centroids)
+    # carry the (double-cast — float->double is exact) vector through
+    # assignment: ivf_cosine_topk then skips the corpus x corpus id join
+    # back to emb (r15, guide §2.4 — see its docstring)
+    assigned = sim.ivf_assign_cells(emb, centroids, carry_vec_as="embedding")
     queries = lite.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1865,7 +1868,11 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_par(spark, sf_dir, "documents")
     seen = docs.filter(F.col("source") != "src2").select("doc_id", "text")
     batch = docs.filter(F.col("source") == "src2").select("doc_id", "text")
-    exact, bands_tbl, hashes = dedup_index_frames(seen)
+    # share_digests: the three index frames are consumed directly in
+    # this one job (nothing is written bucketed here), so the seen
+    # corpus's shingle+md5 digest pipeline materializes once instead of
+    # once per consumer (r15, guide §2.4 / §7.2)
+    exact, bands_tbl, hashes = dedup_index_frames(seen, share_digests=True)
     out = incremental_dedup(batch, exact, bands_tbl, hashes, threshold=0.5)
     return out.select(
         "doc_id",
