@@ -846,12 +846,16 @@ def pq_adc_topk(
 
 
 def _pq_adc_score_arrow(C):
-    """Arrow-batched ADC score over (_qvec, codes) columns: per subspace
-    a dimension-SEQUENTIAL fold of query-slice x code-centroid products,
-    subspace totals added left-to-right — bit-identical to the
-    expression form and the oracle's explicit d0 + ... + d7 chain, ~8x
-    cheaper than the interpreted higher-order dot chain on candidate
-    sets (the winnow/shingle lesson applied to scoring)."""
+    """Arrow-batched ADC score over (_qvec, codes) columns via the
+    canonical PQ lookup table (Jegou et al. 2011 §III-B): the dot table
+    ``LUT[q, j, k] = <q_slice_j, C[j, k]>`` is built once per DISTINCT
+    query in the batch — a dimension-SEQUENTIAL fold, the exact op order
+    of the oracle's per-pair chain — then each candidate costs m table
+    gathers added left-to-right instead of an O(dim) fold.  Per-pair
+    work drops dim/m-fold (8x at dim=64, m=8) with bit-identical
+    output: LUT entries accumulate the same products in the same order
+    from the same 0.0, and the subspace totals add in the same
+    left-to-right order as the previous per-pair fold."""
     import numpy as np
 
     Cn = np.asarray(C, dtype=np.float64)
@@ -861,15 +865,25 @@ def _pq_adc_score_arrow(C):
     def score(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
         if not len(qvecs):
             return pd.Series([], dtype=float)
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
+        # the cross/probe join duplicates the query vector per candidate
+        # row; factorize on the raw float64 bytes recovers the distinct
+        # queries (tobytes round-trips exactly)
+        inv, uniq = pd.factorize(
+            pd.Series(
+                [np.asarray(v, dtype=np.float64).tobytes() for v in qvecs]
+            ),
+            sort=False,
+        )
+        UQ = np.stack([np.frombuffer(b, dtype=np.float64) for b in uniq])
         CD = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
-        total = None
+        LUT = np.zeros((len(UQ), m, K))
         for j in range(m):
-            cj = Cn[j, CD[:, j]]  # (B, dsub) centroid rows by code
-            dj = np.zeros(len(Q))
+            base = j * dsub
             for d in range(dsub):
-                dj += Q[:, j * dsub + d] * cj[:, d]
-            total = dj if total is None else total + dj
+                LUT[:, j, :] += UQ[:, base + d, None] * Cn[j, :, d]
+        total = LUT[inv, 0, CD[:, 0]]
+        for j in range(1, m):
+            total = total + LUT[inv, j, CD[:, j]]
         return pd.Series(total)
 
     return score

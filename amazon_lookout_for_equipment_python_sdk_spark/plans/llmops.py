@@ -2359,21 +2359,33 @@ def dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_ngram_counts,
     )
 
+    from pyspark import StorageLevel
+
     docs = load_par(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     raw = docs.filter(F.col("source") != "src0")
-    # models from corpus-level totals (one B-cardinality agg per side —
-    # no per-doc intermediate); the per-doc frame exists only where
-    # scoring needs it
+    # ONE raw-corpus pass (r15, guide §2.4): the p model is exactly the
+    # per-doc counts re-aggregated by bucket (integer sums — bit-
+    # identical to hashed_bucket_totals), and dsir_logratio's model()
+    # already does that re-aggregation.  Persist the per-doc frame so
+    # the raw gram explode + md5 runs once instead of twice (it is the
+    # dominant cost — the raw pool is ~the whole corpus).  The frame is
+    # (doc, bucket)-aggregated, far smaller than the gram stream;
+    # DISK_ONLY per the house persist policy (BASELINE.md r9 addendum).
+    raw_counts = (
+        hashed_ngram_counts(raw, _DSIR_B)
+        .persist(StorageLevel.DISK_ONLY)
+        .transform(_note_persist)
+    )
     lr = dsir_logratio(
-        hashed_bucket_totals(raw, _DSIR_B),
+        raw_counts,
         hashed_bucket_totals(
             docs.filter(F.col("source") == "src0"), _DSIR_B
         ),
         _DSIR_B,
     )
-    sc = dsir_scores(hashed_ngram_counts(raw, _DSIR_B), lr)
+    sc = dsir_scores(raw_counts, lr)
     return (
         sc.withColumn(
             "rnk",
@@ -2468,13 +2480,30 @@ def rag_chunk_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = cp.chunk_documents(docs, chunk_tokens=16, stride=8)
+    # asNondeterministic (guide §4.4): the all-zero gate below is a
+    # filter ON the UDF output — Catalyst pushes it under the projection
+    # and evaluates the embedding UDF TWICE per chunk (plan-pinned in
+    # plans/r15/rag_chunk_retrieval_before.txt: ArrowEvalPython x2 per
+    # side).  The gate cannot move pre-UDF (±1 hash contributions can
+    # cancel to a zero vector even with tokens present), so the sanctioned
+    # fix is marking the expensive UDF non-reorderable.  Values unchanged.
+    he_nd = hashed_embedding_udf(dim=_HE_DIM).asNondeterministic()
     emb = chunks.select(
         "doc_id",
         "chunk_idx",
-        hashed_embedding_udf(dim=_HE_DIM)(F.col("chunk_text")).alias("e"),
+        he_nd(F.col("chunk_text")).alias("e"),
     ).filter(F.exists("e", lambda x: x != 0))
-    q = emb.filter((F.col("doc_id") < 3) & (F.col("chunk_idx") == 0)).select(
-        F.col("doc_id").alias("qdoc"), F.col("e").alias("qv")
+    # query side built from PRE-filtered chunks (not from `emb`) so the
+    # doc/chunk predicates sit below the non-deterministic UDF by
+    # construction instead of relying on pushdown it now blocks; the
+    # row set is identical (the filters commute with the projection).
+    q = (
+        chunks.filter((F.col("doc_id") < 3) & (F.col("chunk_idx") == 0))
+        .select(
+            F.col("doc_id").alias("qdoc"),
+            he_nd(F.col("chunk_text")).alias("qv"),
+        )
+        .filter(F.exists("qv", lambda x: x != 0))
     )
     scored = emb.join(
         F.broadcast(q), F.col("doc_id") != F.col("qdoc")
