@@ -324,76 +324,56 @@ def gorilla_compress(timestamps, values) -> bytes:
 
 
 def _pack_fields(vals_out, cnts_out):
-    """Variable-width MSB-first bit packing, vectorized in CHUNKS.
+    """Variable-width MSB-first bit packing via word scatter-OR.
 
-    The obvious one-shot expansion (repeat/arange over total-bits-sized
-    int64 arrays) is allocation-bound: several fresh ~8B-per-bit arrays
-    cost ~1 s per 176 MB of first-touch pages on a memory-cgroup-limited
-    host.  Instead, scratch buffers are allocated ONCE and reused across
-    ~4M-bit chunks: the field-index ramp and the per-bit shift both
-    build via in-place cumsum tricks, so each chunk runs at cached-page
-    bandwidth.  Output bytes match ``_BitWriter`` exactly (zero-padded
-    final byte)."""
+    Every field (value, width <= 64 bits) ORs directly into a uint64
+    word array at its bit position: fields are laid out sequentially, so
+    per WORD the co-resident fields form one contiguous run
+    (``bitwise_or.reduceat`` over the sorted word index), and a field
+    straddling a word boundary ORs its tail into the next word — tails
+    target strictly increasing words (two fields cannot both start in
+    one word and both cross out of it), so a plain indexed OR is safe.
+    OR is order-free; output bytes match ``_BitWriter`` exactly
+    (zero-padded final byte).
+
+    This replaces the per-BIT expansion packer (8 scratch bytes per
+    payload BIT — a 64x blowup): its ~85 MB of fresh per-call buffers
+    were the encoder's dominant cost on hosts where first-touch page
+    faults are expensive (r15 profile: 3.0 of 3.3 s in fill/take on the
+    sf0.1 blocks).  This form touches O(payload) bytes: the word array
+    plus a few per-FIELD vectors (~13x fewer elements than bits)."""
     import numpy as np
 
-    nf = len(vals_out)
-    # int64 view: arithmetic right shift keeps bit k at position 0, and
-    # the final &1 only reads that bit, so sign extension is harmless
-    va = np.asarray(vals_out, dtype=np.uint64).view(np.int64)
+    va = np.asarray(vals_out, dtype=np.uint64)
     ca = np.asarray(cnts_out, dtype=np.int64)
+    if not len(ca):
+        return np.zeros(0, dtype=np.uint8)
     ends = np.cumsum(ca)
     total = int(ends[-1])
-    out = np.zeros((total + 7) >> 3, dtype=np.uint8)
-
-    chb = 1 << 22  # bits per chunk
-    cap = min(total, chb + 64) + 16
-    fbuf = np.empty(cap, dtype=np.int64)
-    sbuf = np.empty(cap, dtype=np.int64)
-    gbuf = np.empty(cap, dtype=np.int64)
-    bbuf = np.empty(cap, dtype=np.uint8)
-
-    a = 0
-    bit0 = 0  # global bit offset of the chunk start (== ends[a-1])
-    while a < nf:
-        b = int(np.searchsorted(ends, bit0 + chb, side="right"))
-        b = max(b, a + 1)
-        m = int(ends[b - 1]) - bit0
-        r0 = bit0 & 7  # intra-byte start: emit r0 zero pad bits in front
-        mm = m + r0
-        cc = ca[a:b]
-        starts = np.cumsum(cc) - cc + r0
-
-        f = fbuf[:mm]
-        f.fill(0)
-        f[starts] = 1
-        np.cumsum(f, out=f)  # pad=0, field j -> j+1
-
-        s = sbuf[:mm]
-        s.fill(-1)
-        if r0:
-            s[:r0] = 0
-        s[starts] = cc - 1  # cumsum lands at c-1 on each field start
-        np.cumsum(s, out=s)
-
-        g = gbuf[:mm]
-        np.subtract(f, 1, out=f)  # pad -> -1 (clipped below)
-        np.take(va[a:b], f, out=g, mode="clip")
-        np.right_shift(g, s, out=g)
-        np.bitwise_and(g, 1, out=g)
-        bb = bbuf[:mm]
-        np.copyto(bb, g, casting="unsafe")
-        if r0:
-            bb[:r0] = 0
-        chunk = np.packbits(bb)
-        byte0 = bit0 >> 3
-        if r0:
-            out[byte0] |= chunk[0]
-            out[byte0 + 1 : byte0 + len(chunk)] = chunk[1:]
-        else:
-            out[byte0 : byte0 + len(chunk)] = chunk
-        bit0 += m
-        a = b
-    return out
+    starts = ends - ca
+    n_words = (total + 63) >> 6
+    words = np.zeros(n_words + 1, dtype=np.uint64)  # +1: boundary tails
+    w = starts >> 6
+    end_off = (starts & 63) + ca  # field end within its word, 1..127
+    # head part: bits that land in word w.  All shift counts stay in
+    # [0, 63]: end_off >= 1 always, and the split branch's right shift
+    # is end_off - 64 <= 63 (width <= 64, offset <= 63).  Field values
+    # are already width-masked by construction (the encoder builds each
+    # field from masked payloads; test_gorilla pins byte-identity).
+    split = end_off > 64
+    hi = np.where(
+        split,
+        va >> np.where(split, end_off - 64, 0).astype(np.uint64),
+        va << np.where(split, 0, 64 - end_off).astype(np.uint64),
+    )
+    uw, first = np.unique(w, return_index=True)  # w is nondecreasing
+    words[uw] |= np.bitwise_or.reduceat(hi, first)
+    if split.any():
+        lo = va[split] << (np.uint64(128) - end_off[split].astype(np.uint64))
+        words[w[split] + 1] |= lo
+    return np.frombuffer(
+        words[:n_words].astype(">u8").tobytes(), dtype=np.uint8
+    )[: (total + 7) >> 3]
 
 
 def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
@@ -490,14 +470,14 @@ def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
             ax((w >> (64 - prev_len)) << prev_shift)
             pos += prev_len
 
-    ts_out = [t0]
-    app = ts_out.append
-    s = 0
-    d = 0
-    for dd in dods:
-        d += dd
-        s += d
-        app(t0 + s)
+    # double prefix-sum, vectorized: delta = cumsum(dod), ts = t0 +
+    # cumsum(delta) — exact int64 integer sums, identical to the scalar
+    # running-total loop (timestamps are micros; a series whose true
+    # deltas sum past int64 could not have been encoded in the first
+    # place)
+    darr = np.cumsum(np.asarray(dods, dtype=np.int64))
+    np.cumsum(darr, out=darr)
+    ts_out = [t0] + (t0 + darr).tolist()
     arr = np.empty(n, dtype=np.uint64)
     arr[0] = v0_bits
     arr[1:] = xs
