@@ -562,7 +562,18 @@ def lsh_cosine_topk(
         planes_per_table = max(
             3, math.ceil(math.log2(max(n, 1) / target_bucket))
         )
-    buckets_udf = _bucket_tables_arrow(num_tables, planes_per_table, dim)
+    # asNondeterministic (guide §4.4): Catalyst's InferFiltersFromGenerate
+    # adds `size(_vbk) > 0 AND isnotnull(_vbk)` below each posexplode and
+    # pushes it under the projection, evaluating the banding UDF TWICE
+    # per row on BOTH sides (plan-pinned in
+    # plans/r15/lsh_cosine_topk_before.txt: ArrowEvalPython x4).  The
+    # filter is vacuous — buckets() returns a fixed num_tables-long
+    # array for every row — and the inference rule skips
+    # non-deterministic expressions.  Values unchanged; both call sites
+    # already apply their row filters BEFORE this projection.
+    buckets_udf = _bucket_tables_arrow(
+        num_tables, planes_per_table, dim
+    ).asNondeterministic()
     vb = vectors.select(
         id_col,
         vec_col,
