@@ -57,7 +57,9 @@ def frontier_batches(
     below 1 clamp to 1 (a host can never be denied entirely here;
     that is ``robots_filter``'s job), and duplicate host rows
     collapse to the smallest k (conservative) rather than
-    multiplying output rows.  Real polite crawlers need per-host
+    multiplying output rows — a NULL k merges as the global cap, so
+    a host carrying both a concrete and a NULL row resolves to
+    ``min(concrete, per_host_per_batch)``.  Real polite crawlers need per-host
     rates: one global cap either starves fast hosts or hammers slow
     ones (r13 verdict #5).
 
@@ -127,23 +129,23 @@ def frontier_batches(
         # duplicate hosts in the rate table (http+https robots
         # snapshots, re-fetches) would MULTIPLY frontier rows through
         # the left join — collapse to one row per host, conservative
-        # (smallest k) wins; a NULL k stays NULL so the coalesce below
-        # falls back to the GLOBAL cap (greatest() would otherwise
-        # swallow the NULL and silently max-throttle the host to 1)
+        # (smallest k) wins.  A NULL k merges as the GLOBAL cap (the
+        # value it would fall back to anyway), so a host carrying BOTH
+        # a concrete row and a NULL row resolves to
+        # min(concrete, global) — the conservative claim holds even
+        # when the global cap is the smaller (r15 ADVICE; a bare
+        # F.min skipped the NULLs and let the concrete k win).  Hosts
+        # with only concrete rows or only NULL rows are unchanged.
         rates = (
             per_host_k.select(
                 F.lower(F.col(hc).cast("string")).alias("_nsj__fb_h"),
-                F.col(kc).cast("long").alias("_fb_k"),
+                F.coalesce(
+                    F.col(kc).cast("long"), F.lit(int(per_host_per_batch))
+                ).alias("_fb_k"),
             )
             .groupBy("_nsj__fb_h")
             .agg(F.min("_fb_k").alias("_fb_k"))
-            .withColumn(
-                "_fb_k",
-                F.when(
-                    F.col("_fb_k").isNotNull(),
-                    F.greatest(F.col("_fb_k"), F.lit(1)),
-                ),
-            )
+            .withColumn("_fb_k", F.greatest(F.col("_fb_k"), F.lit(1)))
         )
         # broadcast |hosts| rows; null-safe so a NULL pseudo-host can
         # carry a rate too; absent hosts fall back to the global cap.

@@ -176,6 +176,13 @@ def html_extract_links(
             )
             ids, hrefs, anchors, nofollows = [], [], [], []
             for did, html, base in zip(pdf["_lk_id"], pdf["_lk_html"], bases):
+                # a NULL id renders as NaN in the pandas int64->float64
+                # column and would fail the LongType conversion for the
+                # WHOLE Arrow task — skip the row instead (the module's
+                # one-bad-row-must-not-sink-a-task stance, which
+                # extract_links itself already follows; r15 ADVICE)
+                if pd.isna(did):
+                    continue
                 for href, text, nofollow in extract_links(
                     html if html is not None else "", base
                 ):

@@ -2203,9 +2203,16 @@ def hashed_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_par(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 25 == 0
     )
+    # asNondeterministic (guide §4.4): InferFiltersFromGenerate injects
+    # `size(e) > 0 AND isnotnull(e)` below the posexplode and pushes it
+    # under this projection, evaluating the embedding UDF twice per doc
+    # (ArrowEvalPython x2 in the pre-r15 plan).  The doc_id sample
+    # filter already sits below by construction; values unchanged.
     emb = docs.select(
         "doc_id",
-        hashed_embedding_udf(dim=_HE_DIM)(F.col("text")).alias("e"),
+        hashed_embedding_udf(dim=_HE_DIM)
+        .asNondeterministic()(F.col("text"))
+        .alias("e"),
     )
     return (
         emb.select("doc_id", F.posexplode("e").alias("pos", "component"))

@@ -183,6 +183,29 @@ def test_per_host_k_rate_table_hygiene(spark, urls_df):
     assert out2.agg(F.max("fetch_batch")).first()[0] == 2  # k=2 applied
 
 
+def test_per_host_k_mixed_null_and_concrete_takes_smaller(spark, urls_df):
+    """r15 ADVICE: a host carrying BOTH a concrete k row and a NULL k
+    row must resolve to min(concrete, global) — the documented
+    'conservative, smallest wins' merge — not let the concrete k win
+    when the global cap is smaller."""
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.com", "a.com"], "k": [5, None]})
+    )
+    out = FR.frontier_batches(
+        urls_df, per_host_per_batch=2, per_host_k=mixed
+    )
+    got = (
+        out.withColumn(
+            "host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+        )
+        .filter(F.col("host") == "a.com")
+        .agg(F.max("fetch_batch"))
+        .first()[0]
+    )
+    # 13 a.com urls at min(5, global 2) = 2 per batch -> batches 0..6
+    assert got == 6
+
+
 def test_guards(spark, urls_df):
     with pytest.raises(ValueError, match="fetch_batch"):
         FR.frontier_batches(

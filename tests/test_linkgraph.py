@@ -123,6 +123,22 @@ def test_html_extract_links(spark, links_df):
     ]
 
 
+def test_html_extract_links_null_id_row_skipped(spark):
+    # a NULL doc_id renders as NaN in the pandas id column; it must be
+    # skipped row-locally, not fail the whole Arrow task's LongType
+    # conversion (the module's one-bad-row tolerance stance)
+    rows = [
+        (None, "https://x.com/p", '<a href="https://y.com/1">y</a>'),
+        (7, "https://x.com/q", '<a href="https://z.com/1">z</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = html_extract_links(
+        df, html_col="html", id_col="doc_id", base_col="url"
+    )
+    got = [(r.doc_id, r.href) for r in out.collect()]
+    assert got == [(7, "https://z.com/1")]
+
+
 def test_host_graph(spark, links_df):
     links = html_extract_links(
         links_df, html_col="html", id_col="doc_id", base_col="url"
