@@ -56,6 +56,16 @@ REGISTRY = {
     # r14: host_pagerank's link table (one row per anchor, on top of
     # the corpus-wide HTML parse) feeds three subtrees
     ("plans/corpus_q.py", "host_pagerank_q"): "CORPUS",
+    # r15: incremental dedup's shared seen-corpus digest frame (one row
+    # per shingle occurrence class — corpus-proportional) serves both
+    # index consumers when share_digests=True
+    ("operators/incremental.py", "dedup_index_frames"): "CORPUS",
+    # r15: cms_token_counts' per-token true-count table is vocab-sized
+    # (Heaps-law sublinear but corpus-growing) with three consumers
+    ("plans/llmops.py", "cms_token_counts_q"): "CORPUS",
+    # r15: dsir's per-doc (doc, bucket, cnt) frame — corpus-proportional
+    # (docs x <=B rows) — feeds the p model and the scoring branch
+    ("plans/llmops.py", "dsir_q"): "CORPUS",
     ("operators/dsir.py", "model"): "BOUNDED",
     ("operators/sketches.py", "kmv_sketch"): "BOUNDED",
     ("operators/wasserstein.py", "density_histograms"): "BOUNDED",
