@@ -377,7 +377,14 @@ def _pack_fields(vals_out, cnts_out):
 
 
 def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
-    """Gorilla block -> (timestamps, values), bit-exact round trip.
+    """Gorilla block -> (timestamps, values) lists, bit-exact round trip.
+    List-returning wrapper over :func:`_gorilla_decompress_arrays`."""
+    ts, vals = _gorilla_decompress_arrays(payload)
+    return ts.tolist(), vals.tolist()
+
+
+def _gorilla_decompress_arrays(payload: bytes):
+    """Gorilla block -> (int64 timestamps, float64 values) numpy arrays.
 
     Vectorized decoder (byte-level twin of :func:`_gorilla_decompress_py`,
     equivalence pinned by test_gorilla): the payload expands once into an
@@ -391,11 +398,14 @@ def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
 
     (n,) = struct.unpack_from("<I", payload, 0)
     if n == 0:
-        return [], []
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
     (t0,) = struct.unpack_from("<q", payload, 4)
     (v0_bits,) = struct.unpack_from("<Q", payload, 12)
     if n == 1:
-        return [t0], [struct.unpack("<d", struct.pack("<Q", v0_bits))[0]]
+        return (
+            np.asarray([t0], np.int64),
+            np.asarray([v0_bits], np.uint64).view(np.float64),
+        )
 
     buf = payload[20:] + b"\x00" * 16
     a8 = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
@@ -477,12 +487,45 @@ def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
     # place)
     darr = np.cumsum(np.asarray(dods, dtype=np.int64))
     np.cumsum(darr, out=darr)
-    ts_out = [t0] + (t0 + darr).tolist()
+    ts_out = np.empty(n, dtype=np.int64)
+    ts_out[0] = t0
+    np.add(darr, t0, out=ts_out[1:])
     arr = np.empty(n, dtype=np.uint64)
     arr[0] = v0_bits
     arr[1:] = xs
     np.bitwise_xor.accumulate(arr, out=arr)
-    return ts_out, arr.view(np.float64).tolist()
+    return ts_out, arr.view(np.float64)
+
+
+def gorilla_decompress_blocks(payloads):
+    """Decode MANY Gorilla blocks -> ``(n_points, timestamps, values)``
+    as CONCATENATED streams (int64, int64, float64 numpy arrays, blocks
+    in input order) — element-identical to running
+    :func:`gorilla_decompress` per block, but the per-block arrays stay
+    numpy end to end (no Python-list detour), so a consumer building an
+    Arrow/pandas batch pays no per-element object conversion.
+
+    Each block still decodes with the scalar word-level walk.  A full
+    numpy LOCKSTEP across blocks (one vector step decodes point ``i`` of
+    every block) was built and measured in r15 and REJECTED: the decode
+    chain forces one numpy dispatch round per POINT-STEP (~100 us fixed,
+    ~35 ufunc calls), so at 7200-pt blocks it only reached parity around
+    1024 compressible blocks per batch and lost at every width on
+    incompressible values (scalar walk: 0.7-2.7 us/point; see
+    OPTIMIZATION_r15.md).  Across-task parallelism, not within-task
+    vectorization, is this codec's scale axis."""
+    import numpy as np
+
+    ns = np.zeros(len(payloads), dtype=np.int64)
+    ts_parts, val_parts = [], []
+    for i, p in enumerate(payloads):
+        t, v = _gorilla_decompress_arrays(bytes(p))
+        ns[i] = len(t)
+        ts_parts.append(t)
+        val_parts.append(v)
+    if not ts_parts:
+        return ns, np.zeros(0, np.int64), np.zeros(0, np.float64)
+    return ns, np.concatenate(ts_parts), np.concatenate(val_parts)
 
 
 def compress_series(
@@ -551,20 +594,27 @@ def decompress_series(
     key_col: str = "event_type",
 ):
     """The mirror explode: (key, payload) -> one row per point
-    (key, ts, value), ``mapInPandas`` row-local."""
+    (key, ts, value), ``mapInPandas`` row-local.  Blocks decode through
+    :func:`gorilla_decompress_blocks`, so the point streams stay numpy
+    arrays end to end — no per-element Python-list detour into the
+    Arrow batch."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     def unpack(batches):
         for pdf in batches:
-            keys, tss, vs = [], [], []
-            for k, p in zip(pdf[key_col], pdf["payload"]):
-                ts, vals = gorilla_decompress(bytes(p))
-                keys += [k] * len(ts)
-                tss += ts
-                vs += vals
-            yield pd.DataFrame({key_col: keys, "_us": tss, "value": vs})
+            ns, tss, vs = gorilla_decompress_blocks(
+                [bytes(p) for p in pdf["payload"]]
+            )
+            yield pd.DataFrame(
+                {
+                    key_col: np.repeat(pdf[key_col].to_numpy(), ns),
+                    "_us": tss,
+                    "value": vs,
+                }
+            )
 
     out = archive.select(key_col, "payload").mapInPandas(
         unpack, schema=f"{key_col} string, _us long, value double"

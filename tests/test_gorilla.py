@@ -204,6 +204,43 @@ def test_recompact_merges_fragmented_blocks(spark):
 
 @given(
     st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**40),
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+            ),
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_decompress_blocks_matches_per_block(blocks):
+    """The batch decoder (decompress_series' r15 array path) must return
+    exactly the per-block gorilla_decompress streams, concatenated in
+    input order — including empty, single-point, and NaN-payload
+    blocks."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        gorilla_decompress_blocks,
+    )
+
+    payloads, ref_ns, ref_ts, ref_vb = [], [], [], []
+    for points in blocks:
+        ts = sorted(t for t, _ in points)
+        vals = [v for _, v in points]
+        payloads.append(gorilla_compress(ts, vals))
+        t, v = gorilla_decompress(payloads[-1])
+        ref_ns.append(len(t))
+        ref_ts += t
+        ref_vb += [_bits(x) for x in v]
+    ns, ts_arr, vals_arr = gorilla_decompress_blocks(payloads)
+    assert list(ns) == ref_ns
+    assert ts_arr.tolist() == ref_ts
+    assert vals_arr.view(np.uint64).tolist() == ref_vb
+
+
+@given(
+    st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=2**40),
             st.floats(allow_nan=True, allow_infinity=True, width=64),
