@@ -434,8 +434,17 @@ def ivf_assign_cells(
         if carry_vec_as
         else []
     )
+    # asNondeterministic: a downstream equi-join on "cell" infers
+    # isnotnull(cell) and Catalyst pushes it below any exchange under
+    # this projection, re-evaluating the UDF over the whole corpus for
+    # the filter and again for the output (guide §4.4 — the r15 plan
+    # audit caught TWO ArrowEvalPython assign nodes in ivf/ivfpq).  The
+    # kernel is a pure argmax (never NULL), so the inferred filter keeps
+    # its row set; ND just stops the optimizer from cloning the eval.
     return vectors.select(
-        F.col(id_col), assign(F.col(vec_col)).alias("cell"), *extra
+        F.col(id_col),
+        assign.asNondeterministic()(F.col(vec_col)).alias("cell"),
+        *extra,
     )
 
 
@@ -978,8 +987,13 @@ def ivfpq_adc_topk(
                 {"cell": cell, "codes": [c.tolist() for c in codes]}
             )
 
+        # asNondeterministic: the probe equi-join on "cell" infers
+        # isnotnull(cell) and pushes it below the corpus exchange,
+        # re-running this fused UDF over the whole corpus (guide §4.4,
+        # same duplication the r15 audit caught on ivf_assign_cells).
+        # The kernel never returns NULL, so the filter keeps its rows.
         cands = vectors.select(
-            F.col(id_col), index(F.col(vec_col)).alias("_ix")
+            F.col(id_col), index.asNondeterministic()(F.col(vec_col)).alias("_ix")
         ).select(
             id_col,
             F.col("_ix.cell").alias("cell"),
