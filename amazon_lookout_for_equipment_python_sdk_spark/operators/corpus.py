@@ -352,11 +352,23 @@ def tfidf_top_terms(
     exchange and only re-keys tf, which is the scale-safe plan.  N rides in
     as a 1-row broadcast cross join.  The final top-k window partitions by
     document — thousands of rows each at most, no skew hotspot.
+
+    The tf table persists DISK_ONLY: dfreq derives from it and the join
+    consumes it again, and Catalyst clones the subtree per consumer —
+    without the persist the corpus text EXPLODES twice (r15 plan audit;
+    same fix as the cms/dsir count tables).  tf is (doc, distinct-term)
+    sized — far smaller than the token stream it summarizes.
     """
+    from pyspark import StorageLevel
+
+    from .._persist import note_persist
+
     tf = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)
+        .transform(note_persist)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(F.count(F.lit(1)).alias("_n"))
