@@ -533,8 +533,24 @@ def ngram_jaccard_pairs(
     (common * 1e6 >= thr * union) to stay bit-portable.
     """
     thr_millionths = int(round(threshold * 1_000_000))
+    # persist the per-doc shingle frame: BOTH branches consume it twice
+    # (once per pair side), Catalyst clones the subtree per consumer,
+    # and the explode's inferred `size(_sh) > 0` filter additionally
+    # pushed below the repartition — the r15 plan audit counted FOUR
+    # ArrowEvalPython shingle evals per query.  Caching the (id, array)
+    # frame (DISK_ONLY per house policy) runs the Python shingler ONCE;
+    # filters cannot be pushed into a cached relation, so the inferred
+    # generate filter evaluates against the cache, not a re-run.
+    from pyspark import StorageLevel
+
+    from .._persist import note_persist
+
+    arrs = (
+        _shingle_array(df, shingle_n, text_col, id_col)
+        .persist(StorageLevel.DISK_ONLY)
+        .transform(note_persist)
+    )
     if candidates is not None:
-        arrs = _shingle_array(df, shingle_n, text_col, id_col)
         a_arr = arrs.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
         b_arr = arrs.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
         common = (
@@ -549,7 +565,7 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        sh = _shingle_array(df, shingle_n, text_col, id_col).select(
+        sh = arrs.select(
             id_col, F.size("_sh").alias("n_sh"), F.explode("_sh").alias("sh")
         )
         a = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "sh")

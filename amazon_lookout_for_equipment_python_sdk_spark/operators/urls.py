@@ -370,4 +370,13 @@ def canonicalize_url(
             )
         )
 
-    return df.withColumn(out_col, _canon(F.col(url_col)))
+    # asNondeterministic: downstream joins key on host/path expressions
+    # DERIVED from this column, so Catalyst infers isnotnull filters on
+    # them and pushes the filters below this projection — re-running the
+    # whole canonicalize kernel once for the filter and again for the
+    # output (guide §4.4; the r15 audit counted doubled _canon nodes in
+    # both sitemap legs of crawl_chain_gates).  The kernel is a pure
+    # string map; ND only stops the optimizer from cloning it.
+    return df.withColumn(
+        out_col, _canon.asNondeterministic()(F.col(url_col))
+    )

@@ -66,6 +66,13 @@ REGISTRY = {
     # r15: dsir's per-doc (doc, bucket, cnt) frame — corpus-proportional
     # (docs x <=B rows) — feeds the p model and the scoring branch
     ("plans/llmops.py", "dsir_q"): "CORPUS",
+    # r15: tf-idf's per-(doc, term) tf table — corpus-proportional —
+    # feeds the doc_freq aggregation and the scoring join
+    ("operators/corpus.py", "tfidf_top_terms"): "CORPUS",
+    # r15: ngram_jaccard_pairs' per-doc shingle-array frame —
+    # corpus-proportional — consumed once per pair side in both the
+    # all-pairs and candidate-verify branches
+    ("operators/dedup.py", "ngram_jaccard_pairs"): "CORPUS",
     ("operators/dsir.py", "model"): "BOUNDED",
     ("operators/sketches.py", "kmv_sketch"): "BOUNDED",
     ("operators/wasserstein.py", "density_histograms"): "BOUNDED",
