@@ -15,11 +15,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Native-allocator steady state for the Python workers (the twin of the
+# JVM Xms/AlwaysPreTouch pin below, on the C-heap side).  Two measured
+# pathologies on virtualized hosts (r15, OPTIMIZATION_r15.md §1b):
+#
+# * glibc serves any allocation above M_MMAP_THRESHOLD (default 128 KB,
+#   dynamic cap 32 MB) with a fresh mmap and RETURNS it to the OS on
+#   free — so every Arrow batch / numpy kernel scratch buffer is
+#   first-touch page-faulted again on EVERY batch.  Measured on the r15
+#   box: touching a fresh 50 MB buffer cost 1-64 s under host memory
+#   contention vs 0 ms once the arena recycles it (microbench in
+#   OPTIMIZATION_r15.md).  Raising the threshold keeps big-but-bounded
+#   scratch in the arena (reused, never unmapped); the trim threshold
+#   stops the arena itself from being shaved back between batches.
+#   Peak RSS is unchanged — the worker keeps only its own high-water.
+#
+# * pyarrow's DEFAULT memory pool is jemalloc, whose decay purge gives
+#   batch buffers back via MADV_FREE — same refault churn (measured:
+#   35 s -> 66 ms across five 50 MB allocations while the system pool
+#   sat at ~30 ms flat).  "system" routes Arrow through the (now tamed)
+#   glibc arena and is available in every pyarrow build.
+#
+# Set via os.environ BEFORE the JVM launches so the local-mode Python
+# workers (forked from the JVM-spawned daemon) inherit them; the
+# spark.executorEnv.* twins below carry the same values to cluster
+# executors.  Values are env-overridable deployment knobs, not magic:
+# any sane setting beats the default unmap-and-refault churn.
+_NATIVE_ALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_MALLOC_MMAP_THRESHOLD", str(512 * 1024 * 1024)
+    ),
+    "MALLOC_TRIM_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_MALLOC_TRIM_THRESHOLD", str(1024 * 1024 * 1024)
+    ),
+    "ARROW_DEFAULT_MEMORY_POOL": os.environ.get(
+        "SPARK_GRAFT_ARROW_POOL", "system"
+    ),
+}
+
+
 def get_spark(app_name: str = "lookout_spark", cpus: int | None = None) -> SparkSession:
     """Return (or create) the engine's SparkSession."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    for k, v in _NATIVE_ALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -52,6 +93,10 @@ def get_spark(app_name: str = "lookout_spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # cluster twin of the os.environ defaults above (no-op in local mode:
+    # local workers inherit the driver process environment directly)
+    for k, v in _NATIVE_ALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
