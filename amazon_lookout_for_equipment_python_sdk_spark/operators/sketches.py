@@ -362,16 +362,27 @@ def kmv_jaccard(
     """ONE-row Jaccard estimate between two single-group sketches: take
     the k smallest of the union of both hash sets, count how many appear
     in both inputs; ``jaccard_est = |both| / k`` (Beyer et al. 2007).
-    All integer until the final division."""
-    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
-    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    All integer until the final division.
+
+    Shape: union-all + group-by(h) with max membership flags — one
+    exchange over <= 2k rows — rather than a full-outer join (which is
+    broadcast-ineligible, so it cost a SortMergeJoin with an exchange +
+    sort per side).  A sketch holds each h at most once, so max(flag)
+    over the group is exactly the full-outer membership coalesce."""
+    a = sketch_a.select(
+        F.col("h").alias("h"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = sketch_b.select(
+        F.col("h").alias("h"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
     union = (
-        a.join(b, "h", "full_outer")
-        .select(
-            "h",
-            F.coalesce(F.col("_a"), F.lit(0)).alias("in_a"),
-            F.coalesce(F.col("_b"), F.lit(0)).alias("in_b"),
-        )
+        a.unionAll(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
         .orderBy("h")
         .limit(k)
     )

@@ -475,3 +475,13 @@ def test_pack_chunked_twin_broadcast_offsets_and_keyed_buckets(spark):
         if ln.strip().startswith(("+- Sort", ":- Sort", "Sort "))
     ]
     assert any("source" in s and "_b" in s for s in sorts), plan
+
+
+def test_kmv_jaccard_union_no_sort_merge_join(spark):
+    """kmv_corpus_overlap: the sketch-vs-sketch Jaccard merge is a
+    union-all + group-by over <= 2k rows (one exchange), NOT the old
+    full-outer SortMergeJoin (broadcast-ineligible join type, so it
+    paid an exchange + sort per side) — r15 optimization entry."""
+    plan = _plan(spark, "kmv_corpus_overlap")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
