@@ -34,6 +34,7 @@ Bit layout (the paper's scheme, widened for 64-bit microsecond stamps):
 
 from __future__ import annotations
 
+import os
 import struct
 
 
@@ -383,6 +384,212 @@ def gorilla_decompress(payload: bytes) -> tuple["list[int]", "list[float]"]:
     return ts.tolist(), vals.tolist()
 
 
+#: C twin of the per-point field walk in :func:`_gorilla_decompress_arrays`
+#: — the one data-dependent sequential loop numpy cannot express (the r15
+#: lockstep experiment measured WHY: one ufunc dispatch round per
+#: point-step).  Same word-peek construction, same branch order, same
+#: two's-complement wrap semantics (all arithmetic uint64, matching
+#: numpy's wrapping int64 cumsum/xor reconstruction).  Corrupt streams
+#: return nonzero instead of decoding garbage; the caller falls back to
+#: the pure-Python walk, so behaviour on bad input is unchanged.
+_GORILLA_C_SRC = r"""
+#include <stdint.h>
+
+static inline uint64_t peek(const uint8_t* q0, uint64_t pos) {
+    const uint8_t* q = q0 + (pos >> 3);
+    uint64_t w = ((uint64_t)q[0] << 56) | ((uint64_t)q[1] << 48)
+               | ((uint64_t)q[2] << 40) | ((uint64_t)q[3] << 32)
+               | ((uint64_t)q[4] << 24) | ((uint64_t)q[5] << 16)
+               | ((uint64_t)q[6] << 8)  |  (uint64_t)q[7];
+    unsigned r = (unsigned)(pos & 7u);
+    if (r) w = (w << r) | ((uint64_t)q[8] >> (8u - r));
+    return w;
+}
+
+/* buf: payload bytes AFTER the 20-byte header, zero-padded by >= 32
+   bytes (nbytes counts only the real payload).  Returns 0 on success,
+   nonzero when the stream would overrun or is structurally invalid. */
+long long gorilla_decode(const uint8_t* buf, long long nbytes, long long n,
+                         long long t0, uint64_t v0bits,
+                         long long* ts_out, uint64_t* vb_out) {
+    uint64_t pos = 0;
+    uint64_t maxbit = (uint64_t)nbytes * 8u;
+    uint64_t prev_t = (uint64_t)t0;
+    uint64_t prev_delta = 0;
+    uint64_t prev_bits = v0bits;
+    unsigned prev_len = 0, prev_shift = 0;
+    long long i;
+    ts_out[0] = t0;
+    vb_out[0] = (long long)v0bits;
+    for (i = 1; i < n; i++) {
+        uint64_t w, dod;
+        if (pos >= maxbit) return 1;
+        w = peek(buf, pos);
+        if (!(w >> 63)) { dod = 0; pos += 1; }
+        else {
+            unsigned top = (unsigned)(w >> 60);
+            if (top < 0xCu) {
+                uint64_t v = (w >> 55) & 0x7Fu;
+                dod = (v >= 64u) ? v - 128u : v;
+                pos += 9;
+            } else if (top < 0xEu) {
+                uint64_t v = (w >> 52) & 0x1FFu;
+                dod = (v >= 256u) ? v - 512u : v;
+                pos += 12;
+            } else if (top == 0xEu) {
+                uint64_t v = (w >> 48) & 0xFFFu;
+                dod = (v >= 2048u) ? v - 4096u : v;
+                pos += 16;
+            } else {
+                pos += 4;
+                if (pos >= maxbit) return 1;
+                dod = peek(buf, pos);
+                pos += 64;
+            }
+        }
+        prev_delta += dod;
+        prev_t += prev_delta;
+        ts_out[i] = (long long)prev_t;
+        if (pos >= maxbit) return 1;
+        w = peek(buf, pos);
+        if (!(w >> 63)) { pos += 1; }
+        else if (!((w >> 62) & 1u)) {            /* '10': reuse window */
+            if (prev_len == 0) return 2;         /* '10' before any '11' */
+            pos += 2;
+            w = peek(buf, pos);
+            prev_bits ^= ((prev_len == 64u) ? w : (w >> (64u - prev_len)))
+                         << prev_shift;
+            pos += prev_len;
+        } else {                                 /* '11': new window */
+            unsigned lead = (unsigned)((w >> 56) & 0x3Fu);
+            unsigned ln = (unsigned)((w >> 50) & 0x3Fu);
+            if (!ln) ln = 64u;
+            if (lead + ln > 64u) return 2;
+            prev_len = ln;
+            prev_shift = 64u - lead - ln;
+            pos += 14;
+            w = peek(buf, pos);
+            prev_bits ^= ((ln == 64u) ? w : (w >> (64u - ln))) << prev_shift;
+            pos += ln;
+        }
+        vb_out[i] = (long long)prev_bits;
+    }
+    return (pos <= maxbit) ? 0 : 1;
+}
+"""
+
+
+def _native_gorilla():
+    """Compiled :data:`_GORILLA_C_SRC` decoder, or ``None`` (fall back to
+    the pure-Python walk).
+
+    Build-and-load is guarded end to end: any failure (no compiler, no
+    writable tempdir, load error, self-check mismatch) caches ``None``
+    and the decoder stays pure Python — the kernel is an accelerator,
+    never a requirement.  ``SPARKGRAFT_GORILLA_NATIVE=0`` disables it
+    outright (checked per call, so tests can pin both paths).  The
+    loaded handle lives in a synthetic ``sys.modules`` entry rather than
+    a module global: this module is registered for by-VALUE cloudpickle
+    (see the module tail), and a ctypes handle in a referenced global
+    would break task serialization — worker processes re-open (or
+    re-build) the cached .so themselves on first use."""
+    import sys as _sys
+
+    if os.environ.get("SPARKGRAFT_GORILLA_NATIVE", "").strip().lower() in (
+        "0",
+        "false",
+        "no",
+        "off",
+    ):
+        return None
+    holder = _sys.modules.get("_sparkgraft_gorilla_native_state")
+    if holder is not None:
+        return holder.fn
+    import types
+
+    holder = types.ModuleType("_sparkgraft_gorilla_native_state")
+    holder.fn = None
+    _sys.modules["_sparkgraft_gorilla_native_state"] = holder
+    try:
+        holder.fn = _build_native_gorilla()
+    except Exception:  # noqa: BLE001 - accelerator only, never required
+        holder.fn = None
+    return holder.fn
+
+
+def _build_native_gorilla():
+    """Compile (once per source hash, cached in tempdir) and load the C
+    decoder; returns the ctypes fn after a round-trip self-check."""
+    import ctypes
+    import hashlib
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    digest = hashlib.md5(_GORILLA_C_SRC.encode()).hexdigest()[:12]
+    so = os.path.join(tempfile.gettempdir(), f"sparkgraft_gorilla_{digest}.so")
+    if not os.path.exists(so):
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "gorilla_decode.c")
+            with open(src, "w") as fh:
+                fh.write(_GORILLA_C_SRC)
+            tmp = f"{so}.tmp.{os.getpid()}"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, so)  # atomic: concurrent workers race safely
+    lib = ctypes.CDLL(so)
+    fn = lib.gorilla_decode
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_uint64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+
+    def call(payload: bytes, n: int, t0: int, v0_bits: int):
+        buf = np.frombuffer(payload[20:] + b"\x00" * 32, dtype=np.uint8)
+        ts_out = np.empty(n, dtype=np.int64)
+        vb_out = np.empty(n, dtype=np.uint64)
+        rc = fn(
+            buf.ctypes.data,
+            len(payload) - 20,
+            n,
+            t0,
+            v0_bits,
+            ts_out.ctypes.data,
+            vb_out.ctypes.data,
+        )
+        if rc != 0:
+            return None
+        return ts_out, vb_out.view(np.float64)
+
+    # self-check once per process: a stale or foreign .so at the cache
+    # path must not be able to poison results — exercise every branch
+    # class (dod classes incl. raw, xor zero/new/reuse) and require an
+    # exact match against the scalar spec before trusting the kernel.
+    probe_ts = [0, 10, 20, 31, 300, 5000, 1 << 40]
+    probe_vs = [1.5, 1.5, 2.75, -3.0, 2.75, 0.0, 1e300]
+    probe = _gorilla_compress_py(probe_ts, probe_vs)
+    got = call(probe, len(probe_ts), probe_ts[0], struct.unpack("<Q", struct.pack("<d", probe_vs[0]))[0])
+    want_ts, want_vs = _gorilla_decompress_py(probe)
+    if (
+        got is None
+        or got[0].tolist() != want_ts
+        or got[1].tolist() != want_vs
+    ):
+        raise RuntimeError("native gorilla self-check failed")
+    return call
+
+
 def _gorilla_decompress_arrays(payload: bytes):
     """Gorilla block -> (int64 timestamps, float64 values) numpy arrays.
 
@@ -406,6 +613,17 @@ def _gorilla_decompress_arrays(payload: bytes):
             np.asarray([t0], np.int64),
             np.asarray([v0_bits], np.uint64).view(np.float64),
         )
+
+    # native fast path (guarded; see _native_gorilla): the per-point
+    # field walk in C, ts/value reconstruction included — byte-identical
+    # output (branch-for-branch twin, fuzz-pinned in test_gorilla).  Any
+    # failure, including a nonzero return on a corrupt stream, falls
+    # through to the pure-Python walk below.
+    native = _native_gorilla()
+    if native is not None:
+        out = native(payload, n, t0, v0_bits)
+        if out is not None:
+            return out
 
     buf = payload[20:] + b"\x00" * 16
     a8 = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)

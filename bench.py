@@ -170,20 +170,31 @@ def main() -> None:
     # record the 1/5/15-min load averages in the artifact itself so a
     # hot box is visible at reading time (local[32] expects ~32 under
     # its own load; anything high BEFORE the run started is co-tenancy)
+    # Key ORDER is artifact self-defense (r15 verdict item: the driver
+    # stores only the last ~2000 chars of stdout, and with "runs" last
+    # a truncated tail lost the per-query minima and total — the r14
+    # round-over-round comparison came back empty).  JSON object keys
+    # are unordered semantically, so any parser sees the same dict; but
+    # placing the big "runs" dict EARLY and "queries" + "value" LAST
+    # means a tail truncation always retains the minima and the total.
+    # Still exactly ONE JSON line — the driver contract is unchanged.
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
-        "runs": runs,
         "load_avg_prelaunch": load_prelaunch,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "runs": runs,
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
     }
     if errors:
         out["errors"] = errors
+        # keep "queries"/"value" the LAST keys even when errors exist
+        out["queries"] = out.pop("queries")
+        out["value"] = out.pop("value")
     print(json.dumps(out))
     if errors:
         sys.exit(1)

@@ -270,3 +270,65 @@ def test_vectorized_codec_matches_scalar_spec(points):
     assert [_bits(v) for v in fv] == [_bits(v) for v in sv] == [
         _bits(v) for v in vals
     ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_native_decoder_matches_python_walk(points):
+    """The guarded C decoder (r16) and the pure-Python walk must agree
+    bit-for-bit on every payload — the env flag pins BOTH paths in one
+    process (the native holder is checked per call)."""
+    import os
+
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        _gorilla_decompress_arrays,
+        _native_gorilla,
+    )
+
+    ts = sorted(t for t, _ in points)
+    vals = [v for _, v in points]
+    payload = gorilla_compress(ts, vals)
+    nat_ts, nat_vs = _gorilla_decompress_arrays(payload)
+    prev = os.environ.get("SPARKGRAFT_GORILLA_NATIVE")
+    os.environ["SPARKGRAFT_GORILLA_NATIVE"] = "0"
+    try:
+        assert _native_gorilla() is None  # the flag must actually gate
+        py_ts, py_vs = _gorilla_decompress_arrays(payload)
+    finally:
+        if prev is None:
+            del os.environ["SPARKGRAFT_GORILLA_NATIVE"]
+        else:
+            os.environ["SPARKGRAFT_GORILLA_NATIVE"] = prev
+    assert nat_ts.tolist() == py_ts.tolist() == ts
+    assert (
+        nat_vs.view(np.uint64).tolist() == py_vs.view(np.uint64).tolist()
+    )
+
+
+def test_native_decoder_rejects_corrupt_stream_via_fallback():
+    """A structurally corrupt payload must not crash the native path:
+    the C kernel returns nonzero and the caller falls back to the
+    pure-Python walk (whose behaviour on the same bytes is the spec)."""
+    from amazon_lookout_for_equipment_python_sdk_spark.operators.gorilla import (
+        _native_gorilla,
+    )
+
+    native = _native_gorilla()
+    if native is None:  # no compiler on this host — fallback already on
+        return
+    # '10' (window reuse) as the FIRST value tag, before any '11' set a
+    # window: dod '0' bit, then '10' -> C returns 2 (guarded), Python
+    # reads a zero-width field.  Build it by hand: n=2 header + payload
+    # bits 0,1,0 -> byte 0b01000000.
+    payload = (
+        struct.pack("<IqQ", 2, 0, 0) + bytes([0b01000000])
+    )
+    assert native(payload, 2, 0, 0) is None  # nonzero rc -> fallback
