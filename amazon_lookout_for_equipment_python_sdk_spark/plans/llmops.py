@@ -923,7 +923,14 @@ def lang_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strategy); the (lang, pos) agg is map-side combinable with
     lang x dim cells of state."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    emb = load_par(spark, sf_dir, "embeddings")
+    # plain load, not load_par (r16): this pipeline is pure codegen
+    # (broadcast join + posexplode + partial agg) — no Python boundary,
+    # so the load_par fan-out only buys 32 tiny tasks per stage on a
+    # sub-MB scan.  Measured (tools/bench_centroid_ab.py, alternating
+    # min-of-7): 0.672s -> 0.339s at sf0.1; identical at sf1 where the
+    # multi-file scan already has real partitions — which is also the
+    # cluster-scale story (the scan splits past core count by itself).
+    emb = load(spark, sf_dir, "embeddings")
     ex = (
         emb.join(docs, emb["vec_id"] == docs["doc_id"])
         .select(
