@@ -485,3 +485,9 @@ def test_kmv_jaccard_union_no_sort_merge_join(spark):
     plan = _plan(spark, "kmv_corpus_overlap")
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+    # r16 (ADVICE): SMJ-absence alone would pass a regression that adds
+    # exchanges without a join — bound the total so the union+group-by
+    # merge stays ONE exchange.  Current executed plan: 11 (upstream
+    # shingle/distinct/top-k machinery + the single merge exchange); the
+    # old full-outer shape paid 2+ more (one exchange + sort per side).
+    assert plan.count("Exchange hashpartitioning") <= 11, plan

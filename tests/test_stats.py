@@ -56,6 +56,69 @@ def test_rolling_zscore_constant_window_is_null(spark):
     assert all(r["zscore"] is None for r in out)
 
 
+def test_rolling_zscore_cumsum_diff_equals_frame_aggregates(spark):
+    """r16 rewrite pin: the running-cumsum + lag(W) trailing aggregates
+    must be BIT-identical to literal sliding-frame aggregates on an
+    adversarial fixture — multiple keys, ~20% null values (count/sum
+    null semantics), ts ties broken by event_id, and windows both short
+    and saturated.  Exact-integer arithmetic makes equality exact, so
+    compare raw float bits, not approx."""
+    import struct
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(120):
+            v = round(float(rng.normal(40, 8)), 2)
+            if rng.rand() < 0.2:
+                v = None
+            # ts ties every 3rd row exercise the tiebreak ordering
+            rows.append((k, i, v, f"2021-01-01 00:{(i // 3):02d}:00"))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    W = 25
+    got = {
+        r["event_id"] * 10 + ord(r["event_type"][0]): r["zscore"]
+        for r in st.rolling_zscore(df, W).collect()
+    }
+    # reference: the pre-r16 literal sliding-frame shape
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W - 1), 0)
+    )
+    x = F.round(F.col("value") * 100).cast("long")
+    ref_df = (
+        df.withColumn("_n", F.count(x).over(w))
+        .withColumn("_s", F.sum(x).over(w))
+        .withColumn("_q", F.sum(x * x).over(w))
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    var_num = n * q - s * s
+    z = (x * n - s).cast("double") / F.sqrt(
+        var_num.cast("double") * n.cast("double")
+        / (n - F.lit(1)).cast("double")
+    )
+    ref_rows = ref_df.withColumn(
+        "zscore", F.when((n >= F.lit(W)) & (var_num > F.lit(0)), z)
+    ).collect()
+    ref = {
+        r["event_id"] * 10 + ord(r["event_type"][0]): r["zscore"]
+        for r in ref_rows
+    }
+    assert set(got) == set(ref)
+
+    def bits(v):
+        return None if v is None else struct.pack("<d", v)
+
+    assert {k: bits(v) for k, v in got.items()} == {
+        k: bits(v) for k, v in ref.items()
+    }
+
+
 def test_cusum_reflected_equals_direct_recursion(spark):
     rng = np.random.RandomState(3)
     vals = np.round(rng.normal(20, 2, 200), 2)
