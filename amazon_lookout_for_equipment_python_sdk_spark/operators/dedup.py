@@ -1163,9 +1163,9 @@ def duplicate_spans(
         # and sf3 A/B (BASELINE.md "duplicate_spans persisted-gram A/B")
         # measured recompute faster at both points; kept as the probe
         # for re-running the A/B at larger decades.
-        from pyspark import StorageLevel as _SL
+        from pyspark import StorageLevel
 
-        grams = grams.persist(_SL.DISK_ONLY).transform(_note_persist)
+        grams = grams.persist(StorageLevel.DISK_ONLY).transform(_note_persist)
     # phase 1: frequency on the 64-bit hash — keep positions whose hash
     # is seen 2+ times.  Semi-join against the duplicated-hash set rather
     # than collecting a posting list per gram — a degenerate gram
